@@ -1,0 +1,23 @@
+"""station_data_ingestion_spark — a PySpark-native analytics engine.
+
+A from-scratch re-expression of the capabilities of the reference
+HCDP/station_data_ingestion pipeline (see SURVEY.md), built Spark-first:
+
+- declarative DataFrame programs (Catalyst optimizes pruning/pushdown/joins)
+- wide-matrix station CSV ingestion -> long observation table (unpivot)
+- composite-key MERGE/upsert with create/replace/no-op/multi-match semantics
+- pluggable chunked/retrying sinks via foreachPartition
+- a broad batch query surface (joins, aggs, windows, set ops, rollup/cube)
+- Structured Streaming ingestion with watermarks + windowed aggregation
+- LLM-data-pipeline operators: dedup (exact/MinHash-LSH/SimHash/n-gram),
+  similarity search over embeddings, text analysis, multimodal columns
+
+Everything is designed for a 1000-executor / 100 TB deployment even though
+tests run on local[32]: small dims broadcast, aggregations are partial
+(map-side combine), filters and projections are pushed to the parquet scan,
+and shuffle-heavy operators key on high-cardinality columns.
+"""
+
+from station_data_ingestion_spark.session import get_spark  # noqa: F401
+
+__version__ = "0.1.0"

@@ -1,0 +1,132 @@
+"""Composite-key MERGE / upsert as one distributed join program.
+
+Re-expresses the reference's per-document probe loop
+[reference: src/modules/ingestion_handler.py:182-254] -- which issues one
+remote point-lookup per candidate doc under an asyncio semaphore -- as a
+single full-outer join on the composite key. Semantics preserved exactly:
+
+- key = ["datatype","period","date","fill","station_id"] + extras
+  [src/tapis_direct_driver.py:72-73]
+- >1 target match for an incoming key -> RecordKeyError
+  ("Multiple entries match the specified key data")
+  [ingestion_handler.py:193-195]
+- replace only when replace flag set AND stored value differs (deep
+  compare -> null-safe struct inequality) [ingestion_handler.py:196-199]
+- replace=False: matched-and-different rows silently DROPPED, not
+  inserted; unmatched still created [ingestion_handler.py:197,200-201]
+- stats {created, replaced} [ingestion_handler.py:251-254]
+
+Scale notes (100 TB): both sides shuffle ONCE on the composite key; the
+multi-match probe rides the same shuffle as a count-window instead of a
+second aggregation. AQE handles skewed station keys. With a date-partitioned
+target table, callers should pre-filter the target to the update's date
+range so partition pruning bounds the target scan (dynamic file pruning /
+Delta MERGE would do this automatically; plain-parquet callers pass the
+pruned target in).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_MULTI_MATCH_MSG = "Multiple entries match the specified key data"
+
+
+class RecordKeyError(Exception):
+    """More than one target row matches an incoming row's composite key."""
+
+
+@dataclass(frozen=True)
+class MergeStats:
+    created: int
+    replaced: int
+
+
+def merge_plan(
+    target: DataFrame,
+    updates: DataFrame,
+    key_fields: list[str],
+    replace: bool = True,
+) -> DataFrame:
+    """Build the merged table with an ``_action`` column, lazily.
+
+    ``_action`` in {'keep', 'create', 'replace'}. Matched-and-different
+    updates under replace=False keep the target row ('keep'): the update is
+    silently dropped, per the reference. Rows whose key matches >1 target
+    row raise at execution time via raise_error (no extra pass).
+    """
+    data_cols = [c for c in updates.columns if c not in key_fields]
+    if set(target.columns) != set(updates.columns):
+        raise ValueError(
+            f"target/updates schema mismatch: {sorted(target.columns)} vs "
+            f"{sorted(updates.columns)}"
+        )
+
+    # Count duplicate keys in the target on the same shuffle the join uses.
+    w = Window.partitionBy(*key_fields)
+    t = target.select(
+        *key_fields,
+        F.struct(*data_cols).alias("_t_data"),
+        F.count(F.lit(1)).over(w).alias("_t_key_count"),
+    )
+    u = updates.select(*key_fields, F.struct(*data_cols).alias("_u_data")).withColumn(
+        "_u_present", F.lit(True)
+    )
+
+    joined = t.join(u, on=key_fields, how="full_outer")
+
+    u_present = F.col("_u_present").isNotNull()
+    multi_match = u_present & (F.col("_t_key_count") > 1)
+    changed = u_present & ~F.col("_t_data").eqNullSafe(F.col("_u_data"))
+
+    action = (
+        F.when(
+            multi_match,
+            F.raise_error(F.lit(_MULTI_MATCH_MSG)).cast("string"),
+        )
+        .when(F.col("_t_data").isNull(), F.lit("create"))
+        .when(changed & F.lit(replace), F.lit("replace"))
+        # changed & replace=False: the update doc is silently dropped and
+        # the target row kept as-is; exact duplicate / target-only -> no-op
+        .otherwise(F.lit("keep"))
+    )
+
+    data = F.when(
+        F.col("_t_data").isNull() | (F.lit(replace) & changed), F.col("_u_data")
+    ).otherwise(F.col("_t_data"))
+
+    return joined.select(
+        *key_fields,
+        *[data.getField(c).alias(c) for c in data_cols],
+        action.alias("_action"),
+    )
+
+
+def merge_observations(
+    target: DataFrame,
+    updates: DataFrame,
+    key_fields: list[str],
+    replace: bool = True,
+) -> tuple[DataFrame, MergeStats]:
+    """Execute the merge: returns (merged DataFrame, {created, replaced}).
+
+    The stats aggregation is the only materialization; the merged frame is
+    returned lazily (callers typically write it straight back out).
+    """
+    plan = merge_plan(target, updates, key_fields, replace)
+    try:
+        counts = {
+            r["_action"]: r["n"]
+            for r in plan.groupBy("_action").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+    except Exception as e:  # surface the multi-match as the domain error
+        if _MULTI_MATCH_MSG in str(e):
+            raise RecordKeyError(_MULTI_MATCH_MSG) from e
+        raise
+    stats = MergeStats(
+        created=counts.get("create", 0), replaced=counts.get("replace", 0)
+    )
+    return plan.drop("_action"), stats

@@ -1,0 +1,148 @@
+"""Config-driven job runner: multi-file ingestion with resume manifest.
+
+Re-expresses the reference's operational loop [reference:
+src/driver.py:101-170, utils/task.sh:8-15, README.md:41-43]:
+
+- per data_item, per file: ingest wide CSV -> observations + metadata
+- observations MERGE into the target parquet table (partitioned by
+  datatype/period so date-range queries prune partitions)
+- per-file commit manifest for resume: a file that completed is skipped on
+  re-run; merge-key idempotency makes partial replays safe (the batch
+  analog of the reference's byte-position state file)
+- all_complete() equivalent: AND over the manifest's complete flags
+  [reference: utils/all_complete.py:4-12]
+- date templating of config text: %y/%m/%d -> concrete zero-padded dates
+  [reference: utils/update_date_string_in_config.py:32-48]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict
+from datetime import date, timedelta
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from station_data_ingestion_spark.operators.merge import MergeStats, merge_observations
+from station_data_ingestion_spark.plans.jobspec import DataItemSpec, JobSpec
+from station_data_ingestion_spark.sources.wide_csv import ingest_wide_csv
+
+OBS_PARTITION_COLS = ("datatype", "period")
+
+
+def template_dates(config_text: str, on: date | None = None) -> str:
+    """Replace %y/%m/%d tokens with a concrete (default: yesterday's) date."""
+    d = on or (date.today() - timedelta(days=1))
+    return (
+        config_text.replace("%y", f"{d.year:04d}")
+        .replace("%m", f"{d.month:02d}")
+        .replace("%d", f"{d.day:02d}")
+    )
+
+
+class Manifest:
+    """Per-file commit log for resume (JSON file, driver-side)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.state: dict[str, dict] = {}
+        if os.path.exists(path):
+            with open(path, encoding="utf-8") as f:
+                self.state = json.load(f)
+
+    def is_complete(self, file: str) -> bool:
+        return self.state.get(file, {}).get("complete", False)
+
+    def mark_complete(self, file: str, stats: MergeStats) -> None:
+        self.state[file] = {"complete": True, **asdict(stats)}
+        self._save()
+
+    def _save(self) -> None:
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        tmp = self.path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(self.state, f, indent=2)
+        os.replace(tmp, self.path)
+
+    def all_complete(self, files: list[str]) -> bool:
+        return all(self.is_complete(f) for f in files)
+
+
+def read_obs_table(spark: SparkSession, table_path: str, spec: DataItemSpec) -> DataFrame:
+    """Read the observation target, pruned to the spec's merge slice.
+
+    Partition pruning on (datatype, period) bounds the target scan -- the
+    scale-critical move: a 100 TB observation table is never fully read to
+    merge one month of one datatype.
+    """
+    # A previous zero-row run leaves a dir with no parquet footers, so an
+    # existence check alone isn't enough to read it back.
+    has_data = os.path.exists(table_path) and any(
+        f.endswith(".parquet")
+        for _root, _dirs, files in os.walk(table_path)
+        for f in files
+    )
+    if not has_data:
+        schema = "station_id string, date string, value double, " + ", ".join(
+            f"{k} string" for k in spec.static_properties
+        )
+        return spark.createDataFrame([], schema)
+    df = spark.read.parquet(table_path)
+    return df.filter(
+        (F.col("datatype") == spec.datatype) & (F.col("period") == spec.period)
+    )
+
+
+def run_job(
+    spark: SparkSession,
+    job: JobSpec,
+    obs_table_path: str,
+    manifest_path: str | None = None,
+) -> dict[str, MergeStats]:
+    """Run every data_item/file, merging observations into the obs table.
+
+    Returns per-file MergeStats. Files already complete in the manifest are
+    skipped (resume contract).
+    """
+    manifest = Manifest(manifest_path) if manifest_path else None
+    results: dict[str, MergeStats] = {}
+    for item in job.data:
+        for file in item.files:
+            if manifest and manifest.is_complete(file):
+                continue
+            obs, _meta = ingest_wide_csv(spark, file, item, job.location)
+            target = read_obs_table(spark, obs_table_path, item)
+            # Align schemas: target slice may lack per-job extra columns.
+            for c in obs.columns:
+                if c not in target.columns:
+                    target = target.withColumn(c, F.lit(None).cast("string"))
+            target = target.select(*obs.columns)
+            merged, stats = merge_observations(
+                target, obs, item.key_fields, replace=item.replace_duplicates
+            )
+            _overwrite_slice(merged, obs_table_path, item)
+            results[file] = stats
+            if manifest:
+                manifest.mark_complete(file, stats)
+    return results
+
+
+def _overwrite_slice(merged: DataFrame, table_path: str, item: DataItemSpec) -> None:
+    """Overwrite only the merged (datatype, period) partition slice.
+
+    Dynamic partition overwrite keeps unrelated slices untouched -- the
+    plain-parquet analog of Delta MERGE's file-level replace.
+    """
+    spark = merged.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.write.mode("overwrite")
+            .partitionBy(*OBS_PARTITION_COLS)
+            .parquet(table_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

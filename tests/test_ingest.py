@@ -1,0 +1,91 @@
+import pytest
+from pyspark.sql import functions as F
+
+from station_data_ingestion_spark.plans.jobspec import DataItemSpec
+from station_data_ingestion_spark.sources import wide_csv
+
+
+def make_spec(**kw):
+    base = dict(
+        files=[],
+        datatype="temperature",
+        period="day",
+        fill="raw",
+        start_date="2022-03-02",
+        end_date="2022-03-05",
+        additional_properties={"aggregation": "min"},
+        additional_key_properties=["aggregation"],
+    )
+    base.update(kw)
+    return DataItemSpec(**base)
+
+
+def test_classify_headers_drops_unknown_and_prunes(spark, wide_csv_day):
+    spec = make_spec()
+    cols = wide_csv.read_header(spark, wide_csv_day)
+    meta, date_cols = wide_csv.classify_headers(cols, spec)
+    assert "Notes" not in meta and "Notes" not in date_cols
+    assert meta["SKN"] == "skn" and meta["ELEV.m."] == "elevation_m"
+    # inclusive both ends: 02..05 only
+    assert date_cols == ["X2022.03.02", "X2022.03.03", "X2022.03.04", "X2022.03.05"]
+
+
+def test_observations_long_output(spark, wide_csv_day):
+    spec = make_spec()
+    obs, meta = wide_csv.ingest_wide_csv(spark, wide_csv_day, spec)
+    rows = {(r.station_id, r.date): r.value for r in obs.collect()}
+    # NA cells and out-of-range dates excluded; station ids stay strings
+    assert rows[("39.20", "2022-03-03")] == 22.0
+    assert rows[("0042", "2022-03-04")] == 19.5
+    assert ("39.20", "2022-03-02") not in rows  # NA
+    assert ("39.20", "2022-03-01") not in rows  # out of range
+    assert ("39.20", "2022-03-06") not in rows  # out of range
+    sample = obs.limit(1).collect()[0]
+    assert sample.datatype == "temperature"
+    assert sample.period == "day"
+    assert sample.fill == "raw"
+    assert sample.aggregation == "min"
+    # short/empty rows contribute nothing beyond their non-null cells
+    assert all(sid in ("39.20", "0042") for sid, _ in rows)
+
+
+def test_metadata_branch(spark, wide_csv_day):
+    spec = make_spec()
+    _obs, meta = wide_csv.ingest_wide_csv(spark, wide_csv_day, spec, location="hawaii")
+    m = {r.skn: r.asDict() for r in meta.collect() if r.skn}
+    assert m["39.20"]["name"] == "Kula"
+    assert m["39.20"]["observer"] == "NA"  # sentinel survives the read
+    assert m["0042"]["station_group"] == "hawaii_climate_primary"
+    assert m["0042"]["id_field"] == "skn"
+
+
+def test_strict_cast_raises_on_garbage(spark, tmp_path):
+    p = tmp_path / "bad.csv"
+    p.write_text("SKN,X2022.03.02\n1,oops\n")
+    spec = make_spec()
+    obs, _ = wide_csv.ingest_wide_csv(spark, str(p), spec)
+    with pytest.raises(Exception, match="non-numeric observation value"):
+        obs.collect()
+
+
+def test_month_period(spark, tmp_path):
+    p = tmp_path / "wide_month.csv"
+    p.write_text("SKN,X2021.01,X2021.02,X2021.03\n5,1.0,NA,3.0\n")
+    spec = make_spec(period="month", start_date="2021-01", end_date="2021-02")
+    obs, _ = wide_csv.ingest_wide_csv(spark, str(p), spec)
+    rows = {(r.station_id, r.date): r.value for r in obs.collect()}
+    assert rows == {("5", "2021-01"): 1.0}
+
+
+def test_flagship_groupby_over_ingested(spark, wide_csv_day):
+    """SURVEY §7 M1: avg(value) per station over the ingested long table."""
+    spec = make_spec()
+    obs, _ = wide_csv.ingest_wide_csv(spark, wide_csv_day, spec)
+    out = {
+        r.station_id: r.avg_value
+        for r in obs.groupBy("station_id")
+        .agg(F.round(F.avg("value"), 3).alias("avg_value"))
+        .collect()
+    }
+    assert out["39.20"] == round((22.0 + 22.5 + 23.0) / 3, 3)
+    assert out["0042"] == round((18.0 + 19.5 + 20.0) / 3, 3)

@@ -1,0 +1,75 @@
+import pytest
+
+from station_data_ingestion_spark.operators.merge import (
+    RecordKeyError,
+    merge_observations,
+)
+
+KEY = ["datatype", "period", "date", "fill", "station_id", "aggregation"]
+SCHEMA = (
+    "station_id string, date string, value double, datatype string, "
+    "period string, fill string, aggregation string"
+)
+
+
+def row(sid, d, v):
+    return (sid, d, v, "temperature", "day", "raw", "min")
+
+
+def make(spark, rows):
+    return spark.createDataFrame([row(*r) for r in rows], SCHEMA)
+
+
+def collect_vals(df):
+    return {(r.station_id, r.date): r.value for r in df.collect()}
+
+
+def test_create_replace_noop_matrix(spark):
+    # FIXTURES.md §4 matrix: exact-dup (no-op), changed (replace),
+    # target-only (untouched), update-only (create)
+    target = make(spark, [("1", "2022-03-01", 10.0), ("2", "2022-03-01", 20.0), ("3", "2022-03-01", 30.0)])
+    updates = make(spark, [("1", "2022-03-01", 10.0), ("2", "2022-03-01", 99.0), ("4", "2022-03-01", 40.0)])
+    merged, stats = merge_observations(target, updates, KEY, replace=True)
+    assert stats.created == 1 and stats.replaced == 1
+    vals = collect_vals(merged)
+    assert vals == {
+        ("1", "2022-03-01"): 10.0,
+        ("2", "2022-03-01"): 99.0,
+        ("3", "2022-03-01"): 30.0,
+        ("4", "2022-03-01"): 40.0,
+    }
+
+
+def test_replace_false_drops_changed(spark):
+    target = make(spark, [("2", "2022-03-01", 20.0)])
+    updates = make(spark, [("2", "2022-03-01", 99.0), ("4", "2022-03-01", 40.0)])
+    merged, stats = merge_observations(target, updates, KEY, replace=False)
+    assert stats.created == 1 and stats.replaced == 0
+    vals = collect_vals(merged)
+    assert vals[("2", "2022-03-01")] == 20.0  # kept, not replaced
+    assert vals[("4", "2022-03-01")] == 40.0  # still created
+
+
+def test_multi_match_raises(spark):
+    target = make(spark, [("2", "2022-03-01", 20.0), ("2", "2022-03-01", 21.0)])
+    updates = make(spark, [("2", "2022-03-01", 99.0)])
+    with pytest.raises(RecordKeyError):
+        merge_observations(target, updates, KEY, replace=True)
+
+
+def test_duplicate_target_key_untouched_is_ok(spark):
+    # duplicate keys in the target are only an error when an update hits them
+    target = make(spark, [("9", "2022-03-01", 1.0), ("9", "2022-03-01", 2.0)])
+    updates = make(spark, [("4", "2022-03-01", 40.0)])
+    merged, stats = merge_observations(target, updates, KEY, replace=True)
+    assert stats.created == 1
+    assert merged.count() == 3
+
+
+def test_merge_idempotent(spark):
+    target = make(spark, [("1", "2022-03-01", 10.0)])
+    updates = make(spark, [("1", "2022-03-01", 11.0), ("2", "2022-03-02", 2.0)])
+    once, _ = merge_observations(target, updates, KEY)
+    twice, stats2 = merge_observations(once, updates, KEY)
+    assert stats2.created == 0 and stats2.replaced == 0
+    assert collect_vals(once) == collect_vals(twice)

@@ -1,0 +1,65 @@
+from datetime import date
+
+from station_data_ingestion_spark.plans.jobspec import DataItemSpec, JobSpec
+from station_data_ingestion_spark.plans.runner import Manifest, run_job, template_dates
+
+
+def test_template_dates():
+    out = template_dates('{"start_date": "%y-%m-%d"}', on=date(2022, 3, 5))
+    assert out == '{"start_date": "2022-03-05"}'
+
+
+def make_job(csv_path):
+    item = DataItemSpec(
+        files=[csv_path],
+        datatype="temperature",
+        period="day",
+        fill="raw",
+        start_date="2022-03-02",
+        end_date="2022-03-05",
+        additional_properties={"aggregation": "min"},
+        additional_key_properties=["aggregation"],
+    )
+    return JobSpec(data=[item])
+
+
+def test_run_job_end_to_end_and_resume(spark, wide_csv_day, tmp_path):
+    table = str(tmp_path / "obs_table")
+    manifest = str(tmp_path / "manifest.json")
+    job = make_job(wide_csv_day)
+
+    stats = run_job(spark, job, table, manifest)
+    s = stats[wide_csv_day]
+    assert s.created == 6 and s.replaced == 0  # 3 + 3 non-NA in-range cells
+
+    obs = spark.read.parquet(table)
+    assert obs.count() == 6
+    assert set(obs.select("datatype").distinct().toPandas()["datatype"]) == {"temperature"}
+
+    # resume: file marked complete -> skipped entirely
+    stats2 = run_job(spark, job, table, manifest)
+    assert stats2 == {}
+    assert Manifest(manifest).all_complete([wide_csv_day])
+
+    # re-run without manifest: idempotent (all no-ops)
+    stats3 = run_job(spark, job, table, None)
+    s3 = stats3[wide_csv_day]
+    assert s3.created == 0 and s3.replaced == 0
+    assert spark.read.parquet(table).count() == 6
+
+
+def test_zero_row_run_then_rerun(spark, tmp_path):
+    """A file with no in-range data writes an empty table; re-running against
+    that empty table dir must not crash (UNABLE_TO_INFER_SCHEMA guard)."""
+    p = tmp_path / "empty_range.csv"
+    p.write_text("SKN,X2021.01.01\n7,5.5\n")
+    item = DataItemSpec(
+        files=[str(p)], datatype="t", period="day", fill="raw",
+        start_date="2022-03-01", end_date="2022-03-03",
+    )
+    job = JobSpec(data=[item])
+    table = str(tmp_path / "obs_table")
+    s1 = run_job(spark, job, table, None)[str(p)]
+    assert s1.created == 0 and s1.replaced == 0
+    s2 = run_job(spark, job, table, None)[str(p)]
+    assert s2.created == 0 and s2.replaced == 0
