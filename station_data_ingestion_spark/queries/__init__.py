@@ -1,0 +1,19 @@
+"""Query surface: every operator exposed as a named (Spark, oracle-SQL) pair.
+
+Import order registers all queries into the registry; __spark_entry__.py
+re-exports them to the verification driver.
+"""
+
+from station_data_ingestion_spark.queries import (  # noqa: F401
+    events,
+    llm_dedup,
+    llm_similarity,
+    llm_text,
+    merge_q,
+    multimodal,
+    relational,
+    scalars,
+    setops,
+    windows,
+)
+from station_data_ingestion_spark.queries.registry import QUERIES  # noqa: F401

@@ -1,0 +1,227 @@
+"""Similarity search over the embeddings table (array<float>, 64-dim).
+
+Three tiers (SURVEY §2.9 similarity-search requirement):
+
+- brute-force cosine top-k: the correctness baseline. Queries broadcast
+  against candidates (at 100 TB: queries are always the small side ->
+  broadcast nested loop, candidates never shuffle).
+- IVF-style partitioned top-1: restrict to the coarse partition (label)
+  -- the "probe one cell" scale path; exact within the cell so
+  oracle-checkable.
+- random-hyperplane LSH ANN: scale path with banded signature buckets;
+  recall < 1 by construction, so no SQL oracle (rows-only check) -- its
+  quality is asserted against brute force in pytest instead.
+
+Dot products run in plain index order with double accumulation on both
+engines (zip_with/aggregate <-> list_dot_product on DOUBLE[]), rounded to
+6 digits in output.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from station_data_ingestion_spark.queries.registry import load, query
+
+
+def _cos(a: str | Column, b: str | Column) -> Column:
+    """Cosine similarity of two array<float> columns, double-accumulated."""
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+_COS_SQL = (
+    "list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)),"
+    " list_transform({b}, x -> CAST(x AS DOUBLE)))"
+    " / (sqrt(list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)),"
+    " list_transform({a}, x -> CAST(x AS DOUBLE))))"
+    " * sqrt(list_dot_product(list_transform({b}, x -> CAST(x AS DOUBLE)),"
+    " list_transform({b}, x -> CAST(x AS DOUBLE)))))"
+)
+
+_BRUTE_ORACLE = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+scored AS (
+  SELECT q_id, c_id, {_COS_SQL.format(a='qv', b='cv')} AS cos_sim FROM q, c
+), ranked AS (
+  SELECT q_id, c_id, ROUND(cos_sim, 6) AS sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY ROUND(cos_sim, 6) DESC, c_id) AS rk
+  FROM scored
+)
+SELECT q_id, c_id, sim, rk FROM ranked WHERE rk <= 3
+"""
+
+
+@query("sim_brute_topk", _BRUTE_ORACLE)
+def sim_brute_topk(spark, sf_dir):
+    """Brute-force cosine top-3 for query vectors (vec_id < 5)."""
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    c = e.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "q_id", "c_id", F.round(_cos("qv", "cv"), 6).alias("sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("q_id", "c_id", "sim", "rk")
+    )
+
+
+_IVF_ORACLE = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, a.label AS label,
+         {_COS_SQL.format(a='a.embedding', b='b.embedding')} AS cos_sim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT vec_id, neighbor_id, label, ROUND(cos_sim, 6) AS sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY ROUND(cos_sim, 6) DESC, neighbor_id) AS rk
+  FROM pairs
+)
+SELECT vec_id, neighbor_id, label, sim FROM ranked WHERE rk = 1
+"""
+
+
+@query("sim_ivf_label_top1", _IVF_ORACLE)
+def sim_ivf_label_top1(spark, sf_dir):
+    """IVF-style: nearest neighbor within the coarse partition (label).
+
+    The scale path: partition the index by a coarse quantizer (here the
+    label column), probe only the home cell -- the join is label-equi so
+    it shuffles once on label, never all-pairs.
+    """
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    a = e.select("vec_id", "label", F.col("embedding").alias("va"))
+    b = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("vb"),
+    )
+    pairs = a.join(
+        b, (F.col("label") == F.col("lb")) & (F.col("vec_id") != F.col("neighbor_id"))
+    ).select(
+        "vec_id", "neighbor_id", "label", F.round(_cos("va", "vb"), 6).alias("sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+
+_rng = random.Random(7)
+_N_PLANES = 16
+# 16 random hyperplanes in 64-dim space (driver-side constants, seed-pinned)
+_PLANES = [[_rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(_N_PLANES)]
+
+
+@query("sim_ann_lsh_bucketed", None)
+def sim_ann_lsh_bucketed(spark, sf_dir):
+    """ANN via random-hyperplane LSH: 16-bit signature, bucket on two
+    8-bit bands, exact rerank inside buckets, top-3 per query.
+
+    No SQL oracle (recall < 1 by construction); pytest asserts recall
+    against sim_brute_topk. At scale the bucket join replaces the cross
+    join: candidates shuffle on (band, sig) only.
+    """
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+
+    def signature(vec: Column) -> Column:
+        bits = [
+            (
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(w) for w in plane]),
+                        lambda x, wgt: x.cast("double") * wgt,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                > 0
+            ).cast("int")
+            for plane in _PLANES
+        ]
+        return F.array(*bits)
+
+    sig = e.select("vec_id", "embedding", signature(F.col("embedding")).alias("bits"))
+    banded = sig.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.concat_ws(
+                            "", *[F.col("bits").getItem(band * 8 + i) for i in range(8)]
+                        ).alias("sig"),
+                    )
+                    for band in range(2)
+                ]
+            )
+        ).alias("bs"),
+    ).select("vec_id", "embedding", "bs.band", "bs.sig")
+    q = banded.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"), "band", "sig"
+    )
+    c = banded.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"), "band", "sig"
+    )
+    cand = (
+        q.join(c, ["band", "sig"])
+        .select("q_id", "c_id", "qv", "cv")
+        .distinct()
+    )
+    scored = cand.select("q_id", "c_id", F.round(_cos("qv", "cv"), 6).alias("sim"))
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("q_id", "c_id", "sim", "rk")
+    )
+
+
+@query(
+    "sim_neardup_embeddings",
+    f"""
+WITH pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         {_COS_SQL.format(a='a.embedding', b='b.embedding')} AS cos_sim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT a_id, b_id, ROUND(cos_sim, 6) AS sim FROM pairs WHERE cos_sim > 0.98
+""",
+)
+def sim_neardup_embeddings(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (> 0.98) within label blocks."""
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    a = e.select(F.col("vec_id").alias("a_id"), "label", F.col("embedding").alias("va"))
+    b = e.select(
+        F.col("vec_id").alias("b_id"), F.col("label").alias("lb"), F.col("embedding").alias("vb")
+    )
+    return (
+        a.join(b, (F.col("label") == F.col("lb")) & (F.col("a_id") < F.col("b_id")))
+        .select("a_id", "b_id", _cos("va", "vb").alias("cos_sim"))
+        .filter(F.col("cos_sim") > 0.98)
+        .select("a_id", "b_id", F.round("cos_sim", 6).alias("sim"))
+    )

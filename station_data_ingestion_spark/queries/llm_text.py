@@ -1,0 +1,192 @@
+"""Text analysis operators for LLM data pipelines over `documents`.
+
+Quality scoring, language-ID heuristic, token statistics, rolling-hash
+fingerprints -- all pure JVM expressions (no Python UDFs in the hot
+path), each with a portable SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from station_data_ingestion_spark.queries.registry import load, query
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+_SW_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+
+
+@query(
+    "text_quality_features",
+    f"""
+WITH feat AS (
+  SELECT doc_id, lang, source, n_chars,
+         string_split(text, ' ') AS words,
+         LENGTH(text) AS len_chars,
+         LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+  FROM documents
+)
+SELECT doc_id, lang, source,
+       CAST(len(words) AS BIGINT) AS n_tokens,
+       ROUND(CAST(len_chars AS DOUBLE) / len(words), 4) AS chars_per_token,
+       ROUND(CAST(n_punct AS DOUBLE) / len_chars, 6) AS punct_ratio,
+       ROUND(CAST(len(list_filter(words, w -> list_contains({_SW_LIST_SQL}, w)))
+             AS DOUBLE) / len(words), 6) AS stopword_ratio,
+       CAST(len_chars = n_chars AS INT) AS n_chars_consistent
+FROM feat
+""",
+)
+def text_quality_features(spark, sf_dir):
+    """Per-document quality features: token count, chars/token,
+    punctuation ratio, stopword ratio."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    words = F.split("text", " ")
+    len_chars = F.length("text")
+    n_punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(words).cast("long").alias("n_tokens"),
+        F.round(len_chars.cast("double") / F.size(words), 4).alias("chars_per_token"),
+        F.round(n_punct.cast("double") / len_chars, 6).alias("punct_ratio"),
+        F.round(n_stop.cast("double") / F.size(words), 6).alias("stopword_ratio"),
+        (len_chars == F.col("n_chars")).cast("int").alias("n_chars_consistent"),
+    )
+
+
+_LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "de"),
+    "fr": ("le", "la", "et"),
+    "de": ("der", "die", "und"),
+    "zh": ("de", "le", "shi"),
+}
+
+
+def _marker_sql(lang: str) -> str:
+    lst = "[" + ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang]) + "]"
+    return f"len(list_filter(words, w -> list_contains({lst}, w)))"
+
+
+@query(
+    "text_lang_id_agreement",
+    f"""
+WITH scored AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents
+), hits AS (
+  SELECT doc_id, lang,
+         {_marker_sql('en')} AS s_en, {_marker_sql('es')} AS s_es,
+         {_marker_sql('fr')} AS s_fr, {_marker_sql('de')} AS s_de,
+         {_marker_sql('zh')} AS s_zh
+  FROM scored
+), pred AS (
+  SELECT doc_id, lang,
+         CASE GREATEST(s_en, s_es, s_fr, s_de, s_zh)
+              WHEN s_en THEN 'en' WHEN s_es THEN 'es' WHEN s_fr THEN 'fr'
+              WHEN s_de THEN 'de' ELSE 'zh' END AS predicted
+  FROM hits
+)
+SELECT lang, predicted, COUNT(*) AS n FROM pred GROUP BY lang, predicted
+""",
+)
+def text_lang_id_agreement(spark, sf_dir):
+    """Heuristic n-gram/stopword language ID vs the labeled lang column.
+
+    Ties resolve in fixed order en>es>fr>de>zh (the CASE tries them in
+    that order on both engines)."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    words = F.split("text", " ")
+
+    def score(lang: str):
+        markers = F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
+        return F.size(F.filter(words, lambda w: F.array_contains(markers, w)))
+
+    scores = {lang: score(lang).alias(f"s_{lang}") for lang in _LANG_MARKERS}
+    hits = d.select("doc_id", "lang", *scores.values())
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in _LANG_MARKERS])
+    pred = (
+        F.when(F.col("s_en") == best, "en")
+        .when(F.col("s_es") == best, "es")
+        .when(F.col("s_fr") == best, "fr")
+        .when(F.col("s_de") == best, "de")
+        .otherwise("zh")
+    )
+    return hits.select("lang", pred.alias("predicted")).groupBy("lang", "predicted").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "text_token_frequencies",
+    """
+WITH toks AS (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+SELECT token, COUNT(*) AS freq FROM toks GROUP BY token
+ORDER BY freq DESC, token LIMIT 25
+""",
+)
+def text_token_frequencies(spark, sf_dir):
+    """Corpus token histogram, deterministic top-25."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(25)
+    )
+
+
+@query(
+    "text_token_count_bpe_ish",
+    """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT)
+           AS n_bpe_tokens,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+FROM documents WHERE doc_id % 5 = 0
+""",
+)
+def text_token_count_bpe_ish(spark, sf_dir):
+    """Token counting two ways: whitespace and a BPE-ish regex segmenter
+    (letters / digits / single punctuation)."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    return d.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+    )
+
+
+@query(
+    "text_fingerprint_rolling_hash",
+    """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ' '),
+                          t -> CAST(strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1
+                               AS BIGINT) * 16
+                               + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1))),
+         (acc, x) -> (acc * 257 + x) % 1000000007) AS fingerprint
+FROM documents
+""",
+)
+def text_fingerprint_rolling_hash(spark, sf_dir):
+    """Polynomial rolling-hash document fingerprint over token bytes
+    (first md5 byte per token), mod 1e9+7 -- identical fold on both
+    engines."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    tok_byte = lambda t: (
+        (F.conv(F.substring(F.md5(t), 1, 1), 16, 10).cast("long") * 16)
+        + F.conv(F.substring(F.md5(t), 2, 1), 16, 10).cast("long")
+    )
+    fp = F.aggregate(
+        F.transform(F.split("text", " "), tok_byte),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 257 + x) % 1000000007,
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))

@@ -1,0 +1,57 @@
+"""MERGE/upsert exercised through the oracle gate.
+
+Runs the engine's real merge operator (operators.merge.merge_plan) on a
+deterministic scenario built from `orders`:
+
+- target  = snapshot of orders with even keys
+- updates = orders with keys divisible by 3, totalprice doubled
+
+so keys divisible by 6 are matched-and-changed ('replace'), odd multiples
+of 3 are new ('create'), the rest keep. The oracle states the same
+semantics as one FULL OUTER JOIN -- proving the distributed merge program
+equals the reference's per-document probe loop
+[reference: src/modules/ingestion_handler.py:182-254].
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from station_data_ingestion_spark.operators.merge import merge_plan
+from station_data_ingestion_spark.queries.registry import load, query
+
+_COLS = "o_custkey, o_orderstatus, o_totalprice, o_orderpriority"
+
+_MERGE_ORACLE = f"""
+WITH target AS (
+  SELECT o_orderkey, {_COLS} FROM orders WHERE o_orderkey % 2 = 0
+), updates AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT COALESCE(t.o_orderkey, u.o_orderkey) AS o_orderkey,
+       COALESCE(u.o_custkey, t.o_custkey) AS o_custkey,
+       COALESCE(u.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+       CASE WHEN t.o_orderkey IS NULL OR u.o_orderkey IS NOT NULL
+            THEN u.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+       COALESCE(u.o_orderpriority, t.o_orderpriority) AS o_orderpriority,
+       CASE WHEN t.o_orderkey IS NULL THEN 'create'
+            WHEN u.o_orderkey IS NULL THEN 'keep'
+            WHEN u.o_totalprice IS DISTINCT FROM t.o_totalprice THEN 'replace'
+            ELSE 'keep' END AS action
+FROM target t FULL OUTER JOIN updates u ON t.o_orderkey = u.o_orderkey
+"""
+
+
+@query("merge_upsert_orders", _MERGE_ORACLE)
+def merge_upsert_orders(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    target = o.filter(F.col("o_orderkey") % 2 == 0)
+    updates = o.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    merged = merge_plan(target, updates, ["o_orderkey"], replace=True)
+    return merged.withColumnRenamed("_action", "action")

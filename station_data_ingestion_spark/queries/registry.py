@@ -1,0 +1,81 @@
+"""Registry of named queries with DuckDB-oracle SQL counterparts.
+
+Each query is a callable (spark, sf_dir) -> DataFrame plus (usually) an
+ANSI-SQL string that DuckDB can run over the same parquet tables. The
+external driver compares them by row-count + schema + order-insensitive
+value hash, so every query here follows three determinism rules:
+
+1. float aggregates use the exact-integer pattern
+   ``sum(cast(round(x * 10^k) as bigint)) / 10^k`` -- integer addition is
+   associative, so the result is bit-identical regardless of partitioning
+   or engine (a plain sum(double) varies in the last bits with the
+   accumulation order). Helper: :func:`money_sum` / :data:`MONEY_SQL`.
+2. timestamps never appear raw in output -- always formatted to strings.
+3. any LIMIT/top-k has a total order (unique tiebreak column included).
+
+At 100 TB the same pattern holds: integer sums also avoid double rounding
+drift across AQE re-partitions. (A production deployment would use
+DECIMAL(18,4) columns instead; the parquet corpus is double-typed.)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+QUERIES: dict[str, QueryDef] = {}
+
+
+def query(name: str, oracle: str | None = None, doc: str = ""):
+    """Decorator: register fn(spark, sf_dir) -> DataFrame under `name`."""
+
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = QueryDef(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return wrap
+
+
+def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load parquet tables as DataFrames (schemas pruned by Catalyst).
+
+    events.ts is stored as TIMESTAMP(NANOS), which Spark reads as a nanos
+    long (see session.py conf); convert to a micros-truncated timestamp so
+    semantics match engines with native nanos support (DuckDB truncates
+    the same way).
+    """
+    out = {}
+    for n in names or TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        if n == "events" and dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        out[n] = df
+    return out
+
+
+def money_sum(col: Column, scale: int = 4) -> Column:
+    """Deterministic float sum: per-row round to 10^-scale, integer-sum."""
+    k = 10 ** scale
+    return F.sum(F.round(col * k).cast("long")) / float(k)
+
+
+def money_sum_sql(expr: str, scale: int = 4) -> str:
+    k = 10 ** scale
+    return f"SUM(CAST(ROUND(({expr}) * {k}) AS BIGINT)) / {k}.0"

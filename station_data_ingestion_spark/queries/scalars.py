@@ -1,0 +1,221 @@
+"""Scalar function surface: string / date / math / regex / JSON / array.
+
+Each query exercises a family of built-in functions (JVM-side, inside
+whole-stage codegen -- never Python UDFs) with DuckDB-portable semantics:
+1-based substr, half-away rounding, explicit BIGINT casts where the
+engines' default return types differ (floor/ceil, length).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from station_data_ingestion_spark.queries.registry import load, query
+
+
+@query(
+    "scalar_string_functions",
+    """
+SELECT c_custkey,
+       UPPER(c_name) AS name_upper,
+       LOWER(c_mktsegment) AS seg_lower,
+       SUBSTR(c_name, 1, 8) AS name_prefix,
+       CAST(LENGTH(c_name) AS BIGINT) AS name_len,
+       c_name || '/' || c_mktsegment AS name_seg,
+       REPLACE(c_name, 'Customer', 'Cust') AS name_short,
+       TRIM(CAST(c_custkey AS VARCHAR)) AS key_str,
+       LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+       REVERSE(c_mktsegment) AS seg_rev
+FROM customer WHERE c_custkey % 10 = 0
+""",
+)
+def scalar_string_functions(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")["customer"]
+    return c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.concat_ws("/", "c_name", "c_mktsegment").alias("name_seg"),
+        F.regexp_replace("c_name", "Customer", "Cust").alias("name_short"),
+        F.trim(F.col("c_custkey").cast("string")).alias("key_str"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+    )
+
+
+@query(
+    "scalar_math_functions",
+    """
+SELECT l_orderkey, l_linenumber,
+       ABS(l_extendedprice - 1000.0) AS abs_diff,
+       ROUND(l_extendedprice, 1) AS rounded1,
+       CAST(FLOOR(l_extendedprice) AS BIGINT) AS floor_price,
+       CAST(CEIL(l_extendedprice) AS BIGINT) AS ceil_price,
+       l_orderkey % 7 AS key_mod,
+       CAST(POWER(l_quantity, 2) AS BIGINT) AS qty_sq,
+       ROUND(SQRT(l_quantity), 6) AS qty_sqrt,
+       ROUND(LN(l_extendedprice), 6) AS log_price,
+       CAST(SIGN(l_discount - 0.05) AS BIGINT) AS disc_sign,
+       CAST(GREATEST(l_quantity, 25.0) AS DOUBLE) AS qty_floor25,
+       CAST(LEAST(l_quantity, 25.0) AS DOUBLE) AS qty_cap25
+FROM lineitem WHERE l_orderkey % 500 = 0
+""",
+)
+def scalar_math_functions(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    return li.filter(F.col("l_orderkey") % 500 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 1000.0).alias("abs_diff"),
+        F.round("l_extendedprice", 1).alias("rounded1"),
+        F.floor("l_extendedprice").cast("long").alias("floor_price"),
+        F.ceil("l_extendedprice").cast("long").alias("ceil_price"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.pow("l_quantity", 2).cast("long").alias("qty_sq"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("log_price"),
+        F.signum(F.col("l_discount") - 0.05).cast("long").alias("disc_sign"),
+        F.greatest(F.col("l_quantity"), F.lit(25.0)).cast("double").alias("qty_floor25"),
+        F.least(F.col("l_quantity"), F.lit(25.0)).cast("double").alias("qty_cap25"),
+    )
+
+
+@query(
+    "scalar_date_functions",
+    """
+SELECT o_orderkey,
+       CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+       CAST(MONTH(o_orderdate) AS BIGINT) AS mo,
+       CAST(DAY(o_orderdate) AS BIGINT) AS dom,
+       CAST(QUARTER(o_orderdate) AS BIGINT) AS qtr,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30d,
+       CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since_epoch_start,
+       strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end
+FROM orders WHERE o_orderkey % 250 = 0
+""",
+)
+def scalar_date_functions(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")["orders"]
+    return o.filter(F.col("o_orderkey") % 250 == 0).select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").alias(
+            "plus_30d"
+        ),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+    )
+
+
+@query(
+    "scalar_conditional_functions",
+    """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 400000 THEN 'high'
+            WHEN o_totalprice > 150000 THEN 'mid'
+            ELSE 'low' END AS price_band,
+       COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_label,
+       CAST(o_totalprice > 200000 AS INT) AS is_big,
+       IF(o_orderpriority = '1-URGENT', 1, 0) AS is_urgent
+FROM orders WHERE o_orderkey % 250 = 0
+""",
+)
+def scalar_conditional_functions(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")["orders"]
+    return o.filter(F.col("o_orderkey") % 250 == 0).select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 400000, "high")
+        .when(F.col("o_totalprice") > 150000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
+            "status_label"
+        ),
+        (F.col("o_totalprice") > 200000).cast("int").alias("is_big"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("is_urgent"),
+    )
+
+
+@query(
+    "scalar_regex_functions",
+    """
+SELECT p_partkey, p_name,
+       regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+       CAST(regexp_matches(p_name, 'i.e') AS INT) AS has_ie,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+       CAST(LENGTH(regexp_replace(p_name, '[^ ]', '', 'g')) + 1 AS BIGINT) AS n_words
+FROM part WHERE p_partkey % 40 = 0
+""",
+)
+def scalar_regex_functions(spark, sf_dir):
+    p = load(spark, sf_dir, "part")["part"]
+    return p.filter(F.col("p_partkey") % 40 == 0).select(
+        "p_partkey",
+        "p_name",
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.col("p_name").rlike("i.e").cast("int").alias("has_ie"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        (F.length(F.regexp_replace("p_name", "[^ ]", "")) + 1).cast("long").alias("n_words"),
+    )
+
+
+@query(
+    "scalar_json_functions",
+    """
+SELECT event_id, event_type,
+       CAST(props->>'$.k' AS BIGINT) AS prop_k,
+       CAST(json_valid(props) AS INT) AS is_valid
+FROM events WHERE event_id % 25 = 0
+""",
+)
+def scalar_json_functions(spark, sf_dir):
+    """JSON extraction from the events.props string column."""
+    e = load(spark, sf_dir, "events")["events"]
+    return e.filter(F.col("event_id") % 25 == 0).select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+        F.when(F.get_json_object("props", "$").isNotNull(), 1).otherwise(0).alias("is_valid"),
+    )
+
+
+@query(
+    "scalar_array_functions",
+    """
+SELECT vec_id,
+       CAST(LEN(embedding) AS INT) AS dim,
+       ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+       ROUND(CAST(embedding[64] AS DOUBLE), 6) AS last_val,
+       ROUND(CAST(list_sum(embedding) AS DOUBLE), 4) AS vec_sum,
+       ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS vec_max
+FROM embeddings WHERE vec_id % 10 = 0
+""",
+)
+def scalar_array_functions(spark, sf_dir):
+    """Array ops over array<float> embeddings (1-based element_at).
+
+    vec_sum: float32 values are summed after widening to double in index
+    order (F.aggregate), matching DuckDB's list_sum accumulation; rounded
+    to absorb any last-bit drift.
+    """
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    vec_sum = F.aggregate(
+        "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    return e.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(F.element_at("embedding", 64).cast("double"), 6).alias("last_val"),
+        F.round(vec_sum, 4).alias("vec_sum"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("vec_max"),
+    )

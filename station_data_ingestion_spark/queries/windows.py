@@ -1,0 +1,118 @@
+"""Window functions: ranking, running totals, lag/lead, top-k per group.
+
+Scale notes: every window partitions on a high-cardinality key (custkey,
+brand) so the shuffle spreads evenly; none partition on a constant (the
+classic single-partition window trap). Top-k per group uses row_number +
+filter -- Spark pushes a per-partition top-k (WindowGroupLimit) down the
+sort at execution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from station_data_ingestion_spark.queries.registry import load, query
+
+
+@query(
+    "window_topk_parts_per_brand",
+    """
+SELECT p_brand, p_partkey, p_retailprice, rk FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rk
+  FROM part) WHERE rk <= 3
+""",
+)
+def window_topk_parts_per_brand(spark, sf_dir):
+    """Top-3 priciest parts per brand (total order via p_partkey tiebreak)."""
+    p = load(spark, sf_dir, "part")["part"]
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        p.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rk")
+    )
+
+
+@query(
+    "window_running_customer_spend",
+    """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT))
+           OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 10000.0
+           AS running_spend,
+       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey) AS order_seq
+FROM orders
+""",
+)
+def window_running_customer_spend(spark, sf_dir):
+    """Running total per customer (exact-integer accumulation for
+    cross-engine determinism) + order sequence number."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        (F.sum(F.round(F.col("o_totalprice") * 10000).cast("long")).over(wsum) / 10000.0).alias(
+            "running_spend"
+        ),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@query(
+    "window_lag_order_gap",
+    """
+SELECT o_custkey, o_orderkey,
+       CAST(date_diff('day',
+            LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey),
+            o_orderdate) AS BIGINT) AS days_since_prev
+FROM orders
+""",
+)
+def window_lag_order_gap(spark, sf_dir):
+    """LAG: days between consecutive orders of each customer."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), prev).cast("long").alias("days_since_prev"),
+    )
+
+
+@query(
+    "window_rank_dense_ntile",
+    """
+SELECT s_suppkey, s_acctbal,
+       RANK() OVER (ORDER BY CAST(ROUND(s_acctbal * 100) AS BIGINT) DESC, s_suppkey) AS bal_rank,
+       DENSE_RANK() OVER (ORDER BY CAST(s_acctbal >= 0 AS INT) DESC) AS sign_dense,
+       NTILE(4) OVER (ORDER BY CAST(ROUND(s_acctbal * 100) AS BIGINT) DESC, s_suppkey) AS quartile
+FROM supplier
+""",
+)
+def window_rank_dense_ntile(spark, sf_dir):
+    """rank / dense_rank / ntile on a global (small-table) window."""
+    s = load(spark, sf_dir, "supplier")["supplier"]
+    cents = F.round(F.col("s_acctbal") * 100).cast("long")
+    w_rank = Window.orderBy(cents.desc(), F.col("s_suppkey"))
+    w_sign = Window.orderBy((F.col("s_acctbal") >= 0).cast("int").desc())
+    return s.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.rank().over(w_rank).alias("bal_rank"),
+        F.dense_rank().over(w_sign).alias("sign_dense"),
+        F.ntile(4).over(w_rank).alias("quartile"),
+    )

@@ -40,6 +40,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # test corpus writes TIMESTAMP(NANOS) parquet (events.ts); Spark has
+        # no nanos timestamp -- read as long, registry.load converts to
+        # micros-truncated timestamp (matching DuckDB's truncation)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
