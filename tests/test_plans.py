@@ -1,0 +1,115 @@
+"""Physical-plan assertions: the scale-critical plan shapes.
+
+These lock in the optimizations the 100 TB design depends on: predicate
+pushdown into the parquet scan, column pruning, broadcast joins for dims,
+map-side partial aggregation, top-k instead of full sort, and window
+group limits. A regression that silently turns a broadcast join into a
+shuffle join or loses a pushed filter fails here, not in production.
+"""
+
+import contextlib
+import io
+
+import pytest
+
+from station_data_ingestion_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    p = plan(QUERIES["q6_forecast_revenue"].fn(spark, SF))
+    assert "PushedFilters:" in p
+    # range predicates on shipdate/discount/quantity reach the scan
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln][0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_q6_column_pruning(spark):
+    p = plan(QUERIES["q6_forecast_revenue"].fn(spark, SF))
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    # only the 4 needed columns are read, not all 11
+    assert "l_extendedprice" in read and "l_orderkey" not in read and "l_tax" not in read
+
+
+def test_q3_broadcasts_customer_dim(spark):
+    p = plan(QUERIES["q3_shipping_priority"].fn(spark, SF))
+    assert "BroadcastHashJoin" in p
+
+
+def test_q5_all_dims_broadcast(spark):
+    p = plan(QUERIES["q5_local_supplier_revenue"].fn(spark, SF))
+    # dims broadcast; the one fact-fact join (orders x lineitem) may be
+    # shuffle or broadcast depending on stats, but no nested-loop anywhere
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q1_partial_aggregation(spark):
+    p = plan(QUERIES["q1_pricing_summary"].fn(spark, SF))
+    # map-side combine: HashAggregate appears before and after the exchange
+    assert p.count("HashAggregate") >= 2
+    assert "Exchange" in p
+
+
+def test_topn_uses_take_ordered(spark):
+    p = plan(QUERIES["sort_topn_expensive_orders"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_window_topk_group_limit(spark):
+    p = plan(QUERIES["window_topk_parts_per_brand"].fn(spark, SF))
+    assert "WindowGroupLimit" in p
+
+
+def test_semi_anti_join_operators(spark):
+    p_semi = plan(QUERIES["semi_join_active_customers"].fn(spark, SF))
+    p_anti = plan(QUERIES["anti_join_customers_without_orders"].fn(spark, SF))
+    assert "LeftSemi" in p_semi
+    assert "LeftAnti" in p_anti
+
+
+def test_whole_stage_codegen_on_hot_paths(spark):
+    for name in ("q1_pricing_summary", "q6_forecast_revenue", "text_quality_features"):
+        # AQE finalizes the plan only on execution; `*(n)` prefixes in the
+        # executed plan mark whole-stage-codegen stages
+        df = QUERIES[name].fn(spark, SF)
+        df.collect()
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        assert "*(" in executed, name
+        # AQE wraps (and finalizes) only plans that contain exchanges
+        if "Exchange" in executed:
+            assert "isFinalPlan=true" in executed, name
+
+
+def test_merge_single_shuffle_per_side(spark):
+    # merge = count-window + full outer join on the same key: the window
+    # shuffle must be reused by the join (no second exchange of target)
+    p = plan(QUERIES["merge_upsert_orders"].fn(spark, SF))
+    # one exchange per input side at most (plus AQE reads); no broadcast
+    # of the big sides, and a sort-merge join on the key
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_ingestion_unpivot_no_shuffle(spark, tmp_path):
+    """The wide->long unpivot pipeline is narrow: no Exchange before the
+    long table exists (shuffle only if a later groupBy needs it)."""
+    from station_data_ingestion_spark.plans.jobspec import DataItemSpec
+    from station_data_ingestion_spark.sources.wide_csv import ingest_wide_csv
+
+    p = tmp_path / "w.csv"
+    p.write_text("SKN,X2022.03.01,X2022.03.02\n1,2.0,3.0\n")
+    spec = DataItemSpec(
+        files=[], datatype="t", period="day", fill="raw",
+        start_date="2022-03-01", end_date="2022-03-02",
+    )
+    obs, _ = ingest_wide_csv(spark, str(p), spec)
+    assert "Exchange" not in plan(obs)

@@ -1,0 +1,123 @@
+"""Streaming tests: file-source ingest->merge, windowed aggs, stateful op.
+
+All streams run with trigger(availableNow) and drain synchronously so
+tests are deterministic.
+"""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from station_data_ingestion_spark.plans.jobspec import DataItemSpec
+from station_data_ingestion_spark.streaming import windows as W
+from station_data_ingestion_spark.streaming.ingest import run_merge_stream
+
+HEADER = "SKN,Station.Name,X2022.03.01,X2022.03.02,X2022.03.03\n"
+
+
+def make_spec():
+    return DataItemSpec(
+        files=[],
+        datatype="temperature",
+        period="day",
+        fill="raw",
+        start_date="2022-03-01",
+        end_date="2022-03-03",
+    )
+
+
+def test_stream_ingest_merge_and_late_correction(spark, tmp_path):
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    table = str(tmp_path / "obs")
+    ckpt = str(tmp_path / "ckpt")
+    f1 = watch / "march_a.csv"
+    f1.write_text(HEADER + "1,Kula,10.0,NA,12.0\n")
+
+    spec = make_spec()
+    run_merge_stream(spark, str(watch), spec, str(f1), table, ckpt)
+    obs = spark.read.parquet(table)
+    vals = {(r.station_id, r.date): r.value for r in obs.collect()}
+    assert vals == {("1", "2022-03-01"): 10.0, ("1", "2022-03-03"): 12.0}
+
+    # late correction file arrives: value changed + a new station
+    f2 = watch / "march_b.csv"
+    f2.write_text(HEADER + "1,Kula,10.0,NA,99.0\n2,Hilo,NA,20.0,NA\n")
+    run_merge_stream(spark, str(watch), spec, str(f1), table, ckpt)
+    vals = {(r.station_id, r.date): r.value
+            for r in spark.read.parquet(table).collect()}
+    assert vals == {
+        ("1", "2022-03-01"): 10.0,
+        ("1", "2022-03-03"): 99.0,  # replaced (changed)
+        ("2", "2022-03-02"): 20.0,  # created
+    }
+
+    # restart with same checkpoint: no reprocessing, table unchanged
+    run_merge_stream(spark, str(watch), spec, str(f1), table, ckpt)
+    assert spark.read.parquet(table).count() == 3
+
+
+@pytest.fixture()
+def event_stream(spark, tmp_path):
+    """Replay sf0.001 events as a file stream (same schema as batch)."""
+    from station_data_ingestion_spark.queries.registry import load
+
+    batch = load(spark, "/root/testdata/sf0.001", "events")["events"]
+    src = str(tmp_path / "events_src")
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    return batch, stream
+
+
+def drain_to_memory(spark, sdf, name, output_mode="append"):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def test_tumbling_stream_equals_batch(spark, event_stream):
+    batch, stream = event_stream
+    got = drain_to_memory(spark, W.tumbling_counts(stream), "tumbling_t")
+    # Append mode emits only windows FINALIZED by the watermark: windows
+    # with end <= max(ts) - 2h. The batch twin is filtered the same way.
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    exp = (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 10000).cast("long")) / 10000.0).alias("total_value"),
+        )
+        .filter(F.col("w.end") <= F.lit(max_ts) - F.expr("INTERVAL 2 HOURS"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+    assert got.count() > 100
+
+
+def test_session_window_stream(spark, event_stream):
+    _batch, stream = event_stream
+    got = drain_to_memory(spark, W.session_windows(stream), "sessions_t")
+    assert got.count() > 0
+    # sessions are per-user and non-overlapping in time
+    assert got.groupBy("user_id", "session_start").count().filter("count > 1").count() == 0
+
+
+def test_stateful_running_totals(spark, event_stream):
+    batch, stream = event_stream
+    got = drain_to_memory(
+        spark, W.running_user_totals(stream), "totals_t", output_mode="update"
+    )
+    # final state per user == batch aggregate
+    final = got.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+    exp = batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    assert sorted(map(tuple, final.collect())) == sorted(map(tuple, exp.collect()))
