@@ -90,8 +90,61 @@ SELECT a_id, b_id, ROUND(j, 4) AS jaccard FROM jacc WHERE j >= 0.8
 """
 
 
-def _shingles(d: DataFrame) -> DataFrame:
-    """doc_id -> distinct word-3-gram shingle array (JVM-side).
+def _shingle_set(text: str) -> set:
+    w = text.split(" ")
+    return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+
+def _shingle_rows_batch(batches):
+    """(doc_id, text) -> one (doc_id, n, shingle) row per distinct shingle.
+
+    Python-side shingling beats Spark's interpreted higher-order array
+    lambdas by a wide margin; carrying the per-doc shingle count `n` in
+    every row lets the downstream pair-join compute Jaccard without two
+    extra joins against a sizes table.
+    """
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        ssets = [list(_shingle_set(t)) for t in pdf["text"]]
+        counts = np.array([len(s) for s in ssets])
+        keep = counts > 0
+        if not keep.any():
+            continue
+        counts = counts[keep]
+        yield pd.DataFrame(
+            {
+                "doc_id": np.repeat(pdf["doc_id"].to_numpy()[keep], counts),
+                "n": np.repeat(counts.astype(np.int32), counts),
+                "shingle": np.concatenate(
+                    [np.asarray(s, dtype=object) for s, k in zip(ssets, keep) if k]
+                ),
+            }
+        )
+
+
+def _pair_jaccard_batch(batches):
+    """(a_id, b_id, a_text, b_text) -> (a_id, b_id, j): exact word-3-gram
+    Jaccard per candidate pair. Pair counts are LSH-bounded (tiny), so a
+    per-row Python set intersection is cheaper than any distributed plan.
+    """
+    import pandas as pd
+
+    for pdf in batches:
+        js = []
+        for a_t, b_t in zip(pdf["a_text"], pdf["b_text"]):
+            sa, sb = _shingle_set(a_t), _shingle_set(b_t)
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            js.append(inter / union if union else 0.0)
+        yield pd.DataFrame(
+            {"a_id": pdf["a_id"], "b_id": pdf["b_id"], "j": js}
+        )
+
+
+def _exploded_shingles(d: DataFrame) -> DataFrame:
+    """Distinct (doc_id, n, shingle) rows via one fused Arrow stage.
 
     The input is repartitioned first: the test corpus is a single parquet
     row group (one task), while shingling is embarrassingly parallel
@@ -100,27 +153,19 @@ def _shingles(d: DataFrame) -> DataFrame:
     coalescing.
     """
     d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
-    words = F.split("text", " ")
-    n = F.size(words)
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), n - 3),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(words, i + 1),
-                F.element_at(words, i + 2),
-                F.element_at(words, i + 3),
-            ),
-        )
+    return d.select("doc_id", "text").mapInPandas(
+        _shingle_rows_batch, "doc_id long, n int, shingle string"
     )
-    return d.select("doc_id", sh.alias("sset"))
 
 
 def _exact_jaccard_pairs(d: DataFrame, threshold: float) -> DataFrame:
-    """Scalable exact-Jaccard pairs: explode-join on shingle, no cross join."""
-    sh = _shingles(d)
-    exploded = sh.select("doc_id", F.explode("sset").alias("shingle"))
-    sizes = sh.select("doc_id", F.size("sset").alias("n"))
+    """Scalable exact-Jaccard pairs: explode-join on shingle, no cross join.
+
+    At 100 TB this shuffles on `shingle` -- a high-cardinality key -- and
+    only true-overlap pairs ever materialize; the per-doc shingle count
+    rides along in the join so no sizes table is needed.
+    """
+    exploded = _exploded_shingles(d)
     a = exploded.alias("a")
     b = exploded.alias("b")
     common = (
@@ -129,16 +174,17 @@ def _exact_jaccard_pairs(d: DataFrame, threshold: float) -> DataFrame:
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
     j = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        common.join(sa, "a_id")
-        .join(sb, "b_id")
-        .select("a_id", "b_id", j.alias("j"))
+        common.select("a_id", "b_id", j.alias("j"))
         .filter(F.col("j") >= threshold)
         .select("a_id", "b_id", F.round("j", 4).alias("jaccard"))
     )
@@ -155,8 +201,7 @@ def dedup_ngram_jaccard_pairs(spark, sf_dir):
 
 _P = 2_147_483_647  # 2^31 - 1
 # 32 perms = 16 bands x 2 rows: P(miss) for a j=0.9 pair is
-# (1 - 0.9^2)^16 ~ 4e-12; halving signature width halves the codegen
-# compile cost of the wide min-aggregate (the cold-run dominant term).
+# (1 - 0.9^2)^16 ~ 4e-12.
 _N_PERM = 32
 _BANDS = 16
 _ROWS = _N_PERM // _BANDS
@@ -164,47 +209,80 @@ _rng = random.Random(42)
 _PERMS = [(_rng.randrange(1, _P), _rng.randrange(0, _P)) for _ in range(_N_PERM)]
 
 
+def _minhash_bands_batch(batches):
+    """(doc_id, text) Arrow batches -> (doc_id, band, sig) rows, vectorized.
+
+    Shingle + minhash + band in ONE fused Python stage: word-3-gram
+    shingles per doc (plain Python over each batch -- cheap next to the
+    hashing), siphash the flattened shingles (pd.util.hash_array --
+    deterministic, C-speed), apply all 32 universal-hash permutations as
+    a broadcasted (n_shingles, 32) matrix, min-reduce per doc with
+    np.minimum.reduceat, then combine each band's 2 rows injectively into
+    one int64 bucket key. This replaces a 32-wide codegen'd min-aggregate
+    whose generated code took ~30 s to JIT-compile plus an interpreted
+    higher-order-function shingle projection; the fused stage is also the
+    100 TB shape: per-partition streaming, no shuffle until the (tiny)
+    band table self-joins.
+    """
+    import numpy as np
+    import pandas as pd
+
+    a_vec = np.array([a for a, _ in _PERMS], dtype=np.uint64)
+    b_vec = np.array([b for _, b in _PERMS], dtype=np.uint64)
+    p = np.uint64(_P)
+    for pdf in batches:
+        ssets = []
+        for t in pdf["text"]:
+            w = t.split(" ")
+            ssets.append(
+                list({" ".join(w[i : i + 3]) for i in range(len(w) - 2)})
+            )
+        counts = np.array([len(s) for s in ssets])
+        keep = counts > 0
+        if not keep.any():
+            continue
+        counts = counts[keep]
+        doc_ids = pdf["doc_id"].to_numpy()[keep]
+        flat = np.concatenate(
+            [np.asarray(s, dtype=object) for s, k in zip(ssets, keep) if k]
+        )
+        base = pd.util.hash_array(flat) % p  # (n_shingles,)
+        # a*base + b < 2^62: fits uint64 without overflow
+        hs = (base[:, None] * a_vec[None, :] + b_vec[None, :]) % p
+        bounds = np.concatenate(([0], np.cumsum(counts[:-1])))
+        sig = np.minimum.reduceat(hs, bounds, axis=0)  # (n_docs, 32)
+        # band key = h[2b]*P + h[2b+1] < 2^62 -- injective, signed-64 safe
+        band_sig = (
+            sig[:, 0::2].astype(np.int64) * np.int64(_P)
+            + sig[:, 1::2].astype(np.int64)
+        )  # (n_docs, 16)
+        yield pd.DataFrame(
+            {
+                "doc_id": np.repeat(doc_ids, _BANDS),
+                "band": np.tile(np.arange(_BANDS, dtype=np.int32), len(doc_ids)),
+                "sig": band_sig.reshape(-1),
+            }
+        )
+
+
 @query("dedup_minhash_lsh", _JACCARD_ORACLE)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash-LSH near-dup detection with exact-Jaccard rerank.
 
-    Signature: 64 universal-hash permutations of xxhash64(shingle);
-    candidates from 16-band bucket self-join; rerank computes exact
-    Jaccard on the candidate pairs only. Output == the exact pair query
-    (the oracle), but the work at scale is bounded by LSH buckets instead
-    of the full shingle-overlap join.
+    Signature: 32 universal-hash permutations of hashed shingles,
+    computed with shingling fused into one vectorized Arrow/numpy
+    mapInPandas stage; candidates from 16-band bucket self-join (the two
+    sides hash-partition identically, so Spark reuses the exchange);
+    rerank computes exact Jaccard on the candidate pairs only, with the
+    tiny candidate table broadcast against the documents scan. Output ==
+    the exact pair query (the oracle); LSH only bounds the candidate set,
+    so the hash function choice never affects correctness.
     """
     d = load(spark, sf_dir, "documents")["documents"]
-    sh = _shingles(d).persist()
-    # Signature via explode + 64 codegen'd min-aggregates: higher-order
-    # array lambdas are interpreted in Spark, so the exploded form with
-    # whole-stage-codegen hash aggregation is the fast path; the map-side
-    # partial combine collapses each doc to one 64-long row before the
-    # (tiny) shuffle.
-    exploded = sh.select("doc_id", F.explode("sset").alias("shingle"))
-    base = F.pmod(F.xxhash64("shingle"), F.lit(_P))
-    sig = exploded.groupBy("doc_id").agg(
-        *[
-            F.min(F.pmod(F.lit(a) * base + F.lit(b), F.lit(_P))).alias(f"h{i}")
-            for i, (a, b) in enumerate(_PERMS)
-        ]
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    bands = d.select("doc_id", "text").mapInPandas(
+        _minhash_bands_batch, "doc_id long, band int, sig long"
     )
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"h{bi * _ROWS + r}") for r in range(_ROWS)]
-                        ).alias("sig"),
-                    )
-                    for bi in range(_BANDS)
-                ]
-            )
-        ).alias("bs"),
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
         a.join(
@@ -216,16 +294,19 @@ def dedup_minhash_lsh(spark, sf_dir):
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-    # exact rerank on candidates only
-    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("sset").alias("sa"))
-    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("sset").alias("sb"))
-    inter = F.size(F.array_intersect("sa", "sb"))
-    j = inter.cast("double") / (F.size("sa") + F.size("sb") - inter)
+    # exact rerank on candidates only; the candidate table is tiny by
+    # construction (LSH-bucketed), so it broadcasts against the doc scan
+    # to pick up both texts, then one pair-level Arrow stage computes the
+    # exact Jaccard -- no shuffle of the corpus, ever
+    ta = d.select(F.col("doc_id").alias("a_id"), F.col("text").alias("a_text"))
+    tb = d.select(F.col("doc_id").alias("b_id"), F.col("text").alias("b_text"))
+    with_a = F.broadcast(candidates).join(ta, "a_id")
+    pair_texts = F.broadcast(with_a).join(tb, "b_id")
+    pairs = pair_texts.select("a_id", "b_id", "a_text", "b_text").mapInPandas(
+        _pair_jaccard_batch, "a_id long, b_id long, j double"
+    )
     return (
-        candidates.join(sa, "a_id")
-        .join(sb, "b_id")
-        .select("a_id", "b_id", j.alias("j"))
-        .filter(F.col("j") >= 0.8)
+        pairs.filter(F.col("j") >= 0.8)
         .select("a_id", "b_id", F.round("j", 4).alias("jaccard"))
     )
 
