@@ -12,6 +12,7 @@ from station_data_ingestion_spark.queries import (  # noqa: F401
     merge_q,
     multimodal,
     relational,
+    relational_ext,
     scalars,
     setops,
     windows,
