@@ -1,0 +1,120 @@
+"""Temporal join operators Spark lacks natively: as-of join, range join.
+
+Neither exists in the reference (SURVEY.md §2.4 notes: "No theta/range/
+as-of joins anywhere in the reference") nor as a single PySpark builtin,
+so both are implemented as compositions of DataFrame ops chosen for their
+shuffle behavior at 100 TB:
+
+- **as-of join** (`asof_join`): the union + partitioned-window trick.
+  Tag both inputs, union them, and take `last(right_value, ignorenulls)`
+  over a window partitioned by the key and ordered by (ts, tag). ONE
+  shuffle on the key -- same cost as a plain equi-join -- and no range
+  explosion. This is the standard scalable formulation (pandas
+  merge_asof semantics, direction='backward', inclusive).
+
+- **range join** (`range_join_bucketed`): equi-join on (key, time-bucket)
+  with the probe side exploded to every bucket its window overlaps, then
+  an exact range filter. Turns an O(|L|x|R|)-per-key theta join into an
+  equi-join whose fan-out is bounded by window_span/bucket_span + 1.
+  Catalyst/AQE treat it as a normal shuffle join (skew handling, AQE
+  re-planning all apply).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the latest right row with right.ts <= left.ts.
+
+    Backward-inclusive as-of (pandas merge_asof default). Left rows with
+    no prior right row keep nulls. Returns all left columns plus each
+    requested right column renamed ``<col><suffix>`` (plus
+    ``<right_ts><suffix>`` for the matched timestamp).
+
+    Implementation: union the two sides with a tag ordered so that at
+    equal timestamps the right row sorts first (inclusive semantics),
+    then propagate the most recent right-side struct with
+    ``last(..., ignorenulls=True)`` over an unbounded-preceding window
+    per key. One shuffle on `on`; no range blow-up.
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in on and c != right_ts]
+    payload = F.struct(
+        F.col(right_ts).alias("__ts"), *[F.col(c) for c in right_cols]
+    )
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("__evt_ts"),
+        F.lit(0).alias("__side"),
+        payload.alias("__rv"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in on],
+    )
+    l_side = left.select(
+        *on,
+        F.col(left_ts).alias("__evt_ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__rv"].dataType).alias("__rv"),
+        *[F.col(c) for c in left.columns if c not in on],
+    )
+    unioned = r.unionByName(l_side)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__evt_ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn("__m", F.last("__rv", ignorenulls=True).over(w))
+    out_cols = (
+        [F.col(c) for c in on]
+        + [F.col(c) for c in left.columns if c not in on]
+        + [F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in right_cols]
+        + [F.col("__m.__ts").alias(f"{right_ts}{suffix}")]
+    )
+    return matched.filter(F.col("__side") == 1).select(*out_cols)
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Join left rows to right intervals: on-keys equal AND
+    right_start <= left_ts < right_end.
+
+    `bucket_seconds` should be >= the typical interval length: each right
+    interval explodes into (span / bucket_seconds + 1) bucket rows, each
+    left row into exactly one, and the exact range predicate runs only on
+    bucket-colocated pairs. All columns of both sides are preserved
+    (caller projects).
+    """
+    lb = left.withColumn(
+        "__bucket", (F.unix_timestamp(F.col(left_ts)) / bucket_seconds).cast("long")
+    )
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(F.col(right_start)) / bucket_seconds).cast("long"),
+                (F.unix_timestamp(F.col(right_end)) / bucket_seconds).cast("long"),
+            )
+        ),
+    )
+    cond = (
+        (F.col(left_ts) >= F.col(right_start))
+        & (F.col(left_ts) < F.col(right_end))
+    )
+    return lb.join(rb, on=[*on, "__bucket"]).filter(cond).drop("__bucket")

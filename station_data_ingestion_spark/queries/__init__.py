@@ -15,6 +15,7 @@ from station_data_ingestion_spark.queries import (  # noqa: F401
     relational_ext,
     scalars,
     setops,
+    temporal_q,
     windows,
 )
 from station_data_ingestion_spark.queries.registry import QUERIES  # noqa: F401

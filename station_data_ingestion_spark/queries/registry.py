@@ -65,7 +65,9 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     for n in names or TABLES:
         df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
         if n == "events" and dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            # integer div, NOT /1000.0: nanos ~1.7e18 exceed double's 53-bit
+            # mantissa, so float division drifts by hundreds of nanoseconds
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         out[n] = df
     return out
 

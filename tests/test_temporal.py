@@ -1,0 +1,106 @@
+"""Unit tests for the as-of and bucketed range join operators."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from station_data_ingestion_spark.operators.temporal import (
+    asof_join,
+    range_join_bucketed,
+)
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01 10:00:00"), "p1"),
+            ("u1", _ts("2024-01-01 12:00:00"), "p2"),
+            ("u2", _ts("2024-01-01 09:00:00"), "p3"),  # no prior right row
+        ],
+        "user string, ts timestamp, pid string",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01 09:30:00"), "c1"),
+            ("u1", _ts("2024-01-01 12:00:00"), "c2"),  # equal ts: inclusive
+            ("u2", _ts("2024-01-01 09:30:00"), "c3"),  # after left -> no match
+        ],
+        "user string, ts timestamp, cid string",
+    )
+    out = {
+        r["pid"]: (r["cid_right"], r["ts_right"])
+        for r in asof_join(
+            left, right, on=["user"], left_ts="ts", right_ts="ts"
+        ).collect()
+    }
+    assert out["p1"] == ("c1", _ts("2024-01-01 09:30:00"))
+    assert out["p2"] == ("c2", _ts("2024-01-01 12:00:00"))  # ties match
+    assert out["p3"] == (None, None)  # left preserved with nulls
+
+
+def test_asof_single_shuffle(spark):
+    left = spark.createDataFrame(
+        [("u1", _ts("2024-01-01 10:00:00"), 1.0)], "user string, ts timestamp, v double"
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts("2024-01-01 09:00:00"), 2.0)], "user string, ts timestamp, w double"
+    )
+    plan = (
+        asof_join(left, right, on=["user"], left_ts="ts", right_ts="ts")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # union + window: exactly one repartition (the window's), no join at all
+    assert "Join" not in plan
+
+
+def test_range_join_bucketed_boundaries(spark):
+    events = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01 10:00:00"), "in-start"),
+            ("u1", _ts("2024-01-01 10:59:59"), "in-end"),
+            ("u1", _ts("2024-01-01 11:00:00"), "out-end-exclusive"),
+            ("u1", _ts("2024-01-01 09:59:59"), "out-before"),
+            ("u2", _ts("2024-01-01 10:30:00"), "out-wrong-user"),
+        ],
+        "user string, ts timestamp, tag string",
+    )
+    windows = spark.createDataFrame(
+        [("u1", _ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:00:00"), "w1")],
+        "user string, s timestamp, e timestamp, wid string",
+    )
+    got = sorted(
+        r["tag"]
+        for r in range_join_bucketed(
+            events,
+            windows,
+            on=["user"],
+            left_ts="ts",
+            right_start="s",
+            right_end="e",
+            bucket_seconds=1800,  # smaller than the interval: multi-bucket
+        ).collect()
+    )
+    assert got == ["in-end", "in-start"]
+
+
+def test_range_join_no_duplicate_matches(spark):
+    """An interval spanning many buckets must not duplicate matches."""
+    events = spark.createDataFrame(
+        [("u1", _ts("2024-01-01 10:15:00"), 1.0)],
+        "user string, ts timestamp, v double",
+    )
+    windows = spark.createDataFrame(
+        [("u1", _ts("2024-01-01 08:00:00"), _ts("2024-01-01 20:00:00"), "w")],
+        "user string, s timestamp, e timestamp, wid string",
+    )
+    rows = range_join_bucketed(
+        events, windows, on=["user"], left_ts="ts",
+        right_start="s", right_end="e", bucket_seconds=60,
+    ).collect()
+    assert len(rows) == 1
