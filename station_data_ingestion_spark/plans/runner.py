@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from station_data_ingestion_spark.operators.merge import MergeStats, merge_observations
 from station_data_ingestion_spark.plans.jobspec import DataItemSpec, JobSpec
+from station_data_ingestion_spark.sources.remote import stage_if_remote
 from station_data_ingestion_spark.sources.wide_csv import ingest_wide_csv
 
 OBS_PARTITION_COLS = ("datatype", "period")
@@ -100,11 +101,14 @@ def run_job(
     job: JobSpec,
     obs_table_path: str,
     manifest_path: str | None = None,
+    staging_dir: str = "staging",
 ) -> dict[str, MergeStats]:
     """Run every data_item/file, merging observations into the obs table.
 
     Returns per-file MergeStats. Files already complete in the manifest are
-    skipped (resume contract).
+    skipped (resume contract). http(s) files are staged locally first
+    [reference: src/tapis_direct_driver.py:103-107]; manifest keys stay the
+    original URL so resume semantics are unchanged.
     """
     manifest = Manifest(manifest_path) if manifest_path else None
     results: dict[str, MergeStats] = {}
@@ -112,7 +116,8 @@ def run_job(
         for file in item.files:
             if manifest and manifest.is_complete(file):
                 continue
-            obs, _meta = ingest_wide_csv(spark, file, item, job.location)
+            local = stage_if_remote(file, staging_dir)
+            obs, _meta = ingest_wide_csv(spark, local, item, job.location)
             target = read_obs_table(spark, obs_table_path, item)
             # Align schemas: target slice may lack per-job extra columns.
             for c in obs.columns:
