@@ -37,6 +37,10 @@ HEADLINE = [
     "setop_intersect_repeat_buyers",
     "sort_topn_expensive_orders",
     "merge_upsert_orders",
+    "q9_profit_by_nation_year",
+    "q18_large_volume_customers",
+    "asof_purchase_last_click",
+    "range_join_signup_hour_activity",
     "dedup_exact_hash",
     "dedup_minhash_lsh",
     "sim_brute_topk",

@@ -90,6 +90,41 @@ def test_whole_stage_codegen_on_hot_paths(spark):
             assert "isFinalPlan=true" in executed, name
 
 
+def test_q19_disjunctive_common_pushdown(spark):
+    """OR-of-ANDs: the per-side common disjuncts (brand set, quantity
+    bounds) must still reach both scans despite the cross-side OR."""
+    p = plan(QUERIES["q19_disjunctive_brand_revenue"].fn(spark, SF))
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    part_pushed = [ln for ln in pushed if "p_brand" in ln]
+    li_pushed = [ln for ln in pushed if "l_quantity" in ln]
+    assert part_pushed, "brand disjunction not pushed to part scan"
+    assert li_pushed, "quantity bounds not pushed to lineitem scan"
+
+
+def test_asof_join_has_no_join_operator(spark):
+    """The as-of query is union+window: no join node for the asof itself
+    (the only joins allowed are none -- clicks dedup is an aggregate)."""
+    p = plan(QUERIES["asof_purchase_last_click"].fn(spark, SF))
+    assert "Window" in p
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+
+
+def test_range_join_is_equi_join(spark):
+    """The bucketed range join must plan as a hash/sort-merge equi-join,
+    never BroadcastNestedLoopJoin/CartesianProduct."""
+    p = plan(QUERIES["range_join_signup_hour_activity"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_q7_q8_q9_dims_broadcast(spark):
+    for name in ("q7_nation_pair_volume", "q8_market_share", "q9_profit_by_nation_year"):
+        p = plan(QUERIES[name].fn(spark, SF))
+        assert p.count("BroadcastHashJoin") >= 3, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
 def test_merge_single_shuffle_per_side(spark):
     # merge = count-window + full outer join on the same key: the window
     # shuffle must be reused by the join (no second exchange of target)
