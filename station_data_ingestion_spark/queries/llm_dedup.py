@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from station_data_ingestion_spark.queries.registry import load, query
 
@@ -354,3 +354,79 @@ def dedup_simhash(spark, sf_dir):
     for v in votes[1:]:
         total = total + v
     return toks.groupBy("doc_id").agg(total.alias("simhash"))
+
+
+# --- tier 5: near-dup clustering (connected components) -----------------------
+
+_CC_ORACLE = f"""
+WITH RECURSIVE {_SHINGLE_SQL},
+pairs AS (SELECT a_id, b_id FROM jacc WHERE j >= 0.8),
+edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+          UNION SELECT b_id, a_id FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+labels AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS rep_id FROM reach GROUP BY u
+)
+SELECT doc_id, rep_id,
+       COUNT(*) OVER (PARTITION BY rep_id) AS cluster_size
+FROM labels
+"""
+
+
+@query("dedup_connected_components", _CC_ORACLE)
+def dedup_connected_components(spark, sf_dir):
+    """Near-dup clusters: connected components over the j>=0.8 pair graph
+    via iterative min-label propagation (the oracle is a recursive CTE).
+
+    Each iteration is one join + aggregate on the (tiny, LSH-bounded)
+    edge list; lineage is truncated with localCheckpoint so the loop
+    count does not grow the plan. At 100 TB the same loop runs over a
+    persisted edge table -- label propagation converges in O(diameter)
+    rounds and near-dup graph components are shallow (typical diameter
+    2-4), so the iteration count stays small; this is the standard
+    large-graph CC formulation (cf. GraphFrames' label propagation).
+    """
+    d = load(spark, sf_dir, "documents")["documents"]
+    pairs = _exact_jaccard_pairs(d, 0.8).select("a_id", "b_id").persist()
+    edges = (
+        pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        .union(pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
+        .persist()
+    )
+    labels = edges.select(F.col("u").alias("lu")).distinct().withColumn(
+        "label", F.col("lu")
+    )
+    while True:
+        neighbor_min = (
+            edges.join(labels, F.col("lu") == F.col("v"))
+            .groupBy(F.col("u").alias("nu"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, F.col("lu") == F.col("nu"), "left")
+            .select(
+                "lu",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "lu")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    w = Window.partitionBy("rep_id")
+    return (
+        labels.select(F.col("lu").alias("doc_id"), F.col("label").alias("rep_id"))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+    )

@@ -97,6 +97,79 @@ def mm_decode_features(spark, sf_dir):
     )
 
 
+def _fake_resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB resize: aspect-preserving thumbnail dims, longest side 128.
+
+    A real implementation would decode + resample pixels (PIL.thumbnail)
+    per Arrow batch; unavailable in this container, so only the dimension
+    arithmetic runs. Schema/batch plumbing is the tested surface.
+    """
+    for pdf in batches:
+        import numpy as np
+
+        w = pdf["width"].to_numpy(dtype="int64")
+        h = pdf["height"].to_numpy(dtype="int64")
+        scale = 128.0 / np.maximum(w, h)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "thumb_w": np.floor(w * scale).astype("int32"),
+                "thumb_h": np.floor(h * scale).astype("int32"),
+            }
+        )
+
+
+@query(
+    "mm_resize_thumbnails",
+    """
+WITH meta AS (SELECT doc_id, md5(text) AS checksum FROM documents),
+dims AS (
+  SELECT doc_id,
+         64 + (strpos('0123456789abcdef', substr(checksum, 1, 1)) - 1) * 16 AS w,
+         64 + (strpos('0123456789abcdef', substr(checksum, 2, 1)) - 1) * 16 AS h
+  FROM meta
+)
+SELECT doc_id,
+       CAST(FLOOR(w * 128.0 / GREATEST(w, h)) AS INT) AS thumb_w,
+       CAST(FLOOR(h * 128.0 / GREATEST(w, h)) AS INT) AS thumb_h
+FROM dims
+""",
+)
+def mm_resize_thumbnails(spark, sf_dir):
+    """Resize stage chained after decode: two Arrow stages fuse into one
+    Python runner (no shuffle between them), the pattern for chained
+    per-asset transforms at 100 TB."""
+    decoded = mm_decode_features(spark, sf_dir)
+    return decoded.select("doc_id", "width", "height").mapInPandas(
+        _fake_resize_batch, "doc_id long, thumb_w int, thumb_h int"
+    )
+
+
+@query(
+    "mm_audio_features",
+    """
+SELECT doc_id,
+       CAST(FLOOR(octet_length(encode(text)) * 1000 / 16000) AS BIGINT) AS duration_ms,
+       CAST(FLOOR(octet_length(encode(text)) / 2) AS BIGINT) AS n_samples,
+       CAST(doc_id % 2 AS INT) AS channel_layout
+FROM documents
+""",
+)
+def mm_audio_features(spark, sf_dir):
+    """Audio metadata stand-in: duration/sample-count derived from payload
+    byte length at a nominal 16 kHz 16-bit mono rate. The real decode
+    (libav/soundfile) is stubbed; the byte-length arithmetic is JVM-side
+    so the scan never leaves codegen."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    nbytes = F.length(F.encode("text", "utf-8")).cast("long")
+    return d.select(
+        "doc_id",
+        F.floor(nbytes * 1000 / 16000).alias("duration_ms"),
+        F.floor(nbytes / 2).alias("n_samples"),
+        (F.col("doc_id") % 2).cast("int").alias("channel_layout"),
+    )
+
+
 @query(
     "mm_frame_sampling",
     """
