@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_exact_hash",
     "dedup_minhash_lsh",
     "sim_brute_topk",
+    "sim_brute_topk_blocked",
     "text_quality_features",
     "text_fingerprint_rolling_hash",
     "mm_decode_features",

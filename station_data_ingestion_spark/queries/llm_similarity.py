@@ -225,3 +225,75 @@ def sim_neardup_embeddings(spark, sf_dir):
         .filter(F.col("cos_sim") > 0.98)
         .select("a_id", "b_id", F.round("cos_sim", 6).alias("sim"))
     )
+
+
+def _blocked_topk_batches(q_rows):
+    """Build a mapInPandas fn closing over the broadcast query matrix.
+
+    Per Arrow batch of candidates: one (batch x 64) @ (64 x nq) numpy
+    matmul scores every candidate against every query simultaneously,
+    then a per-batch partial top-k bounds the rows that reach the global
+    top-k window. This is the 100 TB brute-force shape: candidates
+    stream through executors once, queries ride along broadcast, no
+    shuffle until the (tiny) per-batch winners.
+    """
+    import numpy as np
+
+    q_ids = np.array([r[0] for r in q_rows])
+    qm = np.array([r[1] for r in q_rows], dtype=np.float64)  # (nq, 64)
+    qn = np.linalg.norm(qm, axis=1)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            cm = np.array(list(pdf["cv"]), dtype=np.float64)  # (nc, 64)
+            cn = np.linalg.norm(cm, axis=1)
+            sims = (cm @ qm.T) / (cn[:, None] * qn[None, :])  # (nc, nq)
+            k = min(3, len(pdf))
+            out = []
+            for qi in range(len(q_ids)):
+                col = sims[:, qi]
+                idx = np.argpartition(-col, k - 1)[:k] if len(col) > k else np.arange(len(col))
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "q_id": q_ids[qi],
+                            "c_id": pdf["c_id"].to_numpy()[idx],
+                            "sim": np.round(col[idx], 6),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return run
+
+
+@query("sim_brute_topk_blocked", _BRUTE_ORACLE)
+def sim_brute_topk_blocked(spark, sf_dir):
+    """Brute-force cosine top-3 via numpy-blocked matmul (mapInPandas).
+
+    Same result (and oracle) as sim_brute_topk, but the per-pair
+    interpreted array lambdas are replaced by one vectorized matrix
+    multiply per Arrow batch -- the formulation that holds at 100 TB.
+    Products of float32 values are exact in float64, so both engines sum
+    identical addends; per-batch partial top-k keeps the final window
+    input tiny.
+    """
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    q_rows = [
+        (r["vec_id"], r["embedding"])
+        for r in e.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    ]
+    c = e.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv")
+    )
+    partial = c.mapInPandas(
+        _blocked_topk_batches(q_rows), "q_id long, c_id long, sim double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    return (
+        partial.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("q_id", "c_id", "sim", "rk")
+    )
