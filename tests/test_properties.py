@@ -1,0 +1,128 @@
+"""Property-based tests (SURVEY §5.4): round-trips and merge algebra.
+
+Hypothesis drives small synthetic station matrices through the real
+pipeline; Spark session reuse keeps example counts practical (examples
+are capped -- each example runs distributed jobs).
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from station_data_ingestion_spark.operators.merge import merge_observations
+from station_data_ingestion_spark.plans.jobspec import DataItemSpec
+from station_data_ingestion_spark.sources.wide_csv import ingest_wide_csv
+
+_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# values: numeric strings or the nodata sentinel
+_cell = st.one_of(
+    st.just("NA"),
+    st.floats(
+        min_value=-100, max_value=100, allow_nan=False, allow_infinity=False
+    ).map(lambda f: f"{f:.2f}"),
+)
+_matrix = st.lists(
+    st.tuples(st.text(alphabet="0123456789.", min_size=1, max_size=6), _cell, _cell, _cell),
+    min_size=1,
+    max_size=8,
+    unique_by=lambda r: r[0],
+)
+
+
+def _spec():
+    return DataItemSpec(
+        files=[], datatype="t", period="day", fill="raw",
+        start_date="2022-03-01", end_date="2022-03-03",
+    )
+
+
+def _write_matrix(tmp_path, rows, name="w.csv"):
+    header = "SKN,X2022.03.01,X2022.03.02,X2022.03.03"
+    p = tmp_path / name
+    p.write_text(
+        header + "\n" + "\n".join(",".join(r) for r in rows) + "\n"
+    )
+    return str(p)
+
+
+@given(rows=_matrix)
+@settings(**_SETTINGS)
+def test_unpivot_pivot_roundtrip(spark, tmp_path_factory, rows):
+    """unpivot then groupBy(station).pivot(date) reproduces exactly the
+    non-nodata cells (SURVEY §5.4)."""
+    tmp = tmp_path_factory.mktemp("prop")
+    path = _write_matrix(tmp, rows)
+    obs, _ = ingest_wide_csv(spark, path, _spec())
+    back = (
+        obs.groupBy("station_id").pivot("date").agg(F.first("value")).collect()
+    )
+    got = {
+        r["station_id"]: {
+            d: r[d]
+            for d in ("2022-03-01", "2022-03-02", "2022-03-03")
+            if d in r.asDict() and r[d] is not None
+        }
+        for r in back
+    }
+    expected = {}
+    for skn, *cells in rows:
+        vals = {
+            d: float(c)
+            for d, c in zip(("2022-03-01", "2022-03-02", "2022-03-03"), cells)
+            if c != "NA"
+        }
+        if vals:
+            expected[skn] = vals
+    assert got == expected
+
+
+@given(rows=_matrix)
+@settings(**_SETTINGS)
+def test_merge_idempotent(spark, tmp_path_factory, rows):
+    """merge(merge(S)) == merge(S): re-merging the same updates is a no-op
+    (created=0, replaced=0) and leaves the table unchanged."""
+    tmp = tmp_path_factory.mktemp("prop")
+    path = _write_matrix(tmp, rows)
+    spec = _spec()
+    obs, _ = ingest_wide_csv(spark, path, spec)
+    empty = spark.createDataFrame([], obs.schema)
+    once, stats1 = merge_observations(empty, obs, spec.key_fields)
+    once = once.localCheckpoint()
+    again, stats2 = merge_observations(once, obs, spec.key_fields)
+    assert stats1.replaced == 0
+    assert stats2.created == 0 and stats2.replaced == 0
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, once.collect()))
+
+
+@given(
+    rows=_matrix,
+    mutate_idx=st.integers(min_value=0, max_value=7),
+)
+@settings(**_SETTINGS)
+def test_merge_replace_only_changed(spark, tmp_path_factory, rows, mutate_idx):
+    """Mutating one cell then re-merging replaces exactly the changed
+    observations and creates exactly the NA->value ones."""
+    tmp = tmp_path_factory.mktemp("prop")
+    spec = _spec()
+    obs1, _ = ingest_wide_csv(spark, _write_matrix(tmp, rows, "a.csv"), spec)
+    empty = spark.createDataFrame([], obs1.schema)
+    base, _ = merge_observations(empty, obs1, spec.key_fields)
+    base = base.localCheckpoint()
+
+    i = mutate_idx % len(rows)
+    skn, c1, c2, c3 = rows[i]
+    was_na = c1 == "NA"
+    mutated = rows[:i] + [(skn, "999.99", c2, c3)] + rows[i + 1 :]
+    obs2, _ = ingest_wide_csv(spark, _write_matrix(tmp, mutated, "b.csv"), spec)
+    merged, stats = merge_observations(base, obs2, spec.key_fields)
+    assert stats.created == (1 if was_na else 0)
+    assert stats.replaced == (0 if was_na else 1)
+    new_val = merged.filter(
+        (F.col("station_id") == skn) & (F.col("date") == "2022-03-01")
+    ).collect()
+    assert len(new_val) == 1 and new_val[0]["value"] == 999.99
