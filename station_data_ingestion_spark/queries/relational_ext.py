@@ -461,3 +461,30 @@ def q22_idle_rich_customers(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "sql_grouping_sets",
+    f"""
+SELECT l_returnflag, l_linestatus,
+       {money_sum_sql('l_quantity')} AS sum_qty, COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+)
+def sql_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS through the spark.sql entry path (the SQL
+    API twin of rollup/cube): one Expand node, single aggregation pass."""
+    load(spark, sf_dir, "lineitem")["lineitem"].createOrReplaceTempView("lineitem")
+    # 10000.0 would parse as DECIMAL in Spark SQL (decimal division result);
+    # cast to DOUBLE to match the DataFrame-API / DuckDB double semantics
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(ROUND(l_quantity * 10000) AS BIGINT)) / CAST(10000 AS DOUBLE)
+                 AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
