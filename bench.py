@@ -58,8 +58,12 @@ def materialize(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench")
-    # warmup: prime codegen/JIT and the parquet footer cache
+    # warmup: prime codegen/JIT, the parquet footer cache, and the Python
+    # worker pool (first mapInPandas otherwise pays ~4s of daemon startup)
     materialize(QUERIES["q6_forecast_revenue"].fn(spark, sf_dir))
+    spark.range(0, 1000, 1, 32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -44,7 +44,7 @@ def get_spark(
         # no nanos timestamp -- read as long, registry.load converts to
         # micros-truncated timestamp (matching DuckDB's truncation)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
     if master is not None:
