@@ -168,8 +168,17 @@ def metadata_from_wide(df: DataFrame, meta_renames: dict[str, str], location: st
 def ingest_wide_csv(
     spark: SparkSession, path: str, spec: DataItemSpec, location: str = "hawaii"
 ) -> tuple[DataFrame, DataFrame]:
-    """Full ingestion program for one wide CSV: (observations, metadata)."""
+    """Full ingestion program for one wide CSV: (observations, metadata).
+
+    The station-id column is found by name (SKN, the pandas-path spec);
+    if absent, the config's positional ``id_col`` designates it
+    [reference: src/tapis_direct_driver.py:54-56, README.md:36] and that
+    column is treated as SKN.
+    """
     columns = read_header(spark, path)
+    if "SKN" not in columns and 0 <= spec.id_col < len(columns):
+        columns = list(columns)
+        columns[spec.id_col] = "SKN"
     meta_renames, date_cols = classify_headers(columns, spec)
     needed = list(meta_renames) + date_cols
     df = scan_wide_csv(spark, path, columns).select(*[_c(c) for c in needed])

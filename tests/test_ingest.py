@@ -89,3 +89,21 @@ def test_flagship_groupby_over_ingested(spark, wide_csv_day):
     }
     assert out["39.20"] == round((22.0 + 22.5 + 23.0) / 3, 3)
     assert out["0042"] == round((18.0 + 19.5 + 20.0) / 3, 3)
+
+
+def test_positional_id_col_when_skn_absent(spark, tmp_path):
+    """No SKN header -> the config's positional id_col designates the
+    station-id column [reference: src/tapis_direct_driver.py:54-56]."""
+    from station_data_ingestion_spark.plans.jobspec import DataItemSpec
+    from station_data_ingestion_spark.sources.wide_csv import ingest_wide_csv
+
+    p = tmp_path / "noskn.csv"
+    p.write_text("Station.Name,STID,X2022.03.01\nKula,39.20,1.5\n")
+    spec = DataItemSpec(
+        files=[], datatype="t", period="day", fill="raw",
+        start_date="2022-03-01", end_date="2022-03-01", id_col=1,
+    )
+    obs, _ = ingest_wide_csv(spark, str(p), spec)
+    rows = obs.collect()
+    assert len(rows) == 1
+    assert rows[0]["station_id"] == "39.20" and rows[0]["value"] == 1.5
