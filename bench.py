@@ -55,6 +55,84 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def bench_ingestion(spark, timings: dict[str, float]) -> None:
+    """Ingestion-pipeline stage taxonomy (BASELINE.md): parse (scan +
+    unpivot + filter + cast), merge-create, merge-probe + replace.
+
+    A deterministic ~730k-cell wide matrix (1000 stations x 731 dates,
+    ~ lineitem-sf0.1-sized) is generated, ingested, merged into an empty
+    target (all creates), then re-merged with 10% of values mutated
+    (probe + replace-only-changed).
+    """
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from station_data_ingestion_spark.operators.merge import merge_observed
+    from station_data_ingestion_spark.plans.jobspec import DataItemSpec
+    from station_data_ingestion_spark.sources.wide_csv import ingest_wide_csv
+
+    n_stations, n_days = 1000, 731
+    rng = np.random.default_rng(42)
+    values = np.round(rng.uniform(0, 40, size=(n_stations, n_days)), 2)
+    na_mask = rng.random((n_stations, n_days)) < 0.03
+    dates = [f"X{y:04d}.{m:02d}.{d:02d}" for y, m, d in _iter_dates(n_days)]
+
+    def write_csv(path, vals):
+        with open(path, "w", encoding="utf-8") as f:
+            f.write("SKN," + ",".join(dates) + "\n")
+            for i in range(n_stations):
+                row = np.where(na_mask[i], "NA", vals[i].astype(str))
+                f.write(f"{i}.{i % 10}," + ",".join(row) + "\n")
+
+    tmp = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        spec = DataItemSpec(
+            files=[], datatype="temperature", period="day", fill="raw",
+            start_date="2022-01-01", end_date="2023-12-31",
+        )
+        write_csv(f"{tmp}/a.csv", values)
+        t0 = time.perf_counter()
+        obs, _ = ingest_wide_csv(spark, f"{tmp}/a.csv", spec)
+        obs = obs.persist()
+        materialize(obs)
+        timings["ingest_parse"] = round(time.perf_counter() - t0, 3)
+
+        empty = spark.createDataFrame([], obs.schema)
+        t0 = time.perf_counter()
+        merged, finish = merge_observed(empty, obs, spec.key_fields)
+        merged.write.mode("overwrite").parquet(f"{tmp}/target")
+        stats = finish()
+        timings["ingest_merge_create"] = round(time.perf_counter() - t0, 3)
+        assert stats.replaced == 0 and stats.created > 700_000
+        obs.unpersist()
+
+        mutated = values.copy()
+        mut_mask = rng.random((n_stations, n_days)) < 0.10
+        mutated[mut_mask] = np.round(mutated[mut_mask] + 1.11, 2)
+        write_csv(f"{tmp}/b.csv", mutated)
+        obs2, _ = ingest_wide_csv(spark, f"{tmp}/b.csv", spec)
+        target = spark.read.parquet(f"{tmp}/target")
+        t0 = time.perf_counter()
+        merged2, finish2 = merge_observed(target, obs2, spec.key_fields)
+        materialize(merged2)
+        stats2 = finish2()
+        timings["ingest_merge_replace"] = round(time.perf_counter() - t0, 3)
+        assert stats2.created == 0 and stats2.replaced > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _iter_dates(n_days):
+    from datetime import date, timedelta
+
+    d0 = date(2022, 1, 1)
+    for i in range(n_days):
+        d = d0 + timedelta(days=i)
+        yield d.year, d.month, d.day
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench")
@@ -70,6 +148,7 @@ def main() -> None:
         t0 = time.perf_counter()
         materialize(QUERIES[name].fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+    bench_ingestion(spark, timings)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

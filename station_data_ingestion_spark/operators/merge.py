@@ -115,6 +115,9 @@ def merge_observations(
 
     The stats aggregation is the only materialization; the merged frame is
     returned lazily (callers typically write it straight back out).
+    Callers that go on to materialize the merged frame should prefer
+    :func:`merge_observed`, which collects the stats during that same job
+    instead of running the plan twice.
     """
     plan = merge_plan(target, updates, key_fields, replace)
     try:
@@ -130,3 +133,36 @@ def merge_observations(
         created=counts.get("create", 0), replaced=counts.get("replace", 0)
     )
     return plan.drop("_action"), stats
+
+
+def merge_observed(
+    target: DataFrame,
+    updates: DataFrame,
+    key_fields: list[str],
+    replace: bool = True,
+):
+    """Single-pass merge: stats ride the caller's materialization.
+
+    Returns (merged DataFrame, finish), where `finish()` must be called
+    AFTER the caller materializes the frame (e.g. writes it); it returns
+    the MergeStats collected by a DataFrame observation during that same
+    job -- the whole merge (probe + stats + output) costs exactly one
+    execution, unlike merge_observations' separate stats job.
+    """
+    from pyspark.sql import Observation
+
+    plan = merge_plan(target, updates, key_fields, replace)
+    ob = Observation()
+    observed = plan.observe(
+        ob,
+        F.sum((F.col("_action") == "create").cast("long")).alias("created"),
+        F.sum((F.col("_action") == "replace").cast("long")).alias("replaced"),
+    ).drop("_action")
+
+    def finish() -> MergeStats:
+        got = ob.get
+        return MergeStats(
+            created=int(got["created"] or 0), replaced=int(got["replaced"] or 0)
+        )
+
+    return observed, finish

