@@ -1,0 +1,54 @@
+"""Fleet-wide physical-plan audit: every registered query's plan is
+scanned for scale red flags. Individual plan-shape tests live in
+test_plans.py; this is the safety net that catches a regression in ANY
+query (e.g. a join silently degrading to a cartesian product after a
+schema change).
+"""
+
+import contextlib
+import io
+
+import pytest
+
+from station_data_ingestion_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+# Queries allowed to contain a broadcast nested-loop/cartesian: the
+# brute-force similarity baselines intentionally cross-join a <=5-row
+# broadcast query set against candidates.
+CROSS_JOIN_OK = {"sim_brute_topk"}
+
+# Iterative/stateful queries that execute eagerly during plan
+# construction (label propagation collects per-round convergence counts):
+# their *returned* plan is audited, construction cost is their own test.
+ALL_QUERIES = sorted(QUERIES)
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("name", ALL_QUERIES)
+def test_no_cartesian_or_nested_loop(spark, name):
+    p = _plan(QUERIES[name].fn(spark, SF))
+    assert "CartesianProduct" not in p, name
+    if name not in CROSS_JOIN_OK:
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [n for n in ALL_QUERIES if n.startswith(("q1", "q3", "q5", "q6", "q9"))],
+)
+def test_fact_scans_prune_columns(spark, name):
+    """Headline fact queries must never read all lineitem columns."""
+    p = _plan(QUERIES[name].fn(spark, SF))
+    reads = [ln for ln in p.splitlines() if "ReadSchema" in ln and "lineitem" in ln]
+    for ln in reads:
+        # l_linenumber is never used by any registered query: seeing it
+        # means column pruning broke
+        assert "l_linenumber" not in ln, name
