@@ -13,6 +13,7 @@ from station_data_ingestion_spark.queries import (  # noqa: F401
     multimodal,
     relational,
     relational_ext,
+    relational_ext2,
     scalars,
     setops,
     temporal_q,

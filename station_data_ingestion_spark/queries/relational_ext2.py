@@ -1,0 +1,264 @@
+"""Final TPC-H query shapes: Q2, Q11, Q16, Q20, Q21.
+
+The corpus has no partsupp table, so a partsupp-like relation is derived
+on the fly: the distinct (part, supplier) pairs observed in lineitem with
+min(extendedprice/quantity) as the unit-cost stand-in. This preserves
+what each query shape exercises -- Q2's correlated min-per-group
+subquery, Q11's group-vs-global value share, Q16's excluded-set distinct
+count, Q20's doubly nested IN, Q21's multi-supplier exists/not-exists
+pair -- while staying fully oracle-checkable.
+
+Scale notes: the derived partsupp aggregates lineitem once (shuffle on
+(partkey, suppkey)); min-per-part thresholds use window functions over
+the already-shuffled aggregate rather than re-joining; the Q21
+exists/not-exists pair is two semi/anti joins on the orderkey, sharing
+one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from station_data_ingestion_spark.queries.registry import (
+    load,
+    money_sum_sql,
+    query,
+)
+
+_PARTSUPP_SQL = """
+partsupp AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         SUM(CAST(ROUND(l_extendedprice * 10000) AS BIGINT))
+           / SUM(CAST(l_quantity AS BIGINT)) AS ps_unitcost_scaled,
+         SUM(CAST(l_quantity AS BIGINT)) AS ps_availqty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+"""
+
+
+def _partsupp(t):
+    """Derived partsupp: unit cost as exact scaled-integer division.
+
+    Integer sums (quantities are integer-valued, prices exact at 1e-4)
+    keep the division operands bit-identical across engines.
+    """
+    li = t["lineitem"]
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        (
+            F.sum(F.round(F.col("l_extendedprice") * 10000).cast("long"))
+            / F.sum(F.col("l_quantity").cast("long"))
+        ).alias("ps_unitcost_scaled"),
+        F.sum(F.col("l_quantity").cast("long")).alias("ps_availqty"),
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    f"""
+WITH {_PARTSUPP_SQL}
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+FROM part
+  JOIN partsupp ON p_partkey = ps_partkey
+  JOIN supplier ON s_suppkey = ps_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+WHERE p_size = 15 AND r_name = 'ASIA'
+  AND ps_unitcost_scaled = (SELECT MIN(ps2.ps_unitcost_scaled)
+                            FROM partsupp ps2 JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+                                 JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+                                 JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+                            WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'ASIA')
+""",
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """Q2 shape: per-part minimum-cost supplier within a region -- the
+    correlated min subquery becomes a rank-1 window over partkey."""
+    t = load(spark, sf_dir)
+    region = t["region"].filter(F.col("r_name") == "ASIA")
+    nation = t["nation"].join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = t["supplier"].join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    parts = t["part"].filter(F.col("p_size") == 15)
+    ps = (
+        _partsupp(t)
+        .join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("ps_partkey")
+    ps = ps.withColumn("min_cost", F.min("ps_unitcost_scaled").over(w)).filter(
+        F.col("ps_unitcost_scaled") == F.col("min_cost")
+    )
+    return ps.join(
+        F.broadcast(parts), F.col("ps_partkey") == F.col("p_partkey")
+    ).select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+
+
+@query(
+    "q11_important_stock_share",
+    f"""
+WITH {_PARTSUPP_SQL},
+nation_ps AS (
+  SELECT ps_partkey,
+         SUM(ps_unitcost_scaled * ps_availqty) AS value_scaled
+  FROM partsupp
+    JOIN supplier ON ps_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY ps_partkey
+)
+SELECT ps_partkey, ROUND(value_scaled / 10000, 2) AS part_value
+FROM nation_ps
+WHERE value_scaled > (SELECT 0.002 * SUM(value_scaled) FROM nation_ps)
+""",
+)
+def q11_important_stock_share(spark, sf_dir):
+    """Q11 shape: parts whose stock value exceeds a fraction of the
+    nation's total -- group aggregate + global-scalar threshold."""
+    t = load(spark, sf_dir)
+    nat = t["nation"].filter(F.col("n_name") == "NATION_3")
+    supp = t["supplier"].join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    ps = _partsupp(t).join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+    by_part = ps.groupBy("ps_partkey").agg(
+        F.sum(F.col("ps_unitcost_scaled") * F.col("ps_availqty")).alias("value_scaled")
+    )
+    total = by_part.agg(F.sum("value_scaled")).collect()[0][0]
+    return (
+        by_part.filter(F.col("value_scaled") > 0.002 * total)
+        .select(
+            "ps_partkey", F.round(F.col("value_scaled") / 10000, 2).alias("part_value")
+        )
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    f"""
+WITH {_PARTSUPP_SQL}
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13, 17, 21, 25)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def q16_supplier_part_counts(spark, sf_dir):
+    """Q16 shape: distinct supplier counts per part group, with an
+    excluded supplier set (NOT IN -> anti join on a broadcast set)."""
+    t = load(spark, sf_dir)
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    parts = t["part"].filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25)
+    )
+    return (
+        _partsupp(t)
+        .join(F.broadcast(bad), F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(parts), F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_excess_stock_suppliers",
+    f"""
+WITH {_PARTSUPP_SQL}
+SELECT s_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (
+    SELECT ps_suppkey FROM partsupp
+    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      AND ps_availqty > 50
+  )
+""",
+)
+def q20_excess_stock_suppliers(spark, sf_dir):
+    """Q20 shape: doubly nested IN -- parts by name prefix, partsupp rows
+    above a stock threshold, suppliers in a nation. Two stacked semi
+    joins, every inner side broadcast."""
+    t = load(spark, sf_dir)
+    red_parts = t["part"].filter(F.col("p_name").like("red%")).select("p_partkey")
+    ps = (
+        _partsupp(t)
+        .filter(F.col("ps_availqty") > 50)
+        .join(
+            F.broadcast(red_parts),
+            F.col("ps_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .select("ps_suppkey")
+    )
+    nat = t["nation"].filter(F.col("n_name") == "NATION_3")
+    return (
+        t["supplier"]
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(ps), F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey FROM lineitem
+  WHERE l_shipdate > TIMESTAMP '1999-01-01'
+),
+multi AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING COUNT(DISTINCT l_suppkey) > 1
+),
+sole_late AS (
+  SELECT l_orderkey, MIN(l_suppkey) AS l_suppkey FROM late
+  GROUP BY l_orderkey HAVING COUNT(DISTINCT l_suppkey) = 1
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM sole_late
+  JOIN multi ON sole_late.l_orderkey = multi.l_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+""",
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    """Q21 shape (commitdate -> late shipdate): suppliers who were the
+    ONLY late shipper on a multi-supplier order. The exists/not-exists
+    pair collapses into per-order aggregates sharing one orderkey
+    shuffle, then a broadcast supplier lookup."""
+    t = load(spark, sf_dir, "lineitem", "supplier")
+    li = t["lineitem"]
+    late = li.filter(
+        F.col("l_shipdate") > F.lit("1999-01-01").cast("timestamp")
+    ).select("l_orderkey", "l_suppkey")
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .select("l_orderkey")
+    )
+    sole_late = (
+        late.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("nl"),
+            F.min("l_suppkey").alias("l_suppkey"),
+        )
+        .filter(F.col("nl") == 1)
+        .select("l_orderkey", "l_suppkey")
+    )
+    return (
+        sole_late.join(multi, "l_orderkey")
+        .join(
+            F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
