@@ -121,3 +121,39 @@ def test_stateful_running_totals(spark, event_stream):
     final = got.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
     exp = batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
     assert sorted(map(tuple, final.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Replaying duplicated events through the streaming dedup yields each
+    event_id once."""
+    import datetime as dt
+
+    from station_data_ingestion_spark.streaming.windows import dedup_within_watermark
+
+    src = tmp_path / "dupes"
+    t1 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    t2 = dt.datetime(2024, 1, 1, 10, 5, 0)
+    spark.createDataFrame(
+        [
+            (1, t1, 7, 1.0), (2, t1, 8, 2.0), (1, t1, 7, 1.0),
+            (3, t2, 9, 3.0), (2, t2, 8, 2.0), (1, t2, 7, 1.0),
+        ],
+        "event_id long, ts timestamp, user_id long, value double",
+    ).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        ).parquet(str(src))
+    )
+    out = dedup_within_watermark(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r["event_id"] for r in spark.sql("select * from dedup_sink").collect())
+    assert got == [1, 2, 3]
