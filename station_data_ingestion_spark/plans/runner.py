@@ -153,6 +153,13 @@ def _overwrite_slice(merged: DataFrame, table_path: str, item: DataItemSpec) -> 
 
     Dynamic partition overwrite keeps unrelated slices untouched -- the
     plain-parquet analog of Delta MERGE's file-level replace.
+
+    The merged plan reads the same path it overwrites; Spark stages the
+    output and commits partition swaps only after the read completes, so
+    this is safe for a single local/HDFS writer. Production deployments
+    with concurrent writers or object-store rename semantics should swap
+    this for a transactional table format (Delta/Iceberg MERGE) -- the
+    merge_plan program is unchanged either way.
     """
     spark = merged.sparkSession
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")

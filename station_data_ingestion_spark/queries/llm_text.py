@@ -7,6 +7,7 @@ path), each with a portable SQL oracle.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from station_data_ingestion_spark.queries.registry import load, query
@@ -190,3 +191,62 @@ def text_fingerprint_rolling_hash(spark, sf_dir):
         lambda acc, x: (acc * 257 + x) % 1000000007,
     )
     return d.select("doc_id", fp.alias("fingerprint"))
+
+
+@query(
+    "text_corpus_curation",
+    """
+WITH hashed AS (
+  SELECT doc_id, lang, source, text,
+         md5(text) AS h,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+deduped AS (
+  SELECT * FROM hashed
+  WHERE doc_id = (SELECT MIN(h2.doc_id) FROM hashed h2 WHERE h2.h = hashed.h)
+),
+quality AS (
+  SELECT * FROM deduped
+  WHERE n_tokens >= 10
+    AND CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+        / len(text) < 0.1
+)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM quality GROUP BY lang, source
+""",
+)
+def text_corpus_curation(spark, sf_dir):
+    """End-to-end corpus curation: exact dedup (keep min-id per hash) ->
+    quality gate (length + punctuation ratio) -> per-(lang, source)
+    corpus stats. The composition a training-data pipeline runs before
+    tokenization; each stage is one declarative pass (dedup = window min
+    over the hash -- no self-join), so the whole curation is two shuffles
+    (hash, then group keys) at any scale."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    w = Window.partitionBy("h")
+    hashed = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    deduped = (
+        hashed.withColumn("rep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("rep"))
+    )
+    punct_ratio = (
+        F.length(F.regexp_replace("text", r"[^.,;:!?]", "")).cast("double")
+        / F.length("text")
+    )
+    quality = deduped.filter(
+        (F.col("n_tokens") >= 10) & (punct_ratio < 0.1)
+    )
+    return quality.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
