@@ -250,3 +250,43 @@ def text_corpus_curation(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
+
+
+@query(
+    "split_train_test_hash",
+    """
+WITH assigned AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_doc_id
+FROM assigned GROUP BY lang, split
+""",
+)
+def split_train_test_hash(spark, sf_dir):
+    """Deterministic 80/10/10 train/valid/test split by hashing the doc
+    key -- the training-pipeline staple: stable across runs, engines, and
+    repartitioning (unlike df.sample, whose RNG is partition-dependent),
+    and requires no shuffle to assign. Bucket = first 8 md5 hex digits
+    mod 100, identical arithmetic in both engines."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    assigned = d.select("doc_id", "lang", bucket.alias("bucket"))
+    split = (
+        F.when(F.col("bucket") < 80, "train")
+        .when(F.col("bucket") < 90, "valid")
+        .otherwise("test")
+    )
+    return assigned.groupBy("lang", split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
