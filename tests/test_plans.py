@@ -134,6 +134,30 @@ def test_merge_single_shuffle_per_side(spark):
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
 
 
+def test_obs_table_read_prunes_partitions(spark, tmp_path):
+    """read_obs_table's (datatype, period) filter must become a partition
+    filter on the scan -- at 100 TB this is what bounds a merge to its
+    slice instead of scanning the whole observation table."""
+    from station_data_ingestion_spark.plans.jobspec import DataItemSpec
+    from station_data_ingestion_spark.plans.runner import read_obs_table
+
+    df = spark.createDataFrame(
+        [("1", "2022-03-01", 1.0, "temp", "day", "raw"),
+         ("2", "2022-03-01", 2.0, "rain", "day", "raw")],
+        "station_id string, date string, value double, "
+        "datatype string, period string, fill string",
+    )
+    path = str(tmp_path / "obs")
+    df.write.partitionBy("datatype", "period").parquet(path)
+    spec = DataItemSpec(
+        files=[], datatype="temp", period="day", fill="raw",
+        start_date="2022-03-01", end_date="2022-03-01",
+    )
+    p = plan(read_obs_table(spark, path, spec))
+    pf = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
+    assert pf and "datatype" in pf[0] and "period" in pf[0], p
+
+
 def test_ingestion_unpivot_no_shuffle(spark, tmp_path):
     """The wide->long unpivot pipeline is narrow: no Exchange before the
     long table exists (shuffle only if a later groupBy needs it)."""
