@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from station_data_ingestion_spark.operators.merge import merge_observations
+from station_data_ingestion_spark.operators.merge import merge_observed
 from station_data_ingestion_spark.plans.jobspec import DataItemSpec
 from station_data_ingestion_spark.plans.runner import read_obs_table, _overwrite_slice
 from station_data_ingestion_spark.sources.wide_csv import (
@@ -84,10 +84,12 @@ def run_merge_stream(
             if c not in target.columns:
                 target = target.withColumn(c, F.lit(None).cast("string"))
         target = target.select(*batch_df.columns)
-        merged, _stats = merge_observations(
+        # single-pass: the stats observation rides the write job
+        merged, finish = merge_observed(
             target, batch_df, spec.key_fields, replace=spec.replace_duplicates
         )
         _overwrite_slice(merged, obs_table_path, spec)
+        finish()
 
     writer = (
         obs_stream.writeStream.outputMode("append")
