@@ -106,6 +106,7 @@ def run_job(
     obs_table_path: str,
     manifest_path: str | None = None,
     staging_dir: str = "staging",
+    metadata_transport=None,
 ) -> dict[str, MergeStats]:
     """Run every data_item/file, merging observations into the obs table.
 
@@ -113,6 +114,12 @@ def run_job(
     skipped (resume contract). http(s) files are staged locally first
     [reference: src/tapis_direct_driver.py:103-107]; manifest keys stay the
     original URL so resume semantics are unchanged.
+
+    ``metadata_transport``: optional zero-arg factory returning a sink
+    transport (see operators.sinks). When given, each file's station
+    metadata branch is serialized as sparse JSON docs (nodata fields
+    dropped per record [reference: src/driver.py:144-152]) and written
+    through it with the chunked retrying writer.
     """
     manifest = Manifest(manifest_path) if manifest_path else None
     results: dict[str, MergeStats] = {}
@@ -121,7 +128,19 @@ def run_job(
             if manifest and manifest.is_complete(file):
                 continue
             local = stage_if_remote(file, staging_dir)
-            obs, _meta = ingest_wide_csv(spark, local, item, job.location)
+            obs, meta = ingest_wide_csv(spark, local, item, job.location)
+            if metadata_transport is not None:
+                from station_data_ingestion_spark.operators.sinks import (
+                    sparse_json_docs,
+                    write_docs,
+                )
+
+                write_docs(
+                    sparse_json_docs(meta, nodata=item.nodata),
+                    metadata_transport,
+                    retries=job.retries,
+                    max_parallelism=job.concurrency,
+                )
             target = read_obs_table(spark, obs_table_path, item)
             # Align schemas: target slice may lack per-job extra columns.
             for c in obs.columns:

@@ -63,3 +63,41 @@ def test_zero_row_run_then_rerun(spark, tmp_path):
     assert s1.created == 0 and s1.replaced == 0
     s2 = run_job(spark, job, table, None)[str(p)]
     assert s2.created == 0 and s2.replaced == 0
+
+
+def test_run_job_writes_sparse_metadata(spark, tmp_path, wide_csv_day):
+    """With a metadata transport, run_job emits sparse station docs:
+    nodata fields dropped per record, station_group injected."""
+    from station_data_ingestion_spark.operators.sinks import (
+        jsonl_dir_transport,
+        read_jsonl_docs,
+    )
+    from station_data_ingestion_spark.plans.jobspec import JobSpec
+    from station_data_ingestion_spark.plans.runner import run_job
+
+    out = str(tmp_path / "meta_docs")
+    cfg = {
+        "data": [
+            {
+                "files": [wide_csv_day],
+                "datatype": "temperature",
+                "period": "day",
+                "fill": "raw",
+                "start_date": "2022-03-01",
+                "end_date": "2022-03-06",
+            }
+        ]
+    }
+    run_job(
+        spark,
+        JobSpec.from_dict(cfg),
+        str(tmp_path / "obs"),
+        str(tmp_path / "m.json"),
+        metadata_transport=lambda: jsonl_dir_transport(out),
+    )
+    docs = {d["skn"]: d for d in read_jsonl_docs(out) if "skn" in d}
+    kula = docs["39.20"]
+    assert kula["station_group"] == "hawaii_climate_primary"
+    assert kula["name"] == "Kula"
+    assert "observer" not in kula  # NA field dropped per record
+    assert docs["0042"]["observer"] == "Obs2"
