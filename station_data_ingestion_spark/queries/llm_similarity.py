@@ -297,3 +297,28 @@ def sim_brute_topk_blocked(spark, sf_dir):
         .filter(F.col("rk") <= 3)
         .select("q_id", "c_id", "sim", "rk")
     )
+
+
+@query("sim_kmeans_clusters", None)
+def sim_kmeans_clusters(spark, sf_dir):
+    """K-means (k=8, 5 Lloyd iterations) over the embeddings: iterative
+    algorithm with driver-side centroids and one Arrow assignment pass
+    per iteration (operators/kmeans.py). No SQL oracle (iterative, not
+    SQL-expressible); pytest validates against an exact numpy replica.
+    Output: per-cluster sizes and mean distance (stable aggregate view).
+    """
+    from station_data_ingestion_spark.operators.kmeans import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    centroids = kmeans_fit(e, k=8, n_iter=5)
+    labeled = kmeans_assign(e, centroids)
+    return labeled.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum(F.round(F.col("dist") * 10000).cast("long")) / F.count(F.lit(1)) / 10000.0,
+            4,
+        ).alias("mean_dist"),
+    )
