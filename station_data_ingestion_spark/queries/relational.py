@@ -315,17 +315,20 @@ WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
 """,
 )
 def subquery_above_avg_parts(spark, sf_dir):
-    """Uncorrelated scalar subquery -> broadcast scalar filter.
+    """Uncorrelated scalar subquery -> broadcast scalar join + filter.
 
-    Note: the comparison reuses the engines' native AVG double -- safe
-    because it's a filter threshold over well-separated values, and both
-    engines see identical input doubles. (Exactness matters only for
-    *output* floats.)
+    The one-row aggregate broadcasts against the scan (no driver-side
+    collect: the plan stays fully lazy, the right shape at 100 TB).
+    The comparison reuses the engines' native AVG double -- safe because
+    it's a filter threshold over well-separated values, and both engines
+    see identical input doubles.
     """
     p = load(spark, sf_dir, "part")["part"]
-    avg_price = p.agg(F.avg("p_retailprice")).collect()[0][0]
-    return p.filter(F.col("p_retailprice") > avg_price).select(
-        "p_partkey", "p_name", "p_retailprice"
+    avg_price = p.agg(F.avg("p_retailprice").alias("_avg"))
+    return (
+        p.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("p_retailprice") > F.col("_avg"))
+        .select("p_partkey", "p_name", "p_retailprice")
     )
 
 

@@ -441,11 +441,13 @@ def q22_idle_rich_customers(spark, sf_dir):
     both engines; acctbal sums use the exact-integer cents pattern."""
     t = load(spark, sf_dir, "customer", "orders")
     c = t["customer"]
-    avg_bal = (
-        c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal")).collect()[0][0]
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_ab")
     )
     return (
-        c.filter(F.col("c_acctbal") > avg_bal)
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_ab"))
+        .drop("_ab")
         .join(
             t["orders"].filter(
                 F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")

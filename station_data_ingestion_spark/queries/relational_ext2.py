@@ -129,9 +129,10 @@ def q11_important_stock_share(spark, sf_dir):
     by_part = ps.groupBy("ps_partkey").agg(
         F.sum(F.col("ps_unitcost_scaled") * F.col("ps_availqty")).alias("value_scaled")
     )
-    total = by_part.agg(F.sum("value_scaled")).collect()[0][0]
+    total = by_part.agg(F.sum("value_scaled").alias("_total"))
     return (
-        by_part.filter(F.col("value_scaled") > 0.002 * total)
+        by_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_scaled") > 0.002 * F.col("_total"))
         .select(
             "ps_partkey", F.round(F.col("value_scaled") / 10000, 2).alias("part_value")
         )

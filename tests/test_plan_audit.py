@@ -14,10 +14,18 @@ from station_data_ingestion_spark.queries import QUERIES
 
 SF = "/root/testdata/sf0.001"
 
-# Queries allowed to contain a broadcast nested-loop/cartesian: the
-# brute-force similarity baselines intentionally cross-join a <=5-row
-# broadcast query set against candidates.
-CROSS_JOIN_OK = {"sim_brute_topk"}
+# Queries allowed to contain a broadcast nested-loop join:
+# - sim_brute_topk intentionally cross-joins a <=5-row broadcast query
+#   set against candidates (the brute-force baseline)
+# - the scalar-subquery queries broadcast a ONE-ROW aggregate against the
+#   scan (crossJoin(broadcast(agg)) -- how Spark itself executes scalar
+#   subqueries; a 1-row BNLJ is a map-side constant attach, not a blowup)
+CROSS_JOIN_OK = {
+    "sim_brute_topk",
+    "subquery_above_avg_parts",
+    "q11_important_stock_share",
+    "q22_idle_rich_customers",
+}
 
 # Iterative/stateful queries that execute eagerly during plan
 # construction (label propagation collects per-round convergence counts):
