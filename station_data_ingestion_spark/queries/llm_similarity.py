@@ -151,58 +151,47 @@ def sim_ann_lsh_bucketed(spark, sf_dir):
     """
     e = load(spark, sf_dir, "embeddings")["embeddings"]
 
-    def signature(vec: Column) -> Column:
-        bits = [
-            (
-                F.aggregate(
-                    F.zip_with(
-                        vec,
-                        F.array(*[F.lit(w) for w in plane]),
-                        lambda x, wgt: x.cast("double") * wgt,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                > 0
-            ).cast("int")
-            for plane in _PLANES
-        ]
-        return F.array(*bits)
+    def sig_batches(batches):
+        import numpy as np
+        import pandas as pd
 
-    sig = e.select("vec_id", "embedding", signature(F.col("embedding")).alias("bits"))
-    banded = sig.select(
-        "vec_id",
-        "embedding",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band"),
-                        F.concat_ws(
-                            "",
-                            *[
-                                F.col("bits").getItem(band * _BITS_PER_BAND + i)
-                                for i in range(_BITS_PER_BAND)
-                            ],
-                        ).alias("sig"),
-                    )
-                    for band in range(_N_BANDS)
-                ]
+        planes = np.array(_PLANES, dtype=np.float64)  # (n_planes, 64)
+        weights = 1 << np.arange(_BITS_PER_BAND)
+        for pdf in batches:
+            x = np.array(list(pdf["embedding"]), dtype=np.float64)
+            bits = (x @ planes.T) > 0  # (n, n_planes), one matmul
+            sigs = (
+                bits.reshape(len(x), _N_BANDS, _BITS_PER_BAND) * weights
+            ).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), _N_BANDS),
+                    "band": np.tile(np.arange(_N_BANDS, dtype=np.int32), len(x)),
+                    "sig": sigs.reshape(-1).astype(np.int32),
+                }
             )
-        ).alias("bs"),
-    ).select("vec_id", "embedding", "bs.band", "bs.sig")
+
+    banded = e.select("vec_id", "embedding").mapInPandas(
+        sig_batches, "vec_id long, band int, sig int"
+    )
     q = banded.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"), "band", "sig"
+        F.col("vec_id").alias("q_id"), "band", "sig"
     )
     c = banded.filter(F.col("vec_id") >= 5).select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"), "band", "sig"
+        F.col("vec_id").alias("c_id"), "band", "sig"
     )
-    cand = (
-        q.join(c, ["band", "sig"])
-        .select("q_id", "c_id", "qv", "cv")
-        .distinct()
+    cand = q.join(c, ["band", "sig"]).select("q_id", "c_id").distinct()
+    qv = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
-    scored = cand.select("q_id", "c_id", F.round(_cos("qv", "cv"), 6).alias("sim"))
+    cv = e.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv")
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "q_id")
+        .join(cv, "c_id")
+        .select("q_id", "c_id", F.round(_cos("qv", "cv"), 6).alias("sim"))
+    )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
