@@ -157,3 +157,53 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination()
     got = sorted(r["event_id"] for r in spark.sql("select * from dedup_sink").collect())
     assert got == [1, 2, 3]
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    """The stream-stream click->purchase join over a replayed file stream
+    matches the equivalent batch join."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from station_data_ingestion_spark.streaming.windows import (
+        stream_stream_click_purchase_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ev(i, kind, user, minutes):
+        return (i, kind, user, t0 + dt.timedelta(minutes=minutes), 1.0)
+
+    rows = [
+        ev(1, "click", 7, 0),
+        ev(2, "purchase", 7, 30),     # joins click 1
+        ev(3, "click", 7, 90),
+        ev(4, "purchase", 7, 120),    # joins click 3 (click 1 out of window)
+        ev(5, "click", 8, 0),
+        ev(6, "purchase", 9, 10),     # different user: no click
+    ]
+    src = tmp_path / "src"
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long, ts timestamp, value double"
+    )
+    df.write.parquet(str(src))
+
+    stream = spark.readStream.schema(
+        "event_id long, event_type string, user_id long, ts timestamp, value double"
+    ).parquet(str(src))
+    out = stream_stream_click_purchase_join(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssj_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["p_id"], r["c_id"])
+        for r in spark.sql("select * from ssj_sink").collect()
+    )
+    assert got == [(2, 1), (4, 3)]
