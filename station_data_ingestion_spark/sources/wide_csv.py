@@ -28,6 +28,8 @@ Semantic traps handled (SURVEY §7):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -150,6 +152,115 @@ def observations_from_wide(df: DataFrame, date_cols: list[str], spec: DataItemSp
     return base
 
 
+def observations_from_wide_fast(
+    spark: SparkSession,
+    path: str,
+    columns: list[str],
+    date_cols: list[str],
+    spec: DataItemSpec,
+) -> DataFrame | None:
+    """Arrow-native wide->long fast path: text-line splits + pyarrow.csv.
+
+    Same output schema and semantics as :func:`observations_from_wide`
+    (nodata/empty filter, strict raise-on-garbage cast, static property
+    columns) with one documented divergence: a row whose field count does
+    not match the header is skipped whole -- the reference streaming
+    path's row guard [reference: src/tapis_direct_driver.py:134-136] --
+    instead of null-padded like Spark's PERMISSIVE CSV mode.
+
+    Why this exists: the declarative path builds a |date_cols|-wide
+    map_from_arrays projection whose generated code grows linearly with
+    the matrix width, and parses every cell as a JVM UTF8String. Here the
+    file is read as raw line splits (spark.read.text -- still distributed
+    by HDFS-style line ranges, so a huge file fans out across executors)
+    and each Arrow batch of lines goes through pyarrow.csv's C++ parser;
+    the unpivot is a column-stack + sentinel filter + strict cast done
+    entirely in Arrow compute. Constant plan size, no per-cell JVM
+    objects, one Python worker pass.
+
+    Returns None when the path is not a plain local file (glob/dir/URI) --
+    callers then use the declarative path. Quoted embedded newlines are
+    not supported here (same limitation as the reference's line-streamed
+    HTTP scan [src/tapis_direct_driver.py:104-107]).
+    """
+    if not date_cols or "SKN" not in columns or not os.path.isfile(path):
+        return None
+    with open(path, "rb") as f:
+        header_line = f.readline().decode("utf-8", errors="replace").rstrip("\r\n")
+    col_names = list(columns)
+    dcols = list(date_cols)
+    iso_dates = [header_to_iso(c, spec.period) for c in dcols]
+    nodata = spec.nodata
+
+    def parse_lines(batches):
+        import io
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.csv as pacsv
+
+        include = ["SKN"] + dcols
+        read_opts = pacsv.ReadOptions(column_names=col_names)
+        parse_opts = pacsv.ParseOptions(invalid_row_handler=lambda _row: "skip")
+        convert_opts = pacsv.ConvertOptions(
+            column_types={c: pa.string() for c in include},
+            include_columns=include,
+            null_values=[],  # "NA" stays a literal string, like the JVM path
+            strings_can_be_null=False,
+        )
+        for pdf in batches:
+            lines = pdf["value"]
+            lines = lines[lines != header_line]
+            if lines.empty:
+                continue
+            buf = ("\n".join(lines.tolist()) + "\n").encode("utf-8")
+            tbl = pacsv.read_csv(
+                io.BytesIO(buf),
+                read_options=read_opts,
+                parse_options=parse_opts,
+                convert_options=convert_opts,
+            )
+            n = tbl.num_rows
+            if n == 0:
+                continue
+            ids = tbl.column("SKN").combine_chunks()
+            # Column-major unpivot: every row's value for date column j,
+            # then j+1, ... Order is irrelevant to the (unordered) result.
+            value_raw = pa.chunked_array([tbl.column(c).combine_chunks() for c in dcols])
+            station = pa.chunked_array([ids] * len(dcols))
+            date_col = pa.chunked_array(
+                [pa.array([iso] * n, type=pa.string()) for iso in iso_dates]
+            )
+            keep = pc.and_(
+                pc.not_equal(value_raw, ""), pc.not_equal(value_raw, nodata)
+            )
+            vals = value_raw.filter(keep)
+            try:
+                cast = pc.cast(vals, pa.float64())
+            except pa.ArrowInvalid as e:
+                raise ValueError(f"non-numeric observation value: {e}") from None
+            yield pa.table(
+                {
+                    "station_id": station.filter(keep),
+                    "date": date_col.filter(keep),
+                    "value": cast,
+                }
+            ).to_pandas()
+
+    lines_df = spark.read.text(path)
+    parallelism = spark.sparkContext.defaultParallelism
+    if len(dcols) > 50 and lines_df.rdd.getNumPartitions() < parallelism:
+        # Same rationale as the declarative path: spread the few, wide
+        # pre-expansion lines before the ~|date_cols|x fan-out.
+        lines_df = lines_df.repartition(parallelism)
+    base = lines_df.mapInPandas(
+        parse_lines, "station_id string, date string, value double"
+    )
+    for k, v in spec.static_properties.items():
+        base = base.withColumn(k, F.lit(v).cast("string"))
+    return base
+
+
 def metadata_from_wide(df: DataFrame, meta_renames: dict[str, str], location: str) -> DataFrame:
     """Station metadata branch [reference: src/driver.py:144-151].
 
@@ -168,7 +279,11 @@ def metadata_from_wide(df: DataFrame, meta_renames: dict[str, str], location: st
 
 
 def ingest_wide_csv(
-    spark: SparkSession, path: str, spec: DataItemSpec, location: str = "hawaii"
+    spark: SparkSession,
+    path: str,
+    spec: DataItemSpec,
+    location: str = "hawaii",
+    fast: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Full ingestion program for one wide CSV: (observations, metadata).
 
@@ -176,12 +291,25 @@ def ingest_wide_csv(
     if absent, the config's positional ``id_col`` designates it
     [reference: src/tapis_direct_driver.py:54-56, README.md:36] and that
     column is treated as SKN.
+
+    With ``fast`` (default), the observation branch uses the Arrow-native
+    parse path (:func:`observations_from_wide_fast`) when applicable; the
+    metadata branch always reads via the JVM CSV scan, which Catalyst
+    prunes to just the metadata columns.
     """
     columns = read_header(spark, path)
     if "SKN" not in columns and 0 <= spec.id_col < len(columns):
         columns = list(columns)
         columns[spec.id_col] = "SKN"
     meta_renames, date_cols = classify_headers(columns, spec)
+    obs = (
+        observations_from_wide_fast(spark, path, columns, date_cols, spec)
+        if fast
+        else None
+    )
+    if obs is not None:
+        meta = metadata_from_wide(scan_wide_csv(spark, path, columns), meta_renames, location)
+        return obs, meta
     needed = list(meta_renames) + date_cols
     df = scan_wide_csv(spark, path, columns).select(*[_c(c) for c in needed])
     # One small CSV = one input split, but the unpivot fans each wide row

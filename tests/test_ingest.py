@@ -91,6 +91,32 @@ def test_flagship_groupby_over_ingested(spark, wide_csv_day):
     assert out["0042"] == round((18.0 + 19.5 + 20.0) / 3, 3)
 
 
+def test_fast_and_declarative_paths_agree(spark, wide_csv_day):
+    """The Arrow-native fast parse and the declarative unpivot produce the
+    same rows/schema on the fixture (incl. its short and empty rows)."""
+    spec = make_spec()
+    a, _ = wide_csv.ingest_wide_csv(spark, wide_csv_day, spec, fast=True)
+    b, _ = wide_csv.ingest_wide_csv(spark, wide_csv_day, spec, fast=False)
+    # nullability flags may differ between the two plans; names/types must not
+    assert [(f.name, f.dataType) for f in a.schema] == [
+        (f.name, f.dataType) for f in b.schema
+    ]
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_fast_path_used_for_local_file(spark, wide_csv_day):
+    spec = make_spec()
+    obs = wide_csv.observations_from_wide_fast(
+        spark,
+        wide_csv_day,
+        wide_csv.read_header(spark, wide_csv_day),
+        ["X2022.03.02"],
+        spec,
+    )
+    assert obs is not None
+    assert "MapInPandas" in obs._jdf.queryExecution().executedPlan().toString()
+
+
 def test_positional_id_col_when_skn_absent(spark, tmp_path):
     """No SKN header -> the config's positional id_col designates the
     station-id column [reference: src/tapis_direct_driver.py:54-56]."""
