@@ -36,6 +36,40 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
+MERGE_BUCKET_COLS = ["station_id", "date"]
+
+
+def write_merge_target(
+    df: DataFrame,
+    table_name: str,
+    n_buckets: int,
+    bucket_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist an observation table bucketed for shuffle-free merges.
+
+    The ingestion merge joins on the full composite key
+    ``[datatype, period, date, fill, station_id, *extras]``
+    [reference: src/tapis_direct_driver.py:72-73], but within one job the
+    datatype/period/fill/extras columns of the update side are lit()
+    constants, so Catalyst folds them into filter predicates and the
+    *effective* equi-join keys are (date, station_id). Bucketing the
+    target on exactly those columns means:
+
+    - the multi-match count window needs no Exchange (the bucket hash
+      clusters every composite key), and
+    - the full-outer merge join reuses the scan's partitioning, so ONLY
+      the (small, per-job) update side shuffles -- at 100 TB the target
+      scan never re-shuffles, which is the difference between a merge
+      bounded by the daily file and one bounded by the whole table.
+
+    Sorting within buckets keeps files key-ordered for bucket pruning
+    and cheaper in-partition sorts.
+    """
+    cols = MERGE_BUCKET_COLS if bucket_cols is None else bucket_cols
+    write_bucketed(df, table_name, cols, n_buckets, sort=True, mode=mode)
+
+
 def colocated_join(
     spark: SparkSession,
     left_table: str,

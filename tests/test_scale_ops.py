@@ -95,3 +95,62 @@ def test_bucketed_join_has_no_exchange(spark):
         for t in ("b_orders", "b_lineitem"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
             shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+
+
+def test_bucketed_merge_target_shuffles_updates_only(spark):
+    """A merge target bucketed on the effective join keys (station_id,
+    date) joins with ZERO target-side Exchange: the only shuffle left is
+    the per-job update side. The composite-key window count also rides
+    the bucket partitioning."""
+    import shutil
+
+    from station_data_ingestion_spark.operators.bucketing import (
+        write_merge_target,
+    )
+    from station_data_ingestion_spark.operators.merge import (
+        merge_observations,
+        merge_plan,
+    )
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql("DROP TABLE IF EXISTS b_obs")
+    shutil.rmtree(f"{warehouse}/b_obs", ignore_errors=True)
+    rows = [
+        ("s1", "2022-03-01", 1.0),
+        ("s1", "2022-03-02", 2.0),
+        ("s2", "2022-03-01", 3.0),
+    ]
+    obs = spark.createDataFrame(
+        rows, "station_id string, date string, value double"
+    ).withColumns(
+        {
+            "datatype": F.lit("temperature"),
+            "period": F.lit("day"),
+            "fill": F.lit("raw"),
+        }
+    )
+    keys = ["datatype", "period", "date", "fill", "station_id"]
+    try:
+        write_merge_target(obs, "b_obs", n_buckets=4)
+        target = spark.table("b_obs")
+        updates = obs.withColumn(
+            "value", F.when(F.col("station_id") == "s1", 9.0).otherwise(F.col("value"))
+        )
+        jplan = (
+            merge_plan(target, updates, keys)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # exactly one hash shuffle: the updates side
+        assert jplan.count("Exchange hashpartitioning") == 1, jplan
+        assert "Bucketed: true" in jplan, jplan
+        merged, stats = merge_observations(target, updates, keys)
+        assert stats.created == 0 and stats.replaced == 2
+        got = {
+            (r.station_id, r.date): r.value for r in merged.collect()
+        }
+        assert got[("s1", "2022-03-01")] == 9.0 and got[("s2", "2022-03-01")] == 3.0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_obs")
+        shutil.rmtree(f"{warehouse}/b_obs", ignore_errors=True)
