@@ -263,3 +263,40 @@ def q21_waiting_suppliers(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@query(
+    "q13_customer_distribution",
+    """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13: distribution of customers by order count, keeping
+    zero-order customers via the left outer join. (The reference corpus
+    has no o_comment column, so Q13's NOT LIKE filter is omitted; the
+    shape exercised is the left join + two-level aggregation.)
+
+    Scale: the inner count shuffles on c_custkey; the outer histogram
+    aggregates the already-small per-customer counts (partial map-side
+    combine makes the second shuffle tiny).
+    """
+    t = load(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
