@@ -261,6 +261,134 @@ def observations_from_wide_fast(
     return base
 
 
+def observations_from_wide_many_fast(
+    spark: SparkSession, paths: list[str], spec: DataItemSpec
+) -> DataFrame | None:
+    """Batch ingestion: MANY wide CSVs in ONE distributed plan.
+
+    The reference (and the faithful per-file runner loop) ingests files
+    sequentially [reference: src/driver.py:136-141, utils/task.sh:8-15];
+    at 100 TB / thousands of monthly files that serializes job scheduling.
+    This operator reads every file in a single ``spark.read.text`` scan
+    (splittable per file AND within large files) and dispatches each line
+    to its own file's header layout via ``input_file_name()`` -- files may
+    have entirely different date columns. Parsing per Arrow batch is the
+    same pyarrow.csv path as :func:`observations_from_wide_fast`.
+
+    Cells from different files with the SAME composite key are NOT
+    deduplicated here (the sequential loop resolves them by merge order);
+    callers batching overlapping files should dedup before merging.
+
+    Returns None if any path is not a plain local file (stage remote
+    files first) or no file has in-range date columns.
+    """
+    if not paths or not all(os.path.isfile(p) for p in paths):
+        return None
+    # Driver-side: one tiny header read per file -> per-file parse config.
+    configs: dict[str, tuple[str, list[str], list[str], list[str]]] = {}
+    for p in paths:
+        with open(p, "rb") as f:
+            header_line = f.readline().decode("utf-8", errors="replace").rstrip("\r\n")
+        cols = next(_csv_iter([header_line]))
+        if "SKN" not in cols and 0 <= spec.id_col < len(cols):
+            cols = list(cols)
+            cols[spec.id_col] = "SKN"
+        _meta, date_cols = classify_headers(cols, spec)
+        if "SKN" not in cols or not date_cols:
+            continue  # nothing to contribute
+        iso = [header_to_iso(c, spec.period) for c in date_cols]
+        configs[os.path.abspath(p)] = (header_line, cols, date_cols, iso)
+    if not configs:
+        return None
+    nodata = spec.nodata
+
+    def parse_many(batches):
+        import io
+        import urllib.parse
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.csv as pacsv
+
+        def local_path(uri: str) -> str:
+            return urllib.parse.unquote(urllib.parse.urlparse(uri).path)
+
+        def parse_group(cfg, lines):
+            header_line, cols, dcols, iso_dates = cfg
+            lines = lines[lines != header_line]
+            if lines.empty:
+                return None
+            buf = ("\n".join(lines.tolist()) + "\n").encode("utf-8")
+            include = ["SKN"] + dcols
+            tbl = pacsv.read_csv(
+                io.BytesIO(buf),
+                read_options=pacsv.ReadOptions(column_names=cols),
+                parse_options=pacsv.ParseOptions(
+                    invalid_row_handler=lambda _row: "skip"
+                ),
+                convert_options=pacsv.ConvertOptions(
+                    column_types={c: pa.string() for c in include},
+                    include_columns=include,
+                    null_values=[],
+                    strings_can_be_null=False,
+                ),
+            )
+            n = tbl.num_rows
+            if n == 0:
+                return None
+            ids = tbl.column("SKN").combine_chunks()
+            value_raw = pa.chunked_array(
+                [tbl.column(c).combine_chunks() for c in dcols]
+            )
+            station = pa.chunked_array([ids] * len(dcols))
+            date_col = pa.chunked_array(
+                [pa.array([iso] * n, type=pa.string()) for iso in iso_dates]
+            )
+            keep = pc.and_(
+                pc.not_equal(value_raw, ""), pc.not_equal(value_raw, nodata)
+            )
+            vals = value_raw.filter(keep)
+            try:
+                cast = pc.cast(vals, pa.float64())
+            except pa.ArrowInvalid as e:
+                raise ValueError(f"non-numeric observation value: {e}") from None
+            return pa.table(
+                {
+                    "station_id": station.filter(keep),
+                    "date": date_col.filter(keep),
+                    "value": cast,
+                }
+            ).to_pandas()
+
+        for pdf in batches:
+            for uri, group in pdf.groupby("_file", sort=False):
+                cfg = configs.get(local_path(uri))
+                if cfg is None:
+                    continue
+                out = parse_group(cfg, group["value"])
+                if out is not None:
+                    yield out
+
+    lines_df = spark.read.text(list(configs)).select(
+        F.input_file_name().alias("_file"), "value"
+    )
+    parallelism = spark.sparkContext.defaultParallelism
+    if lines_df.rdd.getNumPartitions() < parallelism:
+        lines_df = lines_df.repartition(parallelism)
+    base = lines_df.mapInPandas(
+        parse_many, "station_id string, date string, value double"
+    )
+    for k, v in spec.static_properties.items():
+        base = base.withColumn(k, F.lit(v).cast("string"))
+    return base
+
+
+def _csv_iter(lines):
+    import csv
+
+    return csv.reader(lines)
+
+
 def metadata_from_wide(df: DataFrame, meta_renames: dict[str, str], location: str) -> DataFrame:
     """Station metadata branch [reference: src/driver.py:144-151].
 

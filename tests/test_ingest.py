@@ -133,3 +133,25 @@ def test_positional_id_col_when_skn_absent(spark, tmp_path):
     rows = obs.collect()
     assert len(rows) == 1
     assert rows[0]["station_id"] == "39.20" and rows[0]["value"] == 1.5
+
+
+def test_batch_multi_file_ingest_matches_per_file(spark, tmp_path):
+    """observations_from_wide_many_fast: many files, different header
+    layouts, one plan == union of per-file ingests."""
+    spec = make_spec(start_date="2022-01-01", end_date="2022-12-31")
+    p1 = tmp_path / "jan.csv"
+    p1.write_text("SKN,X2022.01.01,X2022.01.02\n1,1.0,NA\n2,2.0,2.5\n")
+    p2 = tmp_path / "feb.csv"  # different date columns + extra metadata col
+    p2.write_text("SKN,Station.Name,X2022.02.01\n1,Kula,3.5\n")
+    p3 = tmp_path / "old.csv"  # all dates out of range -> contributes nothing
+    p3.write_text("SKN,X2021.01.01\n1,9.9\n")
+    paths = [str(p1), str(p2), str(p3)]
+    batch = wide_csv.observations_from_wide_many_fast(spark, paths, spec)
+    assert batch is not None
+    per_file = None
+    for p in paths:
+        obs, _ = wide_csv.ingest_wide_csv(spark, p, spec)
+        per_file = obs if per_file is None else per_file.unionAll(obs)
+    assert batch.exceptAll(per_file).count() == 0
+    assert per_file.exceptAll(batch).count() == 0
+    assert batch.count() == 4  # jan: 3 non-NA cells, feb: 1, old: 0
