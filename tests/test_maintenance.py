@@ -1,0 +1,51 @@
+"""Small-file compaction: fewer files, identical data, untouched slices."""
+
+import glob
+
+from pyspark.sql import functions as F
+
+from station_data_ingestion_spark.operators.maintenance import compact_slice
+
+
+def _files(table, datatype, period):
+    return sorted(
+        glob.glob(f"{table}/datatype={datatype}/period={period}/*.parquet")
+    )
+
+
+def test_compact_slice(spark, tmp_path):
+    table = str(tmp_path / "obs")
+    obs = spark.range(0, 2000).select(
+        F.concat(F.lit("s"), (F.col("id") % 50)).alias("station_id"),
+        F.date_format(
+            F.date_add(F.lit("2022-01-01").cast("date"), (F.col("id") % 365).cast("int")),
+            "yyyy-MM-dd",
+        ).alias("date"),
+        (F.col("id") * 0.5).alias("value"),
+        F.when(F.col("id") % 2 == 0, "temperature").otherwise("rainfall").alias("datatype"),
+        F.lit("day").alias("period"),
+    )
+    # 16 small files per slice
+    obs.repartition(16).write.partitionBy("datatype", "period").parquet(table)
+    before_t = _files(table, "temperature", "day")
+    before_r = _files(table, "rainfall", "day")
+    assert len(before_t) == 16 and len(before_r) == 16
+    expected = sorted(
+        map(tuple, spark.read.parquet(table).filter(F.col("datatype") == "temperature").collect())
+    )
+
+    n = compact_slice(
+        spark,
+        table,
+        {"datatype": "temperature", "period": "day"},
+        target_file_bytes=64 * 1024 * 1024,
+    )
+    assert n == 1
+    after_t = _files(table, "temperature", "day")
+    assert len(after_t) == 1
+    # untouched slice keeps its exact files
+    assert _files(table, "rainfall", "day") == before_r
+    got = sorted(
+        map(tuple, spark.read.parquet(table).filter(F.col("datatype") == "temperature").collect())
+    )
+    assert got == expected
