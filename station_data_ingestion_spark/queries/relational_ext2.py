@@ -300,3 +300,36 @@ def q13_customer_distribution(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("custdist"))
         .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
     )
+
+
+@query(
+    "agg_stats_moments",
+    """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(STDDEV_SAMP(l_quantity), 6) AS stddev_qty,
+       ROUND(COVAR_SAMP(l_quantity, l_linenumber), 6) AS covar_qty_line,
+       ROUND(CORR(l_quantity, l_linenumber), 6) AS corr_qty_line
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_stats_moments(spark, sf_dir):
+    """Statistical aggregates: stddev/covariance/correlation per group.
+
+    Uses the integer-valued columns (quantity, linenumber) so the
+    moment sums are exact in both engines; rounding to 6 decimals
+    absorbs the last-bit difference of the engines' final division
+    order. (corr/covar can't use the scaled-bigint trick -- squared
+    price terms overflow int64 -- hence the integer-column choice.)
+    """
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    q, ln = F.col("l_quantity"), F.col("l_linenumber")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(q), 6).alias("avg_qty"),
+        F.round(F.stddev_samp(q), 6).alias("stddev_qty"),
+        F.round(F.covar_samp(q, ln), 6).alias("covar_qty_line"),
+        F.round(F.corr(q, ln), 6).alias("corr_qty_line"),
+    )

@@ -116,3 +116,38 @@ def window_rank_dense_ntile(spark, sf_dir):
         F.dense_rank().over(w_sign).alias("sign_dense"),
         F.ntile(4).over(w_rank).alias("quartile"),
     )
+
+
+@query(
+    "window_range_frame_trailing_spend",
+    """
+SELECT o_orderkey,
+       SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+         / 10000.0 AS trailing30_spend
+FROM orders
+""",
+)
+def window_range_frame_trailing_spend(spark, sf_dir):
+    """RANGE frame over event time: per customer, total order value in
+    the trailing 30 days (inclusive of ties on the same timestamp --
+    RANGE, not ROWS). Spark's rangeBetween takes the ORDER BY value's
+    numeric distance, so the timestamp is ordered as epoch seconds;
+    exact-integer money sums keep the division bit-identical.
+
+    Scale: one shuffle on o_custkey; the frame is evaluated with a
+    sliding aggregate over each sorted partition, no re-scan per row.
+    """
+    o = load(spark, sf_dir, "orders")["orders"]
+    w = (
+        Window.partitionBy("o_custkey")
+        # o_orderdate is TIMESTAMP_NTZ; the session tz is pinned UTC
+        # (session.py), so the epoch-second order value is tz-safe.
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    spend = F.sum(F.round(F.col("o_totalprice") * 10000).cast("long")).over(w)
+    return o.select(
+        "o_orderkey", (spend / 10000.0).alias("trailing30_spend")
+    )
