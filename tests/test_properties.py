@@ -126,3 +126,15 @@ def test_merge_replace_only_changed(spark, tmp_path_factory, rows, mutate_idx):
         (F.col("station_id") == skn) & (F.col("date") == "2022-03-01")
     ).collect()
     assert len(new_val) == 1 and new_val[0]["value"] == 999.99
+
+
+@given(rows=_matrix)
+@settings(**_SETTINGS)
+def test_fast_parse_equals_declarative(spark, tmp_path_factory, rows):
+    """The Arrow-native fast parse path and the declarative unpivot agree
+    on arbitrary matrices (sentinels, numeric-looking ids, signs)."""
+    tmp = tmp_path_factory.mktemp("prop_fast")
+    path = _write_matrix(tmp, rows)
+    a, _ = ingest_wide_csv(spark, path, _spec(), fast=True)
+    b, _ = ingest_wide_csv(spark, path, _spec(), fast=False)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
