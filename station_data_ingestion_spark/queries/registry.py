@@ -20,6 +20,7 @@ DECIMAL(18,4) columns instead; the parquet corpus is double-typed.)
 
 from __future__ import annotations
 
+import weakref
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -53,14 +54,45 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
     return wrap
 
 
+_READY_SESSIONS: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+# Session confs every query depends on for CORRECTNESS (not tuning).
+# The external driver builds its own SparkSession without session.py's
+# factory, so these are (re)applied at runtime -- all three are
+# runtime-settable SQL confs:
+# - nanosAsLong: events.ts is parquet TIMESTAMP(NANOS); without this a
+#   plain session fails the scan with PARQUET_TYPE_ILLEGAL.
+# - UTC timezone: timestamp->string formatting and epoch arithmetic in
+#   query output must not depend on the host zone.
+# - Arrow: mapInPandas stages move batches, not pickled rows.
+_REQUIRED_CONFS = (
+    ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ("spark.sql.session.timeZone", "UTC"),
+    ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+)
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Apply correctness-critical session confs to any SparkSession."""
+    if spark in _READY_SESSIONS:
+        return
+    for k, v in _REQUIRED_CONFS:
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # conf locked down -> proceed with its value
+            pass
+    _READY_SESSIONS.add(spark)
+
+
 def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Load parquet tables as DataFrames (schemas pruned by Catalyst).
 
     events.ts is stored as TIMESTAMP(NANOS), which Spark reads as a nanos
-    long (see session.py conf); convert to a micros-truncated timestamp so
-    semantics match engines with native nanos support (DuckDB truncates
-    the same way).
+    long (ensure_session_confs); convert to a micros-truncated timestamp
+    so semantics match engines with native nanos support (DuckDB
+    truncates the same way).
     """
+    ensure_session_confs(spark)
     out = {}
     for n in names or TABLES:
         df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
