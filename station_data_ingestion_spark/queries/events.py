@@ -183,3 +183,136 @@ def events_funnel_signup_purchase(spark, sf_dir):
             .alias("sec_to_first_purchase")
         )
     )
+
+
+@query(
+    "ts_resample_ffill_hourly",
+    """
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+  FROM events
+),
+grid AS (
+  SELECT t.event_type, g.h
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+              FROM bounds) g
+),
+hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 / COUNT(*) AS avg_v
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+)
+SELECT grid.event_type,
+       strftime(grid.h, '%Y-%m-%d %H:00') AS hour_bucket,
+       LAST_VALUE(hourly.avg_v IGNORE NULLS)
+         OVER (PARTITION BY grid.event_type ORDER BY grid.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+FROM grid LEFT JOIN hourly
+  ON hourly.event_type = grid.event_type AND hourly.h = grid.h
+""",
+)
+def ts_resample_ffill_hourly(spark, sf_dir):
+    """Time-series resampling: snap each event type's value series onto a
+    complete hourly grid and forward-fill gaps (the hypertable-rollup /
+    gap-filling shape; a station-data engine needs it for sparse sensors).
+
+    Spark build: hourly exact-integer means -> dense grid via
+    sequence()+explode of the broadcast one-row min/max aggregate (no
+    driver collect) -> left join -> last(ignorenulls) running window.
+    Scale: the grid is |types| x |hours| (tiny vs the event count); the
+    ffill window shuffles on event_type partitions of grid size only.
+    """
+    e = load(spark, sf_dir, "events")["events"]
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    grid = e.select("event_type").distinct().crossJoin(F.broadcast(hours))
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0
+            / F.count(F.lit(1))
+        ).alias("avg_v")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:00").alias("hour_bucket"),
+            F.last("avg_v", ignorenulls=True).over(w).alias("value_ffill"),
+        )
+    )
+
+
+@query(
+    "events_anomaly_zscore",
+    """
+WITH moments AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS hod,
+         COUNT(*) AS n,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s1,
+         SUM(CAST(ROUND(value * 100) AS BIGINT) * CAST(ROUND(value * 100) AS BIGINT)) AS s2
+  FROM events GROUP BY event_type, EXTRACT(hour FROM ts)
+)
+SELECT e.event_id, e.event_type,
+       ROUND((e.value - (m.s1 / 100.0 / m.n))
+             / SQRT((m.s2 / 10000.0 - m.n * (m.s1 / 100.0 / m.n) * (m.s1 / 100.0 / m.n))
+                    / (m.n - 1)), 6) AS z
+FROM events e
+JOIN moments m
+  ON m.event_type = e.event_type AND m.hod = EXTRACT(hour FROM e.ts)
+WHERE m.n > 1
+  AND ABS((e.value - (m.s1 / 100.0 / m.n))
+          / SQRT((m.s2 / 10000.0 - m.n * (m.s1 / 100.0 / m.n) * (m.s1 / 100.0 / m.n))
+                 / (m.n - 1))) > 3
+""",
+)
+def events_anomaly_zscore(spark, sf_dir):
+    """Climatology anomaly detection: z-score each event against its
+    (event_type, hour-of-day) profile; emit |z| > 3. The station-data
+    shape: compare an observation with the seasonal normal.
+
+    Moments come from exact scaled-integer sums (value is 2-decimal, so
+    *100 is lossless; squares stay within int64 to ~1e9 rows/group), and
+    the identical double formula on both engines keeps z bit-stable; the
+    broadcast moments table joins back without reshuffling events.
+
+    Scale: one shuffle to build 120 moment rows, then a broadcast join --
+    the events scan itself never shuffles.
+    """
+    e = load(spark, sf_dir, "events")["events"]
+    v100 = F.round(F.col("value") * 100).cast("long")
+    m = (
+        e.groupBy(
+            F.col("event_type").alias("m_type"), F.hour("ts").alias("hod")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v100).alias("s1"),
+            F.sum(v100 * v100).alias("s2"),
+        )
+        .filter(F.col("n") > 1)
+    )
+    mean = F.col("s1") / 100.0 / F.col("n")
+    var = (F.col("s2") / 10000.0 - F.col("n") * mean * mean) / (F.col("n") - 1)
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        e.join(
+            F.broadcast(m),
+            (F.col("m_type") == F.col("event_type"))
+            & (F.col("hod") == F.hour(F.col("ts"))),
+        )
+        .filter(F.abs(z) > 3)
+        .select("event_id", "event_type", F.round(z, 6).alias("z"))
+    )

@@ -430,3 +430,52 @@ def dedup_connected_components(spark, sf_dir):
         labels.select(F.col("lu").alias("doc_id"), F.col("label").alias("rep_id"))
         .withColumn("cluster_size", F.count(F.lit(1)).over(w))
     )
+
+
+@query(
+    "text_benchmark_contamination",
+    """
+WITH shingled AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
+         i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sset
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+),
+exploded AS (SELECT doc_id, UNNEST(sset) AS shingle FROM shingled),
+bench AS (SELECT DISTINCT shingle FROM exploded WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT e.doc_id, COUNT(*) AS n_hit
+  FROM exploded e JOIN bench b ON e.shingle = b.shingle
+  WHERE e.doc_id % 97 <> 0
+  GROUP BY e.doc_id
+),
+sizes AS (SELECT doc_id, len(sset) AS n FROM shingled)
+SELECT h.doc_id, ROUND(CAST(n_hit AS DOUBLE) / s.n, 4) AS contamination
+FROM hits h JOIN sizes s ON s.doc_id = h.doc_id
+WHERE CAST(n_hit AS DOUBLE) / s.n >= 0.1
+""",
+)
+def text_benchmark_contamination(spark, sf_dir):
+    """Benchmark-contamination check: fraction of each training doc's
+    distinct word-3-grams that appear in a held-out benchmark set (here
+    the deterministic doc_id % 97 == 0 slice stands in for the benchmark
+    corpus). The training-pipeline op that keeps eval sets out of the
+    training data.
+
+    Scale: the benchmark gram set is tiny relative to the corpus, so it
+    broadcasts; the corpus-side gram stream joins map-side -- the only
+    shuffle is the per-doc hit count (partial map-side combine).
+    """
+    d = load(spark, sf_dir, "documents")["documents"]
+    grams = _exploded_shingles(d)
+    bench = (
+        grams.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+    )
+    ratio = F.col("n_hit") / F.col("n")
+    return (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "n")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(ratio >= 0.1)
+        .select("doc_id", F.round(ratio, 4).alias("contamination"))
+    )

@@ -20,11 +20,15 @@ SF = "/root/testdata/sf0.001"
 # - the scalar-subquery queries broadcast a ONE-ROW aggregate against the
 #   scan (crossJoin(broadcast(agg)) -- how Spark itself executes scalar
 #   subqueries; a 1-row BNLJ is a map-side constant attach, not a blowup)
+# - ts_resample_ffill_hourly builds its dense gap-fill grid as
+#   |event_types| x broadcast(hour sequence from a 1-row min/max agg):
+#   bounded by the calendar, not the event count
 CROSS_JOIN_OK = {
     "sim_brute_topk",
     "subquery_above_avg_parts",
     "q11_important_stock_share",
     "q22_idle_rich_customers",
+    "ts_resample_ffill_hourly",
 }
 
 # Iterative/stateful queries that execute eagerly during plan
