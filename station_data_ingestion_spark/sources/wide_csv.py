@@ -152,6 +152,67 @@ def observations_from_wide(df: DataFrame, date_cols: list[str], spec: DataItemSp
     return base
 
 
+def _parse_wide_csv_bytes(
+    buf: bytes,
+    cols: list[str],
+    dcols: list[str],
+    iso_dates: list[str],
+    nodata: str,
+    skip_rows: int = 0,
+):
+    """Shared Arrow parse core: wide-CSV bytes -> long pandas frame.
+
+    pyarrow.csv C++ parse with all-string columns (no null coercion, so
+    the nodata sentinel survives literally), column-major unpivot as an
+    Arrow column-stack, sentinel/empty filter, and the strict
+    raise-on-garbage cast. Rows whose field count differs from the
+    header are skipped whole [reference: src/tapis_direct_driver.py:134-136].
+    Runs inside executors; returns None when nothing survives.
+    """
+    import io
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.csv as pacsv
+
+    include = ["SKN"] + list(dcols)
+    tbl = pacsv.read_csv(
+        io.BytesIO(buf),
+        read_options=pacsv.ReadOptions(column_names=list(cols), skip_rows=skip_rows),
+        parse_options=pacsv.ParseOptions(invalid_row_handler=lambda _row: "skip"),
+        convert_options=pacsv.ConvertOptions(
+            column_types={c: pa.string() for c in include},
+            include_columns=include,
+            null_values=[],  # "NA" stays a literal string, like the JVM path
+            strings_can_be_null=False,
+        ),
+    )
+    n = tbl.num_rows
+    if n == 0:
+        return None
+    ids = tbl.column("SKN").combine_chunks()
+    # Column-major unpivot: every row's value for date column j, then
+    # j+1, ... Order is irrelevant to the (unordered) result.
+    value_raw = pa.chunked_array([tbl.column(c).combine_chunks() for c in dcols])
+    station = pa.chunked_array([ids] * len(dcols))
+    date_col = pa.chunked_array(
+        [pa.array([iso] * n, type=pa.string()) for iso in iso_dates]
+    )
+    keep = pc.and_(pc.not_equal(value_raw, ""), pc.not_equal(value_raw, nodata))
+    vals = value_raw.filter(keep)
+    try:
+        cast = pc.cast(vals, pa.float64())
+    except pa.ArrowInvalid as e:
+        raise ValueError(f"non-numeric observation value: {e}") from None
+    return pa.table(
+        {
+            "station_id": station.filter(keep),
+            "date": date_col.filter(keep),
+            "value": cast,
+        }
+    ).to_pandas()
+
+
 def observations_from_wide_fast(
     spark: SparkSession,
     path: str,
@@ -193,59 +254,15 @@ def observations_from_wide_fast(
     nodata = spec.nodata
 
     def parse_lines(batches):
-        import io
-
-        import pyarrow as pa
-        import pyarrow.compute as pc
-        import pyarrow.csv as pacsv
-
-        include = ["SKN"] + dcols
-        read_opts = pacsv.ReadOptions(column_names=col_names)
-        parse_opts = pacsv.ParseOptions(invalid_row_handler=lambda _row: "skip")
-        convert_opts = pacsv.ConvertOptions(
-            column_types={c: pa.string() for c in include},
-            include_columns=include,
-            null_values=[],  # "NA" stays a literal string, like the JVM path
-            strings_can_be_null=False,
-        )
         for pdf in batches:
             lines = pdf["value"]
             lines = lines[lines != header_line]
             if lines.empty:
                 continue
             buf = ("\n".join(lines.tolist()) + "\n").encode("utf-8")
-            tbl = pacsv.read_csv(
-                io.BytesIO(buf),
-                read_options=read_opts,
-                parse_options=parse_opts,
-                convert_options=convert_opts,
-            )
-            n = tbl.num_rows
-            if n == 0:
-                continue
-            ids = tbl.column("SKN").combine_chunks()
-            # Column-major unpivot: every row's value for date column j,
-            # then j+1, ... Order is irrelevant to the (unordered) result.
-            value_raw = pa.chunked_array([tbl.column(c).combine_chunks() for c in dcols])
-            station = pa.chunked_array([ids] * len(dcols))
-            date_col = pa.chunked_array(
-                [pa.array([iso] * n, type=pa.string()) for iso in iso_dates]
-            )
-            keep = pc.and_(
-                pc.not_equal(value_raw, ""), pc.not_equal(value_raw, nodata)
-            )
-            vals = value_raw.filter(keep)
-            try:
-                cast = pc.cast(vals, pa.float64())
-            except pa.ArrowInvalid as e:
-                raise ValueError(f"non-numeric observation value: {e}") from None
-            yield pa.table(
-                {
-                    "station_id": station.filter(keep),
-                    "date": date_col.filter(keep),
-                    "value": cast,
-                }
-            ).to_pandas()
+            out = _parse_wide_csv_bytes(buf, col_names, dcols, iso_dates, nodata)
+            if out is not None:
+                yield out
 
     lines_df = spark.read.text(path)
     parallelism = spark.sparkContext.defaultParallelism
@@ -303,69 +320,23 @@ def observations_from_wide_many_fast(
     nodata = spec.nodata
 
     def parse_many(batches):
-        import io
         import urllib.parse
-
-        import pyarrow as pa
-        import pyarrow.compute as pc
-        import pyarrow.csv as pacsv
 
         def local_path(uri: str) -> str:
             return urllib.parse.unquote(urllib.parse.urlparse(uri).path)
-
-        def parse_group(cfg, lines):
-            header_line, cols, dcols, iso_dates = cfg
-            lines = lines[lines != header_line]
-            if lines.empty:
-                return None
-            buf = ("\n".join(lines.tolist()) + "\n").encode("utf-8")
-            include = ["SKN"] + dcols
-            tbl = pacsv.read_csv(
-                io.BytesIO(buf),
-                read_options=pacsv.ReadOptions(column_names=cols),
-                parse_options=pacsv.ParseOptions(
-                    invalid_row_handler=lambda _row: "skip"
-                ),
-                convert_options=pacsv.ConvertOptions(
-                    column_types={c: pa.string() for c in include},
-                    include_columns=include,
-                    null_values=[],
-                    strings_can_be_null=False,
-                ),
-            )
-            n = tbl.num_rows
-            if n == 0:
-                return None
-            ids = tbl.column("SKN").combine_chunks()
-            value_raw = pa.chunked_array(
-                [tbl.column(c).combine_chunks() for c in dcols]
-            )
-            station = pa.chunked_array([ids] * len(dcols))
-            date_col = pa.chunked_array(
-                [pa.array([iso] * n, type=pa.string()) for iso in iso_dates]
-            )
-            keep = pc.and_(
-                pc.not_equal(value_raw, ""), pc.not_equal(value_raw, nodata)
-            )
-            vals = value_raw.filter(keep)
-            try:
-                cast = pc.cast(vals, pa.float64())
-            except pa.ArrowInvalid as e:
-                raise ValueError(f"non-numeric observation value: {e}") from None
-            return pa.table(
-                {
-                    "station_id": station.filter(keep),
-                    "date": date_col.filter(keep),
-                    "value": cast,
-                }
-            ).to_pandas()
 
         for pdf in batches:
             for uri, group in pdf.groupby("_file", sort=False):
                 cfg = configs.get(local_path(uri))
                 if cfg is None:
                     continue
-                out = parse_group(cfg, group["value"])
+                header_line, cols, dcols, iso_dates = cfg
+                lines = group["value"]
+                lines = lines[lines != header_line]
+                if lines.empty:
+                    continue
+                buf = ("\n".join(lines.tolist()) + "\n").encode("utf-8")
+                out = _parse_wide_csv_bytes(buf, cols, dcols, iso_dates, nodata)
                 if out is not None:
                     yield out
 

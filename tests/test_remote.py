@@ -79,3 +79,41 @@ def test_runner_ingests_remote_file(spark, http_root, tmp_path):
     assert stats[f"{http_root}/w.csv"].created == 1
     rows = spark.read.parquet(obs_path).collect()
     assert len(rows) == 1 and rows[0]["station_id"] == "1.0"
+
+
+def test_distributed_remote_ingest(spark, tmp_path):
+    """Executors fetch+parse each URL; result == local ingestion of the
+    same files."""
+    import http.server
+    import threading
+
+    from station_data_ingestion_spark.plans.jobspec import DataItemSpec
+    from station_data_ingestion_spark.sources.remote import ingest_remote_wide_csvs
+    from station_data_ingestion_spark.sources.wide_csv import ingest_wide_csv
+
+    (tmp_path / "jan.csv").write_text("SKN,X2022.01.01,X2022.01.02\n1,1.0,NA\n2,2.0,2.5\n")
+    (tmp_path / "feb.csv").write_text("SKN,Station.Name,X2022.02.01\n1,Kula,3.5\n")
+    handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(  # noqa: E731
+        *a, directory=str(tmp_path), **kw
+    )
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        root = f"http://127.0.0.1:{srv.server_address[1]}"
+        spec = DataItemSpec(
+            files=[], datatype="t", period="day", fill="raw",
+            start_date="2022-01-01", end_date="2022-12-31",
+        )
+        got = ingest_remote_wide_csvs(
+            spark, [f"{root}/jan.csv", f"{root}/feb.csv"], spec
+        )
+        assert got is not None
+        local = None
+        for name in ("jan.csv", "feb.csv"):
+            obs, _ = ingest_wide_csv(spark, str(tmp_path / name), spec)
+            local = obs if local is None else local.unionAll(obs)
+        assert got.exceptAll(local).count() == 0
+        assert local.exceptAll(got).count() == 0
+        assert got.count() == 4
+    finally:
+        srv.shutdown()
