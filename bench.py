@@ -49,6 +49,9 @@ HEADLINE = [
     "text_quality_features",
     "text_fingerprint_rolling_hash",
     "mm_decode_features",
+    "ts_resample_ffill_hourly",
+    "events_anomaly_zscore",
+    "text_benchmark_contamination",
 ]
 
 
