@@ -98,13 +98,11 @@ def bench_ingestion(spark, timings: dict[str, float]) -> None:
     na_mask = rng.random((n_stations, n_days)) < 0.03
     dates = [f"X{y:04d}.{m:02d}.{d:02d}" for y, m, d in _iter_dates(n_days)]
 
-    def write_csv(path, vals, dts=None, mask=None):
-        dts = dates if dts is None else dts
-        mask = na_mask if mask is None else mask
+    def write_csv(path, vals):
         with open(path, "w", encoding="utf-8") as f:
-            f.write("SKN," + ",".join(dts) + "\n")
+            f.write("SKN," + ",".join(dates) + "\n")
             for i in range(vals.shape[0]):
-                row = np.where(mask[i], "NA", vals[i].astype(str))
+                row = np.where(na_mask[i], "NA", vals[i].astype(str))
                 f.write(f"{i}.{i % 10}," + ",".join(row) + "\n")
 
     tmp = tempfile.mkdtemp(prefix="bench_ingest_")

@@ -24,20 +24,27 @@ from pyspark.sql import functions as F
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
 
 
-def slice_bytes(df: DataFrame) -> int:
-    """Total on-disk bytes of the files backing a DataFrame's scan.
+def partition_dir_bytes(spark: SparkSession, dir_path: str) -> int:
+    """Total parquet bytes under one partition directory (recursive).
 
     Uses the Hadoop FileSystem API so it works on any supported
-    filesystem, not just file://.
+    filesystem, not just file://. (DataFrame.inputFiles() is NOT usable
+    here: on a path-based parquet read it lists the whole table's files
+    regardless of partition filters, which would inflate the size by the
+    number of slices.)
     """
-    spark = df.sparkSession
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(dir_path)
+    fs = path.getFileSystem(conf)
+    if not fs.exists(path):
+        return 0
     total = 0
-    for uri in df.inputFiles():
-        path = jvm.org.apache.hadoop.fs.Path(uri)
-        fs = path.getFileSystem(conf)
-        total += fs.getFileStatus(path).getLen()
+    it = fs.listFiles(path, True)
+    while it.hasNext():
+        status = it.next()
+        if status.getPath().getName().endswith(".parquet"):
+            total += status.getLen()
     return total
 
 
@@ -50,11 +57,13 @@ def compact_slice(
 ) -> int:
     """Rewrite one partition slice into size-targeted files.
 
-    Returns the number of output files written. Uses coalesce (no
-    shuffle): compaction is pure IO, so the narrow merge of read splits
-    is strictly cheaper than a round-robin repartition. Only the
-    selected slice is rewritten (dynamic partition overwrite), other
-    slices' files are untouched.
+    Returns the number of parquet files actually present in the slice
+    after the rewrite (coalesce cannot exceed the read's partition
+    count, so the requested file count is a ceiling, not a promise).
+    Uses coalesce (no shuffle): compaction is pure IO, so the narrow
+    merge of read splits is strictly cheaper than a round-robin
+    repartition. Only the selected slice is rewritten (dynamic partition
+    overwrite), other slices' files are untouched.
     """
     df = spark.read.parquet(table_path)
     pred = None
@@ -62,7 +71,12 @@ def compact_slice(
         clause = F.col(c) == F.lit(partition_values[c])
         pred = clause if pred is None else (pred & clause)
     sliced = df.filter(pred) if pred is not None else df
-    n_files = max(1, math.ceil(slice_bytes(sliced) / target_file_bytes))
+    slice_dir = "/".join(
+        [table_path] + [f"{c}={partition_values[c]}" for c in partition_cols]
+    )
+    n_files = max(
+        1, math.ceil(partition_dir_bytes(spark, slice_dir) / target_file_bytes)
+    )
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -74,4 +88,12 @@ def compact_slice(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    return n_files
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(slice_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(path, True)
+    written = 0
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            written += 1
+    return written

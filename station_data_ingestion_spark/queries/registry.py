@@ -73,14 +73,26 @@ _REQUIRED_CONFS = (
 
 
 def ensure_session_confs(spark: SparkSession) -> None:
-    """Apply correctness-critical session confs to any SparkSession."""
+    """Apply correctness-critical session confs to any SparkSession.
+
+    If a conf cannot be set AND its effective value differs, results
+    would be silently wrong (zone-shifted strings, failing nanos scans),
+    so that raises instead of proceeding. Arrow is performance-only and
+    never raises.
+    """
     if spark in _READY_SESSIONS:
         return
     for k, v in _REQUIRED_CONFS:
         try:
             spark.conf.set(k, v)
-        except Exception:  # conf locked down -> proceed with its value
-            pass
+        except Exception:
+            effective = spark.conf.get(k, None)
+            must_match = k != "spark.sql.execution.arrow.pyspark.enabled"
+            if must_match and effective != v:
+                raise RuntimeError(
+                    f"session conf {k} is locked to {effective!r} but the "
+                    f"query surface requires {v!r} for correct results"
+                ) from None
     _READY_SESSIONS.add(spark)
 
 

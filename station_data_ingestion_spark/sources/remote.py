@@ -113,7 +113,9 @@ def ingest_remote_wide_csvs(
 
     configs: dict[str, tuple[list[str], list[str], list[str]]] = {}
     for u in urls:
-        header_line = _fetch_first_line(u, timeout)
+        header_line = with_retries(
+            lambda u=u: _fetch_first_line(u, timeout), retries=retries
+        )
         cols = next(csv.reader([header_line]))
         if "SKN" not in cols and 0 <= spec.id_col < len(cols):
             cols = list(cols)
@@ -145,9 +147,14 @@ def ingest_remote_wide_csvs(
                 if out is not None:
                     yield out
 
+    # Exactly one URL per partition (round-robin repartition does NOT
+    # guarantee 1:1 placement): parallelize with numSlices = |urls|.
     url_df = spark.createDataFrame(
-        [(u,) for u in configs], "url string"
-    ).repartition(len(configs))
+        spark.sparkContext.parallelize(
+            [(u,) for u in configs], numSlices=len(configs)
+        ),
+        "url string",
+    )
     base = url_df.mapInPandas(
         fetch_parse, "station_id string, date string, value double"
     )

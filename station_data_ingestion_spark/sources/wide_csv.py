@@ -166,9 +166,13 @@ def _parse_wide_csv_bytes(
     the nodata sentinel survives literally), column-major unpivot as an
     Arrow column-stack, sentinel/empty filter, and the strict
     raise-on-garbage cast. Rows whose field count differs from the
-    header are skipped whole [reference: src/tapis_direct_driver.py:134-136].
+    header (truncated tails, stub rows) are pad/truncated to the header
+    width, matching Spark's PERMISSIVE CSV mode and the reference's
+    partial-row zip [reference: src/tapis_direct_driver.py:134-139] --
+    their present in-range cells ARE ingested.
     Runs inside executors; returns None when nothing survives.
     """
+    import csv as _csv
     import io
 
     import pyarrow as pa
@@ -176,10 +180,17 @@ def _parse_wide_csv_bytes(
     import pyarrow.csv as pacsv
 
     include = ["SKN"] + list(dcols)
+    cols = list(cols)
+    invalid_lines: list[str] = []
+
+    def _keep_invalid(row):
+        invalid_lines.append(row.text)
+        return "skip"
+
     tbl = pacsv.read_csv(
         io.BytesIO(buf),
-        read_options=pacsv.ReadOptions(column_names=list(cols), skip_rows=skip_rows),
-        parse_options=pacsv.ParseOptions(invalid_row_handler=lambda _row: "skip"),
+        read_options=pacsv.ReadOptions(column_names=cols, skip_rows=skip_rows),
+        parse_options=pacsv.ParseOptions(invalid_row_handler=_keep_invalid),
         convert_options=pacsv.ConvertOptions(
             column_types={c: pa.string() for c in include},
             include_columns=include,
@@ -187,6 +198,23 @@ def _parse_wide_csv_bytes(
             strings_can_be_null=False,
         ),
     )
+    if invalid_lines:
+        # Rare path: re-parse the handful of wrong-width rows, padded to
+        # the header width (missing -> "", extras truncated).
+        padded = []
+        for line in invalid_lines:
+            if not line:
+                continue
+            fields = next(_csv.reader([line]))
+            padded.append((fields + [""] * len(cols))[: len(cols)])
+        if padded:
+            extra = pa.table(
+                {
+                    c: pa.array([r[cols.index(c)] for r in padded], type=pa.string())
+                    for c in include
+                }
+            )
+            tbl = pa.concat_tables([tbl, extra])
     n = tbl.num_rows
     if n == 0:
         return None
@@ -223,11 +251,11 @@ def observations_from_wide_fast(
     """Arrow-native wide->long fast path: text-line splits + pyarrow.csv.
 
     Same output schema and semantics as :func:`observations_from_wide`
-    (nodata/empty filter, strict raise-on-garbage cast, static property
-    columns) with one documented divergence: a row whose field count does
-    not match the header is skipped whole -- the reference streaming
-    path's row guard [reference: src/tapis_direct_driver.py:134-136] --
-    instead of null-padded like Spark's PERMISSIVE CSV mode.
+    (nodata/empty filter, strict raise-on-garbage cast, PERMISSIVE-style
+    pad/truncate of wrong-width rows, static property columns) with one
+    documented divergence: a mid-file line identical to the header is
+    treated as a header (dropped) rather than a strict-cast error --
+    the concatenated-files case.
 
     Why this exists: the declarative path builds a |date_cols|-wide
     map_from_arrays projection whose generated code grows linearly with
@@ -295,6 +323,8 @@ def observations_from_wide_many_fast(
     Cells from different files with the SAME composite key are NOT
     deduplicated here (the sequential loop resolves them by merge order);
     callers batching overlapping files should dedup before merging.
+    Wrong-width rows pad/truncate to their file's header width
+    (PERMISSIVE parity, see :func:`_parse_wide_csv_bytes`).
 
     Returns None if any path is not a plain local file (stage remote
     files first) or no file has in-range date columns.

@@ -155,3 +155,28 @@ def test_batch_multi_file_ingest_matches_per_file(spark, tmp_path):
     assert batch.exceptAll(per_file).count() == 0
     assert per_file.exceptAll(batch).count() == 0
     assert batch.count() == 4  # jan: 3 non-NA cells, feb: 1, old: 0
+
+
+def test_truncated_row_keeps_present_cells_both_paths(spark, tmp_path):
+    """A truncated tail line (interrupted download) must contribute its
+    present in-range cells on BOTH parse paths (PERMISSIVE parity), and
+    an over-wide row is truncated to the header width."""
+    p = tmp_path / "trunc.csv"
+    p.write_text(
+        "SKN,X2022.03.02,X2022.03.03\n"
+        "1,10.0,11.0\n"
+        "2,12.0\n"             # truncated: only first date present
+        "3,13.0,14.0,99.0\n"   # over-wide: extra field dropped
+    )
+    spec = make_spec()
+    fast, _ = wide_csv.ingest_wide_csv(spark, str(p), spec, fast=True)
+    slow, _ = wide_csv.ingest_wide_csv(spark, str(p), spec, fast=False)
+    expect = {
+        ("1", "2022-03-02", 10.0), ("1", "2022-03-03", 11.0),
+        ("2", "2022-03-02", 12.0),
+        ("3", "2022-03-02", 13.0), ("3", "2022-03-03", 14.0),
+    }
+    got_fast = {(r.station_id, r.date, r.value) for r in fast.collect()}
+    got_slow = {(r.station_id, r.date, r.value) for r in slow.collect()}
+    assert got_fast == expect
+    assert got_slow == expect

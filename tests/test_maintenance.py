@@ -49,3 +49,33 @@ def test_compact_slice(spark, tmp_path):
         map(tuple, spark.read.parquet(table).filter(F.col("datatype") == "temperature").collect())
     )
     assert got == expected
+
+
+def test_compact_sizes_from_slice_not_table(spark, tmp_path):
+    """Regression: sizing must use the slice's own bytes. With
+    target_file_bytes == the slice's exact size, exactly ONE file must
+    come out -- sizing from whole-table bytes (the DataFrame.inputFiles
+    trap) would request 2+."""
+    from station_data_ingestion_spark.operators.maintenance import (
+        partition_dir_bytes,
+    )
+
+    table = str(tmp_path / "obs2")
+    obs = spark.range(0, 4000).select(
+        F.concat(F.lit("s"), (F.col("id") % 50)).alias("station_id"),
+        (F.col("id") * 0.5).alias("value"),
+        F.when(F.col("id") % 2 == 0, "temperature").otherwise("rainfall").alias("datatype"),
+        F.lit("day").alias("period"),
+    )
+    obs.repartition(8).write.partitionBy("datatype", "period").parquet(table)
+    slice_dir = f"{table}/datatype=temperature/period=day"
+    b = partition_dir_bytes(spark, slice_dir)
+    assert 0 < b < partition_dir_bytes(spark, table)
+    n = compact_slice(
+        spark,
+        table,
+        {"datatype": "temperature", "period": "day"},
+        target_file_bytes=b,
+    )
+    assert n == 1
+    assert len(_files(table, "temperature", "day")) == 1

@@ -29,7 +29,13 @@ def _norm(v):
 
 
 def _key(row):
-    return tuple(repr(_norm(v)) for v in row)
+    # quantize floats in the sort key so a last-ulp difference between
+    # the two plans cannot order the row lists differently and mispair
+    # rows at the _same() comparison
+    return tuple(
+        f"{v:.6e}" if isinstance(v, float) else repr(v)
+        for v in (_norm(x) for x in row)
+    )
 
 
 def _same(a, b):
