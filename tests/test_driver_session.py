@@ -1,39 +1,30 @@
 """The external driver builds its OWN SparkSession (no session.py
 factory). Every query must still be correct there: registry.load
 applies the correctness-critical confs (nanos-as-long, UTC, Arrow) at
-runtime. This test reproduces the driver exactly: a fresh subprocess, a
-plain unconfigured session, queries() from __spark_entry__."""
+runtime. This test reproduces the driver exactly: a fresh subprocess
+running the full oracle-compare harness on a bare unconfigured session
+(tools/check_correctness.py --plain)."""
 
+import os
 import subprocess
 import sys
 
-_SCRIPT = r"""
-import sys
-sys.path.insert(0, "/root/repo")
-from pyspark.sql import SparkSession
 
-spark = SparkSession.builder.master("local[4]").appName("plain-driver").getOrCreate()
-assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "false"
-
-import __spark_entry__ as entry_mod
-
-qs = entry_mod.queries()
-sf = "/root/testdata/sf0.001"
-# the nanos-sensitive table + a timestamp-formatting query + the flagship
-for name in ("events_tumbling_hourly", "events_sessionization", "q1_pricing_summary"):
-    rows = qs[name](spark, sf).collect()
-    assert rows, name
-df = entry_mod.entry(spark)
-assert df.count() >= 0
-print("PLAIN_DRIVER_OK")
-"""
-
-
-def test_queries_run_on_plain_unconfigured_session():
+def test_all_queries_match_oracle_on_plain_session():
     out = subprocess.run(
-        [sys.executable, "-c", _SCRIPT],
+        [
+            sys.executable,
+            os.path.join(os.path.dirname(__file__), "..", "tools", "check_correctness.py"),
+            "--plain",
+            "--sf",
+            "/root/testdata/sf0.001",
+        ],
         capture_output=True,
         text=True,
-        timeout=300,
+        timeout=560,
     )
-    assert "PLAIN_DRIVER_OK" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
+    tail = out.stdout.replace("\r", "\n")
+    assert "queries ok" in tail and "FAIL" not in tail, (
+        tail[-2000:] + out.stderr[-1000:]
+    )
+    assert out.returncode == 0

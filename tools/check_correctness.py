@@ -9,7 +9,10 @@ twin on DuckDB over the same parquet tables, then compares:
 - order-insensitive value multiset (exact string canonicalization)
 
 Usage: python tools/check_correctness.py [--sf DIR] [--only name1,name2]
-Exit code 1 if any query mismatches.
+                                         [--plain]
+Exit code 1 if any query mismatches. --plain builds a bare unconfigured
+SparkSession (as the external driver does) instead of the session.py
+factory -- the strongest driver simulation.
 """
 
 from __future__ import annotations
@@ -77,6 +80,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument("--plain", action="store_true")
     args = ap.parse_args()
 
     queries = entry_mod.queries()
@@ -85,7 +89,16 @@ def main() -> int:
     if args.only:
         names = [n for n in names if n in set(args.only.split(","))]
 
-    spark = get_spark(app_name="check_correctness")
+    if args.plain:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[*]")
+            .appName("check_correctness_plain")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(app_name="check_correctness")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
