@@ -21,6 +21,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _dist2(x: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Squared distances via the matmul norm expansion.
+
+    ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 as an (n, k) matrix: one BLAS
+    matmul, no (n, k, dim) difference tensor (which at 10k-row batches x
+    k=100 x dim=768 would allocate ~6 GB per batch and OOM the worker).
+    Clamped at 0 against negative round-off.
+    """
+    d2 = (
+        (x * x).sum(axis=1)[:, None]
+        - 2.0 * (x @ centroids.T)
+        + (centroids * centroids).sum(axis=1)[None, :]
+    )
+    return np.maximum(d2, 0.0)
+
+
 def _assign_partials(centroids: np.ndarray):
     k, dim = centroids.shape
 
@@ -31,7 +47,7 @@ def _assign_partials(centroids: np.ndarray):
         counts = np.zeros(k, dtype=np.int64)
         for pdf in batches:
             x = np.array(list(pdf["embedding"]), dtype=np.float64)
-            d2 = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+            d2 = _dist2(x, centroids)
             labels = d2.argmin(axis=1)
             for c in range(k):
                 m = labels == c
@@ -55,7 +71,7 @@ def _assign_labels(centroids: np.ndarray):
 
         for pdf in batches:
             x = np.array(list(pdf["embedding"]), dtype=np.float64)
-            d2 = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+            d2 = _dist2(x, centroids)
             labels = d2.argmin(axis=1)
             yield pd.DataFrame(
                 {
@@ -86,6 +102,10 @@ def kmeans_fit(
         .select(F.col(vec_col).alias("embedding"))
         .collect()
     )
+    if len(first) < k:
+        raise ValueError(
+            f"kmeans_fit: k={k} exceeds the {len(first)} available vectors"
+        )
     centroids = np.array([r["embedding"] for r in first], dtype=np.float64)
     vecs = df.select(F.col(vec_col).alias("embedding"))
     for _ in range(n_iter):

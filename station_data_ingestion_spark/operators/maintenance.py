@@ -24,8 +24,8 @@ from pyspark.sql import functions as F
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
 
 
-def partition_dir_bytes(spark: SparkSession, dir_path: str) -> int:
-    """Total parquet bytes under one partition directory (recursive).
+def _parquet_statuses(spark: SparkSession, dir_path: str) -> list:
+    """Recursive Hadoop FileStatus list of the parquet files under a dir.
 
     Uses the Hadoop FileSystem API so it works on any supported
     filesystem, not just file://. (DataFrame.inputFiles() is NOT usable
@@ -34,18 +34,22 @@ def partition_dir_bytes(spark: SparkSession, dir_path: str) -> int:
     number of slices.)
     """
     jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
     path = jvm.org.apache.hadoop.fs.Path(dir_path)
-    fs = path.getFileSystem(conf)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(path):
-        return 0
-    total = 0
+        return []
+    out = []
     it = fs.listFiles(path, True)
     while it.hasNext():
         status = it.next()
         if status.getPath().getName().endswith(".parquet"):
-            total += status.getLen()
-    return total
+            out.append(status)
+    return out
+
+
+def partition_dir_bytes(spark: SparkSession, dir_path: str) -> int:
+    """Total parquet bytes under one partition directory (recursive)."""
+    return sum(s.getLen() for s in _parquet_statuses(spark, dir_path))
 
 
 def compact_slice(
@@ -88,12 +92,4 @@ def compact_slice(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(slice_dir)
-    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-    it = fs.listFiles(path, True)
-    written = 0
-    while it.hasNext():
-        if it.next().getPath().getName().endswith(".parquet"):
-            written += 1
-    return written
+    return len(_parquet_statuses(spark, slice_dir))

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _MULTI_MATCH_MSG = "Multiple entries match the specified key data"
+_DUP_UPDATE_MSG = "Conflicting update rows share the same composite key"
 
 
 class RecordKeyError(Exception):
@@ -56,7 +57,9 @@ def merge_plan(
     ``_action`` in {'keep', 'create', 'replace'}. Matched-and-different
     updates under replace=False keep the target row ('keep'): the update is
     silently dropped, per the reference. Rows whose key matches >1 target
-    row raise at execution time via raise_error (no extra pass).
+    row raise at execution time via raise_error (no extra pass). Exact
+    duplicate update rows collapse to one; conflicting duplicates (same
+    key, different data) raise -- see the inline note.
     """
     data_cols = [c for c in updates.columns if c not in key_fields]
     if set(target.columns) != set(updates.columns):
@@ -72,8 +75,36 @@ def merge_plan(
         F.struct(*data_cols).alias("_t_data"),
         F.count(F.lit(1)).over(w).alias("_t_key_count"),
     )
-    u = updates.select(*key_fields, F.struct(*data_cols).alias("_u_data")).withColumn(
-        "_u_present", F.lit(True)
+    # Updates-side duplicate keys would each claim the same target slot
+    # and write duplicate rows, permanently poisoning the table (the next
+    # merge would then raise the multi-match error on OUR OWN output).
+    # The reference's sequential loop resolves them by file order, which
+    # has no distributed analog; the safe semantic is: EXACT duplicates
+    # (same key, same data) collapse to one -- idempotent -- while
+    # CONFLICTING duplicates (same key, different data) raise. The guard
+    # runs PRE-join on the (small, per-job) update side: when the job's
+    # constant key columns fold out of the equi-join this costs one extra
+    # exchange of the update side only -- a post-join guard would instead
+    # re-shuffle the whole joined table, unbounded by the update size.
+    u = updates.select(*key_fields, F.struct(*data_cols).alias("_u_data"))
+    uw = Window.partitionBy(*key_fields)
+    u = (
+        u.withColumn(
+            "_u_conflict",
+            ~F.min("_u_data").over(uw).eqNullSafe(F.max("_u_data").over(uw)),
+        )
+        .filter(
+            F.when(
+                F.col("_u_conflict"),
+                F.raise_error(F.lit(_DUP_UPDATE_MSG)).cast("boolean"),
+            ).otherwise(F.lit(True))
+        )
+        .drop("_u_conflict")
+        # survivors of the conflict guard are exact duplicates, so an
+        # arbitrary-row dedup is deterministic; the hash aggregate rides
+        # the window's clustering (no second sort, unlike row_number)
+        .dropDuplicates(key_fields)
+        .withColumn("_u_present", F.lit(True))
     )
 
     joined = t.join(u, on=key_fields, how="full_outer")
@@ -125,9 +156,10 @@ def merge_observations(
             r["_action"]: r["n"]
             for r in plan.groupBy("_action").agg(F.count(F.lit(1)).alias("n")).collect()
         }
-    except Exception as e:  # surface the multi-match as the domain error
-        if _MULTI_MATCH_MSG in str(e):
-            raise RecordKeyError(_MULTI_MATCH_MSG) from e
+    except Exception as e:  # surface key-integrity failures as the domain error
+        for msg in (_MULTI_MATCH_MSG, _DUP_UPDATE_MSG):
+            if msg in str(e):
+                raise RecordKeyError(msg) from e
         raise
     stats = MergeStats(
         created=counts.get("create", 0), replaced=counts.get("replace", 0)

@@ -37,9 +37,17 @@ def salted_join(
     `big_unique_cols`: columns of the big side whose hash spreads rows
     uniformly (e.g. the fact table's primary key). Output columns match
     a plain ``big.join(small, on, how)``.
+
+    Only big-side-preserving joins are supported: the small side is
+    replicated n_salt times, so right/full outer would emit every
+    unmatched small row n_salt times.
     """
     if not big_unique_cols:
         raise ValueError("big_unique_cols must name at least one column")
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join supports big-side-preserving joins only, not {how!r}"
+        )
     salted_big = big.withColumn(
         _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in big_unique_cols]), F.lit(n_salt))
     )

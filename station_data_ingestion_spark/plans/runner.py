@@ -75,6 +75,20 @@ class Manifest:
         return all(self.is_complete(f) for f in files)
 
 
+def _table_has_parquet(spark: SparkSession, table_path: str) -> bool:
+    """True iff the path exists and contains >=1 parquet file (any FS)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(table_path)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return False
+    it = fs.listFiles(path, True)
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            return True
+    return False
+
+
 def read_obs_table(spark: SparkSession, table_path: str, spec: DataItemSpec) -> DataFrame:
     """Read the observation target, pruned to the spec's merge slice.
 
@@ -83,13 +97,11 @@ def read_obs_table(spark: SparkSession, table_path: str, spec: DataItemSpec) -> 
     merge one month of one datatype.
     """
     # A previous zero-row run leaves a dir with no parquet footers, so an
-    # existence check alone isn't enough to read it back.
-    has_data = os.path.exists(table_path) and any(
-        f.endswith(".parquet")
-        for _root, _dirs, files in os.walk(table_path)
-        for f in files
-    )
-    if not has_data:
+    # existence check alone isn't enough to read it back. Uses the Hadoop
+    # FileSystem API, NOT os.path: on hdfs:// or s3a:// paths a local
+    # check would report "missing", the target would read as empty, and
+    # the dynamic partition overwrite would then wipe the real slice.
+    if not _table_has_parquet(spark, table_path):
         schema = "station_id string, date string, value double, " + ", ".join(
             f"{k} string" for k in spec.static_properties
         )
@@ -98,6 +110,21 @@ def read_obs_table(spark: SparkSession, table_path: str, spec: DataItemSpec) -> 
     return df.filter(
         (F.col("datatype") == spec.datatype) & (F.col("period") == spec.period)
     )
+
+
+def _align_union_columns(obs: DataFrame, target: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Null-extend both frames to the union of their columns (same order).
+
+    Missing columns are per-job additional properties -- always strings
+    [reference: src/tapis_direct_driver.py:159-161].
+    """
+    all_cols = list(dict.fromkeys([*obs.columns, *target.columns]))
+    for c in all_cols:
+        if c not in obs.columns:
+            obs = obs.withColumn(c, F.lit(None).cast("string"))
+        if c not in target.columns:
+            target = target.withColumn(c, F.lit(None).cast("string"))
+    return obs.select(*all_cols), target.select(*all_cols)
 
 
 def run_job(
@@ -142,11 +169,11 @@ def run_job(
                     max_parallelism=job.concurrency,
                 )
             target = read_obs_table(spark, obs_table_path, item)
-            # Align schemas: target slice may lack per-job extra columns.
-            for c in obs.columns:
-                if c not in target.columns:
-                    target = target.withColumn(c, F.lit(None).cast("string"))
-            target = target.select(*obs.columns)
+            # Align schemas on the UNION of columns: a target-only column
+            # (another job's additional property stored in this slice)
+            # must survive the rewrite -- selecting only obs.columns would
+            # silently erase its values from the whole slice.
+            obs, target = _align_union_columns(obs, target)
             # Single execution: the merge's stats observation rides the
             # partition-overwrite write job (no separate stats pass).
             merged, finish = merge_observed(
@@ -155,10 +182,12 @@ def run_job(
             try:
                 _overwrite_slice(merged, obs_table_path, item)
             except Exception as e:
-                if "Multiple entries match the specified key data" in str(e):
-                    raise RecordKeyError(
-                        "Multiple entries match the specified key data"
-                    ) from e
+                for msg in (
+                    "Multiple entries match the specified key data",
+                    "Conflicting update rows share the same composite key",
+                ):
+                    if msg in str(e):
+                        raise RecordKeyError(msg) from e
                 raise
             stats = finish()
             results[file] = stats

@@ -99,10 +99,14 @@ def observations_from_wide(df: DataFrame, date_cols: list[str], spec: DataItemSp
     if id_col not in df.columns:
         raise ValueError("wide matrix is missing the SKN station-id column")
     if not date_cols:
-        # No in-range dates -> empty long table with the right schema.
-        base = df.sparkSession.createDataFrame(
-            [], "station_id string, date string, value double"
-        )
+        # No in-range dates -> empty long table with the right schema,
+        # derived FROM df (not createDataFrame) so a streaming input
+        # stays a streaming DataFrame (writeStream-able empty stream).
+        base = df.select(
+            _c(id_col).alias("station_id"),
+            F.lit(None).cast("string").alias("date"),
+            F.lit(None).cast("double").alias("value"),
+        ).filter(F.lit(False))
     else:
         # Unpivot via explode(map_from_arrays(iso_dates, value_cols)):
         # semantically identical to DataFrame.unpivot, but one array build

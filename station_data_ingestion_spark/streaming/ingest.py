@@ -45,6 +45,11 @@ def stream_wide_csv(
     per-config homogeneous file lists [reference: src/driver.py:136-138].
     """
     columns = read_header(spark, header_file)
+    if "SKN" not in columns and 0 <= spec.id_col < len(columns):
+        # positional id_col fallback, same as the batch path
+        # [reference: src/tapis_direct_driver.py:54-56]
+        columns = list(columns)
+        columns[spec.id_col] = "SKN"
     meta_renames, date_cols = classify_headers(columns, spec)
     schema = T.StructType([T.StructField(c, T.StringType(), True) for c in columns])
     raw = (
@@ -72,7 +77,12 @@ def run_merge_stream(
 
     Each micro-batch merges into the observation table with full
     create/replace/no-op semantics; replays after failure are safe
-    because the merge key makes re-ingestion idempotent.
+    because the merge key makes re-ingestion idempotent. A micro-batch
+    whose files carry CONFLICTING rows for one composite key (e.g. an
+    original and a corrected monthly file landing in the same trigger)
+    fails fast with RecordKeyError rather than writing both -- exact
+    duplicates across files dedup silently (merge_plan's update-side
+    guard).
     """
     obs_stream = stream_wide_csv(spark, watch_dir, spec, header_file)
 
@@ -80,10 +90,9 @@ def run_merge_stream(
         if not batch_df.take(1):
             return
         target = read_obs_table(spark, obs_table_path, spec)
-        for c in batch_df.columns:
-            if c not in target.columns:
-                target = target.withColumn(c, F.lit(None).cast("string"))
-        target = target.select(*batch_df.columns)
+        from station_data_ingestion_spark.plans.runner import _align_union_columns
+
+        batch_df, target = _align_union_columns(batch_df, target)
         # single-pass: the stats observation rides the write job
         merged, finish = merge_observed(
             target, batch_df, spec.key_fields, replace=spec.replace_duplicates

@@ -40,3 +40,11 @@ def test_kmeans_matches_numpy(spark):
         1 for (vid, _), lbl in zip(rows, ref_labels) if got[vid] == lbl
     )
     assert agree / len(rows) > 0.995
+
+
+def test_k_exceeding_rows_raises(spark):
+    import pytest
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").limit(3)
+    with pytest.raises(ValueError, match="exceeds the 3 available"):
+        kmeans_fit(e, k=8, n_iter=1)

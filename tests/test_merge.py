@@ -73,3 +73,42 @@ def test_merge_idempotent(spark):
     twice, stats2 = merge_observations(once, updates, KEY)
     assert stats2.created == 0 and stats2.replaced == 0
     assert collect_vals(once) == collect_vals(twice)
+
+
+def test_exact_duplicate_updates_collapse(spark):
+    """Two identical update rows for one key create ONE row (idempotent
+    dedup on the update side), not a duplicate-key pair."""
+    from station_data_ingestion_spark.operators.merge import merge_observations
+
+    keys = ["datatype", "period", "date", "fill", "station_id"]
+    mk = lambda v: ("t", "day", "2022-03-01", "raw", "s1", v)  # noqa: E731
+    schema = "datatype string, period string, date string, fill string, station_id string, value double"
+    target = spark.createDataFrame([], schema)
+    updates = spark.createDataFrame([mk(1.5), mk(1.5)], schema)
+    merged, stats = merge_observations(target, updates, keys)
+    assert stats.created == 1 and stats.replaced == 0
+    assert merged.count() == 1
+
+
+def test_conflicting_duplicate_updates_raise(spark):
+    """Same key, DIFFERENT data in one update batch -> RecordKeyError
+    (writing both would poison the table for every later merge)."""
+    import pytest
+
+    from station_data_ingestion_spark.operators.merge import (
+        RecordKeyError,
+        merge_observations,
+    )
+
+    keys = ["datatype", "period", "date", "fill", "station_id"]
+    schema = "datatype string, period string, date string, fill string, station_id string, value double"
+    target = spark.createDataFrame([], schema)
+    updates = spark.createDataFrame(
+        [
+            ("t", "day", "2022-03-01", "raw", "s1", 1.5),
+            ("t", "day", "2022-03-01", "raw", "s1", 9.9),
+        ],
+        schema,
+    )
+    with pytest.raises(RecordKeyError, match="Conflicting update rows"):
+        merge_observations(target, updates, keys)

@@ -142,9 +142,18 @@ def test_bucketed_merge_target_shuffles_updates_only(spark):
             .executedPlan()
             .toString()
         )
-        # exactly one hash shuffle: the updates side
-        assert jplan.count("Exchange hashpartitioning") == 1, jplan
+        # the bucketed TARGET subtree never shuffles: no Exchange between
+        # the bucketed scan and the join (the update side carries the
+        # join shuffle plus the dup-guard window's -- both bounded by the
+        # small per-job update, never by the table)
         assert "Bucketed: true" in jplan, jplan
+        lines = jplan.splitlines()
+        scan_i = next(i for i, ln in enumerate(lines) if "spark_catalog.default.b_obs" in ln)
+        join_i = next(i for i, ln in enumerate(lines) if "SortMergeJoin" in ln)
+        assert not any(
+            "Exchange" in ln for ln in lines[join_i + 1 : scan_i]
+        ), jplan
+        assert jplan.count("Exchange hashpartitioning") <= 2, jplan
         merged, stats = merge_observations(target, updates, keys)
         assert stats.created == 0 and stats.replaced == 2
         got = {
