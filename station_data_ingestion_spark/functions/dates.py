@@ -86,4 +86,9 @@ class DateRange:
         return self.start <= dt <= self.end
 
     def contains_header(self, name: str) -> bool:
+        # A header that matches the date regex but is calendar-invalid
+        # (X2022.13, X2021.02.29) raises ValueError here, aborting the
+        # job at driver-side classification -- the reference does the
+        # same (strict strptime after the regex match,
+        # src/modules/date_parser.py:9-21 via src/driver.py:46-57).
         return self.contains(parse_date_header(name, self.period))

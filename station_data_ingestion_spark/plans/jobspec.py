@@ -78,6 +78,12 @@ class DataItemSpec:
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "DataItemSpec":
+        # Unknown keys are IGNORED, not rejected -- the reference reads
+        # only the keys it knows and tolerates extras [reference:
+        # src/tapis_direct_driver.py:43-73 config.get defaults], so a
+        # shared config can carry fields for other consumers. The
+        # trade-off (a typoed key silently falls back to its default) is
+        # inherited deliberately.
         known = {
             "files", "datatype", "period", "fill", "start_date", "end_date",
             "nodata", "replace_duplicates", "data_col_start", "id_col",

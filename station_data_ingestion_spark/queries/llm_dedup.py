@@ -9,12 +9,12 @@ Four tiers over `documents` (SURVEY §2.9 / BASELINE north-star):
                    shingle, count common -- at 100 TB this shuffles on
                    shingle, a high-cardinality key, and only true-overlap
                    pairs materialize)
-3. MinHash+LSH  -- 64-perm signatures, 16 bands x 4 rows, band-bucket
+3. MinHash+LSH  -- 32-perm signatures, 16 bands x 2 rows, band-bucket
                    self-join for candidates, exact-Jaccard rerank. The
                    rerank makes the output equal to tier 2 above the
                    threshold (oracle-checkable); LSH only bounds the
-                   candidate set. P(miss) for a j=0.9 pair ~ (1-0.9^4)^16
-                   ~ 3e-9.
+                   candidate set. P(miss) for a j=0.9 pair ~ (1-0.9^2)^16
+                   ~ 4e-12.
 4. SimHash-48   -- 48-bit fingerprint from md5 nibble votes, expressed
                    with pure relational ops on BOTH engines (the SQL is
                    generated from the same nibble loop).
@@ -231,12 +231,10 @@ def _minhash_bands_batch(batches):
     b_vec = np.array([b for _, b in _PERMS], dtype=np.uint64)
     p = np.uint64(_P)
     for pdf in batches:
-        ssets = []
-        for t in pdf["text"]:
-            w = t.split(" ")
-            ssets.append(
-                list({" ".join(w[i : i + 3]) for i in range(len(w) - 2)})
-            )
+        # same shingling as the exact-Jaccard rerank (_shingle_set):
+        # candidate generation and rerank MUST tokenize identically or
+        # the recall guarantee silently degrades
+        ssets = [list(_shingle_set(t)) for t in pdf["text"]]
         counts = np.array([len(s) for s in ssets])
         keep = counts > 0
         if not keep.any():
@@ -425,6 +423,11 @@ def dedup_connected_components(spark, sf_dir):
         labels = new_labels
         if changed == 0:
             break
+    # labels is localCheckpoint-materialized; release the iteration
+    # caches so repeated invocations in one session don't accumulate
+    # executor storage
+    edges.unpersist()
+    pairs.unpersist()
     w = Window.partitionBy("rep_id")
     return (
         labels.select(F.col("lu").alias("doc_id"), F.col("label").alias("rep_id"))

@@ -251,10 +251,18 @@ def _blocked_topk_batches(q_rows):
             cn = np.linalg.norm(cm, axis=1)
             sims = (cm @ qm.T) / (cn[:, None] * qn[None, :])  # (nc, nq)
             k = min(3, len(pdf))
+            c_ids = pdf["c_id"].to_numpy()
             out = []
             for qi in range(len(q_ids)):
-                col = sims[:, qi]
-                idx = np.argpartition(-col, k - 1)[:k] if len(col) > k else np.arange(len(col))
+                # rank by the SAME key as the final window and the
+                # oracle -- (rounded sim desc, c_id asc) -- so 6-dp ties
+                # at the batch top-k boundary keep the oracle's winner
+                col = np.round(sims[:, qi], 6)
+                if len(col) > k:
+                    order = np.lexsort((c_ids, -col))
+                    idx = order[:k]
+                else:
+                    idx = np.arange(len(col))
                 out.append(
                     pd.DataFrame(
                         {

@@ -105,7 +105,7 @@ def q2_min_cost_supplier(spark, sf_dir):
 WITH {_PARTSUPP_SQL},
 nation_ps AS (
   SELECT ps_partkey,
-         SUM(ps_unitcost_scaled * ps_availqty) AS value_scaled
+         SUM(CAST(ROUND(ps_unitcost_scaled * ps_availqty) AS BIGINT)) AS value_scaled
   FROM partsupp
     JOIN supplier ON ps_suppkey = s_suppkey
     JOIN nation ON s_nationkey = n_nationkey
@@ -126,8 +126,12 @@ def q11_important_stock_share(spark, sf_dir):
         F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
     )
     ps = _partsupp(t).join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+    # per-addend integer rounding -> exact bigint sums (registry rule 1:
+    # a raw double sum varies in the last bits with accumulation order)
     by_part = ps.groupBy("ps_partkey").agg(
-        F.sum(F.col("ps_unitcost_scaled") * F.col("ps_availqty")).alias("value_scaled")
+        F.sum(
+            F.round(F.col("ps_unitcost_scaled") * F.col("ps_availqty")).cast("long")
+        ).alias("value_scaled")
     )
     total = by_part.agg(F.sum("value_scaled").alias("_total"))
     return (

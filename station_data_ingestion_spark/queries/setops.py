@@ -135,7 +135,10 @@ def pivot_status_by_priority(spark, sf_dir):
     piv = (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.coalesce(F.sum(cents), F.lit(0)))
+        .agg(F.sum(cents))
+        # a (priority, status) cell with NO rows is NULL after pivot (the
+        # agg never runs for it); the oracle's conditional SUM yields 0
+        .na.fill(0, ["F", "O", "P"])
     )
     return piv.select(
         "o_orderpriority",
