@@ -134,6 +134,7 @@ def run_job(
     manifest_path: str | None = None,
     staging_dir: str = "staging",
     metadata_transport=None,
+    batch_files: bool = False,
 ) -> dict[str, MergeStats]:
     """Run every data_item/file, merging observations into the obs table.
 
@@ -147,10 +148,28 @@ def run_job(
     metadata branch is serialized as sparse JSON docs (nodata fields
     dropped per record [reference: src/driver.py:144-152]) and written
     through it with the chunked retrying writer.
+
+    ``batch_files``: scale mode -- all of a data item's pending files
+    ingest in ONE distributed plan (per-file header dispatch, see
+    observations_from_wide_many_fast) and merge once. Stats and manifest
+    completion then apply to the whole batch (recorded per file with the
+    batch totals); resume granularity is the batch. Files must be
+    key-disjoint (e.g. distinct months) -- conflicting duplicate keys
+    across batched files raise RecordKeyError, matching the merge guard.
+    Requires a local/staged path per file; items that don't qualify fall
+    back to the sequential loop.
     """
     manifest = Manifest(manifest_path) if manifest_path else None
     results: dict[str, MergeStats] = {}
     for item in job.data:
+        if batch_files:
+            batched = _run_item_batched(
+                spark, job, item, obs_table_path, manifest, staging_dir,
+                metadata_transport,
+            )
+            if batched is not None:
+                results.update(batched)
+                continue
         for file in item.files:
             if manifest and manifest.is_complete(file):
                 continue
@@ -193,6 +212,74 @@ def run_job(
             results[file] = stats
             if manifest:
                 manifest.mark_complete(file, stats)
+    return results
+
+
+def _run_item_batched(
+    spark: SparkSession,
+    job: JobSpec,
+    item: DataItemSpec,
+    obs_table_path: str,
+    manifest,
+    staging_dir: str,
+    metadata_transport,
+) -> dict[str, MergeStats] | None:
+    """One-plan ingest+merge of an item's pending files (see run_job).
+
+    Returns None when the batch path doesn't apply (no pending files ->
+    empty dict; staging or header classification finds nothing usable ->
+    None, caller falls back to the per-file loop).
+    """
+    from station_data_ingestion_spark.sources.wide_csv import (
+        observations_from_wide_many_fast,
+    )
+
+    pending = [
+        f for f in item.files if not (manifest and manifest.is_complete(f))
+    ]
+    if not pending:
+        return {}
+    local_by_file = {f: stage_if_remote(f, staging_dir) for f in pending}
+    obs = observations_from_wide_many_fast(
+        spark, list(local_by_file.values()), item
+    )
+    if obs is None:
+        return None
+    if metadata_transport is not None:
+        from station_data_ingestion_spark.operators.sinks import (
+            sparse_json_docs,
+            write_docs,
+        )
+
+        for local in local_by_file.values():
+            _obs_one, meta = ingest_wide_csv(spark, local, item, job.location)
+            write_docs(
+                sparse_json_docs(meta, nodata=item.nodata),
+                metadata_transport,
+                retries=job.retries,
+                max_parallelism=job.concurrency,
+            )
+    target = read_obs_table(spark, obs_table_path, item)
+    obs, target = _align_union_columns(obs, target)
+    merged, finish = merge_observed(
+        target, obs, item.key_fields, replace=item.replace_duplicates
+    )
+    try:
+        _overwrite_slice(merged, obs_table_path, item)
+    except Exception as e:
+        for msg in (
+            "Multiple entries match the specified key data",
+            "Conflicting update rows share the same composite key",
+        ):
+            if msg in str(e):
+                raise RecordKeyError(msg) from e
+        raise
+    stats = finish()
+    results = {}
+    for f in pending:
+        results[f] = stats
+        if manifest:
+            manifest.mark_complete(f, stats)
     return results
 
 

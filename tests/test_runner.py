@@ -101,3 +101,48 @@ def test_run_job_writes_sparse_metadata(spark, tmp_path, wide_csv_day):
     assert kula["name"] == "Kula"
     assert "observer" not in kula  # NA field dropped per record
     assert docs["0042"]["observer"] == "Obs2"
+
+
+def test_run_job_batch_files_mode(spark, tmp_path):
+    """batch_files=True: one plan over all pending files, same final
+    table as the sequential loop, manifest marks every file complete."""
+    import json
+
+    from station_data_ingestion_spark.plans.jobspec import JobSpec
+    from station_data_ingestion_spark.plans.runner import run_job
+
+    (tmp_path / "jan.csv").write_text("SKN,X2022.01.01,X2022.01.02\n1,1.0,NA\n2,2.0,2.5\n")
+    (tmp_path / "feb.csv").write_text("SKN,X2022.02.01\n1,3.5\n")
+    cfg = {
+        "data": [
+            {
+                "files": [str(tmp_path / "jan.csv"), str(tmp_path / "feb.csv")],
+                "datatype": "temperature",
+                "period": "day",
+                "fill": "raw",
+                "start_date": "2022-01-01",
+                "end_date": "2022-12-31",
+            }
+        ]
+    }
+    seq_table = str(tmp_path / "obs_seq")
+    bat_table = str(tmp_path / "obs_bat")
+    run_job(spark, JobSpec.from_dict(cfg), seq_table)
+    manifest_path = str(tmp_path / "manifest.json")
+    stats = run_job(
+        spark, JobSpec.from_dict(cfg), bat_table, manifest_path,
+        batch_files=True,
+    )
+    assert set(stats) == set(cfg["data"][0]["files"])
+    assert all(s.created == 4 for s in stats.values())  # batch totals
+    a = spark.read.parquet(seq_table)
+    b = spark.read.parquet(bat_table)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    m = json.load(open(manifest_path))
+    assert all(m[f]["complete"] for f in cfg["data"][0]["files"])
+    # resume: everything complete -> second batched run is a no-op
+    again = run_job(
+        spark, JobSpec.from_dict(cfg), bat_table, manifest_path,
+        batch_files=True,
+    )
+    assert again == {}
