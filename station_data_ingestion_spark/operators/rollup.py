@@ -31,8 +31,10 @@ def rollup_monthly(obs: DataFrame, agg: str = "mean") -> DataFrame:
     uses exactly this field as an additional key property
     [reference: src/example_config.json:31-33]).
 
-    The mean uses the exact scaled-integer sum, so re-rolling the same
-    days reproduces bit-identical values (merge no-ops on replay).
+    The mean uses the exact scaled-integer sum (1e9 scale), so re-rolling
+    the same days reproduces bit-identical values (merge no-ops on
+    replay); magnitudes beyond ~3e8 would overflow the scaled sum and
+    are out of range for station observations.
     """
     if agg not in AGGS:
         raise ValueError(f"agg must be one of {AGGS}, got {agg!r}")
@@ -42,9 +44,12 @@ def rollup_monthly(obs: DataFrame, agg: str = "mean") -> DataFrame:
         if c not in ("station_id", "date", "value", "datatype", "period", "fill")
     ]
     day = obs.filter(F.col("period") == "day")
-    exact_sum = F.sum(F.round(F.col("value") * 10000).cast("long"))
+    # 1e9 scale: nano-resolution addends stay exact for |value| < ~3e8
+    # over month-sized groups, so trace-level readings (1e-5 precip)
+    # survive; 1e4 would quantize them to zero.
+    exact_sum = F.sum(F.round(F.col("value") * 1e9).cast("long"))
     agg_col = {
-        "mean": (exact_sum / 10000.0 / F.count(F.lit(1))),
+        "mean": (exact_sum / 1e9 / F.count(F.lit(1))),
         "min": F.min("value"),
         "max": F.max("value"),
         "count": F.count(F.lit(1)).cast("double"),

@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from station_data_ingestion_spark.operators.merge import (
+    _DUP_UPDATE_MSG,
+    _MULTI_MATCH_MSG,
     MergeStats,
     RecordKeyError,
     merge_observed,
@@ -106,10 +108,46 @@ def read_obs_table(spark: SparkSession, table_path: str, spec: DataItemSpec) -> 
             f"{k} string" for k in spec.static_properties
         )
         return spark.createDataFrame([], schema)
-    df = spark.read.parquet(table_path)
+    # Partition-column type inference would read a numeric-looking
+    # partition value (datatype='850') back as int; the merge would then
+    # compare/rewrite it as a number and create a duplicate slice
+    # ('datatype=850.0') the overwrite never replaces. Keys are strings.
+    conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(conf_key, "true")
+    spark.conf.set(conf_key, "false")
+    try:
+        df = spark.read.parquet(table_path)
+    finally:
+        spark.conf.set(conf_key, prev)
     return df.filter(
         (F.col("datatype") == spec.datatype) & (F.col("period") == spec.period)
     )
+
+
+def _merge_into_table(
+    spark: SparkSession,
+    obs: DataFrame,
+    item: DataItemSpec,
+    obs_table_path: str,
+) -> MergeStats:
+    """Read the pruned target, align schemas, merge, overwrite the slice.
+
+    The single sequence both runner modes share; key-integrity failures
+    surface as RecordKeyError.
+    """
+    target = read_obs_table(spark, obs_table_path, item)
+    obs, target = _align_union_columns(obs, target)
+    merged, finish = merge_observed(
+        target, obs, item.key_fields, replace=item.replace_duplicates
+    )
+    try:
+        _overwrite_slice(merged, obs_table_path, item)
+    except Exception as e:
+        for msg in (_MULTI_MATCH_MSG, _DUP_UPDATE_MSG):
+            if msg in str(e):
+                raise RecordKeyError(msg) from e
+        raise
+    return finish()
 
 
 def _align_union_columns(obs: DataFrame, target: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -187,28 +225,7 @@ def run_job(
                     retries=job.retries,
                     max_parallelism=job.concurrency,
                 )
-            target = read_obs_table(spark, obs_table_path, item)
-            # Align schemas on the UNION of columns: a target-only column
-            # (another job's additional property stored in this slice)
-            # must survive the rewrite -- selecting only obs.columns would
-            # silently erase its values from the whole slice.
-            obs, target = _align_union_columns(obs, target)
-            # Single execution: the merge's stats observation rides the
-            # partition-overwrite write job (no separate stats pass).
-            merged, finish = merge_observed(
-                target, obs, item.key_fields, replace=item.replace_duplicates
-            )
-            try:
-                _overwrite_slice(merged, obs_table_path, item)
-            except Exception as e:
-                for msg in (
-                    "Multiple entries match the specified key data",
-                    "Conflicting update rows share the same composite key",
-                ):
-                    if msg in str(e):
-                        raise RecordKeyError(msg) from e
-                raise
-            stats = finish()
+            stats = _merge_into_table(spark, obs, item, obs_table_path)
             results[file] = stats
             if manifest:
                 manifest.mark_complete(file, stats)
@@ -250,31 +267,28 @@ def _run_item_batched(
             sparse_json_docs,
             write_docs,
         )
+        from station_data_ingestion_spark.sources.wide_csv import (
+            classify_headers,
+            metadata_from_wide,
+            read_header,
+            scan_wide_csv,
+        )
 
         for local in local_by_file.values():
-            _obs_one, meta = ingest_wide_csv(spark, local, item, job.location)
+            # metadata branch only: no need to build (and discard) the
+            # observation plan that ingest_wide_csv would also produce
+            columns = read_header(spark, local)
+            meta_renames, _dates = classify_headers(columns, item)
+            meta = metadata_from_wide(
+                scan_wide_csv(spark, local, columns), meta_renames, job.location
+            )
             write_docs(
                 sparse_json_docs(meta, nodata=item.nodata),
                 metadata_transport,
                 retries=job.retries,
                 max_parallelism=job.concurrency,
             )
-    target = read_obs_table(spark, obs_table_path, item)
-    obs, target = _align_union_columns(obs, target)
-    merged, finish = merge_observed(
-        target, obs, item.key_fields, replace=item.replace_duplicates
-    )
-    try:
-        _overwrite_slice(merged, obs_table_path, item)
-    except Exception as e:
-        for msg in (
-            "Multiple entries match the specified key data",
-            "Conflicting update rows share the same composite key",
-        ):
-            if msg in str(e):
-                raise RecordKeyError(msg) from e
-        raise
-    stats = finish()
+    stats = _merge_into_table(spark, obs, item, obs_table_path)
     results = {}
     for f in pending:
         results[f] = stats

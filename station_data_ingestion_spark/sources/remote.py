@@ -15,6 +15,7 @@ parallel reads need a seekable store, not a one-shot HTTP stream.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import urllib.parse
@@ -45,7 +46,11 @@ def stage_if_remote(
     """
     if not is_remote(path):
         return path
-    name = os.path.basename(urllib.parse.urlparse(path).path) or "download.csv"
+    # Prefix with a hash of the FULL URL: two URLs sharing a basename
+    # (e.g. .../2021/prec.csv and .../2022/prec.csv) must not collide,
+    # or the second silently reuses the first file's bytes.
+    base = os.path.basename(urllib.parse.urlparse(path).path) or "download.csv"
+    name = f"{hashlib.sha256(path.encode()).hexdigest()[:12]}_{base}"
     os.makedirs(staging_dir, exist_ok=True)
     dest = os.path.join(staging_dir, name)
     if os.path.exists(dest) and not overwrite:
@@ -105,25 +110,23 @@ def ingest_remote_wide_csvs(
 
     from station_data_ingestion_spark.sources.wide_csv import (
         _parse_wide_csv_bytes,
-        classify_headers,
+        classify_header_line,
     )
-    from station_data_ingestion_spark.functions.dates import header_to_iso
 
-    import csv
-
-    configs: dict[str, tuple[list[str], list[str], list[str]]] = {}
+    configs: dict[str, tuple[str, list[str], list[str], list[str]]] = {}
     for u in urls:
         header_line = with_retries(
             lambda u=u: _fetch_first_line(u, timeout), retries=retries
         )
-        cols = next(csv.reader([header_line]))
-        if "SKN" not in cols and 0 <= spec.id_col < len(cols):
-            cols = list(cols)
-            cols[spec.id_col] = "SKN"
-        _meta, date_cols = classify_headers(cols, spec)
-        if "SKN" not in cols or not date_cols:
-            continue
-        configs[u] = (cols, date_cols, [header_to_iso(c, spec.period) for c in date_cols])
+        cfg = classify_header_line(header_line, spec)
+        if cfg is None:
+            raise ValueError(
+                f"wide matrix is missing the SKN station-id column: {u}"
+            )
+        cols, date_cols, iso = cfg
+        if not date_cols:
+            continue  # nothing in range to contribute
+        configs[u] = (header_line, cols, date_cols, iso)
     if not configs:
         return None
     nodata = spec.nodata
@@ -133,7 +136,7 @@ def ingest_remote_wide_csvs(
 
         for pdf in batches:
             for u in pdf["url"]:
-                cols, dcols, iso = configs[u]
+                header_line, cols, dcols, iso = configs[u]
                 body: dict[str, bytes] = {}
 
                 def fetch(u=u):
@@ -141,8 +144,16 @@ def ingest_remote_wide_csvs(
                         body["b"] = resp.read()
 
                 with_retries(fetch, retries=retries)
+                # Drop every header occurrence (incl. mid-file repeats in
+                # concatenated exports), matching the local fast path.
+                header_b = header_line.encode("utf-8")
+                lines = [
+                    ln
+                    for ln in body["b"].split(b"\n")
+                    if ln.rstrip(b"\r") != header_b
+                ]
                 out = _parse_wide_csv_bytes(
-                    body["b"], cols, dcols, iso, nodata, skip_rows=1
+                    b"\n".join(lines), cols, dcols, iso, nodata
                 )
                 if out is not None:
                     yield out

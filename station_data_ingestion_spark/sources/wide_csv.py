@@ -230,7 +230,12 @@ def _parse_wide_csv_bytes(
     date_col = pa.chunked_array(
         [pa.array([iso] * n, type=pa.string()) for iso in iso_dates]
     )
-    keep = pc.and_(pc.not_equal(value_raw, ""), pc.not_equal(value_raw, nodata))
+    # blank station id drops the row, like the JVM path's isNotNull guard
+    # (Spark's default nullValue turns the empty field into null there)
+    keep = pc.and_(
+        pc.and_(pc.not_equal(value_raw, ""), pc.not_equal(value_raw, nodata)),
+        pc.not_equal(station, ""),
+    )
     vals = value_raw.filter(keep)
     try:
         cast = pc.cast(vals, pa.float64())
@@ -336,18 +341,23 @@ def observations_from_wide_many_fast(
     if not paths or not all(os.path.isfile(p) for p in paths):
         return None
     # Driver-side: one tiny header read per file -> per-file parse config.
+    # A file whose station-id column can't be identified RAISES (like the
+    # sequential path) -- silently skipping it would let callers mark the
+    # file ingested when it never was. Files with no in-range date
+    # columns legitimately contribute nothing and are excluded from the
+    # scan.
     configs: dict[str, tuple[str, list[str], list[str], list[str]]] = {}
     for p in paths:
         with open(p, "rb") as f:
             header_line = f.readline().decode("utf-8", errors="replace").rstrip("\r\n")
-        cols = next(_csv_iter([header_line]))
-        if "SKN" not in cols and 0 <= spec.id_col < len(cols):
-            cols = list(cols)
-            cols[spec.id_col] = "SKN"
-        _meta, date_cols = classify_headers(cols, spec)
-        if "SKN" not in cols or not date_cols:
+        cfg = classify_header_line(header_line, spec)
+        if cfg is None:
+            raise ValueError(
+                f"wide matrix is missing the SKN station-id column: {p}"
+            )
+        cols, date_cols, iso = cfg
+        if not date_cols:
             continue  # nothing to contribute
-        iso = [header_to_iso(c, spec.period) for c in date_cols]
         configs[os.path.abspath(p)] = (header_line, cols, date_cols, iso)
     if not configs:
         return None
@@ -392,6 +402,27 @@ def _csv_iter(lines):
     import csv
 
     return csv.reader(lines)
+
+
+def classify_header_line(
+    header_line: str, spec: DataItemSpec
+) -> tuple[list[str], list[str], list[str]] | None:
+    """One header line -> (columns, in-range date columns, iso dates).
+
+    Applies the positional id_col -> SKN rename when the literal header
+    is absent [reference: src/tapis_direct_driver.py:54-56]. Returns
+    None when no station-id column can be identified (unusable file).
+    Shared by the batch and remote ingestion paths so their header
+    handling can never diverge.
+    """
+    cols = next(_csv_iter([header_line]), [])
+    if "SKN" not in cols and 0 <= spec.id_col < len(cols):
+        cols = list(cols)
+        cols[spec.id_col] = "SKN"
+    if "SKN" not in cols:
+        return None
+    _meta, date_cols = classify_headers(cols, spec)
+    return cols, date_cols, [header_to_iso(c, spec.period) for c in date_cols]
 
 
 def metadata_from_wide(df: DataFrame, meta_renames: dict[str, str], location: str) -> DataFrame:

@@ -180,3 +180,27 @@ def test_truncated_row_keeps_present_cells_both_paths(spark, tmp_path):
     got_slow = {(r.station_id, r.date, r.value) for r in slow.collect()}
     assert got_fast == expect
     assert got_slow == expect
+
+
+def test_blank_station_id_dropped_both_paths(spark, tmp_path):
+    p = tmp_path / "blank_skn.csv"
+    p.write_text("SKN,X2022.03.02\n,5.5\n1,6.0\n")
+    spec = make_spec()
+    for fast in (True, False):
+        obs, _ = wide_csv.ingest_wide_csv(spark, str(p), spec, fast=fast)
+        rows = {(r.station_id, r.value) for r in obs.collect()}
+        assert rows == {("1", 6.0)}, (fast, rows)
+
+
+def test_batch_ingest_raises_on_unusable_file(spark, tmp_path):
+    import pytest
+
+    good = tmp_path / "good.csv"
+    good.write_text("SKN,X2022.03.02\n1,1.0\n")
+    bad = tmp_path / "bad.csv"
+    bad.write_text("")  # empty/corrupt file: no header at all
+    spec = make_spec()
+    with pytest.raises(ValueError, match="missing the SKN station-id"):
+        wide_csv.observations_from_wide_many_fast(
+            spark, [str(good), str(bad)], spec
+        )

@@ -117,3 +117,28 @@ def test_distributed_remote_ingest(spark, tmp_path):
         assert got.count() == 4
     finally:
         srv.shutdown()
+
+
+def test_staging_names_do_not_collide_on_basename(tmp_path):
+    """Two URLs sharing a basename stage to distinct files."""
+    import http.server
+    import threading
+
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    (tmp_path / "a" / "prec.csv").write_text("SKN,X2021.01.01\n1,1.0\n")
+    (tmp_path / "b" / "prec.csv").write_text("SKN,X2022.01.01\n1,2.0\n")
+    handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(  # noqa: E731
+        *a, directory=str(tmp_path), **kw
+    )
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        root = f"http://127.0.0.1:{srv.server_address[1]}"
+        stage = str(tmp_path / "stage")
+        p1 = stage_if_remote(f"{root}/a/prec.csv", stage)
+        p2 = stage_if_remote(f"{root}/b/prec.csv", stage)
+        assert p1 != p2
+        assert "X2021" in open(p1).read() and "X2022" in open(p2).read()
+    finally:
+        srv.shutdown()

@@ -75,3 +75,15 @@ def test_rollup_merge_is_idempotent(spark):
     # re-rolling the same days produces bit-identical values -> no-op
     merged2, stats2 = merge_observations(merged, rollup_monthly(obs), keys)
     assert stats2.created == 0 and stats2.replaced == 0
+
+
+def test_rollup_mean_preserves_trace_values(spark):
+    obs = _obs(
+        spark,
+        [
+            ("s1", "2022-03-01", 0.00004, "t", "day", "raw"),
+            ("s1", "2022-03-02", 0.00004, "t", "day", "raw"),
+        ],
+    )
+    [r] = rollup_monthly(obs).collect()
+    assert r.value == pytest.approx(0.00004, rel=1e-6)
