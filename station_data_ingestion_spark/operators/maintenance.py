@@ -52,6 +52,55 @@ def partition_dir_bytes(spark: SparkSession, dir_path: str) -> int:
     return sum(s.getLen() for s in _parquet_statuses(spark, dir_path))
 
 
+def list_partition_values(
+    spark: SparkSession,
+    table_path: str,
+    partition_cols: tuple[str, ...] = ("datatype", "period"),
+) -> list[dict[str, str]]:
+    """Enumerate the table's partition-value combinations from its
+    directory layout (driver-side Hadoop listing, no Spark job)."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(table_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return []
+
+    def walk(path, depth):
+        if depth == len(partition_cols):
+            return [{}]
+        out = []
+        for st in fs.listStatus(path):
+            name = st.getPath().getName()
+            if not st.isDirectory() or "=" not in name:
+                continue
+            col, val = name.split("=", 1)
+            if col != partition_cols[depth]:
+                continue
+            for rest in walk(st.getPath(), depth + 1):
+                out.append({col: val, **rest})
+        return out
+
+    return walk(root, 0)
+
+
+def compact_table(
+    spark: SparkSession,
+    table_path: str,
+    partition_cols: tuple[str, ...] = ("datatype", "period"),
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+) -> dict[tuple[str, ...], int]:
+    """Compact every partition slice of the table; returns files written
+    per slice. Slices compact independently (each is its own job), so a
+    failure mid-way leaves untouched slices valid."""
+    results: dict[tuple[str, ...], int] = {}
+    for values in list_partition_values(spark, table_path, partition_cols):
+        n = compact_slice(
+            spark, table_path, values, partition_cols, target_file_bytes
+        )
+        results[tuple(values[c] for c in partition_cols)] = n
+    return results
+
+
 def compact_slice(
     spark: SparkSession,
     table_path: str,

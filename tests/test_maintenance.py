@@ -79,3 +79,27 @@ def test_compact_sizes_from_slice_not_table(spark, tmp_path):
     )
     assert n == 1
     assert len(_files(table, "temperature", "day")) == 1
+
+
+def test_compact_table_all_slices(spark, tmp_path):
+    from station_data_ingestion_spark.operators.maintenance import (
+        compact_table,
+        list_partition_values,
+    )
+
+    table = str(tmp_path / "obs3")
+    obs = spark.range(0, 2000).select(
+        F.concat(F.lit("s"), (F.col("id") % 50)).alias("station_id"),
+        (F.col("id") * 0.5).alias("value"),
+        F.when(F.col("id") % 2 == 0, "temperature").otherwise("rainfall").alias("datatype"),
+        F.lit("day").alias("period"),
+    )
+    obs.repartition(8).write.partitionBy("datatype", "period").parquet(table)
+    expected = sorted(map(tuple, spark.read.parquet(table).collect()))
+    vals = list_partition_values(spark, table)
+    assert sorted(v["datatype"] for v in vals) == ["rainfall", "temperature"]
+    out = compact_table(spark, table)
+    assert out == {("rainfall", "day"): 1, ("temperature", "day"): 1}
+    assert len(_files(table, "temperature", "day")) == 1
+    assert len(_files(table, "rainfall", "day")) == 1
+    assert sorted(map(tuple, spark.read.parquet(table).collect())) == expected
