@@ -127,7 +127,10 @@ def bench_ingestion(spark, timings: dict[str, float]) -> None:
             stats = finish()
             assert stats.replaced == 0 and stats.created > 700_000
 
-        timings["ingest_merge_create"] = timed_median(create_run)
+        # n=5 for the merge stages: their heavy shuffles are where the
+        # shared box's intermittent multi-second stalls land, and 3
+        # samples occasionally put the median on a stall
+        timings["ingest_merge_create"] = timed_median(create_run, n=5)
         obs.unpersist()
 
         mutated = values.copy()
@@ -149,7 +152,7 @@ def bench_ingestion(spark, timings: dict[str, float]) -> None:
             stats2 = finish2()
             assert stats2.created == 0 and stats2.replaced > 0
 
-        timings["ingest_merge_replace"] = timed_median(replace_run)
+        timings["ingest_merge_replace"] = timed_median(replace_run, n=5)
         obs2.unpersist()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
