@@ -86,24 +86,32 @@ def merge_plan(
     # constant key columns fold out of the equi-join this costs one extra
     # exchange of the update side only -- a post-join guard would instead
     # re-shuffle the whole joined table, unbounded by the update size.
+    # Implementation notes: the guard works on xxhash64(_u_data), a LONG,
+    # never aggregating the struct itself -- a struct-typed first()/
+    # dropDuplicates falls back to SortAggregate and adds two more 7M-row
+    # sorts (measured ~10x slower at the 10x bench scale). One window
+    # sorted by (keys, hash) computes conflict detection (min != max)
+    # AND the dedup row_number, and its output ordering is a prefix
+    # superset of the join's sort order, so the join sort is elided.
+    # Two different structs hashing equal would be treated as exact
+    # duplicates (one kept arbitrarily): P ~ 2^-64 per key, accepted.
     u = updates.select(*key_fields, F.struct(*data_cols).alias("_u_data"))
-    uw = Window.partitionBy(*key_fields)
+    uo = Window.partitionBy(*key_fields).orderBy("_u_h")
+    frame = uo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     u = (
-        u.withColumn(
+        u.withColumn("_u_h", F.xxhash64("_u_data"))
+        .withColumn(
             "_u_conflict",
-            ~F.min("_u_data").over(uw).eqNullSafe(F.max("_u_data").over(uw)),
+            F.min("_u_h").over(frame) != F.max("_u_h").over(frame),
         )
+        .withColumn("_u_rn", F.row_number().over(uo))
         .filter(
             F.when(
                 F.col("_u_conflict"),
                 F.raise_error(F.lit(_DUP_UPDATE_MSG)).cast("boolean"),
-            ).otherwise(F.lit(True))
+            ).otherwise(F.col("_u_rn") == 1)
         )
-        .drop("_u_conflict")
-        # survivors of the conflict guard are exact duplicates, so an
-        # arbitrary-row dedup is deterministic; the hash aggregate rides
-        # the window's clustering (no second sort, unlike row_number)
-        .dropDuplicates(key_fields)
+        .drop("_u_h", "_u_conflict", "_u_rn")
         .withColumn("_u_present", F.lit(True))
     )
 
