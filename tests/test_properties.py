@@ -138,3 +138,50 @@ def test_fast_parse_equals_declarative(spark, tmp_path_factory, rows):
     a, _ = ingest_wide_csv(spark, path, _spec(), fast=True)
     b, _ = ingest_wide_csv(spark, path, _spec(), fast=False)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+_dup_batch = st.lists(
+    st.tuples(
+        st.sampled_from(["s1", "s2", "s3"]),
+        st.sampled_from(["2022-03-01", "2022-03-02"]),
+        st.sampled_from([1.0, 2.5]),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(rows=_dup_batch)
+@settings(**_SETTINGS)
+def test_merge_guard_dup_algebra(spark, rows):
+    """For any update batch: conflicting duplicate keys raise; otherwise
+    the merge result holds exactly the distinct update rows."""
+    from station_data_ingestion_spark.operators.merge import (
+        RecordKeyError,
+        merge_observations,
+    )
+
+    keys = ["datatype", "period", "date", "fill", "station_id"]
+    schema = (
+        "datatype string, period string, date string, fill string, "
+        "station_id string, value double"
+    )
+    updates = spark.createDataFrame(
+        [("t", "day", d, "raw", s, v) for s, d, v in rows], schema
+    )
+    target = spark.createDataFrame([], schema)
+    by_key = {}
+    conflict = False
+    for s, d, v in rows:
+        by_key.setdefault((s, d), set()).add(v)
+        conflict = conflict or len(by_key[(s, d)]) > 1
+    if conflict:
+        import pytest as _pytest
+
+        with _pytest.raises(RecordKeyError):
+            merge_observations(target, updates, keys)
+    else:
+        merged, stats = merge_observations(target, updates, keys)
+        got = {(r.station_id, r.date, r.value) for r in merged.collect()}
+        want = {(s, d, next(iter(vs))) for (s, d), vs in by_key.items()}
+        assert got == want and stats.created == len(want)
