@@ -6,8 +6,9 @@ Prints ONE JSON line:
 
 Each query materializes fully via the noop sink (so projections are not
 pruned away, unlike count()). Session startup is excluded; a warmup query
-primes the JVM/codegen and every stage reports the median of 3 runs, so
-timings reflect steady-state execution with load noise absorbed.
+primes the JVM/codegen and every stage reports a median (3 runs; 5 for
+the merge stages, where host stalls land), so timings reflect
+steady-state execution with load noise absorbed.
 """
 
 from __future__ import annotations

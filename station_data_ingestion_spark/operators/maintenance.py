@@ -18,24 +18,53 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+# The character set Hive's escapePathName percent-encodes in partition
+# directory names (plus control chars, handled by ord < 32).
+_HIVE_ESCAPE = set('"#%\'*/:=?\\\x7f{[]^')
+
+
+def _escape_pv(value: str) -> str:
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _HIVE_ESCAPE or ord(ch) < 32 else ch
+        for ch in value
+    )
+
+
+def _unescape_pv(name: str) -> str:
+    out, i = [], 0
+    while i < len(name):
+        if name[i] == "%" and len(name) - i >= 3:
+            try:
+                out.append(chr(int(name[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(name[i])
+        i += 1
+    return "".join(out)
+
+
+def _hadoop_fs(spark: SparkSession, path_str: str):
+    """(FileSystem, Path) for any supported filesystem, not just file://."""
+    path = spark._jvm.org.apache.hadoop.fs.Path(path_str)
+    return path.getFileSystem(spark._jsc.hadoopConfiguration()), path
 
 
 def _parquet_statuses(spark: SparkSession, dir_path: str) -> list:
     """Recursive Hadoop FileStatus list of the parquet files under a dir.
 
-    Uses the Hadoop FileSystem API so it works on any supported
-    filesystem, not just file://. (DataFrame.inputFiles() is NOT usable
-    here: on a path-based parquet read it lists the whole table's files
-    regardless of partition filters, which would inflate the size by the
-    number of slices.)
+    (DataFrame.inputFiles() is NOT usable here: on a path-based parquet
+    read it lists the whole table's files regardless of partition
+    filters, which would inflate sizes by the number of slices.)
     """
-    jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(dir_path)
-    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs, path = _hadoop_fs(spark, dir_path)
     if not fs.exists(path):
         return []
     out = []
@@ -56,12 +85,15 @@ def list_partition_values(
     spark: SparkSession,
     table_path: str,
     partition_cols: tuple[str, ...] = ("datatype", "period"),
-) -> list[dict[str, str]]:
+) -> list[dict[str, str | None]]:
     """Enumerate the table's partition-value combinations from its
-    directory layout (driver-side Hadoop listing, no Spark job)."""
-    jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(table_path)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    directory layout (driver-side Hadoop listing, no Spark job).
+
+    Values are DECODED: Hive percent-escapes are unescaped and the
+    __HIVE_DEFAULT_PARTITION__ sentinel maps to None, so the results are
+    the actual data values compact_slice filters on.
+    """
+    fs, root = _hadoop_fs(spark, table_path)
     if not fs.exists(root):
         return []
 
@@ -76,8 +108,9 @@ def list_partition_values(
             col, val = name.split("=", 1)
             if col != partition_cols[depth]:
                 continue
+            decoded = None if val == _HIVE_NULL else _unescape_pv(val)
             for rest in walk(st.getPath(), depth + 1):
-                out.append({col: val, **rest})
+                out.append({col: decoded, **rest})
         return out
 
     return walk(root, 0)
@@ -88,11 +121,11 @@ def compact_table(
     table_path: str,
     partition_cols: tuple[str, ...] = ("datatype", "period"),
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
-) -> dict[tuple[str, ...], int]:
+) -> dict[tuple[str | None, ...], int]:
     """Compact every partition slice of the table; returns files written
     per slice. Slices compact independently (each is its own job), so a
     failure mid-way leaves untouched slices valid."""
-    results: dict[tuple[str, ...], int] = {}
+    results: dict[tuple[str | None, ...], int] = {}
     for values in list_partition_values(spark, table_path, partition_cols):
         n = compact_slice(
             spark, table_path, values, partition_cols, target_file_bytes
@@ -101,10 +134,22 @@ def compact_table(
     return results
 
 
+def _slice_dir(
+    table_path: str,
+    partition_values: dict[str, str | None],
+    partition_cols: tuple[str, ...],
+) -> str:
+    segs = []
+    for c in partition_cols:
+        v = partition_values[c]
+        segs.append(f"{c}={_HIVE_NULL if v is None else _escape_pv(v)}")
+    return "/".join([table_path, *segs])
+
+
 def compact_slice(
     spark: SparkSession,
     table_path: str,
-    partition_values: dict[str, str],
+    partition_values: dict[str, str | None],
     partition_cols: tuple[str, ...] = ("datatype", "period"),
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
 ) -> int:
@@ -117,16 +162,19 @@ def compact_slice(
     merge of read splits is strictly cheaper than a round-robin
     repartition. Only the selected slice is rewritten (dynamic partition
     overwrite), other slices' files are untouched.
+
+    The read is bounded to the slice directory (basePath keeps the
+    partition columns), so compacting S slices lists each slice once
+    instead of the whole table S times.
     """
-    df = spark.read.parquet(table_path)
+    slice_dir = _slice_dir(table_path, partition_values, partition_cols)
+    df = spark.read.option("basePath", table_path).parquet(slice_dir)
     pred = None
     for c in partition_cols:
-        clause = F.col(c) == F.lit(partition_values[c])
+        v = partition_values[c]
+        clause = F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
         pred = clause if pred is None else (pred & clause)
     sliced = df.filter(pred) if pred is not None else df
-    slice_dir = "/".join(
-        [table_path] + [f"{c}={partition_values[c]}" for c in partition_cols]
-    )
     n_files = max(
         1, math.ceil(partition_dir_bytes(spark, slice_dir) / target_file_bytes)
     )

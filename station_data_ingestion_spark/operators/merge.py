@@ -86,20 +86,31 @@ def merge_plan(
     # constant key columns fold out of the equi-join this costs one extra
     # exchange of the update side only -- a post-join guard would instead
     # re-shuffle the whole joined table, unbounded by the update size.
-    # Implementation notes: the guard works on xxhash64(_u_data), a LONG,
-    # never aggregating the struct itself -- a struct-typed first()/
-    # dropDuplicates falls back to SortAggregate and adds two more 7M-row
-    # sorts (measured ~10x slower at the 10x bench scale). One window
-    # sorted by (keys, hash) computes conflict detection (min != max)
-    # AND the dedup row_number, and its output ordering is a prefix
-    # superset of the join's sort order, so the join sort is elided.
-    # Two different structs hashing equal would be treated as exact
-    # duplicates (one kept arbitrarily): P ~ 2^-64 per key, accepted.
-    u = updates.select(*key_fields, F.struct(*data_cols).alias("_u_data"))
+    # Implementation notes: the guard works on a 64-bit hash of the data
+    # columns, never aggregating the struct itself -- a struct-typed
+    # first()/dropDuplicates falls back to SortAggregate and adds two
+    # more 7M-row sorts (measured ~10x slower at the 10x bench scale).
+    # One window sorted by (keys, hash) computes conflict detection
+    # (min != max) AND the dedup row_number, and its output ordering is
+    # a prefix superset of the join's sort order, so the join sort is
+    # elided. Each column is hashed together with its isNull flag:
+    # Spark's xxhash64 SKIPS null inputs (they leave the accumulator
+    # unchanged), so without the flags, values swapping between
+    # same-typed columns via nulls would collide systematically. With
+    # them, collisions are the generic ~2^-64 per key (a collision
+    # treats a conflict as an exact duplicate), accepted.
+    null_safe_hash = F.xxhash64(
+        *[e for c in data_cols for e in (F.col(c), F.col(c).isNull())]
+    )
+    u = updates.select(
+        *key_fields,
+        F.struct(*data_cols).alias("_u_data"),
+        null_safe_hash.alias("_u_h"),
+    )
     uo = Window.partitionBy(*key_fields).orderBy("_u_h")
     frame = uo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     u = (
-        u.withColumn("_u_h", F.xxhash64("_u_data"))
+        u
         .withColumn(
             "_u_conflict",
             F.min("_u_h").over(frame) != F.max("_u_h").over(frame),

@@ -103,3 +103,28 @@ def test_compact_table_all_slices(spark, tmp_path):
     assert len(_files(table, "temperature", "day")) == 1
     assert len(_files(table, "rainfall", "day")) == 1
     assert sorted(map(tuple, spark.read.parquet(table).collect())) == expected
+
+
+def test_compact_handles_escaped_partition_values(spark, tmp_path):
+    """Hive-escaped partition values (datatype 'temp:avg' -> dir
+    'datatype=temp%3Aavg') round-trip through listing and compaction."""
+    from station_data_ingestion_spark.operators.maintenance import (
+        compact_table,
+        list_partition_values,
+    )
+
+    table = str(tmp_path / "obs4")
+    obs = spark.range(0, 400).select(
+        F.concat(F.lit("s"), F.col("id")).alias("station_id"),
+        (F.col("id") * 0.5).alias("value"),
+        F.lit("temp:avg").alias("datatype"),
+        F.lit("day").alias("period"),
+    )
+    obs.repartition(6).write.partitionBy("datatype", "period").parquet(table)
+    vals = list_partition_values(spark, table)
+    assert vals == [{"datatype": "temp:avg", "period": "day"}]
+    out = compact_table(spark, table)
+    assert out == {("temp:avg", "day"): 1}
+    back = spark.read.parquet(table)
+    assert back.count() == 400
+    assert back.select("datatype").distinct().collect()[0][0] == "temp:avg"
