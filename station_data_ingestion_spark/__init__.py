@@ -18,6 +18,20 @@ tests run on local[32]: small dims broadcast, aggregations are partial
 and shuffle-heavy operators key on high-cardinality columns.
 """
 
+from station_data_ingestion_spark.operators.merge import (  # noqa: F401
+    MergeStats,
+    RecordKeyError,
+    merge_observations,
+    merge_observed,
+)
+from station_data_ingestion_spark.plans.jobspec import (  # noqa: F401
+    DataItemSpec,
+    JobSpec,
+)
+from station_data_ingestion_spark.plans.runner import run_job  # noqa: F401
 from station_data_ingestion_spark.session import get_spark  # noqa: F401
+from station_data_ingestion_spark.sources.wide_csv import (  # noqa: F401
+    ingest_wide_csv,
+)
 
 __version__ = "0.1.0"

@@ -127,6 +127,47 @@ def sim_ivf_label_top1(spark, sf_dir):
     )
 
 
+
+_IVF_TOPK_ORACLE = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, a.label AS label,
+         {_COS_SQL.format(a='a.embedding', b='b.embedding')} AS cos_sim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT vec_id, neighbor_id, label, ROUND(cos_sim, 6) AS sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY ROUND(cos_sim, 6) DESC, neighbor_id) AS rk
+  FROM pairs
+)
+SELECT vec_id, neighbor_id, label, sim, rk FROM ranked WHERE rk <= 3
+"""
+
+
+@query("sim_ivf_topk", _IVF_TOPK_ORACLE)
+def sim_ivf_topk(spark, sf_dir):
+    """IVF-style top-k: the k nearest neighbors within the coarse cell
+    (single-probe). Same shuffle shape as the top-1 variant -- one
+    label-equi join, never all-pairs; the per-vector window ranks only
+    the home cell's candidates."""
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    a = e.select("vec_id", "label", F.col("embedding").alias("va"))
+    b = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("vb"),
+    )
+    pairs = a.join(
+        b, (F.col("label") == F.col("lb")) & (F.col("vec_id") != F.col("neighbor_id"))
+    ).select(
+        "vec_id", "neighbor_id", "label", F.round(_cos("va", "vb"), 6).alias("sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+    )
+
+
 _rng = random.Random(7)
 _N_BANDS = 16
 _BITS_PER_BAND = 4
