@@ -51,9 +51,17 @@ def backoff_delays(retries: int, seed: int | None = None) -> Iterator[float]:
 
 
 def with_retries(
-    fn: Callable[[], None], retries: int = 3, sleep: Callable[[float], None] = time.sleep
+    fn: Callable[[], None],
+    retries: int = 3,
+    sleep: Callable[[float], None] | None = None,
 ) -> None:
-    """Run fn, retrying with backoff; re-raises after `retries` failures."""
+    """Run fn, retrying with backoff; re-raises after `retries` failures.
+
+    ``sleep`` resolves at call time (late-bound) so tests can patch
+    time.sleep; a def-time default would capture the real function.
+    """
+    if sleep is None:
+        sleep = time.sleep
     delays = backoff_delays(retries)
     while True:
         try:

@@ -54,10 +54,18 @@ def test_no_cartesian_or_nested_loop(spark, name):
 
 @pytest.mark.parametrize(
     "name",
-    [n for n in ALL_QUERIES if n.startswith(("q1", "q3", "q5", "q6", "q9"))],
+    [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier_revenue",
+        "q6_forecast_revenue",
+        "q9_profit_by_nation_year",
+    ],
 )
 def test_fact_scans_prune_columns(spark, name):
-    """Headline fact queries must never read all lineitem columns."""
+    """Headline fact queries must never read all lineitem columns.
+    (Explicit name list: a prefix filter also matched lineitem-free
+    queries, which made their cases vacuous.)"""
     p = _plan(QUERIES[name].fn(spark, SF))
     reads = [ln for ln in p.splitlines() if "ReadSchema" in ln and "lineitem" in ln]
     for ln in reads:

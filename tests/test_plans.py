@@ -126,12 +126,14 @@ def test_q7_q8_q9_dims_broadcast(spark):
 
 
 def test_merge_single_shuffle_per_side(spark):
-    # merge = count-window + full outer join on the same key: the window
-    # shuffle must be reused by the join (no second exchange of target)
-    p = plan(QUERIES["merge_upsert_orders"].fn(spark, SF))
-    # one exchange per input side at most (plus AQE reads); no broadcast
-    # of the big sides, and a sort-merge join on the key
+    # merge = count-window + dup-guard window + full outer join, all on
+    # the same key: each side shuffles exactly ONCE (the windows reuse
+    # the join exchanges)
+    df = QUERIES["merge_upsert_orders"].fn(spark, SF)
+    p = plan(df)
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    jp = df._jdf.queryExecution().executedPlan().toString()
+    assert jp.count("Exchange hashpartitioning") == 2, jp
 
 
 def test_obs_table_read_prunes_partitions(spark, tmp_path):

@@ -42,14 +42,18 @@ def test_http_fetch_and_reuse(http_root, tmp_path):
 
 
 def test_http_404_raises_after_retries(http_root, tmp_path, monkeypatch):
-    import station_data_ingestion_spark.operators.sinks as sinks
+    import urllib.error
 
     sleeps = []
     monkeypatch.setattr(
         "station_data_ingestion_spark.operators.sinks.time.sleep", sleeps.append
     )
-    with pytest.raises(Exception):
+    with pytest.raises(urllib.error.HTTPError):
         stage_if_remote(f"{http_root}/missing.csv", str(tmp_path / "s"), retries=2)
+    # 2 retries -> 2 backoff sleeps before the final re-raise, and the
+    # patched sleep must actually intercept them (no real waiting)
+    assert len(sleeps) == 2
+    assert all(0.25 <= s for s in sleeps)
 
 
 def test_runner_ingests_remote_file(spark, http_root, tmp_path):

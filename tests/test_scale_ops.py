@@ -53,11 +53,26 @@ def test_salted_join_left_outer(spark):
 
 
 def test_salted_join_deterministic_salt(spark):
-    """Same inputs -> same salts (no rand()): re-computation is stable."""
-    big = spark.range(0, 100).select(F.col("id").alias("rid"), F.lit("x").alias("k"))
+    """Same inputs -> same salts (no rand()): re-computation is stable.
+
+    count() is invariant to the salt function (every big row matches one
+    replica regardless of bucket), so determinism is asserted on which
+    shuffle partition each row lands in -- a rand() salt would reassign
+    rows between two evaluations of the same plan."""
+    big = spark.range(0, 200).select(F.col("id").alias("rid"), F.lit("x").alias("k"))
     small = spark.createDataFrame([("x", 1)], "k string, w long")
-    a = salted_join(big, small, on=["k"], n_salt=16, big_unique_cols=["rid"])
-    assert a.count() == 100 and a.count() == 100
+    out = salted_join(
+        big, small, on=["k"], n_salt=16, big_unique_cols=["rid"]
+    ).withColumn("pid", F.spark_partition_id())
+    first = {r.rid: r.pid for r in out.collect()}
+    second = {r.rid: r.pid for r in out.collect()}
+    assert first == second
+    # the salt expression itself must be hash-derived, not rand():
+    # (post-AQE partition ids can't show the spread -- coalescing folds
+    # the tiny test output into one partition either way)
+    op = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "rand(" not in op, op
+    assert "xxhash64" in op, op
 
 
 def test_bucketed_join_has_no_exchange(spark):

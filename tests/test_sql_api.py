@@ -51,10 +51,15 @@ def test_oracle_sql_runs_on_spark_where_dialect_allows(spark):
         if not q.oracle:
             continue
         try:
-            sql_rows = run_sql(spark, q.oracle).collect()
+            # analysis (parse/resolve) happens at spark.sql(): a failure
+            # here is DuckDB-only dialect and skips the query
+            df = run_sql(spark, q.oracle)
         except Exception:
-            skipped.append(name)  # DuckDB-only dialect
+            skipped.append(name)
             continue
+        # but a query that ANALYZES fine must also RUN: an execution
+        # failure is a real regression, not dialect
+        sql_rows = df.collect()
         df_rows = q.fn(spark, SF).collect()
         assert len(sql_rows) == len(df_rows), name
         a = sorted(([_norm(v) for v in r] for r in sql_rows), key=_key)

@@ -49,14 +49,12 @@ def test_asof_single_shuffle(spark):
     right = spark.createDataFrame(
         [("u1", _ts("2024-01-01 09:00:00"), 2.0)], "user string, ts timestamp, w double"
     )
-    plan = (
-        asof_join(left, right, on=["user"], left_ts="ts", right_ts="ts")
-        ._jdf.queryExecution()
-        .optimizedPlan()
-        .toString()
-    )
-    # union + window: exactly one repartition (the window's), no join at all
-    assert "Join" not in plan
+    qe = asof_join(
+        left, right, on=["user"], left_ts="ts", right_ts="ts"
+    )._jdf.queryExecution()
+    # union + window: exactly one shuffle (the window's), no join at all
+    assert "Join" not in qe.optimizedPlan().toString()
+    assert qe.executedPlan().toString().count("Exchange") == 1
 
 
 def test_range_join_bucketed_boundaries(spark):
