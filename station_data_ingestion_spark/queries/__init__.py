@@ -20,3 +20,32 @@ from station_data_ingestion_spark.queries import (  # noqa: F401
     windows,
 )
 from station_data_ingestion_spark.queries.registry import QUERIES  # noqa: F401
+
+
+def _interleave_by_module() -> None:
+    """Reorder QUERIES round-robin across source modules, in place.
+
+    The external driver samples a prefix of the registry (50/86 in r1),
+    which left whole operator families (windows, setops, scalars, TPC-H
+    q11-q22) unsampled. Interleaving one query per module puts every
+    family inside any prefix >= the module count (13), so each
+    CORRECTNESS_r{N}.json row-set spans the full operator surface.
+    Per-module relative order is preserved; the registry dict is mutated
+    in place because other modules hold references to it.
+    """
+    by_mod: dict[str, list[str]] = {}
+    for name, qd in QUERIES.items():
+        by_mod.setdefault(qd.fn.__module__, []).append(name)
+    queues = [list(names) for names in by_mod.values()]
+    order: list[str] = []
+    while queues:
+        queues = [q for q in queues if q]
+        for q in queues:
+            if q:
+                order.append(q.pop(0))
+    snapshot = dict(QUERIES)
+    QUERIES.clear()
+    QUERIES.update({n: snapshot[n] for n in order})
+
+
+_interleave_by_module()

@@ -57,8 +57,8 @@ WITH ordered AS (
   FROM events
 ), numbered AS (
   SELECT user_id, ts, event_id,
-         SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+         CAST(SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
   FROM ordered
 )
 SELECT user_id, session_seq, COUNT(*) AS n_events,

@@ -147,6 +147,21 @@ def main() -> int:
         for c in set(s_fam) & set(d_fam):
             if s_fam[c] != d_fam[c]:
                 problems.append(f"type[{c}]: {s_fam[c]} vs {d_fam[c]}")
+        # hard typeof() audit: the external driver hashes DuckDB values
+        # verbatim, so 128-bit / decimal oracle columns whose Spark twin is
+        # a 64-bit type hash-mismatch even when values are equal (r1:
+        # events_sessionization). Require the oracle SQL to CAST these.
+        s_ty = dict(zip(s_cols, (t.lower() for t in s_types)))
+        for c, t in zip(d_cols, d_types):
+            tu = str(t).upper()
+            if "HUGEINT" in tu:
+                problems.append(
+                    f"oracle-type[{c}]: {tu} (cast to BIGINT in oracle SQL)")
+            elif tu.startswith("DECIMAL") and not s_ty.get(c, "").startswith(
+                    "decimal"):
+                problems.append(
+                    f"oracle-type[{c}]: {tu} vs spark {s_ty.get(c)} "
+                    f"(cast oracle to DOUBLE/BIGINT or align Spark side)")
 
         dt = time.perf_counter() - t0
         if problems:
