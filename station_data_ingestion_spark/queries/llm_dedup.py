@@ -292,14 +292,16 @@ def dedup_minhash_lsh(spark, sf_dir):
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-    # exact rerank on candidates only; the candidate table is tiny by
-    # construction (LSH-bucketed), so it broadcasts against the doc scan
-    # to pick up both texts, then one pair-level Arrow stage computes the
-    # exact Jaccard -- no shuffle of the corpus, ever
+    # exact rerank on candidates only. No broadcast HINT on the candidate
+    # table: for weakly-duplicated corpora AQE broadcasts it anyway
+    # (runtime size under the threshold), while on a heavily-duplicated
+    # crawl LSH candidates can be a large fraction of the corpus and a
+    # forced broadcast would OOM the driver -- there the join degrades
+    # gracefully to a shuffle on doc_id, which is the right 100 TB plan.
     ta = d.select(F.col("doc_id").alias("a_id"), F.col("text").alias("a_text"))
     tb = d.select(F.col("doc_id").alias("b_id"), F.col("text").alias("b_text"))
-    with_a = F.broadcast(candidates).join(ta, "a_id")
-    pair_texts = F.broadcast(with_a).join(tb, "b_id")
+    with_a = candidates.join(ta, "a_id")
+    pair_texts = with_a.join(tb, "b_id")
     pairs = pair_texts.select("a_id", "b_id", "a_text", "b_text").mapInPandas(
         _pair_jaccard_batch, "a_id long, b_id long, j double"
     )

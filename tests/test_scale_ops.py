@@ -178,3 +178,28 @@ def test_bucketed_merge_target_shuffles_updates_only(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_obs")
         shutil.rmtree(f"{warehouse}/b_obs", ignore_errors=True)
+
+
+def test_minhash_lsh_high_dup_corpus_matches_exact(spark, tmp_path):
+    """Adversarial LSH corpus: most docs land in one band bucket.
+
+    On a heavily-duplicated crawl the LSH candidate set is a large
+    fraction of all pairs, so the rerank join must not force-broadcast
+    candidates (it no longer does -- AQE chooses). Output must still
+    equal the exact explode-join pair query on the same corpus.
+    """
+    from station_data_ingestion_spark.queries.llm_dedup import (
+        _exact_jaccard_pairs,
+        dedup_minhash_lsh,
+    )
+
+    base = " ".join(f"w{i}" for i in range(40))
+    rows = [(i, f"{base} tail{i % 3}") for i in range(80)]  # ~3160 dup pairs
+    rows += [(100 + i, " ".join(f"u{i}x{j}" for j in range(40))) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = sorted(map(tuple, dedup_minhash_lsh(spark, str(tmp_path)).collect()))
+    want = sorted(map(tuple, _exact_jaccard_pairs(docs, 0.8).collect()))
+    assert len(want) > 3000  # the corpus really is adversarial
+    assert got == want
