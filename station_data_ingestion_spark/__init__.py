@@ -29,6 +29,10 @@ from station_data_ingestion_spark.plans.jobspec import (  # noqa: F401
     JobSpec,
 )
 from station_data_ingestion_spark.plans.runner import run_job  # noqa: F401
+from station_data_ingestion_spark.plans.snapshot_store import (  # noqa: F401
+    SnapshotTable,
+    read_table,
+)
 from station_data_ingestion_spark.session import get_spark  # noqa: F401
 from station_data_ingestion_spark.sources.wide_csv import (  # noqa: F401
     ingest_wide_csv,

@@ -96,14 +96,25 @@ def read_obs_table(spark: SparkSession, table_path: str, spec: DataItemSpec) -> 
 
     Partition pruning on (datatype, period) bounds the target scan -- the
     scale-critical move: a 100 TB observation table is never fully read to
-    merge one month of one datatype.
+    merge one month of one datatype. Snapshot-layout tables (the default
+    sink, see plans.snapshot_store) prune driver-side from the manifest;
+    plain-layout tables prune via directory partition discovery.
     """
+    from station_data_ingestion_spark.plans.snapshot_store import SnapshotTable
+
+    snap = SnapshotTable(spark, table_path, OBS_PARTITION_COLS)
+    if snap.exists():
+        df = snap.read(
+            partition={"datatype": spec.datatype, "period": spec.period}
+        )
+        if df is not None:
+            return df
     # A previous zero-row run leaves a dir with no parquet footers, so an
     # existence check alone isn't enough to read it back. Uses the Hadoop
     # FileSystem API, NOT os.path: on hdfs:// or s3a:// paths a local
     # check would report "missing", the target would read as empty, and
     # the dynamic partition overwrite would then wipe the real slice.
-    if not _table_has_parquet(spark, table_path):
+    if snap.exists() or not _table_has_parquet(spark, table_path):
         schema = "station_id string, date string, value double, " + ", ".join(
             f"{k} string" for k in spec.static_properties
         )
@@ -129,6 +140,7 @@ def _merge_into_table(
     obs: DataFrame,
     item: DataItemSpec,
     obs_table_path: str,
+    table_format: str = "snapshot",
 ) -> MergeStats:
     """Read the pruned target, align schemas, merge, overwrite the slice.
 
@@ -141,7 +153,7 @@ def _merge_into_table(
         target, obs, item.key_fields, replace=item.replace_duplicates
     )
     try:
-        _overwrite_slice(merged, obs_table_path, item)
+        _overwrite_slice(merged, obs_table_path, item, table_format)
     except Exception as e:
         for msg in (_MULTI_MATCH_MSG, _DUP_UPDATE_MSG):
             if msg in str(e):
@@ -173,6 +185,7 @@ def run_job(
     staging_dir: str = "staging",
     metadata_transport=None,
     batch_files: bool = False,
+    table_format: str = "snapshot",
 ) -> dict[str, MergeStats]:
     """Run every data_item/file, merging observations into the obs table.
 
@@ -196,6 +209,11 @@ def run_job(
     across batched files raise RecordKeyError, matching the merge guard.
     Requires a local/staged path per file; items that don't qualify fall
     back to the sequential loop.
+
+    ``table_format``: layout for a NEW observation table -- "snapshot"
+    (default, transactional versioned manifest; read back via
+    ``read_table``) or "plain" (bare partitioned parquet, single-writer
+    only). An existing table always keeps its current layout.
     """
     manifest = Manifest(manifest_path) if manifest_path else None
     results: dict[str, MergeStats] = {}
@@ -203,7 +221,7 @@ def run_job(
         if batch_files:
             batched = _run_item_batched(
                 spark, job, item, obs_table_path, manifest, staging_dir,
-                metadata_transport,
+                metadata_transport, table_format,
             )
             if batched is not None:
                 results.update(batched)
@@ -225,7 +243,9 @@ def run_job(
                     retries=job.retries,
                     max_parallelism=job.concurrency,
                 )
-            stats = _merge_into_table(spark, obs, item, obs_table_path)
+            stats = _merge_into_table(
+                spark, obs, item, obs_table_path, table_format
+            )
             results[file] = stats
             if manifest:
                 manifest.mark_complete(file, stats)
@@ -240,6 +260,7 @@ def _run_item_batched(
     manifest,
     staging_dir: str,
     metadata_transport,
+    table_format: str = "snapshot",
 ) -> dict[str, MergeStats] | None:
     """One-plan ingest+merge of an item's pending files (see run_job).
 
@@ -288,7 +309,7 @@ def _run_item_batched(
                 retries=job.retries,
                 max_parallelism=job.concurrency,
             )
-    stats = _merge_into_table(spark, obs, item, obs_table_path)
+    stats = _merge_into_table(spark, obs, item, obs_table_path, table_format)
     results = {}
     for f in pending:
         results[f] = stats
@@ -297,20 +318,36 @@ def _run_item_batched(
     return results
 
 
-def _overwrite_slice(merged: DataFrame, table_path: str, item: DataItemSpec) -> None:
+def _overwrite_slice(
+    merged: DataFrame,
+    table_path: str,
+    item: DataItemSpec,
+    table_format: str = "snapshot",
+) -> None:
     """Overwrite only the merged (datatype, period) partition slice.
 
-    Dynamic partition overwrite keeps unrelated slices untouched -- the
-    plain-parquet analog of Delta MERGE's file-level replace.
+    Layout auto-detects from what's on disk (an existing table keeps its
+    format); a NEW table uses ``table_format``:
 
-    The merged plan reads the same path it overwrites; Spark stages the
-    output and commits partition swaps only after the read completes, so
-    this is safe for a single local/HDFS writer. Production deployments
-    with concurrent writers or object-store rename semantics should swap
-    this for a transactional table format (Delta/Iceberg MERGE) -- the
-    merge_plan program is unchanged either way.
+    - "snapshot" (default): transactional versioned-snapshot commit
+      (plans.snapshot_store) -- new files + atomic manifest publish, so
+      concurrent readers always see a complete version and a crash
+      mid-commit leaves the previous snapshot intact. Also safe on object
+      stores with no atomic directory rename. Read it back with
+      :func:`station_data_ingestion_spark.read_table`.
+    - "plain": Spark dynamic partition overwrite. One local/HDFS writer
+      only: the merged plan reads the same path it rewrites, and a reader
+      listing the directory mid-swap can see a torn state.
     """
+    from station_data_ingestion_spark.plans.snapshot_store import SnapshotTable
+
     spark = merged.sparkSession
+    snap = SnapshotTable(spark, table_path, OBS_PARTITION_COLS)
+    if snap.exists() or (
+        table_format == "snapshot" and not _table_has_parquet(spark, table_path)
+    ):
+        snap.commit_overwrite_partitions(merged)
+        return
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:

@@ -1,0 +1,320 @@
+"""Versioned-snapshot parquet table: transactional partition overwrite.
+
+The plain dynamic-partition-overwrite merge target (`_overwrite_slice`)
+rewrites partition directories in place -- safe for one local/HDFS writer,
+unsafe for concurrent readers (they can list a half-swapped directory) and
+for object stores without atomic rename of directories. This module gives
+the merge target Delta-style semantics with nothing but parquet + JSON:
+
+- data files are immutable and live in ONE hive-partitioned tree
+  ``<table>/data/datatype=X/period=Y/<commit>-part-*.parquet``; a commit
+  never deletes or rewrites a data file
+- each commit writes its files to a private staging dir, renames them into
+  the tree (file renames: metadata ops on HDFS, single-object copies on
+  S3 -- the same shape as Spark's own commit protocols), then atomically
+  publishes ``_snapshots/v{N}.json`` listing every live file
+- the publish is an atomic rename-without-overwrite: two racing writers
+  cannot both create v{N}; the loser re-reads the new latest manifest,
+  rebases its (purely declarative) file-list edit, and retries -- giving
+  optimistic concurrency WITHOUT rewriting any data
+- readers resolve the latest manifest once and scan an explicit file
+  list, so a snapshot stays readable forever: a concurrent commit, or a
+  crash between staging and publish, can never make a reader see a
+  half-written table (crash leaves unreferenced files; ``vacuum`` reaps)
+
+At 100 TB the manifest also beats directory listing: `read(partition=...)`
+prunes FILES driver-side before Spark ever lists anything, which on an
+object store saves the LIST storm that plain partition discovery pays.
+
+This is the operational contract of the reference's safely-rerunnable
+ingestion loop [reference: README.md:41-43] made concurrent-reader-safe.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from station_data_ingestion_spark.operators.maintenance import _unescape_pv
+
+_SNAPDIR = "_snapshots"
+_STAGING = "_staging"
+_MAX_COMMIT_ATTEMPTS = 20
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Raised when a commit loses the publish race too many times."""
+
+
+def _fs(spark: SparkSession, path_str: str):
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    return path.getFileSystem(spark._jsc.hadoopConfiguration()), path, jvm
+
+
+def _list_parquet_rel(spark: SparkSession, root: str) -> list[str]:
+    """Recursively list parquet files under root, as root-relative paths."""
+    fs, path, _ = _fs(spark, root)
+    if not fs.exists(path):
+        return []
+    out = []
+    it = fs.listFiles(path, True)
+    prefix = fs.makeQualified(path).toString().rstrip("/") + "/"
+    while it.hasNext():
+        p = it.next().getPath().toString()
+        if p.endswith(".parquet"):
+            out.append(p.removeprefix(prefix))
+    return out
+
+
+def _partition_of(rel_path: str, partition_cols: tuple[str, ...]) -> dict:
+    """Extract {col: value} from hive-style ``k=v`` segments of a path."""
+    values: dict[str, str | None] = {}
+    for seg in rel_path.split("/")[:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            if k in partition_cols:
+                values[k] = (
+                    None if v == "__HIVE_DEFAULT_PARTITION__" else _unescape_pv(v)
+                )
+    return values
+
+
+class SnapshotTable:
+    """Parquet table with manifest-listed files and atomic commits."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        partition_cols: tuple[str, ...] = ("datatype", "period"),
+    ):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.partition_cols = tuple(partition_cols)
+
+    # -- manifest plumbing -------------------------------------------------
+
+    def _snap_path(self, version: int) -> str:
+        return f"{self.path}/{_SNAPDIR}/v{version:012d}.json"
+
+    def latest_version(self) -> int | None:
+        fs, path, _ = _fs(self.spark, f"{self.path}/{_SNAPDIR}")
+        if not fs.exists(path):
+            return None
+        best = None
+        for st in fs.listStatus(path):
+            name = st.getPath().getName()
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    n = int(name[1:-5])
+                except ValueError:
+                    continue
+                best = n if best is None else max(best, n)
+        return best
+
+    def exists(self) -> bool:
+        return self.latest_version() is not None
+
+    def _read_manifest(self, version: int) -> dict:
+        fs, path, jvm = _fs(self.spark, self._snap_path(version))
+        stream = fs.open(path)
+        try:
+            # full read JVM-side (py4j can't fill a Python buffer in
+            # place); commons-io ships on Spark's classpath
+            text = jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        return json.loads(text)
+
+    def _write_manifest_exclusive(self, version: int, manifest: dict) -> bool:
+        """Publish v{version}.json atomically; False if it already exists.
+
+        Writes to a uniquely-named temp file then renames. Hadoop rename
+        does not overwrite an existing destination, so exactly one of two
+        racing writers wins a given version number.
+        """
+        fs, dest, jvm = _fs(self.spark, self._snap_path(version))
+        fs.mkdirs(dest.getParent())
+        if fs.exists(dest):
+            return False
+        tmp = jvm.org.apache.hadoop.fs.Path(
+            f"{self.path}/{_SNAPDIR}/.tmp-{uuid.uuid4().hex}.json"
+        )
+        out = fs.create(tmp, False)
+        try:
+            out.write(json.dumps(manifest, indent=1).encode("utf-8"))
+        finally:
+            out.close()
+        ok = fs.rename(tmp, dest)
+        if not ok:
+            fs.delete(tmp, False)
+        return bool(ok)
+
+    # -- read --------------------------------------------------------------
+
+    def read(self, partition: dict | None = None) -> DataFrame | None:
+        """DataFrame over the latest snapshot's files; None if no table.
+
+        ``partition``: optional {col: value} filter applied DRIVER-SIDE to
+        the manifest, so pruned files are never even listed by Spark.
+        The returned plan holds an explicit file list -- immune to
+        concurrent commits for its whole lifetime.
+        """
+        v = self.latest_version()
+        if v is None:
+            return None
+        entries = self._read_manifest(v)["files"]
+        if partition:
+            entries = [
+                e for e in entries
+                if all(e["partition"].get(k) == v_ for k, v_ in partition.items())
+            ]
+        if not entries:
+            return None
+        paths = [f"{self.path}/data/{e['path']}" for e in entries]
+        # numeric-looking partition values (datatype='850') must read back
+        # as strings, or a merge would rewrite them as a new '850.0' slice
+        conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        prev = self.spark.conf.get(conf_key, "true")
+        self.spark.conf.set(conf_key, "false")
+        try:
+            return (
+                self.spark.read.option("basePath", f"{self.path}/data")
+                .option("mergeSchema", "true")
+                .parquet(*paths)
+            )
+        finally:
+            self.spark.conf.set(conf_key, prev)
+
+    # -- write -------------------------------------------------------------
+
+    def commit_overwrite_partitions(self, df: DataFrame) -> int:
+        """Write df's rows, replacing exactly the partitions df contains.
+
+        Dynamic-partition-overwrite semantics, transactionally: partitions
+        absent from df keep their current files. Returns the published
+        version. Safe under concurrent commits to DISJOINT partitions;
+        commits touching the same partition serialize by version, last
+        publisher wins (same as Delta's replaceWhere at this granularity).
+        """
+        staging = f"{self.path}/{_STAGING}/{uuid.uuid4().hex}"
+        df.write.partitionBy(*self.partition_cols).parquet(staging)
+        new_entries = self._promote_staging(staging)
+        replaced = {
+            tuple(sorted(e["partition"].items())) for e in new_entries
+        }
+
+        for _ in range(_MAX_COMMIT_ATTEMPTS):
+            base_v = self.latest_version()
+            kept: list[dict] = []
+            if base_v is not None:
+                kept = [
+                    e for e in self._read_manifest(base_v)["files"]
+                    if tuple(sorted(e["partition"].items())) not in replaced
+                ]
+            version = (base_v or 0) + 1
+            manifest = {
+                "version": version,
+                "partition_cols": list(self.partition_cols),
+                "files": kept + new_entries,
+            }
+            if self._write_manifest_exclusive(version, manifest):
+                return version
+        raise ConcurrentCommitError(
+            f"lost the publish race {_MAX_COMMIT_ATTEMPTS} times at {self.path}"
+        )
+
+    def _promote_staging(self, staging: str) -> list[dict]:
+        """Rename staged parquet files into the shared data tree.
+
+        The commit id in the FILE NAME (not a directory level) keeps the
+        whole tree one consistent hive layout, so a single scan with one
+        basePath covers files from any mix of commits.
+        """
+        commit_id = uuid.uuid4().hex[:16]
+        fs, _, jvm = _fs(self.spark, staging)
+        HPath = jvm.org.apache.hadoop.fs.Path
+        entries = []
+        for rel in _list_parquet_rel(self.spark, staging):
+            part_dir, _, fname = rel.rpartition("/")
+            dest_rel = (
+                f"{part_dir}/{commit_id}-{fname}" if part_dir
+                else f"{commit_id}-{fname}"
+            )
+            dest = HPath(f"{self.path}/data/{dest_rel}")
+            fs.mkdirs(dest.getParent())
+            if not fs.rename(HPath(f"{staging}/{rel}"), dest):
+                raise IOError(f"failed to promote {rel} into {self.path}/data")
+            entries.append(
+                {"path": dest_rel, "partition": _partition_of(rel, self.partition_cols)}
+            )
+        fs.delete(HPath(staging), True)
+        return entries
+
+    # -- maintenance -------------------------------------------------------
+
+    def vacuum(self, older_than_sec: float = 24 * 3600.0) -> list[str]:
+        """Delete data files unreferenced by the LATEST manifest.
+
+        ``older_than_sec`` protects in-flight readers of recent snapshots
+        and in-flight commits (staged-but-unpublished files), exactly like
+        Delta's retention check. Also reaps old staging dirs and old
+        manifests. Returns deleted data-file paths (relative).
+        """
+        import time as _time
+
+        v = self.latest_version()
+        if v is None:
+            return []
+        live = {e["path"] for e in self._read_manifest(v)["files"]}
+        cutoff_ms = (_time.time() - older_than_sec) * 1000.0
+        fs, _, jvm = _fs(self.spark, self.path)
+        HPath = jvm.org.apache.hadoop.fs.Path
+        deleted = []
+        data_root = HPath(f"{self.path}/data")
+        if fs.exists(data_root):
+            it = fs.listFiles(data_root, True)
+            prefix = fs.makeQualified(data_root).toString().rstrip("/") + "/"
+            while it.hasNext():
+                st = it.next()
+                rel = st.getPath().toString().removeprefix(prefix)
+                if (
+                    rel not in live
+                    and rel.endswith(".parquet")
+                    and st.getModificationTime() < cutoff_ms
+                ):
+                    fs.delete(st.getPath(), False)
+                    deleted.append(rel)
+        stage_root = HPath(f"{self.path}/{_STAGING}")
+        if fs.exists(stage_root):
+            for st in fs.listStatus(stage_root):
+                if st.getModificationTime() < cutoff_ms:
+                    fs.delete(st.getPath(), True)
+        snap_root = HPath(f"{self.path}/{_SNAPDIR}")
+        for st in fs.listStatus(snap_root):
+            name = st.getPath().getName()
+            keep = name == f"v{v:012d}.json"
+            if not keep and st.getModificationTime() < cutoff_ms:
+                fs.delete(st.getPath(), False)
+        return deleted
+
+
+def is_snapshot_table(spark: SparkSession, path: str) -> bool:
+    """True iff the path has at least one published snapshot manifest."""
+    return SnapshotTable(spark, path).exists()
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read a merge target regardless of layout (snapshot or plain)."""
+    t = SnapshotTable(spark, path)
+    if t.exists():
+        df = t.read()
+        if df is None:
+            raise FileNotFoundError(f"snapshot table {path} has no live files")
+        return df
+    return spark.read.parquet(path)

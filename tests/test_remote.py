@@ -81,7 +81,8 @@ def test_runner_ingests_remote_file(spark, http_root, tmp_path):
         staging_dir=str(tmp_path / "stage"),
     )
     assert stats[f"{http_root}/w.csv"].created == 1
-    rows = spark.read.parquet(obs_path).collect()
+    from station_data_ingestion_spark.plans.snapshot_store import read_table
+    rows = read_table(spark, obs_path).collect()
     assert len(rows) == 1 and rows[0]["station_id"] == "1.0"
 
 

@@ -2,6 +2,7 @@ from datetime import date
 
 from station_data_ingestion_spark.plans.jobspec import DataItemSpec, JobSpec
 from station_data_ingestion_spark.plans.runner import Manifest, run_job, template_dates
+from station_data_ingestion_spark.plans.snapshot_store import read_table
 
 
 def test_template_dates():
@@ -32,7 +33,7 @@ def test_run_job_end_to_end_and_resume(spark, wide_csv_day, tmp_path):
     s = stats[wide_csv_day]
     assert s.created == 6 and s.replaced == 0  # 3 + 3 non-NA in-range cells
 
-    obs = spark.read.parquet(table)
+    obs = read_table(spark, table)
     assert obs.count() == 6
     assert set(obs.select("datatype").distinct().toPandas()["datatype"]) == {"temperature"}
 
@@ -45,7 +46,7 @@ def test_run_job_end_to_end_and_resume(spark, wide_csv_day, tmp_path):
     stats3 = run_job(spark, job, table, None)
     s3 = stats3[wide_csv_day]
     assert s3.created == 0 and s3.replaced == 0
-    assert spark.read.parquet(table).count() == 6
+    assert read_table(spark, table).count() == 6
 
 
 def test_zero_row_run_then_rerun(spark, tmp_path):
@@ -135,8 +136,8 @@ def test_run_job_batch_files_mode(spark, tmp_path):
     )
     assert set(stats) == set(cfg["data"][0]["files"])
     assert all(s.created == 4 for s in stats.values())  # batch totals
-    a = spark.read.parquet(seq_table)
-    b = spark.read.parquet(bat_table)
+    a = read_table(spark, seq_table)
+    b = read_table(spark, bat_table)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     m = json.load(open(manifest_path))
     assert all(m[f]["complete"] for f in cfg["data"][0]["files"])

@@ -1,0 +1,154 @@
+"""Transactional snapshot merge target: isolation, atomicity, vacuum."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from station_data_ingestion_spark.plans.snapshot_store import (
+    SnapshotTable,
+    is_snapshot_table,
+    read_table,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "station_id string, date string, value double, "
+        "datatype string, period string"
+    )
+
+
+def test_commit_and_read_round_trip(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    v = t.commit_overwrite_partitions(
+        _df(spark, [("1", "2022-03-01", 1.0, "temperature", "day"),
+                    ("2", "2022-03-01", 2.0, "rainfall", "day")])
+    )
+    assert v == 1 and t.exists()
+    got = {(r.station_id, r.datatype, r.value) for r in t.read().collect()}
+    assert got == {("1", "temperature", 1.0), ("2", "rainfall", 2.0)}
+    # partition-pruned read never references the other slice's files
+    only = t.read(partition={"datatype": "rainfall", "period": "day"})
+    assert [r.station_id for r in only.collect()] == ["2"]
+
+
+def test_overwrite_replaces_only_touched_partitions(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit_overwrite_partitions(
+        _df(spark, [("1", "2022-03-01", 1.0, "temperature", "day"),
+                    ("2", "2022-03-01", 2.0, "rainfall", "day")])
+    )
+    v2 = t.commit_overwrite_partitions(
+        _df(spark, [("1", "2022-03-01", 9.0, "temperature", "day")])
+    )
+    assert v2 == 2
+    got = {(r.station_id, r.datatype, r.value) for r in t.read().collect()}
+    assert got == {("1", "temperature", 9.0), ("2", "rainfall", 2.0)}
+
+
+def test_reader_during_commit_sees_consistent_snapshot(spark, tmp_path):
+    """A DataFrame resolved before a commit keeps reading the OLD version
+    -- commits add files and publish a new manifest, never touching the
+    files an in-flight reader holds."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit_overwrite_partitions(
+        _df(spark, [("1", "2022-03-01", 1.0, "temperature", "day")])
+    )
+    old_reader = t.read()  # resolves the v1 file list now
+    t.commit_overwrite_partitions(
+        _df(spark, [("1", "2022-03-01", 9.0, "temperature", "day"),
+                    ("9", "2022-03-02", 3.0, "temperature", "day")])
+    )
+    assert [r.value for r in old_reader.collect()] == [1.0]  # still v1
+    new = {(r.station_id, r.value) for r in t.read().collect()}
+    assert new == {("1", 9.0), ("9", 3.0)}
+
+
+def test_crash_mid_commit_leaves_old_snapshot_readable(spark, tmp_path):
+    """Data files written but manifest never published == invisible."""
+    path = str(tmp_path / "tbl")
+    t = SnapshotTable(spark, path)
+    t.commit_overwrite_partitions(
+        _df(spark, [("1", "2022-03-01", 1.0, "temperature", "day")])
+    )
+    # simulate the crash: stage + promote files, then die before publish
+    staging = f"{path}/_staging/deadbeef"
+    _df(spark, [("1", "2022-03-01", 666.0, "temperature", "day")]).write.partitionBy(
+        "datatype", "period"
+    ).parquet(staging)
+    t._promote_staging(staging)
+    assert [r.value for r in t.read().collect()] == [1.0]
+    # vacuum with zero retention reaps the orphans; table unchanged
+    deleted = t.vacuum(older_than_sec=0.0)
+    assert deleted, "orphaned files should be deleted"
+    assert [r.value for r in t.read().collect()] == [1.0]
+
+
+def test_publish_race_rebases_and_lands_next_version(spark, tmp_path):
+    """Losing the rename race re-reads the new latest and retries."""
+    path = str(tmp_path / "tbl")
+    t = SnapshotTable(spark, path)
+    t.commit_overwrite_partitions(
+        _df(spark, [("1", "2022-03-01", 1.0, "temperature", "day")])
+    )
+    # a rival writer publishes v2 for a DIFFERENT partition out from
+    # under this commit
+    rival_files = SnapshotTable(spark, path)._read_manifest(1)["files"]
+    rival = {
+        "version": 2, "partition_cols": ["datatype", "period"],
+        "files": rival_files + [],
+    }
+    (tmp_path / "tbl" / "_snapshots" / "v000000000002.json").write_text(
+        json.dumps(rival)
+    )
+    v = t.commit_overwrite_partitions(
+        _df(spark, [("2", "2022-03-01", 2.0, "rainfall", "day")])
+    )
+    assert v == 3  # rebased past the rival's version
+    got = {(r.station_id, r.value) for r in t.read().collect()}
+    assert got == {("1", 1.0), ("2", 2.0)}
+
+
+def test_vacuum_keeps_latest_version_files(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit_overwrite_partitions(
+        _df(spark, [("1", "2022-03-01", 1.0, "temperature", "day")])
+    )
+    t.commit_overwrite_partitions(
+        _df(spark, [("1", "2022-03-01", 2.0, "temperature", "day")])
+    )
+    deleted = t.vacuum(older_than_sec=0.0)
+    assert deleted  # v1's replaced file went away
+    assert [r.value for r in t.read().collect()] == [2.0]
+    # a fresh session-independent read also works (manifest is the truth)
+    assert [r.value for r in read_table(spark, str(tmp_path / "tbl")).collect()] == [2.0]
+
+
+def test_read_table_plain_fallback(spark, tmp_path):
+    p = str(tmp_path / "plain")
+    _df(spark, [("1", "2022-03-01", 1.0, "temperature", "day")]).write.parquet(p)
+    assert not is_snapshot_table(spark, p)
+    assert read_table(spark, p).count() == 1
+
+
+def test_numeric_partition_values_stay_strings(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit_overwrite_partitions(
+        _df(spark, [("1", "2022-03-01", 1.0, "850", "month")])
+    )
+    df = t.read()
+    assert dict(df.dtypes)["datatype"] == "string"
+    assert df.filter(F.col("datatype") == "850").count() == 1
+
+
+def test_escaped_partition_values_round_trip(spark, tmp_path):
+    """Hive-escaped partition dir names decode back in the manifest."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit_overwrite_partitions(
+        _df(spark, [("1", "2022-03-01", 1.0, "rain fall:mm", "day")])
+    )
+    v = t.latest_version()
+    entries = t._read_manifest(v)["files"]
+    assert entries[0]["partition"]["datatype"] == "rain fall:mm"
+    df = t.read(partition={"datatype": "rain fall:mm", "period": "day"})
+    assert df.count() == 1

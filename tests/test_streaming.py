@@ -37,7 +37,8 @@ def test_stream_ingest_merge_and_late_correction(spark, tmp_path):
 
     spec = make_spec()
     run_merge_stream(spark, str(watch), spec, str(f1), table, ckpt)
-    obs = spark.read.parquet(table)
+    from station_data_ingestion_spark.plans.snapshot_store import read_table
+    obs = read_table(spark, table)
     vals = {(r.station_id, r.date): r.value for r in obs.collect()}
     assert vals == {("1", "2022-03-01"): 10.0, ("1", "2022-03-03"): 12.0}
 
@@ -46,7 +47,7 @@ def test_stream_ingest_merge_and_late_correction(spark, tmp_path):
     f2.write_text(HEADER + "1,Kula,10.0,NA,99.0\n2,Hilo,NA,20.0,NA\n")
     run_merge_stream(spark, str(watch), spec, str(f1), table, ckpt)
     vals = {(r.station_id, r.date): r.value
-            for r in spark.read.parquet(table).collect()}
+            for r in read_table(spark, table).collect()}
     assert vals == {
         ("1", "2022-03-01"): 10.0,
         ("1", "2022-03-03"): 99.0,  # replaced (changed)
@@ -55,7 +56,7 @@ def test_stream_ingest_merge_and_late_correction(spark, tmp_path):
 
     # restart with same checkpoint: no reprocessing, table unchanged
     run_merge_stream(spark, str(watch), spec, str(f1), table, ckpt)
-    assert spark.read.parquet(table).count() == 3
+    assert read_table(spark, table).count() == 3
 
 
 @pytest.fixture()
