@@ -63,7 +63,35 @@ class Manifest:
         return self.state.get(file, {}).get("complete", False)
 
     def mark_complete(self, file: str, stats: MergeStats) -> None:
-        self.state[file] = {"complete": True, **asdict(stats)}
+        entry = self.state.get(file, {})
+        entry.update({"complete": True, **asdict(stats)})
+        self.state[file] = entry
+        self._save()
+
+    # -- mid-file resume granularity [reference: README.md:41-43] --------
+
+    def range_state(self, file: str) -> dict:
+        """{"split_bytes", "ranges" (completed keys), running stat sums}."""
+        e = self.state.get(file, {})
+        return {
+            "split_bytes": e.get("split_bytes"),
+            "ranges": set(e.get("ranges", [])),
+            "created": e.get("created", 0),
+            "replaced": e.get("replaced", 0),
+        }
+
+    def mark_ranges_complete(
+        self, file: str, range_keys: list[str], stats: MergeStats, split_bytes: int
+    ) -> None:
+        """One commit's worth of ranges done; stat sums stay ADDITIVE --
+        stats attach to the commit (group), never invented per range."""
+        entry = self.state.setdefault(file, {"complete": False})
+        entry["split_bytes"] = split_bytes
+        done = set(entry.get("ranges", []))
+        done.update(range_keys)
+        entry["ranges"] = sorted(done)
+        entry["created"] = entry.get("created", 0) + stats.created
+        entry["replaced"] = entry.get("replaced", 0) + stats.replaced
         self._save()
 
     def _save(self) -> None:
@@ -186,6 +214,8 @@ def run_job(
     metadata_transport=None,
     batch_files: bool = False,
     table_format: str = "snapshot",
+    resume_ranges_bytes: int | None = None,
+    ranges_per_commit: int | None = None,
 ) -> dict[str, MergeStats]:
     """Run every data_item/file, merging observations into the obs table.
 
@@ -214,6 +244,15 @@ def run_job(
     (default, transactional versioned manifest; read back via
     ``read_table``) or "plain" (bare partitioned parquet, single-writer
     only). An existing table always keeps its current layout.
+
+    ``resume_ranges_bytes``: mid-file resume [reference: README.md:41-43].
+    When set (and a manifest is given), a local file LARGER than this is
+    ingested as newline-aligned byte ranges of ~this size; each group of
+    ``ranges_per_commit`` ranges (default: the session's parallelism)
+    merges and commits as a unit, recording per-range completion in the
+    manifest. A crash mid-file then resumes at the first unfinished
+    range instead of re-parsing the whole file. Merge-key idempotency
+    keeps a replayed half-committed group safe.
     """
     manifest = Manifest(manifest_path) if manifest_path else None
     results: dict[str, MergeStats] = {}
@@ -230,6 +269,19 @@ def run_job(
             if manifest and manifest.is_complete(file):
                 continue
             local = stage_if_remote(file, staging_dir)
+            if (
+                resume_ranges_bytes
+                and manifest
+                and os.path.isfile(local)
+                and os.path.getsize(local) > resume_ranges_bytes
+            ):
+                stats = _run_file_ranged(
+                    spark, job, item, file, local, obs_table_path, manifest,
+                    resume_ranges_bytes, ranges_per_commit,
+                    metadata_transport, table_format,
+                )
+                results[file] = stats
+                continue
             obs, meta = ingest_wide_csv(spark, local, item, job.location)
             if metadata_transport is not None:
                 from station_data_ingestion_spark.operators.sinks import (
@@ -250,6 +302,83 @@ def run_job(
             if manifest:
                 manifest.mark_complete(file, stats)
     return results
+
+
+def _run_file_ranged(
+    spark: SparkSession,
+    job: JobSpec,
+    item: DataItemSpec,
+    file: str,
+    local: str,
+    obs_table_path: str,
+    manifest: Manifest,
+    resume_ranges_bytes: int,
+    ranges_per_commit: int | None,
+    metadata_transport,
+    table_format: str,
+) -> MergeStats:
+    """Ingest one huge file as resumable byte-range groups (see run_job).
+
+    The range tiling is pinned to the split size recorded in the manifest
+    on first contact, so a changed config can never mis-align a resume.
+    Stats cover THIS run's ranges only (previously-completed ranges keep
+    their recorded stats; the file entry rolls up the grand total).
+    """
+    from station_data_ingestion_spark.sources.wide_csv import (
+        observations_from_wide_ranges,
+        plan_file_ranges,
+    )
+
+    prior = manifest.range_state(file)
+    split_bytes = prior["split_bytes"] or resume_ranges_bytes
+    done = prior["ranges"]
+    ranges = plan_file_ranges(local, split_bytes)
+    pending = [r for r in ranges if f"{r[0]}-{r[1]}" not in done]
+
+    if metadata_transport is not None and not done:
+        # metadata derives from the whole (small-rowcount) station axis;
+        # emit it once, before any range completes
+        from station_data_ingestion_spark.operators.sinks import (
+            sparse_json_docs,
+            write_docs,
+        )
+        from station_data_ingestion_spark.sources.wide_csv import (
+            classify_headers,
+            metadata_from_wide,
+            read_header,
+            scan_wide_csv,
+        )
+
+        columns = read_header(spark, local)
+        meta_renames, _dates = classify_headers(columns, item)
+        meta = metadata_from_wide(
+            scan_wide_csv(spark, local, columns), meta_renames, job.location
+        )
+        write_docs(
+            sparse_json_docs(meta, nodata=item.nodata),
+            metadata_transport,
+            retries=job.retries,
+            max_parallelism=job.concurrency,
+        )
+
+    group_size = ranges_per_commit or spark.sparkContext.defaultParallelism
+    created = replaced = 0
+    for i in range(0, len(pending), group_size):
+        group = pending[i : i + group_size]
+        obs = observations_from_wide_ranges(spark, local, group, item)
+        if obs is None:
+            break  # no in-range date columns: nothing to ingest
+        stats = _merge_into_table(spark, obs, item, obs_table_path, table_format)
+        created += stats.created
+        replaced += stats.replaced
+        manifest.mark_ranges_complete(
+            file, [f"{r[0]}-{r[1]}" for r in group], stats, split_bytes
+        )
+    total = MergeStats(
+        created=created + prior["created"], replaced=replaced + prior["replaced"]
+    )
+    manifest.mark_complete(file, total)
+    return MergeStats(created=created, replaced=replaced)
 
 
 def _run_item_batched(

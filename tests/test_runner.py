@@ -147,3 +147,103 @@ def test_run_job_batch_files_mode(spark, tmp_path):
         batch_files=True,
     )
     assert again == {}
+
+
+def _big_wide_csv(tmp_path, n_rows=40):
+    header = "SKN,Station.Name," + ",".join(
+        f"X2022.03.{d:02d}" for d in range(1, 6)
+    )
+    rows = [
+        f"s{i:03d},St{i}," + ",".join(f"{i}.{d}" for d in range(1, 6))
+        for i in range(n_rows)
+    ]
+    p = tmp_path / "big_wide.csv"
+    p.write_text(header + "\n" + "\n".join(rows) + "\n")
+    return str(p)
+
+
+def _ranged_job(csv_path):
+    item = DataItemSpec(
+        files=[csv_path],
+        datatype="temperature",
+        period="day",
+        fill="raw",
+        start_date="2022-03-01",
+        end_date="2022-03-05",
+    )
+    return JobSpec(data=[item])
+
+
+def test_mid_file_resume_reingests_only_unfinished_ranges(
+    spark, tmp_path, monkeypatch
+):
+    """Kill mid-file, resume: only unfinished byte ranges re-ingest and the
+    final table equals an uninterrupted run [reference: README.md:41-43]."""
+    import station_data_ingestion_spark.plans.runner as runner_mod
+    from station_data_ingestion_spark.plans.snapshot_store import read_table
+
+    csv = _big_wide_csv(tmp_path)
+    plain_table = str(tmp_path / "plain_run")
+    run_job(spark, _ranged_job(csv), plain_table)  # uninterrupted baseline
+    want = sorted(
+        map(tuple, read_table(spark, plain_table).select(
+            "station_id", "date", "value").collect())
+    )
+    assert len(want) == 40 * 5
+
+    table = str(tmp_path / "ranged_run")
+    manifest = str(tmp_path / "m.json")
+    real_merge = runner_mod._merge_into_table
+    calls = {"n": 0}
+
+    def dying_merge(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] >= 3:
+            raise RuntimeError("simulated crash mid-file")
+        return real_merge(*a, **kw)
+
+    monkeypatch.setattr(runner_mod, "_merge_into_table", dying_merge)
+    try:
+        run_job(
+            spark, _ranged_job(csv), table, manifest,
+            resume_ranges_bytes=150, ranges_per_commit=2,
+        )
+        raise AssertionError("expected the simulated crash")
+    except RuntimeError as e:
+        assert "simulated crash" in str(e)
+    monkeypatch.setattr(runner_mod, "_merge_into_table", real_merge)
+
+    st = Manifest(manifest).range_state(csv)
+    n_done = len(st["ranges"])
+    assert n_done == 4  # two groups of two ranges committed before death
+    assert not Manifest(manifest).is_complete(csv)
+
+    # resume: re-ingests only the remaining ranges
+    calls2 = {"n": 0}
+
+    def counting_merge(*a, **kw):
+        calls2["n"] += 1
+        return real_merge(*a, **kw)
+
+    monkeypatch.setattr(runner_mod, "_merge_into_table", counting_merge)
+    stats = run_job(
+        spark, _ranged_job(csv), table, manifest,
+        resume_ranges_bytes=150, ranges_per_commit=2,
+    )
+    got = sorted(
+        map(tuple, read_table(spark, table).select(
+            "station_id", "date", "value").collect())
+    )
+    assert got == want
+    entry = Manifest(manifest).state[csv]
+    assert entry["complete"] and entry["created"] == 40 * 5  # additive total
+    import math
+    total_ranges = len(entry["ranges"])
+    remaining_groups = math.ceil((total_ranges - n_done) / 2)
+    assert calls2["n"] == remaining_groups  # completed ranges NOT re-merged
+    # third run: file complete -> no work at all
+    assert run_job(
+        spark, _ranged_job(csv), table, manifest,
+        resume_ranges_bytes=150, ranges_per_commit=2,
+    ) == {}
+    assert 0 < stats[csv].created < 40 * 5  # this run's ranges only
