@@ -1,0 +1,123 @@
+"""Distributed graph operators: connected components.
+
+Alternating large-star / small-star connected components (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14 -- public
+algorithm, also the basis of GraphFrames' CC). Compared to plain min-label
+propagation, which needs O(diameter) rounds and dies on chain-shaped
+graphs (a pathological near-dup cluster can be a long chain of pairwise
+matches), star contraction converges in O(log^2 n) rounds on ANY graph
+shape -- each round rewires every node toward its neighborhood minimum, so
+chains collapse geometrically.
+
+Per-round lineage is truncated with either ``localCheckpoint`` (fast,
+executor-local -- fine on a single node or with external shuffle/storage)
+or a RELIABLE ``checkpoint`` into a caller-supplied directory (HDFS/S3) --
+on a real cluster executor loss mid-iteration would otherwise discard
+localCheckpoint blocks and kill the job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    checkpoint_dir: str | None = None,
+    max_rounds: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Label every node of an undirected graph with its component minimum.
+
+    ``edges``: two numeric columns (any names), one row per edge, either
+    orientation, duplicates/self-loops tolerated. Returns
+    ``DataFrame[node, rep]`` covering every node that appears in an edge;
+    ``rep`` is the smallest node id in the component (the same labeling a
+    reachability closure produces, so results are oracle-checkable).
+
+    ``checkpoint_dir``: when set, per-round truncation uses reliable
+    ``checkpoint()`` into this directory (survives executor loss);
+    otherwise ``localCheckpoint()``. ``stats``, if given, gets
+    ``stats["rounds"]`` set -- tests assert the chain-collapse bound.
+    """
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+
+    u0, v0 = edges.columns[:2]
+    base = edges.select(
+        F.col(u0).cast("long").alias("u"), F.col(v0).cast("long").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    nodes = base.select(F.col("u").alias("node")).union(
+        base.select(F.col("v").alias("node"))
+    ).distinct()
+    # symmetric adjacency
+    e = _ckpt(
+        base.union(base.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+    )
+
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        # large-star: every neighbor larger than u rewires to
+        # m(u) = min(neighborhood(u) + {u})
+        lmins = e.groupBy("u").agg(F.min("v").alias("mn"))
+        large = (
+            e.join(lmins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("a"),
+                F.least(F.col("mn"), F.col("u")).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star on the larger->smaller orientation: every smaller
+        # neighbor (and u itself) rewires to the smallest
+        sdir = (
+            large.select(
+                F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+            ).distinct()
+        )
+        smins = sdir.groupBy("u").agg(F.min("v").alias("mn"))
+        small = (
+            sdir.join(smins, "u")
+            .select(F.col("v").alias("a"), F.col("mn").alias("b"))
+            .union(smins.select(F.col("u").alias("a"), F.col("mn").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        new_e = _ckpt(
+            small.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+                small.select(F.col("b").alias("u"), F.col("a").alias("v"))
+            ).distinct()
+        )
+        # fixpoint: the undirected edge set stopped changing. Both sides
+        # are checkpoint-materialized, so the two anti-joins are cheap.
+        changed = (
+            new_e.exceptAll(e).limit(1).count() + e.exceptAll(new_e).limit(1).count()
+        )
+        e = new_e
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+
+    # converged graph is a union of stars centered at component minima
+    label = e.groupBy("u").agg(F.min("v").alias("nbr_min"))
+    return (
+        nodes.join(label, nodes["node"] == label["u"], "left")
+        .select(
+            "node",
+            F.least(F.coalesce("nbr_min", "node"), "node").alias("rep"),
+        )
+    )

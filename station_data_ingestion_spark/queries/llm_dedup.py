@@ -378,61 +378,28 @@ FROM labels
 
 
 @query("dedup_connected_components", _CC_ORACLE)
-def dedup_connected_components(spark, sf_dir):
+def dedup_connected_components(spark, sf_dir, checkpoint_dir=None):
     """Near-dup clusters: connected components over the j>=0.8 pair graph
-    via iterative min-label propagation (the oracle is a recursive CTE).
+    (the oracle is a recursive CTE; the engine runs alternating
+    large-star/small-star contraction, operators.graph).
 
-    Each iteration is one join + aggregate on the (tiny, LSH-bounded)
-    edge list; lineage is truncated with localCheckpoint so the loop
-    count does not grow the plan. At 100 TB the same loop runs over a
-    persisted edge table -- label propagation converges in O(diameter)
-    rounds and near-dup graph components are shallow (typical diameter
-    2-4), so the iteration count stays small; this is the standard
-    large-graph CC formulation (cf. GraphFrames' label propagation).
+    Star contraction converges in O(log^2 n) rounds regardless of graph
+    shape -- a chain-shaped dup cluster (each doc similar only to its
+    neighbors) would cost plain label propagation O(chain length) rounds.
+    Pass ``checkpoint_dir`` (HDFS/S3) on a real cluster so per-round
+    truncation survives executor loss; the local default uses
+    localCheckpoint.
     """
+    from station_data_ingestion_spark.operators.graph import (
+        connected_components,
+    )
+
     d = load(spark, sf_dir, "documents")["documents"]
-    pairs = _exact_jaccard_pairs(d, 0.8).select("a_id", "b_id").persist()
-    edges = (
-        pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
-        .union(pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
-        .persist()
-    )
-    labels = edges.select(F.col("u").alias("lu")).distinct().withColumn(
-        "label", F.col("lu")
-    )
-    while True:
-        neighbor_min = (
-            edges.join(labels, F.col("lu") == F.col("v"))
-            .groupBy(F.col("u").alias("nu"))
-            .agg(F.min("label").alias("nlabel"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, F.col("lu") == F.col("nu"), "left")
-            .select(
-                "lu",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "lu")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    # labels is localCheckpoint-materialized; release the iteration
-    # caches so repeated invocations in one session don't accumulate
-    # executor storage
-    edges.unpersist()
-    pairs.unpersist()
+    pairs = _exact_jaccard_pairs(d, 0.8).select("a_id", "b_id")
+    labels = connected_components(pairs, checkpoint_dir=checkpoint_dir)
     w = Window.partitionBy("rep_id")
     return (
-        labels.select(F.col("lu").alias("doc_id"), F.col("label").alias("rep_id"))
+        labels.select(F.col("node").alias("doc_id"), F.col("rep").alias("rep_id"))
         .withColumn("cluster_size", F.count(F.lit(1)).over(w))
     )
 
