@@ -68,6 +68,23 @@ class Manifest:
         self.state[file] = entry
         self._save()
 
+    def mark_batch_complete(self, files: list[str], stats: MergeStats) -> None:
+        """One merged batch of files done: stats recorded ONCE.
+
+        Per-file entries carry only completion + a batch pointer, so
+        summing created/replaced across the manifest stays additive (a
+        batch's totals cannot be counted once per member file). Batch
+        records live under the reserved "__batches__" key.
+        """
+        import uuid
+
+        bid = uuid.uuid4().hex[:12]
+        batches = self.state.setdefault("__batches__", {})
+        batches[bid] = {"files": list(files), **asdict(stats)}
+        for f in files:
+            self.state[f] = {"complete": True, "batch_id": bid}
+        self._save()
+
     # -- mid-file resume granularity [reference: README.md:41-43] --------
 
     def range_state(self, file: str) -> dict:
@@ -232,9 +249,11 @@ def run_job(
 
     ``batch_files``: scale mode -- all of a data item's pending files
     ingest in ONE distributed plan (per-file header dispatch, see
-    observations_from_wide_many_fast) and merge once. Stats and manifest
-    completion then apply to the whole batch (recorded per file with the
-    batch totals); resume granularity is the batch. Files must be
+    observations_from_wide_many_fast) and merge once. The returned stats
+    repeat the batch totals per file; the MANIFEST records the totals
+    once (under "__batches__", per-file entries just point at the batch)
+    so manifest sums stay additive. Resume granularity is the batch.
+    Files must be
     key-disjoint (e.g. distinct months) -- conflicting duplicate keys
     across batched files raise RecordKeyError, matching the merge guard.
     Requires a local/staged path per file; items that don't qualify fall
@@ -439,12 +458,9 @@ def _run_item_batched(
                 max_parallelism=job.concurrency,
             )
     stats = _merge_into_table(spark, obs, item, obs_table_path, table_format)
-    results = {}
-    for f in pending:
-        results[f] = stats
-        if manifest:
-            manifest.mark_complete(f, stats)
-    return results
+    if manifest:
+        manifest.mark_batch_complete(pending, stats)
+    return {f: stats for f in pending}
 
 
 def _overwrite_slice(

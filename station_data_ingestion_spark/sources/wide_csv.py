@@ -65,10 +65,17 @@ def classify_headers(
     rng = spec.date_range
     meta: dict[str, str] = {}
     dates: list[str] = []
-    for c in columns:
+    for i, c in enumerate(columns):
         if c in METADATA_COL_TRANSLATIONS:
             meta[c] = METADATA_COL_TRANSLATIONS[c]
-        elif is_date_header(c, spec.period) and rng.contains_header(c):
+        elif (
+            i >= spec.data_col_start
+            and is_date_header(c, spec.period)
+            and rng.contains_header(c)
+        ):
+            # positional contract: a date-SHAPED header before
+            # data_col_start is not data [reference:
+            # src/tapis_direct_driver.py:128-129 range_start slicing]
             dates.append(c)
     return meta, dates
 
@@ -125,7 +132,9 @@ def observations_from_wide(df: DataFrame, date_cols: list[str], spec: DataItemSp
         )
         # Row guards: skip empty/short rows (null station or null cell)
         # [reference: src/tapis_direct_driver.py:134-136] then the nodata
-        # string filter [src/driver.py:162].
+        # string filter [src/driver.py:162]. The != '' guard is the
+        # documented drop-empty-cells divergence -- see
+        # _parse_wide_csv_bytes for the rationale (shared semantics).
         filtered = long_df.filter(
             F.col("station_id").isNotNull()
             & F.col("raw_value").isNotNull()
@@ -174,6 +183,15 @@ def _parse_wide_csv_bytes(
     width, matching Spark's PERMISSIVE CSV mode and the reference's
     partial-row zip [reference: src/tapis_direct_driver.py:134-139] --
     their present in-range cells ARE ingested.
+
+    DOCUMENTED DIVERGENCE (both engine paths, deliberately): a genuinely
+    EMPTY in-range cell is dropped as missing, where the reference raises
+    (float('') is a ValueError [src/tapis_direct_driver.py:145]).
+    Raising would contradict the pad/truncate contract above -- padded
+    short rows fill missing cells with '' -- and drop-as-missing is the
+    more useful semantic for sparse station matrices. Whitespace-only
+    cells still raise on both paths (they survive the '' filter and fail
+    the numeric cast).
     Runs inside executors; returns None when nothing survives.
     """
     import csv as _csv
@@ -236,7 +254,10 @@ def _parse_wide_csv_bytes(
         pc.and_(pc.not_equal(value_raw, ""), pc.not_equal(value_raw, nodata)),
         pc.not_equal(station, ""),
     )
-    vals = value_raw.filter(keep)
+    # trim before the cast: Arrow's string->double rejects ' 1.5' while
+    # the declarative path's try_cast (and the reference's float()) trims
+    # and accepts -- the two paths must agree on the same file
+    vals = pc.utf8_trim_whitespace(value_raw.filter(keep))
     try:
         cast = pc.cast(vals, pa.float64())
     except pa.ArrowInvalid as e:

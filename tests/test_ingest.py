@@ -204,3 +204,50 @@ def test_batch_ingest_raises_on_unusable_file(spark, tmp_path):
         wide_csv.observations_from_wide_many_fast(
             spark, [str(good), str(bad)], spec
         )
+
+
+def test_whitespace_padded_numeric_both_paths(spark, tmp_path):
+    """' 1.5' must parse on BOTH paths (reference float() trims); a
+    whitespace-only cell must RAISE on both (survives the '' filter,
+    fails the cast)."""
+    p = tmp_path / "pad.csv"
+    p.write_text("SKN,X2022.03.02,X2022.03.03\n1, 1.5 ,2.0\n")
+    spec = make_spec()
+    for fast in (True, False):
+        obs, _ = wide_csv.ingest_wide_csv(spark, str(p), spec, fast=fast)
+        rows = {(r.date, r.value) for r in obs.collect()}
+        assert rows == {("2022-03-02", 1.5), ("2022-03-03", 2.0)}, (fast, rows)
+
+    bad = tmp_path / "ws.csv"
+    bad.write_text("SKN,X2022.03.02\n1,  \n")
+    for fast in (True, False):
+        obs, _ = wide_csv.ingest_wide_csv(spark, str(bad), spec, fast=fast)
+        import pytest
+
+        with pytest.raises(Exception, match="non-numeric observation value"):
+            obs.collect()
+
+
+def test_empty_cell_dropped_both_paths_documented_divergence(spark, tmp_path):
+    """Genuinely empty in-range cells drop as missing on both paths (the
+    documented divergence from the reference's float('') ValueError)."""
+    p = tmp_path / "empty_cell.csv"
+    p.write_text("SKN,X2022.03.02,X2022.03.03\n1,,7.0\n")
+    spec = make_spec()
+    for fast in (True, False):
+        obs, _ = wide_csv.ingest_wide_csv(spark, str(p), spec, fast=fast)
+        rows = {(r.date, r.value) for r in obs.collect()}
+        assert rows == {("2022-03-03", 7.0)}, (fast, rows)
+
+
+def test_data_col_start_positional_contract(spark):
+    """A date-shaped header BEFORE data_col_start is not a data column."""
+    from station_data_ingestion_spark.plans.jobspec import DataItemSpec
+
+    spec = DataItemSpec(
+        files=[], datatype="temperature", period="day", fill="raw",
+        start_date="2022-03-01", end_date="2022-03-05", data_col_start=2,
+    )
+    cols = ["SKN", "X2022.03.01", "X2022.03.02", "X2022.03.03"]
+    _meta, dates = wide_csv.classify_headers(cols, spec)
+    assert dates == ["X2022.03.02", "X2022.03.03"]  # index 1 excluded

@@ -141,6 +141,11 @@ def test_run_job_batch_files_mode(spark, tmp_path):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     m = json.load(open(manifest_path))
     assert all(m[f]["complete"] for f in cfg["data"][0]["files"])
+    # additive stats: totals live ONCE on the batch record, never per file
+    assert all("created" not in m[f] for f in cfg["data"][0]["files"])
+    batches = list(m["__batches__"].values())
+    assert len(batches) == 1 and batches[0]["created"] == 4
+    assert sorted(batches[0]["files"]) == sorted(cfg["data"][0]["files"])
     # resume: everything complete -> second batched run is a no-op
     again = run_job(
         spark, JobSpec.from_dict(cfg), bat_table, manifest_path,
