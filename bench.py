@@ -159,6 +159,71 @@ def bench_ingestion(spark, timings: dict[str, float]) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_scale_probe(spark, sf_dir, timings: dict[str, float], k: int = 10) -> dict:
+    """10x scale probe over the most expensive stages.
+
+    Materializes k-times-replicated copies of the fact tables (join keys
+    remapped per replica so join/pair cardinality scales LINEARLY --
+    document text is re-salted per replica so near-dup pairs don't go
+    quadratic across replicas) and runs each heavy stage once. Reports
+    ``per_unit_ratio`` = t_10x / (k * t_1x_median): ~1.0 means the plan
+    scales linearly; >>1 flags a super-linear stage (the thing that melts
+    a 100 TB run before any cluster sees it). Single-shot timings -- this
+    is a regression tripwire, not a precision benchmark.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    tmp = tempfile.mkdtemp(prefix="bench_scale_")
+    probe: dict[str, dict] = {}
+    try:
+        reps = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("_r")
+
+        def scaled(name: str, key_cols: list[str], salt_text: bool = False):
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet").select("*", reps)
+            for c in key_cols:
+                df = df.withColumn(c, F.col(c) * k + F.col("_r"))
+            if salt_text:
+                df = df.withColumn(
+                    "text",
+                    F.regexp_replace(
+                        "text", " ",
+                        F.concat(F.lit(" s"), F.col("_r").cast("string"), F.lit(" ")),
+                    ),
+                )
+            df.drop("_r").write.parquet(f"{tmp}/{name}.parquet")
+
+        # queries().load() registers every table; unscaled ones are
+        # symlinked (zero copy) -- only the scaled facts are rewritten.
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "events", "embeddings"):
+            os.symlink(os.path.abspath(f"{sf_dir}/{t}.parquet"),
+                       f"{tmp}/{t}.parquet")
+        scaled("orders", ["o_orderkey"])
+        scaled("lineitem", ["l_orderkey"])
+        scaled("documents", ["doc_id"], salt_text=True)
+
+        for name in (
+            "q5_local_supplier_revenue",
+            "q9_profit_by_nation_year",
+            "dedup_minhash_lsh",
+            "text_benchmark_contamination",
+        ):
+            t0 = time.perf_counter()
+            materialize(QUERIES[name].fn(spark, tmp))
+            t_k = time.perf_counter() - t0
+            probe[name] = {
+                "t_1x": timings[name],
+                f"t_{k}x": round(t_k, 3),
+                "per_unit_ratio": round(t_k / (k * timings[name]), 2),
+            }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return probe
+
+
 def _iter_dates(n_days):
     from datetime import date, timedelta
 
@@ -187,17 +252,19 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # 10x replication tripwire for super-linear plans (the probe's own
+    # time is NOT part of the headline total). Opt out with =0 when
+    # iterating locally.
+    if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
+        out["scale_probe"] = bench_scale_probe(spark, sf_dir, timings)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
