@@ -186,11 +186,17 @@ def bench_scale_probe(spark, sf_dir, timings: dict[str, float], k: int = 10) -> 
             for c in key_cols:
                 df = df.withColumn(c, F.col(c) * k + F.col("_r"))
             if salt_text:
+                # suffix EVERY word with the replica id: a bijective vocab
+                # rename, so within-replica shingle/Jaccard structure is
+                # exactly the original corpus's and replicas never share a
+                # shingle -- near-dup candidate pairs scale linearly in k.
+                # (Inserting separator tokens instead would create shingles
+                # shared by every doc in a replica -> quadratic candidates.)
                 df = df.withColumn(
                     "text",
                     F.regexp_replace(
-                        "text", " ",
-                        F.concat(F.lit(" s"), F.col("_r").cast("string"), F.lit(" ")),
+                        F.col("text"), F.lit(r"(\S+)"),
+                        F.concat(F.lit("$1x"), F.col("_r").cast("string")),
                     ),
                 )
             df.drop("_r").write.parquet(f"{tmp}/{name}.parquet")

@@ -29,6 +29,7 @@ CROSS_JOIN_OK = {
     "q11_important_stock_share",
     "q22_idle_rich_customers",
     "ts_resample_ffill_hourly",
+    "text_tfidf_top_terms",  # corpus-size N: one-row count broadcast
 }
 
 # Iterative/stateful queries that execute eagerly during plan
