@@ -96,22 +96,47 @@ def ensure_session_confs(spark: SparkSession) -> None:
     _READY_SESSIONS.add(spark)
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to session-zone TIMESTAMP.
+
+    The corpus has shipped ``events.ts`` in two parquet encodings across
+    regenerations, and downstream code (``cast("long")``,
+    ``unix_micros``, ``withWatermark``) requires a zoned TIMESTAMP:
+
+    - ``TIMESTAMP(NANOS)`` read as a nanos bigint (via
+      ``spark.sql.legacy.parquet.nanosAsLong``): integer-div to micros,
+      NOT /1000.0 -- nanos ~1.7e18 exceed double's 53-bit mantissa, so
+      float division drifts by hundreds of nanoseconds.
+    - ``timestamp[us]`` read as TIMESTAMP_NTZ: cast to TIMESTAMP. The
+      session zone is pinned UTC (ensure_session_confs), so the cast is
+      a pure re-tag -- string formatting and epoch arithmetic stay
+      bit-identical to the NTZ wall-clock values.
+
+    Already-TIMESTAMP columns pass through untouched. Idempotent, so
+    both batch (``load``) and streaming sources apply it defensively.
+    """
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Load parquet tables as DataFrames (schemas pruned by Catalyst).
 
-    events.ts is stored as TIMESTAMP(NANOS), which Spark reads as a nanos
-    long (ensure_session_confs); convert to a micros-truncated timestamp
-    so semantics match engines with native nanos support (DuckDB
-    truncates the same way).
+    events.ts is normalized to a session-UTC TIMESTAMP whatever parquet
+    encoding the corpus shipped (see :func:`normalize_event_ts`), so
+    semantics match engines with native nanos support (DuckDB truncates
+    the same way).
     """
     ensure_session_confs(spark)
     out = {}
     for n in names or TABLES:
         df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
-        if n == "events" and dict(df.dtypes).get("ts") == "bigint":
-            # integer div, NOT /1000.0: nanos ~1.7e18 exceed double's 53-bit
-            # mantissa, so float division drifts by hundreds of nanoseconds
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if n == "events":
+            df = normalize_event_ts(df)
         out[n] = df
     return out
 

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..queries.registry import normalize_event_ts
+
 
 def tumbling_counts(
     events: DataFrame,
@@ -23,6 +25,7 @@ def tumbling_counts(
     watermark: str = "2 hours",
 ) -> DataFrame:
     """Tumbling-window counts/sums per event type with a watermark."""
+    events = normalize_event_ts(events)
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
@@ -48,6 +51,7 @@ def sliding_counts(
     watermark: str = "2 hours",
 ) -> DataFrame:
     """Sliding-window event counts (overlapping windows)."""
+    events = normalize_event_ts(events)
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
@@ -66,6 +70,7 @@ def session_windows(
     watermark: str = "2 hours",
 ) -> DataFrame:
     """Native session windows per user (gap-based)."""
+    events = normalize_event_ts(events)
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
@@ -118,6 +123,7 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> Data
     dropDuplicates: at 100 TB/day the dedup state is bounded by (event
     rate x watermark), not by history.
     """
+    events = normalize_event_ts(events)
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
@@ -135,6 +141,7 @@ def stream_stream_click_purchase_join(
     distance, so Spark can expire join state -- the requirement for
     unbounded streams: state size ~ (rate x lookback), not history.
     """
+    events = normalize_event_ts(events)
     p = (
         events.filter(F.col("event_type") == "purchase")
         .select(
