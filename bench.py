@@ -217,14 +217,20 @@ def bench_scale_probe(spark, sf_dir, timings: dict[str, float], k: int = 10) -> 
             "dedup_minhash_lsh",
             "text_benchmark_contamination",
         ):
-            t0 = time.perf_counter()
-            materialize(QUERIES[name].fn(spark, tmp))
-            t_k = time.perf_counter() - t0
-            probe[name] = {
-                "t_1x": timings[name],
-                f"t_{k}x": round(t_k, 3),
-                "per_unit_ratio": round(t_k / (k * timings[name]), 2),
-            }
+            if not isinstance(timings.get(name), float):
+                probe[name] = {"error": "headline stage did not run"}
+                continue
+            try:
+                t0 = time.perf_counter()
+                materialize(QUERIES[name].fn(spark, tmp))
+                t_k = time.perf_counter() - t0
+                probe[name] = {
+                    "t_1x": timings[name],
+                    f"t_{k}x": round(t_k, 3),
+                    "per_unit_ratio": round(t_k / (k * timings[name]), 2),
+                }
+            except Exception as e:  # noqa: BLE001
+                probe[name] = {"error": f"{type(e).__name__}: {e}"[:500]}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return probe
@@ -249,14 +255,27 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
+    # Fault isolation: one broken query must degrade the artifact, not
+    # zero it (BENCH_r02 died whole on a single AnalysisException). Each
+    # stage records {"error": ...} on failure and the JSON line always
+    # prints; `value` sums the stages that ran.
+    timings: dict[str, object] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        timings[name] = timed_median(
-            lambda name=name: materialize(QUERIES[name].fn(spark, sf_dir))
-        )
-    bench_ingestion(spark, timings)
+        try:
+            timings[name] = timed_median(
+                lambda name=name: materialize(QUERIES[name].fn(spark, sf_dir))
+            )
+        except Exception as e:  # noqa: BLE001 -- keep benching
+            timings[name] = {"error": f"{type(e).__name__}: {e}"[:500]}
+            errors[name] = timings[name]["error"]
+    try:
+        bench_ingestion(spark, timings)
+    except Exception as e:  # noqa: BLE001
+        timings["ingest_pipeline"] = {"error": f"{type(e).__name__}: {e}"[:500]}
+        errors["ingest_pipeline"] = timings["ingest_pipeline"]["error"]
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if isinstance(t, float)), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total_wall",
@@ -268,8 +287,13 @@ def main() -> None:
     # 10x replication tripwire for super-linear plans (the probe's own
     # time is NOT part of the headline total). Opt out with =0 when
     # iterating locally.
+    if errors:
+        out["errors"] = errors
     if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
-        out["scale_probe"] = bench_scale_probe(spark, sf_dir, timings)
+        try:
+            out["scale_probe"] = bench_scale_probe(spark, sf_dir, timings)
+        except Exception as e:  # noqa: BLE001
+            out["scale_probe"] = {"error": f"{type(e).__name__}: {e}"[:500]}
     print(json.dumps(out))
 
 
