@@ -26,16 +26,30 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from station_data_ingestion_spark.queries.registry import load, query
 
 
-def _cos(a: str | Column, b: str | Column) -> Column:
-    """Cosine similarity of two array<float> columns, double-accumulated."""
+def _dot(a: str | Column, b: str | Column) -> Column:
+    """Index-order double-accumulated dot product of two array<float>s."""
     a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    return F.aggregate(
+        F.zip_with(a, b, lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: str | Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def _cos(a: str | Column, b: str | Column) -> Column:
+    """Cosine similarity of two array<float> columns, double-accumulated.
+
+    NOTE for per-pair use (joins): this evaluates THREE interpreted
+    array aggregates per pair. When one side repeats across pairs,
+    precompute its norm per ROW (_norm) before the join and divide --
+    same float64 ops, 3x less interpreted-lambda work. See
+    sim_brute_topk for the pattern.
+    """
+    return _dot(a, b) / (_norm(a) * _norm(b))
 
 
 _COS_SQL = (
@@ -64,16 +78,29 @@ SELECT q_id, c_id, sim, rk FROM ranked WHERE rk <= 3
 
 @query("sim_brute_topk", _BRUTE_ORACLE)
 def sim_brute_topk(spark, sf_dir):
-    """Brute-force cosine top-3 for query vectors (vec_id < 5)."""
+    """Brute-force cosine top-3 for query vectors (vec_id < 5).
+
+    Norms are computed once per ROW before the cross join (5 query + N
+    candidate evaluations) instead of inside the per-pair cosine (3
+    interpreted aggregates x 5N pairs) -- identical float64 arithmetic,
+    ~3x less interpreted-HOF work per pair. The floats divide in the
+    same order as _COS_SQL, so the 6-dp round stays engine-identical.
+    """
     e = load(spark, sf_dir, "embeddings")["embeddings"]
     q = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        _norm("embedding").alias("qn"),
     )
     c = e.filter(F.col("vec_id") >= 5).select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv")
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("cv"),
+        _norm("embedding").alias("cn"),
     )
     scored = c.crossJoin(F.broadcast(q)).select(
-        "q_id", "c_id", F.round(_cos("qv", "cv"), 6).alias("sim")
+        "q_id",
+        "c_id",
+        F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6).alias("sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
     return (
@@ -108,16 +135,22 @@ def sim_ivf_label_top1(spark, sf_dir):
     it shuffles once on label, never all-pairs.
     """
     e = load(spark, sf_dir, "embeddings")["embeddings"]
-    a = e.select("vec_id", "label", F.col("embedding").alias("va"))
+    a = e.select(
+        "vec_id", "label", F.col("embedding").alias("va"), _norm("embedding").alias("na")
+    )
     b = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("lb"),
         F.col("embedding").alias("vb"),
+        _norm("embedding").alias("nb"),
     )
     pairs = a.join(
         b, (F.col("label") == F.col("lb")) & (F.col("vec_id") != F.col("neighbor_id"))
     ).select(
-        "vec_id", "neighbor_id", "label", F.round(_cos("va", "vb"), 6).alias("sim")
+        "vec_id",
+        "neighbor_id",
+        "label",
+        F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6).alias("sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -151,16 +184,22 @@ def sim_ivf_topk(spark, sf_dir):
     label-equi join, never all-pairs; the per-vector window ranks only
     the home cell's candidates."""
     e = load(spark, sf_dir, "embeddings")["embeddings"]
-    a = e.select("vec_id", "label", F.col("embedding").alias("va"))
+    a = e.select(
+        "vec_id", "label", F.col("embedding").alias("va"), _norm("embedding").alias("na")
+    )
     b = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("lb"),
         F.col("embedding").alias("vb"),
+        _norm("embedding").alias("nb"),
     )
     pairs = a.join(
         b, (F.col("label") == F.col("lb")) & (F.col("vec_id") != F.col("neighbor_id"))
     ).select(
-        "vec_id", "neighbor_id", "label", F.round(_cos("va", "vb"), 6).alias("sim")
+        "vec_id",
+        "neighbor_id",
+        "label",
+        F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6).alias("sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -223,15 +262,23 @@ def sim_ann_lsh_bucketed(spark, sf_dir):
     )
     cand = q.join(c, ["band", "sig"]).select("q_id", "c_id").distinct()
     qv = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        _norm("embedding").alias("qn"),
     )
     cv = e.filter(F.col("vec_id") >= 5).select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv")
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("cv"),
+        _norm("embedding").alias("cn"),
     )
     scored = (
         cand.join(F.broadcast(qv), "q_id")
         .join(cv, "c_id")
-        .select("q_id", "c_id", F.round(_cos("qv", "cv"), 6).alias("sim"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6).alias("sim"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
     return (
@@ -256,13 +303,20 @@ SELECT a_id, b_id, ROUND(cos_sim, 6) AS sim FROM pairs WHERE cos_sim > 0.98
 def sim_neardup_embeddings(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (> 0.98) within label blocks."""
     e = load(spark, sf_dir, "embeddings")["embeddings"]
-    a = e.select(F.col("vec_id").alias("a_id"), "label", F.col("embedding").alias("va"))
+    a = e.select(
+        F.col("vec_id").alias("a_id"), "label",
+        F.col("embedding").alias("va"), _norm("embedding").alias("na"),
+    )
     b = e.select(
-        F.col("vec_id").alias("b_id"), F.col("label").alias("lb"), F.col("embedding").alias("vb")
+        F.col("vec_id").alias("b_id"), F.col("label").alias("lb"),
+        F.col("embedding").alias("vb"), _norm("embedding").alias("nb"),
     )
     return (
         a.join(b, (F.col("label") == F.col("lb")) & (F.col("a_id") < F.col("b_id")))
-        .select("a_id", "b_id", _cos("va", "vb").alias("cos_sim"))
+        .select(
+            "a_id", "b_id",
+            (_dot("va", "vb") / (F.col("na") * F.col("nb"))).alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") > 0.98)
         .select("a_id", "b_id", F.round("cos_sim", 6).alias("sim"))
     )
