@@ -11,6 +11,9 @@ operator family); this file just re-exports the registry.
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,9 +26,42 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
 
 
+def _certification_counts() -> dict[str, int]:
+    """How many past driver rounds certified each query green.
+
+    The driver samples a PREFIX of queries() (50/90 in r2), so a fixed
+    order leaves the same ~40 queries driver-unchecked forever. Counting
+    green rows across the committed CORRECTNESS_r*.json artifacts and
+    sorting least-certified-first rotates the sample automatically each
+    round: never-sampled and previously-errored queries go to the front,
+    already-certified ones cycle to the back. A no_oracle rows-only row
+    counts as certified -- it is that query's strongest driver check.
+    """
+    counts: dict[str, int] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(path, encoding="utf-8") as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, r in rows.items():
+            ok = bool(r.get("rows_match")) or (
+                r.get("err") == "no_oracle" and r.get("spark_rows") is not None
+            )
+            if ok:
+                counts[name] = counts.get(name, 0) + 1
+    return counts
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: qd.fn for name, qd in QUERIES.items()}
+    """One entry per implemented operator from SURVEY.md §2,
+    least-driver-certified first (see _certification_counts)."""
+    certified = _certification_counts()
+    order = sorted(
+        enumerate(QUERIES), key=lambda t: (certified.get(t[1], 0), t[0])
+    )
+    return {name: QUERIES[name].fn for _, name in order}
 
 
 def oracle_sql() -> dict[str, str]:
