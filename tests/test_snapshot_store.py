@@ -152,3 +152,106 @@ def test_escaped_partition_values_round_trip(spark, tmp_path):
     assert entries[0]["partition"]["datatype"] == "rain fall:mm"
     df = t.read(partition={"datatype": "rain fall:mm", "period": "day"})
     assert df.count() == 1
+
+
+def test_two_real_writers_race_both_commits_survive(spark, tmp_path):
+    """TWO actual commit_overwrite_partitions calls race on one table:
+    the loser's publish hits an existing version file, rebases onto the
+    winner's manifest, and BOTH partitions' rows survive."""
+    path = str(tmp_path / "tbl")
+    t1, t2 = SnapshotTable(spark, path), SnapshotTable(spark, path)
+    t1.commit_overwrite_partitions(
+        _df(spark, [("0", "2022-03-01", 0.5, "humidity", "day")])
+    )
+
+    # interleave: just before t1's first publish attempt, t2 runs a FULL
+    # commit (stage, promote, publish) and takes the version t1 wanted
+    orig = t1._write_manifest_exclusive
+    raced = []
+
+    def hooked(version, manifest):
+        if not raced:
+            raced.append(version)
+            t2.commit_overwrite_partitions(
+                _df(spark, [("2", "2022-03-01", 2.0, "rainfall", "day")])
+            )
+        return orig(version, manifest)
+
+    t1._write_manifest_exclusive = hooked
+    v = t1.commit_overwrite_partitions(
+        _df(spark, [("1", "2022-03-01", 1.0, "temperature", "day")])
+    )
+    assert raced == [2], "race hook never fired"
+    assert v == 3  # t2 won v2; t1 rebased and landed v3
+    got = {(r.station_id, r.datatype, r.value) for r in t1.read().collect()}
+    assert got == {
+        ("0", "humidity", 0.5),     # untouched base partition
+        ("2", "rainfall", 2.0),     # winner's commit
+        ("1", "temperature", 1.0),  # loser's rebased commit
+    }
+    # the loser's rebase preserved the winner's FILES, not just its rows
+    live = {e["path"] for e in t1._read_manifest(3)["files"]}
+    assert {e["path"] for e in t1._read_manifest(2)["files"]} <= live
+
+
+def test_same_partition_race_last_publisher_wins(spark, tmp_path):
+    """Racing commits to the SAME partition serialize by version; the
+    rebased (later) publisher's rows are the final state."""
+    path = str(tmp_path / "tbl")
+    t1, t2 = SnapshotTable(spark, path), SnapshotTable(spark, path)
+    orig = t1._write_manifest_exclusive
+    raced = []
+
+    def hooked(version, manifest):
+        if not raced:
+            raced.append(version)
+            t2.commit_overwrite_partitions(
+                _df(spark, [("9", "2022-03-01", 9.0, "temperature", "day")])
+            )
+        return orig(version, manifest)
+
+    t1._write_manifest_exclusive = hooked
+    v = t1.commit_overwrite_partitions(
+        _df(spark, [("1", "2022-03-01", 1.0, "temperature", "day")])
+    )
+    assert v == 2 and raced
+    got = {(r.station_id, r.value) for r in t1.read().collect()}
+    assert got == {("1", 1.0)}  # t1 published last; its overwrite wins
+
+
+def test_vacuum_after_crash_reaps_staged_and_promoted_orphans(spark, tmp_path):
+    """Crashes at both pre-publish points leave garbage that vacuum must
+    reap WITHOUT touching live data: (a) a staged-but-never-promoted
+    dir, (b) files promoted into the data tree whose publish never
+    happened."""
+    path = str(tmp_path / "tbl")
+    t = SnapshotTable(spark, path)
+    t.commit_overwrite_partitions(
+        _df(spark, [("1", "2022-03-01", 1.0, "temperature", "day")])
+    )
+
+    # crash (a): staging written, promote never ran
+    orphan_stage = f"{path}/_staging/deadbeefcafe"
+    _df(spark, [("7", "2022-03-02", 7.0, "pressure", "day")]).write.partitionBy(
+        "datatype", "period"
+    ).parquet(orphan_stage)
+    # crash (b): files promoted into data/, manifest publish never ran
+    crashed = SnapshotTable(spark, path)
+    stage_b = f"{path}/_staging/{'ab' * 16}"
+    _df(spark, [("8", "2022-03-02", 8.0, "windspeed", "day")]).write.partitionBy(
+        "datatype", "period"
+    ).parquet(stage_b)
+    promoted = crashed._promote_staging(stage_b)
+    assert promoted  # files are in the tree...
+    live_before = {(r.station_id, r.value) for r in t.read().collect()}
+    assert live_before == {("1", 1.0)}  # ...but invisible to readers
+
+    # a fresh vacuum with retention 0 reaps both kinds of orphan
+    deleted = t.vacuum(older_than_sec=0.0)
+    assert {e["path"] for e in promoted} <= set(deleted)
+    import os
+    assert not os.path.exists(orphan_stage)
+    # live data and the latest manifest are untouched; reads still work
+    assert {(r.station_id, r.value) for r in t.read().collect()} == {("1", 1.0)}
+    # idempotent: nothing left to reap
+    assert t.vacuum(older_than_sec=0.0) == []
