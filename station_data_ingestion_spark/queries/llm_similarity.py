@@ -126,37 +126,63 @@ SELECT vec_id, neighbor_id, label, sim FROM ranked WHERE rk = 1
 """
 
 
+def _ivf_cell_topk(pdf, k: int):
+    """All-pairs cosine top-k INSIDE one IVF cell, as one numpy matmul.
+
+    Ranking key matches the SQL oracle bit-for-bit where it matters:
+    (round(cos, 6) DESC, neighbor_id ASC). Products of float32 values
+    are exact in float64; the 6-dp round absorbs summation-order noise
+    between numpy and interpreted index-order accumulation (same
+    argument, and the same pytest evidence, as sim_brute_topk_blocked).
+    """
+    import numpy as np
+    import pandas as pd
+
+    x = np.array(list(pdf["embedding"]), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    n = np.linalg.norm(x, axis=1)
+    sims = np.round((x @ x.T) / np.outer(n, n), 6)
+    np.fill_diagonal(sims, -np.inf)  # a vector is not its own neighbor
+    rows = []
+    kk = min(k, len(ids) - 1)
+    if kk <= 0:
+        return pd.DataFrame(
+            {"vec_id": [], "neighbor_id": [], "label": [], "sim": [], "rk": []}
+        )
+    for i in range(len(ids)):
+        order = np.lexsort((ids, -sims[i]))[:kk]
+        rows.append((np.repeat(ids[i], kk), ids[order], sims[i][order]))
+    return pd.DataFrame(
+        {
+            "vec_id": np.concatenate([r[0] for r in rows]),
+            "neighbor_id": np.concatenate([r[1] for r in rows]),
+            "label": np.repeat(pdf["label"].iloc[0], kk * len(ids)),
+            "sim": np.concatenate([r[2] for r in rows]),
+            "rk": np.tile(np.arange(1, kk + 1), len(ids)),
+        }
+    )
+
+
 @query("sim_ivf_label_top1", _IVF_ORACLE)
 def sim_ivf_label_top1(spark, sf_dir):
     """IVF-style: nearest neighbor within the coarse partition (label).
 
     The scale path: partition the index by a coarse quantizer (here the
-    label column), probe only the home cell -- the join is label-equi so
-    it shuffles once on label, never all-pairs.
+    label column) and probe only the home cell. Each cell scores as ONE
+    numpy matmul (applyInPandas over groupBy(label)) -- one shuffle on
+    label, never an all-pairs join, and no interpreted per-pair work.
+    Cell size is bounded by the quantizer sizing (the standard IVF
+    contract), so the per-cell pandas frame fits executor memory.
     """
     e = load(spark, sf_dir, "embeddings")["embeddings"]
-    a = e.select(
-        "vec_id", "label", F.col("embedding").alias("va"), _norm("embedding").alias("na")
-    )
-    b = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("lb"),
-        F.col("embedding").alias("vb"),
-        _norm("embedding").alias("nb"),
-    )
-    pairs = a.join(
-        b, (F.col("label") == F.col("lb")) & (F.col("vec_id") != F.col("neighbor_id"))
-    ).select(
-        "vec_id",
-        "neighbor_id",
-        "label",
-        F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6).alias("sim"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .drop("rk")
+        e.select("vec_id", "label", "embedding")
+        .groupBy("label")
+        .applyInPandas(
+            lambda pdf: _ivf_cell_topk(pdf, 1),
+            "vec_id long, neighbor_id long, label int, sim double, rk int",
+        )
+        .select("vec_id", "neighbor_id", "label", "sim")
     )
 
 
@@ -180,30 +206,17 @@ SELECT vec_id, neighbor_id, label, sim, rk FROM ranked WHERE rk <= 3
 @query("sim_ivf_topk", _IVF_TOPK_ORACLE)
 def sim_ivf_topk(spark, sf_dir):
     """IVF-style top-k: the k nearest neighbors within the coarse cell
-    (single-probe). Same shuffle shape as the top-1 variant -- one
-    label-equi join, never all-pairs; the per-vector window ranks only
-    the home cell's candidates."""
+    (single-probe). Same shape as the top-1 variant: one shuffle on
+    label, one numpy matmul per cell, top-k selected inside the cell so
+    only k rows per vector ever leave the executor."""
     e = load(spark, sf_dir, "embeddings")["embeddings"]
-    a = e.select(
-        "vec_id", "label", F.col("embedding").alias("va"), _norm("embedding").alias("na")
-    )
-    b = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("lb"),
-        F.col("embedding").alias("vb"),
-        _norm("embedding").alias("nb"),
-    )
-    pairs = a.join(
-        b, (F.col("label") == F.col("lb")) & (F.col("vec_id") != F.col("neighbor_id"))
-    ).select(
-        "vec_id",
-        "neighbor_id",
-        "label",
-        F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6).alias("sim"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
-        pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+        e.select("vec_id", "label", "embedding")
+        .groupBy("label")
+        .applyInPandas(
+            lambda pdf: _ivf_cell_topk(pdf, 3),
+            "vec_id long, neighbor_id long, label int, sim double, rk int",
+        )
     )
 
 
@@ -301,24 +314,38 @@ SELECT a_id, b_id, ROUND(cos_sim, 6) AS sim FROM pairs WHERE cos_sim > 0.98
 """,
 )
 def sim_neardup_embeddings(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (> 0.98) within label blocks."""
+    """Embedding-cosine near-duplicate pairs (> 0.98) within label
+    blocks: one numpy matmul per block (applyInPandas), upper-triangle
+    masked so each a<b pair scores once. The >0.98 filter applies to the
+    UNROUNDED cosine, like the oracle; only surviving pairs (a tiny
+    fraction) leave the executor."""
     e = load(spark, sf_dir, "embeddings")["embeddings"]
-    a = e.select(
-        F.col("vec_id").alias("a_id"), "label",
-        F.col("embedding").alias("va"), _norm("embedding").alias("na"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("b_id"), F.col("label").alias("lb"),
-        F.col("embedding").alias("vb"), _norm("embedding").alias("nb"),
-    )
-    return (
-        a.join(b, (F.col("label") == F.col("lb")) & (F.col("a_id") < F.col("b_id")))
-        .select(
-            "a_id", "b_id",
-            (_dot("va", "vb") / (F.col("na") * F.col("nb"))).alias("cos_sim"),
+
+    def cell_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        x = np.array(list(pdf["embedding"]), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        n = np.linalg.norm(x, axis=1)
+        sims = (x @ x.T) / np.outer(n, n)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        # a<b by vec_id, whatever the row order inside the cell
+        a_ids = np.minimum(ids[iu], ids[ju])
+        b_ids = np.maximum(ids[iu], ids[ju])
+        keep = sims[iu, ju] > 0.98
+        return pd.DataFrame(
+            {
+                "a_id": a_ids[keep],
+                "b_id": b_ids[keep],
+                "sim": np.round(sims[iu, ju][keep], 6),
+            }
         )
-        .filter(F.col("cos_sim") > 0.98)
-        .select("a_id", "b_id", F.round("cos_sim", 6).alias("sim"))
+
+    return (
+        e.select("vec_id", "label", "embedding")
+        .groupBy("label")
+        .applyInPandas(cell_pairs, "a_id long, b_id long, sim double")
     )
 
 
