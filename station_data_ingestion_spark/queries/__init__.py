@@ -17,6 +17,7 @@ from station_data_ingestion_spark.queries import (  # noqa: F401
     relational_ext2,
     scalars,
     setops,
+    streaming_q,
     temporal_q,
     windows,
 )

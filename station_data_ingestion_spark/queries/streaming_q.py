@@ -1,0 +1,173 @@
+"""Streaming surface exposed to the correctness gate: replay queries.
+
+Each query replays the events table as a bounded file stream
+(``trigger(availableNow=True)``) through a streaming/windows.py
+operator, drains into a memory sink, and returns the sink as a batch
+DataFrame -- so the DRIVER's DuckDB oracle exercises the streaming
+engine itself, not just the batch twins (pytest already asserts
+stream==batch equivalence; this makes the external gate see it too).
+
+Determinism notes per entry:
+- tumbling append-mode output = windows FINALIZED by the watermark
+  (window end <= max(ts) - delay); the oracle applies the same filter.
+- stateful running totals emit per-microbatch updates, so only the
+  FINAL state per key (max over emissions) is compared.
+- dedup keeps an arbitrary first row per id; only the key column is
+  exposed to the oracle.
+Replays cost one extra write of the sf events table to a temp dir:
+negligible at gate scale (sf0.01), and the price of using the real
+FileStreamSource instead of a mocked one.
+
+[reference: none -- the reference has no streaming engine; SURVEY §2.8
+marks this surface as engine-provided]
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from station_data_ingestion_spark.queries.registry import load, query
+from station_data_ingestion_spark.streaming import windows as W
+
+_MONEY = 'SUM(CAST(ROUND(value * 10000) AS BIGINT)) / 10000.0'
+
+
+def _replay(spark: SparkSession, sf_dir: str, op, output_mode: str) -> DataFrame:
+    """Run `op(stream)` over a file-stream replay of events; return the
+    drained memory sink as a batch DataFrame."""
+    events = load(spark, sf_dir, "events")["events"]
+    tmp = tempfile.mkdtemp(prefix="stream_replay_")
+    events.write.parquet(f"{tmp}/src")
+    stream = spark.readStream.schema(events.schema).parquet(f"{tmp}/src")
+    name = f"replay_{uuid.uuid4().hex[:12]}"
+    q = (
+        op(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "stream_tumbling_replay",
+    f"""
+WITH m AS (SELECT MAX(ts) AS mx FROM events),
+agg AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
+         COUNT(*) AS n_events, {_MONEY} AS total_value
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start,
+       event_type, n_events, total_value
+FROM agg, m
+WHERE ws + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
+""",
+)
+def stream_tumbling_replay(spark, sf_dir):
+    """Watermarked tumbling-window counts via the STREAMING engine
+    (append mode emits exactly the watermark-finalized windows)."""
+    return _replay(spark, sf_dir, W.tumbling_counts, "append")
+
+
+@query(
+    "stream_stateful_totals_replay",
+    """
+SELECT user_id, COUNT(*) AS n_events,
+       SUM(CAST(ROUND(value * 10000) AS BIGINT)) / 10000.0 AS total_value
+FROM events GROUP BY user_id
+""",
+)
+def stream_stateful_totals_replay(spark, sf_dir):
+    """applyInPandasWithState running totals, reduced to final state.
+
+    Update mode emits one row per (user, microbatch); the totals are
+    monotone, so max() per user is the final state -- which must equal
+    the plain batch aggregate."""
+    sink = _replay(spark, sf_dir, W.running_user_totals, "update")
+    return sink.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_value").alias("total_value"),
+    )
+
+
+@query(
+    "stream_dedup_replay",
+    "SELECT DISTINCT event_id FROM events",
+)
+def stream_dedup_replay(spark, sf_dir):
+    """dropDuplicatesWithinWatermark replay; only the key column is
+    deterministic (the surviving row per id is arrival-order)."""
+    sink = _replay(spark, sf_dir, W.dedup_within_watermark, "append")
+    return sink.select("event_id")
+
+
+@query(
+    "stream_interval_join_replay",
+    """
+SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id AS p_user,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS c_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+""",
+)
+def stream_interval_join_replay(spark, sf_dir):
+    """Stream-stream interval join (purchase x preceding-hour clicks)
+    through the streaming engine; inner-join matches over a bounded
+    replay are exactly the batch join's matches."""
+    sink = _replay(spark, sf_dir, W.stream_stream_click_purchase_join, "append")
+    return sink.select(
+        "p_id",
+        "c_id",
+        "p_user",
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("p_ts"),
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("c_ts"),
+    )
+
+
+@query(
+    "stream_session_replay",
+    """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+islands AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+         COUNT(*) AS n_events
+  FROM islands GROUP BY user_id, sess
+),
+m AS (SELECT MAX(ts) AS mx FROM events)
+SELECT user_id,
+       strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+       n_events
+FROM sessions, m
+WHERE session_end + INTERVAL 30 MINUTE <= mx - INTERVAL 2 HOUR
+""",
+)
+def stream_session_replay(spark, sf_dir):
+    """Native session_window (30-min gap) through the streaming engine.
+    Append mode finalizes sessions whose window end (last event + gap)
+    is at or before the watermark; the oracle replays the same
+    gaps-and-islands + finalization rule."""
+    return _replay(spark, sf_dir, W.session_windows, "append")
