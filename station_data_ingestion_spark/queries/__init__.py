@@ -7,6 +7,7 @@ re-exports them to the verification driver.
 from station_data_ingestion_spark.queries import (  # noqa: F401
     events,
     llm_dedup,
+    llm_pipeline,
     llm_quality,
     llm_similarity,
     llm_text,

@@ -1,0 +1,151 @@
+"""Training-data pipeline assembly operators over the documents table:
+context-window packing, stratified sampling, weighted source mixing.
+
+These are the steps BETWEEN curation (dedup/quality, llm_dedup/
+llm_quality) and the trainer: deciding which documents go into the run
+and how they pack into fixed token budgets. All three are deterministic
+(hash- and order-based, never RNG) so resuming or re-running a 100 TB
+job reproduces the same mixture bit-for-bit -- the same engine-stability
+rules as the rest of the registry (md5-bucket pattern proven in
+split_train_test_hash; integer sums only).
+
+[reference: none -- beyond the reference's surface; SURVEY §2.9
+training-pipeline category]
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from station_data_ingestion_spark.operators.prefix_sum import ordered_prefix_sum
+from station_data_ingestion_spark.queries.registry import load, query
+
+_BIN_TOKENS = 2048
+
+
+@query(
+    "pack_sequential_token_bins",
+    f"""
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT CAST((cum - n_tokens) // {_BIN_TOKENS} AS BIGINT) AS bin_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM c GROUP BY 1
+""",
+)
+def pack_sequential_token_bins(spark, sf_dir):
+    """Pack documents (in doc_id order) into sequential ~2048-token
+    context bins: bin = floor(preceding-token-count / 2048).
+
+    The global running token count uses the distributed two-phase
+    prefix sum (operators/prefix_sum.py), NOT an unpartitioned window,
+    so the pack plan holds at corpus scale. Integer token counts make
+    the cumsum engine-exact.
+    """
+    d = load(spark, sf_dir, "documents")["documents"]
+    toks = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    c = ordered_prefix_sum(toks, ["doc_id"], "n_tokens", out_col="cum")
+    return (
+        c.withColumn("bin_id", F.expr(f"(cum - n_tokens) div {_BIN_TOKENS}"))
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@query(
+    "sample_stratified_hash",
+    """
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              AS BIGINT) % 1000 AS bucket
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang, bucket,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS rk
+  FROM b
+)
+SELECT lang, doc_id, bucket, rk FROM r WHERE rk <= 5
+""",
+)
+def sample_stratified_hash(spark, sf_dir):
+    """Deterministic stratified sample: 5 docs per language, chosen by
+    md5-bucket order (a seedless, repartition-stable 'random' draw --
+    df.sample's RNG is partition-dependent, this is not). One shuffle
+    on lang; at scale the per-stratum top-k keeps only k rows per
+    partition before the final merge."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1000
+    )
+    b = d.select("doc_id", "lang", bucket.alias("bucket"))
+    w = Window.partitionBy("lang").orderBy("bucket", "doc_id")
+    return (
+        b.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "doc_id", "bucket", "rk")
+    )
+
+
+@query(
+    "mixture_weighted_sources",
+    """
+WITH b AS (
+  SELECT source,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              AS BIGINT) % 1000 AS bucket,
+         (CAST(substr(source, 4) AS BIGINT) % 4 + 1) * 250 AS keep_below
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN bucket < keep_below THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       MAX(keep_below) AS keep_below
+FROM b GROUP BY source
+""",
+)
+def mixture_weighted_sources(spark, sf_dir):
+    """Weighted source mixture: each source keeps a deterministic
+    hash-fraction of its documents (weights 0.25/0.50/0.75/1.00 cycling
+    by source index). The keep decision is per-row with no shuffle; the
+    report aggregates per source. Changing the mixture re-selects a
+    superset/subset, never a reshuffle -- the property that lets a
+    100 TB mixture be tuned incrementally."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1000
+    )
+    keep_below = (
+        F.substring("source", 4, 10).cast("long") % 4 + 1
+    ) * 250
+    b = d.select(
+        "source", bucket.alias("bucket"), keep_below.alias("keep_below")
+    )
+    return b.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("bucket") < F.col("keep_below"), 1).otherwise(0)).alias(
+            "n_kept"
+        ),
+        F.max("keep_below").alias("keep_below"),
+    )

@@ -1,0 +1,55 @@
+"""Distributed two-phase prefix sum == serial scan, on any layout."""
+
+from pyspark.sql import Window, functions as F
+
+from station_data_ingestion_spark.operators.prefix_sum import ordered_prefix_sum
+
+
+def _serial_cumsum(spark, df):
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    return {r["k"]: r["c"] for r in df.withColumn("c", F.sum("v").over(w)).collect()}
+
+
+def test_matches_serial_scan_across_partitionings(spark):
+    rows = [(i, (i * 37) % 101) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    exp = _serial_cumsum(spark, df)
+    for nparts in (1, 3, 32):
+        got = {
+            r["k"]: r["cum"]
+            for r in ordered_prefix_sum(
+                df.repartition(7), ["k"], "v", num_partitions=nparts
+            ).collect()
+        }
+        assert got == exp, f"nparts={nparts}"
+
+
+def test_skewed_and_tiny_inputs(spark):
+    # fewer rows than partitions, plus a single-row frame
+    df = spark.createDataFrame([(1, 10), (2, 0), (3, -5)], "k long, v long")
+    got = {
+        r["k"]: r["cum"]
+        for r in ordered_prefix_sum(df, ["k"], "v", num_partitions=32).collect()
+    }
+    assert got == {1: 10, 2: 10, 3: 5}
+    one = ordered_prefix_sum(
+        spark.createDataFrame([(9, 4)], "k long, v long"), ["k"], "v"
+    ).collect()
+    assert [(r["k"], r["cum"]) for r in one] == [(9, 4)]
+
+
+def test_keeps_plan_distributed(spark):
+    """The point of the operator: no unpartitioned global window."""
+    import contextlib
+    import io
+
+    df = spark.createDataFrame([(i, 1) for i in range(100)], "k long, v long")
+    out = ordered_prefix_sum(df, ["k"], "v", num_partitions=8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # every Window node must be keyed by the partition id
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "__pid" in line, line
