@@ -159,6 +159,74 @@ def bench_ingestion(spark, timings: dict[str, float]) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _max_stage_id(spark) -> int:
+    """Highest stage id seen so far (via the UI REST API), -1 if none."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return -1
+    app = spark.sparkContext.applicationId
+    try:
+        stages = json.load(
+            urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages", timeout=10)
+        )
+        return max((s["stageId"] for s in stages), default=-1)
+    except Exception:  # noqa: BLE001
+        return -1
+
+
+def _heaviest_stage_skew(spark, after_stage_id: int) -> dict | None:
+    """Shuffle/memory shape of the heaviest shuffle stage after a marker.
+
+    The 10x time probe catches super-linear WALL CLOCK; this catches the
+    memory-shape regressions that OOM a cluster before they show up in
+    local timings: per-task shuffle-read skew (max/median across tasks)
+    and peak execution memory of the stage that read the most shuffle
+    data. Uses the Spark UI REST API; returns None when the UI is off
+    or the query had no shuffle.
+    """
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return None
+    app = spark.sparkContext.applicationId
+    try:
+        stages = json.load(
+            urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app}/stages?status=COMPLETE", timeout=10
+            )
+        )
+        stages = [
+            s for s in stages
+            if s["stageId"] > after_stage_id and s.get("shuffleReadBytes", 0) > 0
+        ]
+        if not stages:
+            return None
+        heavy = max(stages, key=lambda s: s["shuffleReadBytes"])
+        summary = json.load(
+            urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app}/stages/{heavy['stageId']}"
+                f"/{heavy['attemptId']}/taskSummary?quantiles=0.5,1.0",
+                timeout=10,
+            )
+        )
+        read = summary.get("shuffleReadMetrics", {}).get("readBytes") or [0.0, 0.0]
+        peak = summary.get("peakExecutionMemory") or [0.0, 0.0]
+        return {
+            "stage_id": heavy["stageId"],
+            "n_tasks": heavy.get("numCompleteTasks"),
+            "stage_shuffle_read_mb": round(heavy["shuffleReadBytes"] / 1e6, 2),
+            "task_read_p50_mb": round(read[0] / 1e6, 3),
+            "task_read_max_mb": round(read[1] / 1e6, 3),
+            "task_read_skew": round(read[1] / read[0], 2) if read[0] else None,
+            "task_peak_mem_max_mb": round(peak[1] / 1e6, 2),
+        }
+    except Exception:  # noqa: BLE001 -- observability must not fail the bench
+        return None
+
+
 def bench_scale_probe(spark, sf_dir, timings: dict[str, float], k: int = 10) -> dict:
     """10x scale probe over the most expensive stages.
 
@@ -221,6 +289,7 @@ def bench_scale_probe(spark, sf_dir, timings: dict[str, float], k: int = 10) -> 
                 probe[name] = {"error": "headline stage did not run"}
                 continue
             try:
+                marker = _max_stage_id(spark)
                 t0 = time.perf_counter()
                 materialize(QUERIES[name].fn(spark, tmp))
                 t_k = time.perf_counter() - t0
@@ -229,6 +298,9 @@ def bench_scale_probe(spark, sf_dir, timings: dict[str, float], k: int = 10) -> 
                     f"t_{k}x": round(t_k, 3),
                     "per_unit_ratio": round(t_k / (k * timings[name]), 2),
                 }
+                skew = _heaviest_stage_skew(spark, marker)
+                if skew:
+                    probe[name]["skew"] = skew
             except Exception as e:  # noqa: BLE001
                 probe[name] = {"error": f"{type(e).__name__}: {e}"[:500]}
     finally:
@@ -247,7 +319,8 @@ def _iter_dates(n_days):
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark(app_name="bench")
+    # UI on: the scale probe reads per-task skew metrics from its REST API
+    spark = get_spark(app_name="bench", extra_conf={"spark.ui.enabled": "true"})
     # warmup: prime codegen/JIT, the parquet footer cache, and the Python
     # worker pool (first mapInPandas otherwise pays ~4s of daemon startup)
     materialize(QUERIES["q6_forecast_revenue"].fn(spark, sf_dir))
