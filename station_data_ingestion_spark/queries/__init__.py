@@ -20,6 +20,7 @@ from station_data_ingestion_spark.queries import (  # noqa: F401
     setops,
     streaming_q,
     temporal_q,
+    udx,
     windows,
 )
 from station_data_ingestion_spark.queries.registry import QUERIES  # noqa: F401

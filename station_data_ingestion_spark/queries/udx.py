@@ -1,0 +1,98 @@
+"""User-extensible function surface (SURVEY §2.8): UDTF + grouped UDAF.
+
+The reference hard-codes every transform; the engine instead exposes the
+full Spark extension surface. These registry entries prove the two
+shapes that go beyond scalar pandas_udf (already exercised throughout
+the LLM-pipeline modules):
+
+- a Python UDTF used as a LATERAL table function (one input row ->
+  many output rows with its own schema);
+- a pandas grouped-aggregate UDAF (whole-group vector -> scalar).
+
+Both are the slow path relative to built-ins and are used here only
+where user logic genuinely needs the hook; at scale the same mechanics
+hold (UDTFs stream rows per partition, grouped UDAFs receive one
+Arrow-backed series per group after a hash shuffle on the key).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+
+from station_data_ingestion_spark.queries.registry import load, query
+
+
+@udtf(returnType="sent_idx int, n_chars int, n_tokens int")
+class _SentenceStats:
+    """Split a document on '. ' and emit per-sentence stats.
+
+    Plain separator split (not a regex) so the DuckDB oracle's
+    string_split is character-identical.
+    """
+
+    def eval(self, text: str):
+        for i, sent in enumerate((text or "").split(". ")):
+            yield i, len(sent), len(sent.split(" "))
+
+
+@query(
+    "udtf_sentence_stats",
+    """
+WITH s AS (SELECT doc_id, string_split(text, '. ') AS l FROM documents)
+SELECT doc_id,
+       CAST(i AS INT) AS sent_idx,
+       CAST(len(l[i + 1]) AS INT) AS n_chars,
+       CAST(len(string_split(l[i + 1], ' ')) AS INT) AS n_tokens
+FROM s, UNNEST(range(len(l))) AS t(i)
+""",
+)
+def udtf_sentence_stats(spark, sf_dir):
+    """Python UDTF as a lateral table function: documents explode into
+    one row per sentence with computed stats."""
+    load(spark, sf_dir, "documents")["documents"].createOrReplaceTempView(
+        "udtf_docs"
+    )
+    spark.udtf.register("sentence_stats", _SentenceStats)
+    return spark.sql(
+        "SELECT d.doc_id, s.sent_idx, s.n_chars, s.n_tokens "
+        "FROM udtf_docs d, LATERAL sentence_stats(d.text) s"
+    )
+
+
+def _group_udafs():
+    # built inside the query fn: @pandas_udf parses its DDL return type
+    # eagerly and the registry imports before any SparkSession exists.
+    # Spark disallows mixing pandas and built-in aggregates in one agg(),
+    # so the count is a pandas UDAF too.
+    @pandas_udf("double")
+    def median(v: pd.Series) -> float:
+        return float(v.median())
+
+    @pandas_udf("long")
+    def group_size(v: pd.Series) -> int:
+        return int(len(v))
+
+    return median, group_size
+
+
+@query(
+    "udaf_median_order_value",
+    """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(MEDIAN(o_totalprice), 2) AS median_price
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def udaf_median_order_value(spark, sf_dir):
+    """pandas grouped-aggregate UDAF: exact median order value per
+    priority. Both engines average the two middle float64s for even
+    group sizes, so the 2-dp round is engine-identical."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    median, group_size = _group_udafs()
+    return o.groupBy("o_orderpriority").agg(
+        group_size("o_totalprice").alias("n_orders"),
+        F.round(median("o_totalprice"), 2).alias("median_price"),
+    )
