@@ -276,8 +276,12 @@ WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 """,
 )
 def q15_top_supplier(spark, sf_dir):
-    """Q15 shape: quarter revenue per supplier, keep the max -- a rank-1
-    window over the aggregate instead of re-scanning for the MAX."""
+    """Q15 shape: quarter revenue per supplier, keep the max.
+
+    The max is a 1-row aggregate broadcast back against the revenue
+    frame (the scalar-subquery pattern, mirroring the oracle's MAX
+    subquery) -- NOT a global rank window, which would sort every
+    supplier's aggregate onto one partition at scale."""
     t = load(spark, sf_dir, "lineitem", "supplier")
     li = t["lineitem"].filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
@@ -286,10 +290,10 @@ def q15_top_supplier(spark, sf_dir):
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         money_sum(_rev()).alias("total_revenue")
     )
-    w = Window.orderBy(F.col("total_revenue").desc())
-    top = (
-        rev.withColumn("rk", F.rank().over(w)).filter(F.col("rk") == 1).drop("rk")
-    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    top = rev.join(
+        F.broadcast(mx), F.col("total_revenue") == F.col("__mx")
+    ).drop("__mx")
     return (
         F.broadcast(top)
         .join(t["supplier"], F.col("s_suppkey") == F.col("supplier_no"))

@@ -7,6 +7,7 @@ schema change).
 
 import contextlib
 import io
+import re
 
 import pytest
 
@@ -73,3 +74,27 @@ def test_fact_scans_prune_columns(spark, name):
         # l_linenumber is never used by any registered query: seeing it
         # means column pruning broke
         assert "l_linenumber" not in ln, name
+
+
+# Queries allowed an UNPARTITIONED window (global sort to one partition):
+# - window_rank_dense_ntile: the query's semantic IS a global total
+#   order (rank/ntile over the supplier dimension); ntile has no
+#   two-phase distributed form. Every fact-table ranking in the registry
+#   is partitioned, and global running sums go through
+#   operators/prefix_sum.py instead.
+GLOBAL_WINDOW_OK = {"window_rank_dense_ntile"}
+
+# windowspecdefinition(<first arg is a sort order>) == empty partition
+# spec. Under-catches computed sort keys containing parens -- fine for a
+# tripwire; the two real offenders it caught were plain-column sorts.
+_GLOBAL_WIN = re.compile(r"windowspecdefinition\([^,)]+ (?:ASC|DESC)")
+
+
+@pytest.mark.parametrize("name", ALL_QUERIES)
+def test_no_unpartitioned_window(spark, name):
+    """A Window with no PARTITION BY moves the whole input to one
+    partition -- the silent scale-killer WindowExec only warns about."""
+    if name in GLOBAL_WINDOW_OK:
+        pytest.skip("documented global-order semantic")
+    p = _plan(QUERIES[name].fn(spark, SF))
+    assert not _GLOBAL_WIN.search(p), name
