@@ -53,6 +53,12 @@ HEADLINE = [
     "ts_resample_ffill_hourly",
     "events_anomaly_zscore",
     "text_benchmark_contamination",
+    # round 3 additions: distributed prefix-sum packing, the Python UDTF
+    # surface, and a real streaming-engine replay (file stream ->
+    # watermarked tumbling window -> memory sink)
+    "pack_sequential_token_bins",
+    "udtf_sentence_stats",
+    "stream_tumbling_replay",
 ]
 
 
