@@ -40,16 +40,12 @@ def _norm(a: str | Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
-def _cos(a: str | Column, b: str | Column) -> Column:
-    """Cosine similarity of two array<float> columns, double-accumulated.
-
-    NOTE for per-pair use (joins): this evaluates THREE interpreted
-    array aggregates per pair. When one side repeats across pairs,
-    precompute its norm per ROW (_norm) before the join and divide --
-    same float64 ops, 3x less interpreted-lambda work. See
-    sim_brute_topk for the pattern.
-    """
-    return _dot(a, b) / (_norm(a) * _norm(b))
+# NOTE: there is deliberately no per-pair `cos(a, b)` helper. Inline
+# cosine evaluates THREE interpreted array aggregates per join pair,
+# recomputing each side's norm once per partner; every query here either
+# precomputes norms per ROW (_norm) before the join and divides one _dot
+# by them (sim_brute_topk), or scores whole cells as numpy matmuls
+# (sim_ivf_*, sim_neardup_embeddings, sim_brute_topk_blocked).
 
 
 _COS_SQL = (
