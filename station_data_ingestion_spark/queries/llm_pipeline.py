@@ -149,3 +149,40 @@ def mixture_weighted_sources(spark, sf_dir):
         ),
         F.max("keep_below").alias("keep_below"),
     )
+
+
+@query(
+    "interleave_sources_roundrobin",
+    """
+WITH rn AS (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT)
+           AS source_seq
+  FROM documents
+)
+SELECT doc_id, source, source_seq,
+       CAST(ROW_NUMBER() OVER (ORDER BY source_seq, source, doc_id) AS BIGINT)
+         AS interleave_pos
+FROM rn
+""",
+)
+def interleave_sources_roundrobin(spark, sf_dir):
+    """Deterministic round-robin interleave of sources: doc k of every
+    source precedes doc k+1 of any source (curriculum mixing without an
+    RNG). The global interleave position is a distributed row number --
+    the two-phase prefix sum over ones -- so no single-partition window
+    appears anywhere in the plan, unlike the oracle's ROW_NUMBER()
+    OVER (ORDER BY ...) which DuckDB runs single-node anyway."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    w = Window.partitionBy("source").orderBy("doc_id")
+    rn = d.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).cast("long").alias("source_seq"),
+    )
+    return ordered_prefix_sum(
+        rn, ["source_seq", "source", "doc_id"], F.lit(1),
+        out_col="interleave_pos",
+    )

@@ -78,6 +78,32 @@ def stream_tumbling_replay(spark, sf_dir):
 
 
 @query(
+    "stream_sliding_replay",
+    """
+WITH m AS (SELECT MAX(ts) AS mx FROM events),
+x AS (
+  SELECT event_type,
+         UNNEST([time_bucket(INTERVAL 30 MINUTE, ts),
+                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE])
+           AS ws
+  FROM events
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start,
+       event_type, COUNT(*) AS n_events
+FROM x, m
+WHERE ws + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
+GROUP BY ws, event_type
+""",
+)
+def stream_sliding_replay(spark, sf_dir):
+    """Sliding windows (1h window / 30min slide) via the streaming
+    engine. Every event lands in exactly two 30-min-aligned windows
+    (start in (ts-1h, ts]); the oracle explodes each event into both and
+    keeps the watermark-finalized ones."""
+    return _replay(spark, sf_dir, W.sliding_counts, "append")
+
+
+@query(
     "stream_stateful_totals_replay",
     """
 SELECT user_id, COUNT(*) AS n_events,
