@@ -290,6 +290,7 @@ def bench_scale_probe(spark, sf_dir, timings: dict[str, float], k: int = 10) -> 
             "q9_profit_by_nation_year",
             "dedup_minhash_lsh",
             "text_benchmark_contamination",
+            "pack_sequential_token_bins",
         ):
             if not isinstance(timings.get(name), float):
                 probe[name] = {"error": "headline stage did not run"}
