@@ -39,7 +39,9 @@ def test_skewed_and_tiny_inputs(spark):
 
 
 def test_keeps_plan_distributed(spark):
-    """The point of the operator: no unpartitioned global window."""
+    """The point of the operator: no global window, and the data set
+    shuffles exactly once (the range partition); the cumsum itself is a
+    narrow Arrow stage."""
     import contextlib
     import io
 
@@ -49,7 +51,8 @@ def test_keeps_plan_distributed(spark):
     with contextlib.redirect_stdout(buf):
         out.explain("formatted")
     plan = buf.getvalue()
-    # every Window node must be keyed by the partition id
-    for line in plan.splitlines():
-        if "Window" in line and "windowspecdefinition" in line:
-            assert "__pid" in line, line
+    assert "Window" not in plan
+    assert "MapInPandas" in plan
+    assert plan.count("rangepartitioning") >= 1
+    # no hash exchange of the full frame after the range partition
+    assert "hashpartitioning" not in plan
