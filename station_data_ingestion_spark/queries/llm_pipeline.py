@@ -186,3 +186,79 @@ def interleave_sources_roundrobin(spark, sf_dir):
         rn, ["source_seq", "source", "doc_id"], F.lit(1),
         out_col="interleave_pos",
     )
+
+
+@query(
+    "pipeline_curate_dedup_pack",
+    f"""
+WITH gated AS (
+  SELECT doc_id, text, source,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              AS BIGINT) % 1000 AS bucket,
+         (CAST(substr(source, 4) AS BIGINT) % 4 + 1) * 250 AS keep_below
+  FROM documents
+  WHERE n_chars >= 80 AND lang IN ('en', 'de', 'fr', 'es')
+),
+mixed AS (SELECT doc_id, text FROM gated WHERE bucket < keep_below),
+deduped AS (
+  SELECT MIN(doc_id) AS doc_id,
+         CAST(len(string_split(MIN_BY(text, doc_id), ' ')) AS BIGINT)
+           AS n_tokens
+  FROM mixed GROUP BY md5(text)
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM deduped
+)
+SELECT CAST((cum - n_tokens) // {_BIN_TOKENS} AS BIGINT) AS bin_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM c GROUP BY 1
+""",
+)
+def pipeline_curate_dedup_pack(spark, sf_dir):
+    """The flagship composition: quality gate -> weighted mixture ->
+    exact dedup (keep lowest doc_id per text hash) -> sequential token
+    packing, as ONE lazy plan. Stage shapes: the gate and mixture are
+    scan-local predicates (pushed to parquet where possible), dedup is
+    one shuffle on md5(text), packing is the single-shuffle distributed
+    prefix sum -- three data movements total for the whole curation
+    pipeline, each on a different key, none avoidable at 100 TB."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1000
+    )
+    keep_below = (F.substring("source", 4, 10).cast("long") % 4 + 1) * 250
+    mixed = (
+        d.filter(
+            (F.col("n_chars") >= 80) & F.col("lang").isin("en", "de", "fr", "es")
+        )
+        .filter(bucket < keep_below)
+        .select("doc_id", "text")
+    )
+    deduped = (
+        mixed.groupBy(F.md5("text").alias("__h"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("text", "doc_id").alias("text"),
+        )
+        .select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+    )
+    c = ordered_prefix_sum(deduped, ["doc_id"], "n_tokens", out_col="cum")
+    return (
+        c.withColumn("bin_id", F.expr(f"(cum - n_tokens) div {_BIN_TOKENS}"))
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
