@@ -185,3 +185,63 @@ def test_merge_guard_dup_algebra(spark, rows):
         got = {(r.station_id, r.date, r.value) for r in merged.collect()}
         want = {(s, d, next(iter(vs))) for (s, d), vs in by_key.items()}
         assert got == want and stats.created == len(want)
+
+
+@given(
+    vals=st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=200),
+    nparts=st.sampled_from([1, 4, 32]),
+)
+@settings(**_SETTINGS)
+def test_prefix_sum_equals_serial(spark, vals, nparts):
+    """ordered_prefix_sum == Python's running sum, for any values
+    (negatives, zeros) and any partition count."""
+    from station_data_ingestion_spark.operators.prefix_sum import ordered_prefix_sum
+
+    df = spark.createDataFrame(list(enumerate(vals)), "k long, v long")
+    got = {
+        r["k"]: r["cum"]
+        for r in ordered_prefix_sum(df, ["k"], "v", num_partitions=nparts).collect()
+    }
+    acc, exp = 0, {}
+    for k, v in enumerate(vals):
+        acc += v
+        exp[k] = acc
+    assert got == exp
+
+
+@given(
+    tokens=st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=120)
+)
+@settings(**_SETTINGS)
+def test_pack_bins_invariants(spark, tokens):
+    """Sequential packing invariants on arbitrary token counts:
+    bins are contiguous from 0; every doc's bin matches the serial
+    floor(preceding/2048) rule; bin token totals re-add to the corpus."""
+    import pandas as pd
+
+    from station_data_ingestion_spark.operators.prefix_sum import ordered_prefix_sum
+    from pyspark.sql import functions as F
+
+    cap = 2048
+    df = spark.createDataFrame(list(enumerate(tokens)), "doc_id long, n_tokens long")
+    c = ordered_prefix_sum(df, ["doc_id"], "n_tokens", out_col="cum")
+    got = (
+        c.withColumn("bin_id", F.expr(f"(cum - n_tokens) div {cap}"))
+        .groupBy("bin_id")
+        .agg(F.sum("n_tokens").alias("bin_tokens"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    bins = {r["bin_id"]: (r["bin_tokens"], r["n"]) for r in got}
+    # serial oracle
+    acc, exp = 0, {}
+    for t in tokens:
+        b = acc // cap
+        tot, n = exp.get(b, (0, 0))
+        exp[b] = (tot + t, n + 1)
+        acc += t
+    assert bins == exp
+    if max(tokens) <= cap:
+        # an oversized doc legitimately skips bin ids (its tokens span
+        # several caps); otherwise bins are contiguous from 0
+        assert sorted(bins) == list(range(len(bins)))
+    assert sum(t for t, _ in bins.values()) == sum(tokens)
