@@ -6,6 +6,7 @@ re-exports them to the verification driver.
 
 from station_data_ingestion_spark.queries import (  # noqa: F401
     events,
+    graph_q,
     llm_dedup,
     llm_pipeline,
     llm_quality,

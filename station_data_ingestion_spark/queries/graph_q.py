@@ -1,0 +1,118 @@
+"""Iterative graph analytics under the oracle gate: integer PageRank.
+
+PageRank is the canonical iterative Spark workload, but float damping
+makes results accumulation-order-dependent -- unverifiable against a
+second engine. This variant runs the power iteration entirely in scaled
+INTEGER arithmetic (rank mass in 1e-12 units, integer division for the
+damping and out-degree splits), so every iteration is bit-identical on
+any engine and partitioning, and the DuckDB oracle is the same fixed
+number of iterations unrolled as a CTE chain (GROUP BY is illegal in a
+recursive CTE member, so fixed-depth unrolling IS the portable form).
+
+Graph: the customer<->supplier bipartite graph of who bought from whom
+(distinct (o_custkey, l_suppkey) pairs via orders |x| lineitem), edges
+in both directions so neither side is a rank sink. At 100 TB each
+iteration is one join + one aggregation shuffle, both on node id;
+iterations are a fixed constant (5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from station_data_ingestion_spark.queries.registry import load, query
+
+_SCALE = 10**12
+_SUPP_OFF = 10**9
+_ITERS = 5
+
+
+def _pagerank_oracle() -> str:
+    head = f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT cust AS src, supp + {_SUPP_OFF} AS dst FROM pairs
+  UNION ALL
+  SELECT supp + {_SUPP_OFF} AS src, cust AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+meta AS (SELECT COUNT(*) AS n FROM nodes),
+outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT node, {_SCALE} // m.n AS rank FROM nodes, meta m)"""
+    steps = []
+    for i in range(1, _ITERS + 1):
+        steps.append(f""",
+r{i} AS (
+  SELECT nd.node,
+         (15 * {_SCALE}) // (100 * m.n)
+           + (85 * COALESCE(s.s, 0)) // 100 AS rank
+  FROM nodes nd CROSS JOIN meta m
+  LEFT JOIN (
+    SELECT e.dst, SUM(r.rank // o.deg) AS s
+    FROM edges e
+    JOIN r{i - 1} r ON e.src = r.node
+    JOIN outdeg o ON e.src = o.src
+    GROUP BY e.dst
+  ) s ON s.dst = nd.node
+)""")
+    return (
+        head
+        + "".join(steps)
+        + f"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r{_ITERS}"
+    )
+
+
+@query("graph_pagerank_bipartite", _pagerank_oracle())
+def graph_pagerank_bipartite(spark, sf_dir):
+    """5 integer power iterations of damped PageRank (d=0.85) over the
+    customer<->supplier purchase graph. The node count is the only
+    driver-side scalar (graph metadata, like k-means' k centroids)."""
+    t = load(spark, sf_dir, "orders", "lineitem")
+    pairs = (
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    edges = (
+        pairs.select(
+            F.col("cust").alias("src"), (F.col("supp") + _SUPP_OFF).alias("dst")
+        )
+        .unionByName(
+            pairs.select(
+                (F.col("supp") + _SUPP_OFF).alias("src"), F.col("cust").alias("dst")
+            )
+        )
+        .persist()
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+    n = nodes.count()
+    # out-degree rides ON the edge rows, joined ONCE outside the loop:
+    # each iteration is then exactly one rank join + one dst aggregation
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edeg = edges.join(outdeg, "src").persist()
+    base = (15 * _SCALE) // (100 * n)
+
+    rank = nodes.withColumn("rank", F.lit(_SCALE // n))
+    for _ in range(_ITERS):
+        contrib = (
+            edeg.join(rank, edeg["src"] == rank["node"])
+            .select(F.col("dst"), F.expr("rank div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        # no per-iteration persist: each rank feeds exactly one consumer,
+        # so the 5-iteration lineage executes once as a chain; only the
+        # fan-out frames (edges+degrees, nodes) are cached
+        rank = nodes.join(contrib, nodes["node"] == contrib["dst"], "left").select(
+            "node",
+            (F.lit(base) + F.expr("coalesce(s, 0) * 85 div 100")).alias("rank"),
+        )
+    return rank
