@@ -116,3 +116,45 @@ def range_join_signup_hour_activity(spark, sf_dir):
             "total_value"
         ),
     )
+
+
+@query(
+    "skew_salted_user_join",
+    """
+WITH s AS (
+  SELECT user_id, COUNT(*) AS n_purch
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT e.event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(COALESCE(s.n_purch, 0)) AS BIGINT) AS total_purch
+FROM events e LEFT JOIN s ON e.user_id = s.user_id
+GROUP BY e.event_type
+""",
+)
+def skew_salted_user_join(spark, sf_dir):
+    """The explicit skew-mitigation operator under the oracle gate:
+    events (big side) left-join a per-user purchase count through
+    salted_join (8 salt buckets, event_id-hashed spread), so a
+    pathologically hot user occupies 8 shuffle partitions instead of 1.
+    Results must equal a plain join -- the oracle IS the plain join."""
+    from station_data_ingestion_spark.operators.skew import salted_join
+
+    e = load(spark, sf_dir, "events")["events"]
+    small = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purch"))
+    )
+    joined = salted_join(
+        e.select("event_id", "user_id", "event_type"),
+        small,
+        on=["user_id"],
+        n_salt=8,
+        big_unique_cols=["event_id"],
+        how="left",
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.coalesce(F.col("n_purch"), F.lit(0))).alias("total_purch"),
+    )
