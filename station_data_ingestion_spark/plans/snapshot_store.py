@@ -90,10 +90,17 @@ class SnapshotTable:
         spark: SparkSession,
         path: str,
         partition_cols: tuple[str, ...] = ("datatype", "period"),
+        stat_cols: tuple[str, ...] = ("date",),
     ):
         self.spark = spark
         self.path = path.rstrip("/")
         self.partition_cols = tuple(partition_cols)
+        # columns whose per-FILE min/max land in the manifest: zone-map
+        # data skipping for non-partition columns. At 100 TB this prunes
+        # files driver-side before Spark lists anything -- the same idea
+        # as Delta/Iceberg file stats. Columns absent from a commit's
+        # schema are skipped silently.
+        self.stat_cols = tuple(stat_cols)
 
     # -- manifest plumbing -------------------------------------------------
 
@@ -157,13 +164,22 @@ class SnapshotTable:
 
     # -- read --------------------------------------------------------------
 
-    def read(self, partition: dict | None = None) -> DataFrame | None:
+    def read(
+        self,
+        partition: dict | None = None,
+        ranges: dict[str, tuple] | None = None,
+    ) -> DataFrame | None:
         """DataFrame over the latest snapshot's files; None if no table.
 
         ``partition``: optional {col: value} filter applied DRIVER-SIDE to
         the manifest, so pruned files are never even listed by Spark.
-        The returned plan holds an explicit file list -- immune to
-        concurrent commits for its whole lifetime.
+        ``ranges``: optional {col: (lo, hi)} inclusive bounds matched
+        against the manifest's per-file min/max stats (zone maps): a
+        file is skipped iff its recorded range cannot intersect the
+        query range. Files without stats for a column are always kept
+        (pruning is an optimization, never a filter -- callers still
+        apply the real predicate). The returned plan holds an explicit
+        file list -- immune to concurrent commits for its whole lifetime.
         """
         v = self.latest_version()
         if v is None:
@@ -174,6 +190,20 @@ class SnapshotTable:
                 e for e in entries
                 if all(e["partition"].get(k) == v_ for k, v_ in partition.items())
             ]
+        if ranges:
+            def may_match(e: dict) -> bool:
+                stats = e.get("stats") or {}
+                for col, (lo, hi) in ranges.items():
+                    mnmx = stats.get(col)
+                    if mnmx is None or mnmx[0] is None or mnmx[1] is None:
+                        continue  # no stats -> cannot prune
+                    if (hi is not None and mnmx[0] > hi) or (
+                        lo is not None and mnmx[1] < lo
+                    ):
+                        return False
+                return True
+
+            entries = [e for e in entries if may_match(e)]
         if not entries:
             return None
         paths = [f"{self.path}/data/{e['path']}" for e in entries]
@@ -193,6 +223,30 @@ class SnapshotTable:
 
     # -- write -------------------------------------------------------------
 
+    def _file_stats(self, staging: str, cols: list[str]) -> dict[str, dict]:
+        """Per-staged-file min/max of `cols` (one small Spark job)."""
+        from pyspark.sql import functions as F
+
+        if not cols or not _list_parquet_rel(self.spark, staging):
+            return {}  # zero-row commit stages no files
+        df = self.spark.read.parquet(staging)
+        present = [c for c in cols if c in df.columns]
+        if not present:
+            return {}
+        aggs = []
+        for c in present:
+            aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+        rows = (
+            df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
+        )
+        out: dict[str, dict] = {}
+        for r in rows:
+            fname = r["__f"].rsplit("/", 1)[-1]
+            out[fname] = {
+                c: [r[f"__mn_{c}"], r[f"__mx_{c}"]] for c in present
+            }
+        return out
+
     def commit_overwrite_partitions(self, df: DataFrame) -> int:
         """Write df's rows, replacing exactly the partitions df contains.
 
@@ -204,7 +258,8 @@ class SnapshotTable:
         """
         staging = f"{self.path}/{_STAGING}/{uuid.uuid4().hex}"
         df.write.partitionBy(*self.partition_cols).parquet(staging)
-        new_entries = self._promote_staging(staging)
+        stats = self._file_stats(staging, list(self.stat_cols))
+        new_entries = self._promote_staging(staging, stats)
         replaced = {
             tuple(sorted(e["partition"].items())) for e in new_entries
         }
@@ -229,7 +284,9 @@ class SnapshotTable:
             f"lost the publish race {_MAX_COMMIT_ATTEMPTS} times at {self.path}"
         )
 
-    def _promote_staging(self, staging: str) -> list[dict]:
+    def _promote_staging(
+        self, staging: str, stats: dict[str, dict] | None = None
+    ) -> list[dict]:
         """Rename staged parquet files into the shared data tree.
 
         The commit id in the FILE NAME (not a directory level) keeps the
@@ -250,9 +307,13 @@ class SnapshotTable:
             fs.mkdirs(dest.getParent())
             if not fs.rename(HPath(f"{staging}/{rel}"), dest):
                 raise IOError(f"failed to promote {rel} into {self.path}/data")
-            entries.append(
-                {"path": dest_rel, "partition": _partition_of(rel, self.partition_cols)}
-            )
+            entry = {
+                "path": dest_rel,
+                "partition": _partition_of(rel, self.partition_cols),
+            }
+            if stats and fname in stats:
+                entry["stats"] = stats[fname]
+            entries.append(entry)
         fs.delete(HPath(staging), True)
         return entries
 

@@ -255,3 +255,53 @@ def test_vacuum_after_crash_reaps_staged_and_promoted_orphans(spark, tmp_path):
     assert {(r.station_id, r.value) for r in t.read().collect()} == {("1", 1.0)}
     # idempotent: nothing left to reap
     assert t.vacuum(older_than_sec=0.0) == []
+
+
+def test_manifest_file_stats_prune_reads(spark, tmp_path):
+    """Commits record per-file min/max of stat_cols; range reads skip
+    files whose zone map cannot intersect -- without changing results."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stat_cols=("date",))
+    # three commits = three files with disjoint date ranges
+    for month, vals in (
+        ("2022-01", [("1", "2022-01-05", 1.0), ("2", "2022-01-20", 2.0)]),
+        ("2022-02", [("1", "2022-02-10", 3.0)]),
+        ("2022-03", [("3", "2022-03-01", 4.0), ("1", "2022-03-30", 5.0)]),
+    ):
+        t.commit_overwrite_partitions(
+            _df(spark, [(s, d, v, f"m{month}", "day") for s, d, v in vals])
+        )
+
+    manifest = t._read_manifest(t.latest_version())
+    stats = {e["path"]: e.get("stats", {}).get("date") for e in manifest["files"]}
+    assert all(s is not None for s in stats.values()), stats
+    assert any(s == ["2022-02-10", "2022-02-10"] for s in stats.values())
+
+    # range read: only the February file is referenced
+    feb = t.read(ranges={"date": ("2022-02-01", "2022-02-28")})
+    assert len(feb.inputFiles()) == 1
+    assert [(r.station_id, r.value) for r in feb.collect()] == [("1", 3.0)]
+
+    # open-ended bound: everything from March 1 on (the March commit may
+    # have split into several files; all must be March files)
+    mar = t.read(ranges={"date": ("2022-03-01", None)})
+    assert mar.inputFiles() and all(
+        "datatype=m2022-03" in f for f in mar.inputFiles()
+    )
+    assert {r.value for r in mar.collect()} == {4.0, 5.0}
+
+    # a range matching nothing prunes every file
+    assert t.read(ranges={"date": ("2030-01-01", "2030-12-31")}) is None
+
+    # files WITHOUT stats are never pruned: simulate a legacy manifest
+    import json as _json
+
+    v = t.latest_version()
+    m = t._read_manifest(v)
+    for e in m["files"]:
+        e.pop("stats", None)
+    (tmp_path / "tbl" / "_snapshots" / f"v{v + 1:012d}.json").write_text(
+        _json.dumps({**m, "version": v + 1})
+    )
+    legacy = t.read(ranges={"date": ("2022-02-01", "2022-02-28")})
+    # kept ALL files; the caller's real predicate decides
+    assert len(legacy.inputFiles()) == len(m["files"])
