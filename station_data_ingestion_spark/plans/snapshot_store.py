@@ -247,7 +247,12 @@ class SnapshotTable:
             }
         return out
 
-    def commit_overwrite_partitions(self, df: DataFrame) -> int:
+    def commit_overwrite_partitions(
+        self,
+        df: DataFrame,
+        cluster_by: tuple[str, ...] | None = None,
+        cluster_partitions: int | None = None,
+    ) -> int:
         """Write df's rows, replacing exactly the partitions df contains.
 
         Dynamic-partition-overwrite semantics, transactionally: partitions
@@ -255,7 +260,22 @@ class SnapshotTable:
         version. Safe under concurrent commits to DISJOINT partitions;
         commits touching the same partition serialize by version, last
         publisher wins (same as Delta's replaceWhere at this granularity).
+
+        ``cluster_by``: optionally range-partition + sort the rows by
+        these columns before writing, so each file covers a TIGHT,
+        mostly-disjoint value range -- what makes the manifest zone maps
+        (stat_cols) actually prune. Without clustering, every file spans
+        the whole value range and range reads skip nothing (the same
+        reason Delta has OPTIMIZE ZORDER).
         """
+        if cluster_by:
+            # explicit cluster_partitions pins the file count (AQE would
+            # otherwise coalesce small commits into one file, which is
+            # fine for size but defeats a pruning test/layout goal)
+            args = ([cluster_partitions] if cluster_partitions else []) + list(
+                cluster_by
+            )
+            df = df.repartitionByRange(*args).sortWithinPartitions(*cluster_by)
         staging = f"{self.path}/{_STAGING}/{uuid.uuid4().hex}"
         df.write.partitionBy(*self.partition_cols).parquet(staging)
         stats = self._file_stats(staging, list(self.stat_cols))

@@ -305,3 +305,32 @@ def test_manifest_file_stats_prune_reads(spark, tmp_path):
     legacy = t.read(ranges={"date": ("2022-02-01", "2022-02-28")})
     # kept ALL files; the caller's real predicate decides
     assert len(legacy.inputFiles()) == len(m["files"])
+
+
+def test_cluster_by_makes_zone_maps_effective(spark, tmp_path):
+    """One wide-date commit: clustered writes give tight per-file ranges
+    so a narrow range read touches a strict subset of files."""
+    rows = [
+        (str(i), f"2022-{m:02d}-{d:02d}", float(i), "temperature", "day")
+        for i, (m, d) in enumerate(
+            (m, d) for m in range(1, 13) for d in (3, 17, 28)
+        )
+    ]
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stat_cols=("date",))
+    t.commit_overwrite_partitions(
+        _df(spark, rows), cluster_by=("date",), cluster_partitions=4
+    )
+
+    n_total = len(t._read_manifest(t.latest_version())["files"])
+    assert n_total > 1, "fixture needs multiple files to show pruning"
+    june = t.read(ranges={"date": ("2022-06-01", "2022-06-30")})
+    assert len(june.inputFiles()) < n_total  # pruning evidence
+    # pruning keeps whole files -- the caller's predicate is still the
+    # filter; after it, results equal the unpruned read's
+    got = {
+        r.date
+        for r in june.filter(
+            (F.col("date") >= "2022-06-01") & (F.col("date") <= "2022-06-30")
+        ).collect()
+    }
+    assert got == {"2022-06-03", "2022-06-17", "2022-06-28"}
