@@ -451,3 +451,54 @@ def text_benchmark_contamination(spark, sf_dir):
         .filter(ratio >= 0.1)
         .select("doc_id", F.round(ratio, 4).alias("contamination"))
     )
+
+
+_CANON_ORACLE = f"""
+WITH RECURSIVE {_SHINGLE_SQL},
+pairs AS (SELECT a_id, b_id FROM jacc WHERE j >= 0.8),
+edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+          UNION SELECT b_id, a_id FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+labels AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS rep_id FROM reach GROUP BY u
+),
+assigned AS (
+  SELECT d.doc_id, COALESCE(l.rep_id, d.doc_id) AS rep_id
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+)
+SELECT rep_id AS canonical_id,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+FROM assigned GROUP BY rep_id
+"""
+
+
+@query("dedup_canonical_docs", _CANON_ORACLE)
+def dedup_canonical_docs(spark, sf_dir, checkpoint_dir=None):
+    """The dedup pipeline's terminal step: one canonical survivor per
+    near-dup cluster (lowest doc_id), singletons kept, with how many
+    near-dups each survivor absorbed. Composes the connected-components
+    operator with a left join over the corpus -- the shape that turns
+    'here are the clusters' into 'here is the training set'."""
+    from station_data_ingestion_spark.operators.graph import (
+        connected_components,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    pairs = _exact_jaccard_pairs(d, 0.8).select("a_id", "b_id")
+    labels = connected_components(pairs, checkpoint_dir=checkpoint_dir).select(
+        F.col("node").alias("doc_id"), F.col("rep").alias("rep_id")
+    )
+    assigned = (
+        d.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("rep_id", "doc_id").alias("canonical_id")
+        )
+    )
+    return assigned.groupBy("canonical_id").agg(
+        (F.count(F.lit(1)) - 1).alias("n_dropped")
+    )
