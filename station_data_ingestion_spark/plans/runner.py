@@ -491,6 +491,10 @@ def _overwrite_slice(
     if snap.exists() or (
         table_format == "snapshot" and not _table_has_parquet(spark, table_path)
     ):
+        # NOT clustered: repartitionByRange samples its child plan, which
+        # would evaluate the merge plan (and its created/replaced stat
+        # aggregation) twice. Zone-map stats still record; a maintenance
+        # pass can re-cluster slices offline when date pruning matters.
         snap.commit_overwrite_partitions(merged)
         return
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")

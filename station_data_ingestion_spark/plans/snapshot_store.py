@@ -266,7 +266,10 @@ class SnapshotTable:
         mostly-disjoint value range -- what makes the manifest zone maps
         (stat_cols) actually prune. Without clustering, every file spans
         the whole value range and range reads skip nothing (the same
-        reason Delta has OPTIMIZE ZORDER).
+        reason Delta has OPTIMIZE ZORDER). CAVEAT: repartitionByRange
+        SAMPLES its input to pick boundaries, evaluating ``df``'s plan
+        twice -- only pass pure plans (no accumulator/stat side effects,
+        no nondeterminism); persist first otherwise.
         """
         if cluster_by:
             # explicit cluster_partitions pins the file count (AQE would
@@ -339,6 +342,27 @@ class SnapshotTable:
 
     # -- maintenance -------------------------------------------------------
 
+    def recluster_partition(
+        self,
+        partition: dict,
+        cluster_by: tuple[str, ...],
+        cluster_partitions: int | None = None,
+    ) -> int | None:
+        """Rewrite one partition's files clustered by ``cluster_by`` --
+        the offline OPTIMIZE pass that makes zone maps tight for tables
+        whose ingest path cannot cluster inline (e.g. merge plans with
+        stat side effects; see the commit_overwrite_partitions caveat --
+        a snapshot read is a pure file scan, so double evaluation by
+        repartitionByRange's sampling is harmless here). Also compacts
+        small files as a side effect. Returns the new version, or None
+        if the partition has no files."""
+        df = self.read(partition=partition)
+        if df is None:
+            return None
+        return self.commit_overwrite_partitions(
+            df, cluster_by=cluster_by, cluster_partitions=cluster_partitions
+        )
+
     def vacuum(self, older_than_sec: float = 24 * 3600.0) -> list[str]:
         """Delete data files unreferenced by the LATEST manifest.
 
@@ -390,11 +414,26 @@ def is_snapshot_table(spark: SparkSession, path: str) -> bool:
     return SnapshotTable(spark, path).exists()
 
 
-def read_table(spark: SparkSession, path: str) -> DataFrame:
-    """Read a merge target regardless of layout (snapshot or plain)."""
+def read_table(
+    spark: SparkSession,
+    path: str,
+    partition: dict | None = None,
+    ranges: dict[str, tuple] | None = None,
+) -> DataFrame:
+    """Read a merge target regardless of layout (snapshot or plain).
+
+    ``partition``/``ranges`` prune snapshot manifests driver-side (see
+    :meth:`SnapshotTable.read`); on plain layouts they are ignored --
+    callers must always apply their real predicate either way.
+    """
     t = SnapshotTable(spark, path)
     if t.exists():
-        df = t.read()
+        df = t.read(partition=partition, ranges=ranges)
+        if df is None and (partition or ranges):
+            # pruned to nothing: a valid empty result, not a missing table
+            full = t.read()
+            if full is not None:
+                return full.limit(0)
         if df is None:
             raise FileNotFoundError(f"snapshot table {path} has no live files")
         return df

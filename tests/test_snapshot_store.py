@@ -334,3 +334,37 @@ def test_cluster_by_makes_zone_maps_effective(spark, tmp_path):
         ).collect()
     }
     assert got == {"2022-06-03", "2022-06-17", "2022-06-28"}
+
+
+def test_recluster_partition_tightens_zone_maps(spark, tmp_path):
+    """An unclustered table's files overlap on date; recluster_partition
+    rewrites the slice range-sorted so a narrow read prunes, and the
+    rows survive byte-identical."""
+    rows = [
+        (str(i), f"2022-{m:02d}-{d:02d}", float(i), "temperature", "day")
+        for i, (m, d) in enumerate(
+            (m, d) for m in range(1, 13) for d in (4, 18, 27)
+        )
+    ]
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stat_cols=("date",))
+    # unclustered ingest: rows land in hash-arbitrary files
+    t.commit_overwrite_partitions(_df(spark, rows).repartition(4))
+    before = {(r.station_id, r.date, r.value) for r in t.read().collect()}
+
+    v = t.recluster_partition(
+        {"datatype": "temperature", "period": "day"},
+        cluster_by=("date",),
+        cluster_partitions=4,
+    )
+    assert v == 2
+    after_all = t.read()
+    assert {(r.station_id, r.date, r.value) for r in after_all.collect()} == before
+
+    n_total = len(t._read_manifest(v)["files"])
+    assert n_total > 1
+    june = t.read(ranges={"date": ("2022-06-01", "2022-06-30")})
+    assert len(june.inputFiles()) < n_total  # pruning now effective
+    # empty partition: no-op
+    assert t.recluster_partition(
+        {"datatype": "absent", "period": "day"}, cluster_by=("date",)
+    ) is None
