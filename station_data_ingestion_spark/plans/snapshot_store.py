@@ -69,6 +69,34 @@ def _list_parquet_rel(spark: SparkSession, root: str) -> list[str]:
     return out
 
 
+def _json_safe_stat(v, lo: bool):
+    """Coerce a collected stat value to a JSON-serializable primitive.
+
+    Without this, DATE/TIMESTAMP/DECIMAL stat columns come back from
+    collect() as datetime/Decimal objects and json.dumps in
+    _write_manifest_exclusive raises TypeError, failing the whole commit.
+
+    Ordering must survive the coercion or pruning turns lossy:
+    - date/datetime -> ISO strings (fixed-width prefix => lexicographic
+      order == chronological order)
+    - Decimal -> float, nudged OUTWARD (min down, max up) so a value that
+      rounds across the boundary can never be wrongly pruned
+    - anything else non-primitive -> dropped (None = "no stats, keep file")
+    """
+    import datetime as _dt
+    import math as _math
+    from decimal import Decimal as _Dec
+
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    if isinstance(v, _Dec):
+        f = float(v)
+        return _math.nextafter(f, -_math.inf if lo else _math.inf)
+    return None
+
+
 def _partition_of(rel_path: str, partition_cols: tuple[str, ...]) -> dict:
     """Extract {col: value} from hive-style ``k=v`` segments of a path."""
     values: dict[str, str | None] = {}
@@ -191,16 +219,27 @@ class SnapshotTable:
                 if all(e["partition"].get(k) == v_ for k, v_ in partition.items())
             ]
         if ranges:
+            # query bounds go through the same coercion as manifest stats
+            # (dates -> ISO strings, Decimal -> float) so comparisons are
+            # always like-typed
+            cranges = {
+                c: (_json_safe_stat(lo, lo=True), _json_safe_stat(hi, lo=False))
+                for c, (lo, hi) in ranges.items()
+            }
+
             def may_match(e: dict) -> bool:
                 stats = e.get("stats") or {}
-                for col, (lo, hi) in ranges.items():
+                for col, (lo, hi) in cranges.items():
                     mnmx = stats.get(col)
                     if mnmx is None or mnmx[0] is None or mnmx[1] is None:
                         continue  # no stats -> cannot prune
-                    if (hi is not None and mnmx[0] > hi) or (
-                        lo is not None and mnmx[1] < lo
-                    ):
-                        return False
+                    try:
+                        if (hi is not None and mnmx[0] > hi) or (
+                            lo is not None and mnmx[1] < lo
+                        ):
+                            return False
+                    except TypeError:
+                        continue  # unlike types -> cannot prune, keep file
                 return True
 
             entries = [e for e in entries if may_match(e)]
@@ -224,7 +263,16 @@ class SnapshotTable:
     # -- write -------------------------------------------------------------
 
     def _file_stats(self, staging: str, cols: list[str]) -> dict[str, dict]:
-        """Per-staged-file min/max of `cols` (one small Spark job)."""
+        """Per-staged-file min/max of `cols` (one small Spark job).
+
+        Keyed by STAGING-RELATIVE path, not basename: a dynamic-partition
+        write task emits identically-named part files into different
+        partition directories, so basenames collide and stats would be
+        attributed to the wrong file — which lets read(ranges=...) prune
+        a file that actually contains in-range rows (silent data loss).
+        """
+        from urllib.parse import unquote
+
         from pyspark.sql import functions as F
 
         if not cols or not _list_parquet_rel(self.spark, staging):
@@ -239,11 +287,19 @@ class SnapshotTable:
         rows = (
             df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
         )
+        # input_file_name() yields a URI (scheme-qualified, percent-encoded);
+        # the Hadoop listing in _promote_staging yields literal path segments.
+        # Split on the unique staging dir name and unquote once to align.
+        token = "/" + staging.rstrip("/").rsplit("/", 1)[-1] + "/"
         out: dict[str, dict] = {}
         for r in rows:
-            fname = r["__f"].rsplit("/", 1)[-1]
-            out[fname] = {
-                c: [r[f"__mn_{c}"], r[f"__mx_{c}"]] for c in present
+            rel = unquote(r["__f"]).split(token, 1)[-1]
+            out[rel] = {
+                c: [
+                    _json_safe_stat(r[f"__mn_{c}"], lo=True),
+                    _json_safe_stat(r[f"__mx_{c}"], lo=False),
+                ]
+                for c in present
             }
         return out
 
@@ -286,7 +342,14 @@ class SnapshotTable:
         replaced = {
             tuple(sorted(e["partition"].items())) for e in new_entries
         }
+        return self._commit_entries(replaced, new_entries)
 
+    def _commit_entries(
+        self, replaced: set[tuple], new_entries: list[dict]
+    ) -> int:
+        """Publish: latest files with `replaced` partitions' entries
+        swapped for `new_entries`. Declarative — no data I/O — so the
+        optimistic-retry loop is cheap."""
         for _ in range(_MAX_COMMIT_ATTEMPTS):
             base_v = self.latest_version()
             kept: list[dict] = []
@@ -334,19 +397,27 @@ class SnapshotTable:
                 "path": dest_rel,
                 "partition": _partition_of(rel, self.partition_cols),
             }
-            if stats and fname in stats:
-                entry["stats"] = stats[fname]
+            if stats and rel in stats:
+                entry["stats"] = stats[rel]
             entries.append(entry)
         fs.delete(HPath(staging), True)
         return entries
 
     # -- maintenance -------------------------------------------------------
 
+    def _partition_entries(self, version: int, partition: dict) -> list[dict]:
+        return [
+            e
+            for e in self._read_manifest(version)["files"]
+            if all(e["partition"].get(k) == v for k, v in partition.items())
+        ]
+
     def recluster_partition(
         self,
         partition: dict,
         cluster_by: tuple[str, ...],
         cluster_partitions: int | None = None,
+        _max_attempts: int = 5,
     ) -> int | None:
         """Rewrite one partition's files clustered by ``cluster_by`` --
         the offline OPTIMIZE pass that makes zone maps tight for tables
@@ -355,12 +426,47 @@ class SnapshotTable:
         a snapshot read is a pure file scan, so double evaluation by
         repartitionByRange's sampling is harmless here). Also compacts
         small files as a side effect. Returns the new version, or None
-        if the partition has no files."""
-        df = self.read(partition=partition)
-        if df is None:
-            return None
-        return self.commit_overwrite_partitions(
-            df, cluster_by=cluster_by, cluster_partitions=cluster_partitions
+        if the partition has no files.
+
+        Concurrency: recluster is read-modify-write, so an ingest commit
+        to the SAME partition landing between our read and our publish
+        would be silently reverted to pre-recluster rows. After
+        publishing we audit the intermediate manifests; on conflict we
+        restore the newest intermediate content of the partition with a
+        purely declarative manifest commit (data files are immutable, so
+        the clobbered commit's files still exist) and retry the
+        recluster from there. Equivalent to Delta's OPTIMIZE losing a
+        conflict check and re-running.
+        """
+        for _ in range(_max_attempts):
+            base_v = self.latest_version()
+            if base_v is None:
+                return None
+            df = self.read(partition=partition)
+            if df is None:
+                return None
+            new_v = self.commit_overwrite_partitions(
+                df, cluster_by=cluster_by, cluster_partitions=cluster_partitions
+            )
+            base_paths = {e["path"] for e in self._partition_entries(base_v, partition)}
+            conflict_v = None
+            for v in range(base_v + 1, new_v):
+                mid_paths = {
+                    e["path"] for e in self._partition_entries(v, partition)
+                }
+                if mid_paths != base_paths:
+                    conflict_v = v  # newest conflicting version wins
+            if conflict_v is None:
+                return new_v
+            # restore the clobbered content declaratively, then retry
+            restore = self._partition_entries(conflict_v, partition)
+            replaced = {
+                tuple(sorted(e["partition"].items())) for e in restore
+            } or {tuple(sorted(partition.items()))}
+            self._commit_entries(replaced, restore)
+        raise ConcurrentCommitError(
+            f"recluster of {partition} at {self.path} kept conflicting "
+            f"with concurrent ingest after {_max_attempts} attempts"
         )
 
     def vacuum(self, older_than_sec: float = 24 * 3600.0) -> list[str]:

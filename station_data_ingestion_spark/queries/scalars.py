@@ -236,8 +236,8 @@ WITH m AS (
   FROM orders WHERE o_orderkey < 100
 )
 SELECT o_orderkey,
-       map_keys(props) AS prop_keys,
-       map_values(props) AS prop_values,
+       array_to_string(map_keys(props), ',') AS prop_keys,
+       array_to_string(map_values(props), ',') AS prop_values,
        CAST(cardinality(props) AS INT) AS n_props,
        map_extract(props, 'status')[1] AS status_val,
        CAST(map_extract(props, 'prio')[1] IS NOT NULL AS INT) AS has_prio
@@ -246,16 +246,18 @@ FROM m
 )
 def scalar_map_functions(spark, sf_dir):
     """MapType surface: create_map, map_keys/values, size, element_at,
-    map_contains_key. Maps never appear raw in the output (engine wire
-    formats differ); derived arrays/scalars are compared instead."""
+    map_contains_key. Neither maps NOR arrays appear raw in the output —
+    the driver's canonicalizer (pandas sort_values) cannot factorize
+    array cells, so derived arrays are reduced with array_join and only
+    scalar columns are emitted (VERDICT r3 item #1)."""
     o = load(spark, sf_dir, "orders")["orders"].filter(F.col("o_orderkey") < 100)
     m = F.create_map(
         F.lit("status"), F.col("o_orderstatus"), F.lit("prio"), F.col("o_orderpriority")
     )
     return o.select(
         "o_orderkey",
-        F.map_keys(m).alias("prop_keys"),
-        F.map_values(m).alias("prop_values"),
+        F.array_join(F.map_keys(m), ",").alias("prop_keys"),
+        F.array_join(F.map_values(m), ",").alias("prop_values"),
         F.size(m).alias("n_props"),
         F.element_at(m, "status").alias("status_val"),
         F.map_contains_key(m, "prio").cast("int").alias("has_prio"),

@@ -91,6 +91,38 @@ _GLOBAL_WIN = re.compile(r"windowspecdefinition\([^,)]+ (?:ASC|DESC)")
 
 
 @pytest.mark.parametrize("name", ALL_QUERIES)
+def test_no_complex_output_types(spark, name):
+    """The driver's canonicalizer (pandas sort_values over all columns)
+    raises "unhashable type" on array/map/struct cells (r3:
+    scalar_map_functions was the one red in the gate). No registered
+    query may emit a complex-typed output column — reduce with
+    array_join / element picks / to_json instead."""
+    from pyspark.sql import types as T
+
+    schema = QUERIES[name].fn(spark, SF).schema
+    bad = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not bad, f"{name}: complex-typed output columns {bad}"
+
+
+def test_complex_output_audit_catches_planted_array(spark):
+    """The audit itself must red-flag an array-typed output column."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = spark.range(3).select(F.array(F.lit("a"), F.lit("b")).alias("xs"))
+    flagged = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert flagged == ["xs"]
+
+
+@pytest.mark.parametrize("name", ALL_QUERIES)
 def test_no_unpartitioned_window(spark, name):
     """A Window with no PARTITION BY moves the whole input to one
     partition -- the silent scale-killer WindowExec only warns about."""

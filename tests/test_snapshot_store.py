@@ -368,3 +368,101 @@ def test_recluster_partition_tightens_zone_maps(spark, tmp_path):
     assert t.recluster_partition(
         {"datatype": "absent", "period": "day"}, cluster_by=("date",)
     ) is None
+
+
+def test_multi_partition_commit_stats_do_not_collide(spark, tmp_path):
+    """A dynamic-partition write emits identically-NAMED part files into
+    different partition dirs; stats keyed by basename would collide and
+    attribute one partition's min/max to the other, letting a ranged
+    read prune a file that holds in-range rows (silent data loss)."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stat_cols=("date",))
+    # one task writes BOTH partitions -> both get part-00000-... basenames
+    df = _df(
+        spark,
+        [("1", "2022-01-15", 1.0, "temperature", "day"),
+         ("2", "2022-06-15", 2.0, "rainfall", "day")],
+    ).coalesce(1)
+    t.commit_overwrite_partitions(df)
+    man = json.loads(
+        (tmp_path / "tbl" / "_snapshots" / "v000000000001.json").read_text()
+    )
+    entries = {e["partition"]["datatype"]: e for e in man["files"]}
+    assert entries["temperature"]["stats"]["date"] == ["2022-01-15", "2022-01-15"]
+    assert entries["rainfall"]["stats"]["date"] == ["2022-06-15", "2022-06-15"]
+    # ranged read over June must still see the rainfall row
+    got = t.read(ranges={"date": ("2022-06-01", "2022-06-30")})
+    rows = got.filter(F.col("date").between("2022-06-01", "2022-06-30")).collect()
+    assert [(r.station_id, r.value) for r in rows] == [("2", 2.0)]
+
+
+def test_date_typed_stat_cols_commit_and_prune(spark, tmp_path):
+    """DATE/DECIMAL stat columns must not break json.dumps in the
+    manifest publish; coerced stats keep pruning correct."""
+    import datetime
+
+    t = SnapshotTable(
+        spark, str(tmp_path / "tbl"),
+        partition_cols=("datatype",), stat_cols=("d", "price"),
+    )
+    df = spark.createDataFrame(
+        [("a", datetime.date(2022, 1, 1), 1.50),
+         ("a", datetime.date(2022, 1, 31), 2.25)],
+        "datatype string, d date, price double",
+    ).coalesce(1)
+    df2 = spark.createDataFrame(
+        [("b", datetime.date(2022, 6, 1), 9.75)],
+        "datatype string, d date, price double",
+    ).coalesce(1)
+    t.commit_overwrite_partitions(df)      # would raise TypeError pre-fix
+    t.commit_overwrite_partitions(df2)
+    # ISO-string range bounds AND datetime.date bounds both work
+    for bounds in [("2022-05-01", "2022-12-31"),
+                   (datetime.date(2022, 5, 1), datetime.date(2022, 12, 31))]:
+        got = t.read(ranges={"d": bounds})
+        assert [r.datatype for r in got.collect()] == ["b"]
+
+
+def test_recluster_detects_and_repairs_concurrent_ingest(spark, tmp_path):
+    """An ingest commit landing between recluster's read and publish must
+    not be silently reverted: the audit restores it and retries."""
+    path = str(tmp_path / "tbl")
+    t = SnapshotTable(spark, path, stat_cols=("date",))
+    part = {"datatype": "temperature", "period": "day"}
+    t.commit_overwrite_partitions(
+        _df(spark, [("1", "2022-03-01", 1.0, "temperature", "day"),
+                    ("2", "2022-03-02", 2.0, "temperature", "day")])
+    )
+
+    class RacyTable(SnapshotTable):
+        fired = False
+
+        def commit_overwrite_partitions(self, df, **kw):
+            if not RacyTable.fired:
+                RacyTable.fired = True
+                # concurrent ingest lands AFTER recluster's read,
+                # BEFORE its publish
+                SnapshotTable(spark, path, stat_cols=("date",)).commit_overwrite_partitions(
+                    _df(spark, [("9", "2022-03-09", 9.0, "temperature", "day")])
+                )
+            return super().commit_overwrite_partitions(df, **kw)
+
+    rt = RacyTable(spark, path, stat_cols=("date",))
+    v = rt.recluster_partition(part, cluster_by=("date",))
+    assert v is not None
+    # the concurrent ingest's content (a full partition overwrite) wins;
+    # pre-recluster rows must NOT resurface
+    got = {(r.station_id, r.value) for r in t.read(partition=part).collect()}
+    assert got == {("9", 9.0)}
+
+
+def test_recluster_without_conflict_single_pass(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stat_cols=("date",))
+    part = {"datatype": "temperature", "period": "day"}
+    t.commit_overwrite_partitions(
+        _df(spark, [("1", "2022-03-01", 1.0, "temperature", "day"),
+                    ("2", "2022-03-05", 2.0, "temperature", "day")])
+    )
+    v = t.recluster_partition(part, cluster_by=("date",), cluster_partitions=2)
+    assert v == 2
+    got = {(r.station_id, r.value) for r in t.read(partition=part).collect()}
+    assert got == {("1", 1.0), ("2", 2.0)}

@@ -60,6 +60,24 @@ def canon_rows(cols: list[str], rows: list[tuple]) -> Counter:
     return Counter("|".join(canon_value(r[i]) for i in order) for r in rows)
 
 
+def complex_cols(cols: list[str], types: list[str]) -> list[str]:
+    """Columns whose type the DRIVER's canonicalizer cannot hash.
+
+    The external driver canonicalizes via pandas sort_values over all
+    columns, which factorizes each column and raises "unhashable type"
+    on numpy arrays / dicts (r3: scalar_map_functions). The mirror's
+    per-cell canon (canon_value) happily stringifies lists, which is
+    exactly how the r3 divergence slipped through — so reject complex
+    output types outright, strictly harder than the driver.
+    """
+    bad = []
+    for c, t in zip(cols, types):
+        tl = str(t).lower()
+        if any(k in tl for k in ("array", "map<", "map(", "struct", "list", "[]")):
+            bad.append(f"{c}:{t}")
+    return bad
+
+
 def type_family(t: str) -> str:
     t = t.upper()
     for fam, names in {
@@ -115,6 +133,13 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {str(e).splitlines()[0][:160]}")
             n_fail += 1
             continue
+        bad_s = complex_cols(s_cols, s_types)
+        if bad_s:
+            print(f"FAIL  {name}: complex-typed output columns {bad_s} "
+                  "(driver canonicalizer cannot hash these; reduce with "
+                  "array_join/element picks)")
+            n_fail += 1
+            continue
         if name not in oracles:
             print(f"ok    {name}: rows-only ({len(s_rows)} rows, no oracle) "
                   f"[{time.perf_counter() - t0:.1f}s]")
@@ -130,6 +155,9 @@ def main() -> int:
             continue
 
         problems = []
+        bad_d = complex_cols(d_cols, d_types)
+        if bad_d:
+            problems.append(f"oracle complex-typed columns {bad_d}")
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"columns {sorted(s_cols)} vs {sorted(d_cols)}")
         if len(s_rows) != len(d_rows):
