@@ -6,6 +6,7 @@ re-exports them to the verification driver.
 
 from station_data_ingestion_spark.queries import (  # noqa: F401
     events,
+    funnels,
     graph_q,
     llm_dedup,
     llm_pipeline,
@@ -17,8 +18,10 @@ from station_data_ingestion_spark.queries import (  # noqa: F401
     relational,
     relational_ext,
     relational_ext2,
+    relational_ext3,
     scalars,
     setops,
+    snapshot_q,
     streaming_q,
     temporal_q,
     udx,

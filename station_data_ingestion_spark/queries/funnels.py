@@ -1,0 +1,121 @@
+"""Behavioral analytics over the events stream: ordered funnels and
+retention cohorts — the query shapes a product-analytics engine runs on
+exactly this (user_id, ts, event_type) schema.
+
+Scale shape: every stage keys on user_id, so the whole funnel is a
+sequence of same-key shuffles (AQE merges them into co-partitioned
+joins); retention is two aggregations on user_id then one on
+(cohort, offset). No windows over the full stream, no driver loops.
+
+[reference: none — engine-provided surface, SURVEY §2.9.]
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from station_data_ingestion_spark.queries.registry import load, query
+
+
+@query(
+    "events_funnel_signup_click_purchase",
+    """
+WITH s AS (
+  SELECT user_id, MIN(ts) AS s_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+c AS (
+  SELECT s.user_id, MIN(e.ts) AS c_ts
+  FROM s JOIN events e
+    ON e.user_id = s.user_id AND e.event_type = 'click' AND e.ts >= s.s_ts
+  GROUP BY s.user_id
+),
+p AS (
+  SELECT c.user_id, MIN(e.ts) AS p_ts
+  FROM c JOIN events e
+    ON e.user_id = c.user_id AND e.event_type = 'purchase' AND e.ts >= c.c_ts
+  GROUP BY c.user_id
+)
+SELECT s.user_id,
+       1 + CAST(c.user_id IS NOT NULL AS INT)
+         + CAST(p.user_id IS NOT NULL AS INT) AS stage_reached
+FROM s LEFT JOIN c ON s.user_id = c.user_id
+       LEFT JOIN p ON s.user_id = p.user_id
+""",
+)
+def events_funnel_signup_click_purchase(spark, sf_dir):
+    """Ordered three-stage funnel (signup -> first click AFTER signup ->
+    first purchase AFTER that click). Each stage is min-aggregated per
+    user then joined forward — the distributed funnel idiom that avoids
+    per-user sequence scans."""
+    e = load(spark, sf_dir, "events")["events"]
+
+    def first_after(prev, etype, prev_ts, out_ts):
+        return (
+            prev.join(
+                e.filter(F.col("event_type") == etype).select(
+                    F.col("user_id").alias("uid"), "ts"
+                ),
+                (F.col("uid") == prev.user_id) & (F.col("ts") >= F.col(prev_ts)),
+            )
+            .groupBy(prev.user_id)
+            .agg(F.min("ts").alias(out_ts))
+        )
+
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    c = first_after(s, "click", "s_ts", "c_ts")
+    p = first_after(c, "purchase", "c_ts", "p_ts")
+    return (
+        s.join(c.select(F.col("user_id").alias("cu")), s.user_id == F.col("cu"), "left")
+        .join(p.select(F.col("user_id").alias("pu")), s.user_id == F.col("pu"), "left")
+        .select(
+            "user_id",
+            (
+                F.lit(1)
+                + F.col("cu").isNotNull().cast("int")
+                + F.col("pu").isNotNull().cast("int")
+            ).alias("stage_reached"),
+        )
+    )
+
+
+@query(
+    "events_retention_cohorts",
+    """
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+)
+SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_date,
+       date_diff('day', f.cohort, a.d) AS day_offset,
+       COUNT(*) AS n_users
+FROM first_seen f JOIN activity a ON f.user_id = a.user_id
+WHERE date_diff('day', f.cohort, a.d) BETWEEN 0 AND 7
+GROUP BY 1, 2
+""",
+)
+def events_retention_cohorts(spark, sf_dir):
+    """Cohort retention: users grouped by first-seen date, counted on
+    each of the next 7 active days. (user_id, day) is pre-distinct'd so
+    a user active many times in a day counts once."""
+    e = load(spark, sf_dir, "events")["events"]
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort")
+    )
+    activity = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    off = F.datediff("d", "cohort")
+    return (
+        first_seen.join(activity, "user_id")
+        .filter(off.between(0, 7))
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_date"),
+            off.alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )

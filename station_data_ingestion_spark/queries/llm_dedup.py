@@ -158,14 +158,82 @@ def _exploded_shingles(d: DataFrame) -> DataFrame:
     )
 
 
-def _exact_jaccard_pairs(d: DataFrame, threshold: float) -> DataFrame:
+def _capped_candidates(exploded: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Candidate (a_id, b_id) pairs sharing >=1 shingle with document
+    frequency <= max_doc_freq.
+
+    A shingle present in d documents yields d^2/2 pre-aggregation join
+    rows, so one "stop shingle" (boilerplate header, license block) in a
+    web-crawl corpus turns the explode-join quadratic. Dropping high-df
+    shingles from CANDIDATE GENERATION ONLY — the rerank recomputes exact
+    Jaccard over the full texts — bounds the join at d<=cap per key. The
+    standard CCNet/SimHash-era guard; its one miss mode (a true near-dup
+    pair ALL of whose shared shingles are boilerplate) is exactly the
+    pair near-dup dedup should not merge anyway.
+
+    The df-filter's aggregation shuffles on `shingle`, the same key the
+    self-join shuffles on — map-side combined, so the cap costs one
+    cheap extra stage, not a new data movement.
+    """
+    rare = exploded.join(
+        exploded.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_doc_freq)
+        .select("shingle"),
+        "shingle",
+    )
+    a, b = rare.alias("a"), rare.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+
+
+def _exact_jaccard_pairs(
+    d: DataFrame, threshold: float, max_doc_freq: int | None = None
+) -> DataFrame:
     """Scalable exact-Jaccard pairs: explode-join on shingle, no cross join.
 
     At 100 TB this shuffles on `shingle` -- a high-cardinality key -- and
     only true-overlap pairs ever materialize; the per-doc shingle count
     rides along in the join so no sizes table is needed.
+
+    ``max_doc_freq``: optional stop-shingle guard for heavy-boilerplate
+    corpora — shingles appearing in more than this many docs are dropped
+    from candidate generation (see :func:`_capped_candidates`) and the
+    surviving pairs are exactly reranked from their full texts. Off by
+    default (and at the correctness gate): the exact path is the oracle
+    twin; the cap trades the boilerplate-only-overlap pairs for a bounded
+    join.
     """
     exploded = _exploded_shingles(d)
+    if max_doc_freq is not None:
+        cands = _capped_candidates(exploded, max_doc_freq)
+        texts = d.select("doc_id", "text")
+        pairs = (
+            cands.join(
+                texts.select(
+                    F.col("doc_id").alias("a_id"), F.col("text").alias("a_text")
+                ),
+                "a_id",
+            )
+            .join(
+                texts.select(
+                    F.col("doc_id").alias("b_id"), F.col("text").alias("b_text")
+                ),
+                "b_id",
+            )
+            .mapInPandas(_pair_jaccard_batch, "a_id long, b_id long, j double")
+        )
+        return (
+            pairs.filter(F.col("j") >= threshold)
+            .select("a_id", "b_id", F.round("j", 4).alias("jaccard"))
+        )
     a = exploded.alias("a")
     b = exploded.alias("b")
     common = (

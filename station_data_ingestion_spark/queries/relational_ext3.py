@@ -1,0 +1,243 @@
+"""Aggregate/window/semantics breadth: round-4 surface widening.
+
+Families the registry did not yet cover, each a thin veneer over Spark
+built-ins with a DuckDB oracle twin:
+
+- ordered string aggregation (listagg), exact percentile interpolation
+- correlation / covariance / least-squares regression aggregates
+- FILTER-clause conditional aggregation (count_if / sum-where)
+- NOT IN subquery semantics vs anti-join (the null-semantics trap)
+- percent_rank / cume_dist and first/last/nth_value window functions
+
+Determinism: string aggs are explicitly sorted; float statistics are
+rounded (6dp) to absorb accumulation-order drift; everything else is
+integer-exact. [reference: none — SURVEY §2.9 marks the general query
+surface as engine-provided.]
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from station_data_ingestion_spark.queries.registry import load, query
+
+
+@query(
+    "agg_listagg_sorted",
+    """
+SELECT r.r_name AS region,
+       COUNT(*) AS n_nations,
+       string_agg(n.n_name, '|' ORDER BY n.n_name) AS nations
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+)
+def agg_listagg_sorted(spark, sf_dir):
+    """Ordered string aggregation: collect_list -> array_sort ->
+    array_join is the distributed listagg (collect order is
+    partition-dependent; the sort makes it deterministic)."""
+    t = load(spark, sf_dir, "nation", "region")
+    return (
+        t["nation"]
+        .join(F.broadcast(t["region"]),
+              t["nation"].n_regionkey == t["region"].r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias(
+                "nations"
+            ),
+        )
+    )
+
+
+@query(
+    "agg_exact_percentiles",
+    """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+       ROUND(MAX(o_totalprice), 4) AS mx
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def agg_exact_percentiles(spark, sf_dir):
+    """EXACT percentile_cont (linear interpolation) — both engines use
+    the same definition, so values agree to float precision; rounded to
+    absorb the last bit. approx_percentile is the 100 TB path (its exact
+    twin here is the oracle anchor)."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+        F.round(F.max("o_totalprice"), 4).alias("mx"),
+    )
+
+
+@query(
+    "agg_corr_regression",
+    """
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(corr(value, CAST(hour(ts) AS DOUBLE)), 6) AS corr_vh,
+       ROUND(covar_samp(value, CAST(hour(ts) AS DOUBLE)), 4) AS covar_vh,
+       ROUND(regr_slope(value, CAST(hour(ts) AS DOUBLE)), 6) AS slope,
+       ROUND(regr_intercept(value, CAST(hour(ts) AS DOUBLE)), 4) AS intercept
+FROM events GROUP BY event_type
+""",
+)
+def agg_corr_regression(spark, sf_dir):
+    """Statistical aggregates: corr / covar_samp / least-squares
+    regression. Partial-aggregable (sums of products), so they scale as
+    one map-side-combined shuffle; 6dp rounding absorbs the
+    accumulation-order drift inherent to float sums."""
+    e = load(spark, sf_dir, "events")["events"]
+    h = F.hour("ts").cast("double")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.corr("value", h), 6).alias("corr_vh"),
+        F.round(F.covar_samp("value", h), 4).alias("covar_vh"),
+        F.round(F.regr_slope(F.col("value"), h), 6).alias("slope"),
+        F.round(F.regr_intercept(F.col("value"), h), 4).alias("intercept"),
+    )
+
+
+@query(
+    "agg_filtered_conditional",
+    """
+SELECT n.n_name AS nation,
+       COUNT(*) FILTER (WHERE o.o_orderstatus = 'F') AS n_f,
+       COUNT(*) FILTER (WHERE o.o_orderstatus = 'O') AS n_o,
+       COUNT(*) FILTER (WHERE o.o_orderstatus = 'P') AS n_p,
+       SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+           FILTER (WHERE o.o_orderpriority = '1-URGENT') / 100.0
+           AS urgent_revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def agg_filtered_conditional(spark, sf_dir):
+    """FILTER-clause aggregation == sum(when(...)): one pass computes
+    every conditional branch — the Spark idiom that replaces N filtered
+    self-joins with zero extra shuffles."""
+    t = load(spark, sf_dir, "orders", "customer", "nation")
+    joined = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+
+    def cnt(status):
+        return F.count(F.when(F.col("o_orderstatus") == status, 1))
+
+    urgent = F.sum(
+        F.when(
+            F.col("o_orderpriority") == "1-URGENT",
+            F.round(F.col("o_totalprice") * 100).cast("long"),
+        )
+    ) / 100.0
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        cnt("F").alias("n_f"),
+        cnt("O").alias("n_o"),
+        cnt("P").alias("n_p"),
+        urgent.alias("urgent_revenue"),
+    )
+
+
+@query(
+    "setop_not_in_vs_antijoin",
+    """
+SELECT n.n_name AS nation, COUNT(*) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_custkey NOT IN (SELECT o_custkey FROM orders
+                          WHERE o_orderstatus = 'P')
+GROUP BY n.n_name
+""",
+)
+def setop_not_in_vs_antijoin(spark, sf_dir):
+    """NOT IN compiled as LEFT ANTI join — valid ONLY because o_custkey
+    is non-null in the subquery; with nullable values NOT IN yields
+    empty (three-valued logic) while anti-join does not. The docstring
+    is the contract: the engine's NOT IN path null-checks before
+    choosing the anti-join plan (here guaranteed by the key column)."""
+    t = load(spark, sf_dir, "customer", "orders", "nation")
+    p_buyers = (
+        t["orders"].filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    )
+    return (
+        t["customer"]
+        .join(p_buyers, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "window_percent_rank_cume_dist",
+    """
+SELECT s_suppkey, n_name AS nation,
+       ROUND(s_acctbal, 2) AS acctbal,
+       ROUND(percent_rank() OVER w, 6) AS pr,
+       ROUND(cume_dist() OVER w, 6) AS cd
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WINDOW w AS (PARTITION BY n_name ORDER BY s_acctbal)
+""",
+)
+def window_percent_rank_cume_dist(spark, sf_dir):
+    """Relative-rank window functions per nation partition; both engines
+    share the textbook definitions ((rank-1)/(n-1), rank_le/n), so values
+    agree exactly even under acctbal ties."""
+    t = load(spark, sf_dir, "supplier", "nation")
+    w = Window.partitionBy("n_name").orderBy("s_acctbal")
+    return (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "s_suppkey",
+            F.col("n_name").alias("nation"),
+            F.round("s_acctbal", 2).alias("acctbal"),
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+        )
+    )
+
+
+@query(
+    "window_first_last_nth_value",
+    """
+SELECT p_brand,
+       p_partkey,
+       first_value(p_name) OVER w AS cheapest,
+       last_value(p_name) OVER w AS priciest,
+       nth_value(p_name, 2) OVER w AS runner_up
+FROM part
+WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def window_first_last_nth_value(spark, sf_dir):
+    """first/last/nth_value with an explicit full-partition frame (the
+    default frame stops at CURRENT ROW, silently making last_value a
+    no-op — the classic window-frame trap). Order includes the unique
+    p_partkey so ties can't flip results between engines."""
+    p = load(spark, sf_dir, "part")["part"]
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy("p_retailprice", "p_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        F.first("p_name").over(w).alias("cheapest"),
+        F.last("p_name").over(w).alias("priciest"),
+        F.nth_value("p_name", 2).over(w).alias("runner_up"),
+    )

@@ -1,0 +1,128 @@
+"""Snapshot-store storage layer exposed to the correctness gate.
+
+The versioned snapshot table (plans/snapshot_store.py) was previously
+pytest-certified only; these queries run the WRITE -> cluster -> zone-map
+-> ranged-READ path under the external driver's DuckDB oracle: commit a
+clustered copy of `orders` into a fresh snapshot table, read it back
+through read_table(ranges=...) (manifest-stat file skipping), apply the
+real predicate, and aggregate. The oracle is the same aggregate over the
+plain parquet source — so a pruning bug that drops live rows (exactly
+the failure mode of the r3 basename-keyed stats bug) becomes a gate red,
+not just a pytest red.
+
+The query additionally ASSERTS pruning effectiveness: if the ranged read
+scans every live file, it raises — zone maps that stop skipping fail the
+gate even when results stay correct.
+
+Cost: one extra write of `orders` to a temp dir per invocation (~15k rows
+at sf0.01). At 100 TB the same layout is write-once, read-many; the
+rebuild here is the price of a self-contained gate query.
+
+[reference: README.md:41-43 — the reference's state-file/rerun contract
+is the operational analog; the snapshot store is its transactional,
+concurrent-reader-safe restatement]
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from station_data_ingestion_spark.plans.snapshot_store import SnapshotTable
+from station_data_ingestion_spark.queries.registry import (
+    load,
+    money_sum,
+    money_sum_sql,
+    query,
+)
+
+
+def _orders_snapshot(spark, sf_dir: str) -> SnapshotTable:
+    """Commit a date-clustered snapshot copy of orders; return the table."""
+    orders = load(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_odate"),
+        "o_totalprice",
+    )
+    t = SnapshotTable(
+        spark,
+        tempfile.mkdtemp(prefix="snap_gate_") + "/orders_snap",
+        partition_cols=("o_orderstatus",),
+        stat_cols=("o_odate",),
+    )
+    t.commit_overwrite_partitions(
+        orders, cluster_by=("o_odate",), cluster_partitions=8
+    )
+    return t
+
+
+def _ranged_read(t: SnapshotTable, lo: str, hi: str):
+    """read(ranges=...) + an assertion that zone maps actually skipped
+    files (pruning effectiveness is part of the contract under test)."""
+    total = len(t._read_manifest(t.latest_version())["files"])
+    df = t.read(ranges={"o_odate": (lo, hi)})
+    if df is None:  # pruned to nothing: valid, maximally effective
+        raise RuntimeError("gate range unexpectedly pruned ALL files")
+    kept = df.inputFiles()
+    if len(kept) >= total:
+        raise RuntimeError(
+            f"zone maps skipped nothing ({len(kept)}/{total} files kept) — "
+            "clustering or manifest stats are broken"
+        )
+    # pruning is an optimization, never a filter: real predicate follows
+    return df.filter(F.col("o_odate").between(lo, hi))
+
+
+@query(
+    "snapshot_ranged_orders_revenue",
+    f"""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       {money_sum_sql('o_totalprice')} AS total_price
+FROM orders
+WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+GROUP BY o_orderstatus
+""",
+)
+def snapshot_ranged_orders_revenue(spark, sf_dir):
+    """Write orders into a clustered snapshot table, then aggregate a
+    one-year slice read through manifest zone-map file skipping."""
+    t = _orders_snapshot(spark, sf_dir)
+    df = _ranged_read(t, "1996-01-01", "1996-12-31")
+    return df.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        money_sum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+@query(
+    "snapshot_partition_point_read",
+    """
+SELECT strftime(o_orderdate, '%Y-%m-%d') AS odate,
+       COUNT(*) AS n_orders,
+       MIN(o_orderkey) AS min_key
+FROM orders
+WHERE o_orderstatus = 'F'
+  AND CAST(o_orderdate AS DATE) BETWEEN DATE '1997-06-01' AND DATE '1997-06-30'
+GROUP BY 1
+""",
+)
+def snapshot_partition_point_read(spark, sf_dir):
+    """Partition pruning (driver-side manifest filter) COMPOSED with
+    zone-map range pruning: one status partition, one month."""
+    t = _orders_snapshot(spark, sf_dir)
+    lo, hi = "1997-06-01", "1997-06-30"
+    df = t.read(partition={"o_orderstatus": "F"}, ranges={"o_odate": (lo, hi)})
+    if df is None:
+        raise RuntimeError("partition+range read resolved no files")
+    return (
+        df.filter(F.col("o_odate").between(lo, hi))
+        .groupBy(F.col("o_odate").alias("odate"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_orderkey").alias("min_key"),
+        )
+    )

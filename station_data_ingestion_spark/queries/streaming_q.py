@@ -114,13 +114,17 @@ FROM events GROUP BY user_id
 def stream_stateful_totals_replay(spark, sf_dir):
     """applyInPandasWithState running totals, reduced to final state.
 
-    Update mode emits one row per (user, microbatch); the totals are
-    monotone, so max() per user is the final state -- which must equal
-    the plain batch aggregate."""
+    Update mode emits one row per (user, microbatch). n_events is
+    strictly monotone per emission (a user only emits when the batch had
+    rows), so max_by(total_value, n_events) selects the LAST emission —
+    correct even when per-row values are negative, unlike max(total)
+    which assumes monotone totals (ADVICE r3). The operator's state is
+    exact scaled-integer, so the final emission equals the batch
+    aggregate bit-for-bit."""
     sink = _replay(spark, sf_dir, W.running_user_totals, "update")
     return sink.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
-        F.max("total_value").alias("total_value"),
+        F.max_by("total_value", "n_events").alias("total_value"),
     )
 
 

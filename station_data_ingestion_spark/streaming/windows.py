@@ -87,8 +87,12 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator: per-user running totals via
     applyInPandasWithState (the engine's user-extensible stateful hook).
 
-    State = (count, value-sum) per user, updated per micro-batch; emits
-    the updated totals for users seen in the batch. Timeouts are omitted
+    State = (count, SCALED-INTEGER value-sum) per user, updated per
+    micro-batch; emits the updated totals for users seen in the batch.
+    Integer state (per-row round to 1e-4, int64-sum) is the same _MONEY
+    determinism pattern the batch queries use: float state re-rounded
+    each micro-batch drifts from the exact-integer oracle on boundary
+    values once a replay spans multiple batches. Timeouts are omitted
     (totals are cumulative) -- a production TTL would use
     GroupStateTimeout.ProcessingTimeTimeout.
     """
@@ -97,19 +101,23 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
-        n, total = state.get if state.exists else (0, 0.0)
+        n, scaled = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, round(total, 4)))
+            scaled += int((pdf["value"] * 10000).round().astype("int64").sum())
+        state.update((n, scaled))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [scaled / 10000.0],
+            }
         )
 
     return events.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id long, n_events long, total_value double",
-        stateStructType="n long, total double",
+        stateStructType="n long, total_scaled long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -1,0 +1,54 @@
+"""Driver-contract hygiene: sample rotation must never wedge.
+
+The external driver samples a PREFIX of __spark_entry__.queries();
+ordering is least-certified-first. rows-only (no_oracle) queries have no
+hash row, so if they didn't count as certified they would pin themselves
+to the front of every sample forever, crowding out genuinely
+never-checked queries (VERDICT r3 item #6)."""
+
+import __spark_entry__ as entry_mod
+
+
+def test_no_oracle_rows_counts_as_certified(tmp_path, monkeypatch):
+    import json
+    import os
+
+    art = {
+        "hash_green": {"rows_match": True, "schema_match": True,
+                       "hash_match": True},
+        "rows_only": {"err": "no_oracle", "spark_rows": 7},
+        "errored": {"rows_match": None, "schema_match": None,
+                    "hash_match": None},
+        "rows_only_failed": {"err": "no_oracle", "spark_rows": None},
+    }
+    (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(art))
+    monkeypatch.setattr(
+        entry_mod.os.path, "dirname", lambda p: str(tmp_path)
+    )
+    counts = entry_mod._certification_counts()
+    assert counts.get("hash_green") == 1
+    assert counts.get("rows_only") == 1, (
+        "no_oracle rows-only MUST count as certified or the sample wedges"
+    )
+    assert "errored" not in counts
+    assert "rows_only_failed" not in counts
+
+
+def test_queries_order_puts_uncertified_first():
+    q = entry_mod.queries()
+    counts = entry_mod._certification_counts()
+    names = list(q)
+    # the two r4 snapshot queries are new -> must be in the front half
+    for fresh in ("snapshot_ranged_orders_revenue",
+                  "snapshot_partition_point_read"):
+        assert fresh in names
+        assert names.index(fresh) < len(names) // 2, fresh
+    # ordering is monotone in certification count
+    seq = [counts.get(n, 0) for n in names]
+    assert seq == sorted(seq)
+
+
+def test_oracle_columns_are_subset_of_registry():
+    o = entry_mod.oracle_sql()
+    q = entry_mod.queries()
+    assert set(o) <= set(q)

@@ -203,3 +203,38 @@ def test_minhash_lsh_high_dup_corpus_matches_exact(spark, tmp_path):
     want = sorted(map(tuple, _exact_jaccard_pairs(docs, 0.8).collect()))
     assert len(want) > 3000  # the corpus really is adversarial
     assert got == want
+
+
+def test_jaccard_df_cap_bounds_stop_shingle_blowup(spark, tmp_path):
+    """One boilerplate shingle shared by 1k docs must not generate ~500k
+    candidate pairs when the df cap is on; true near-dups whose overlap
+    includes RARE shingles must survive the capped path unchanged."""
+    from station_data_ingestion_spark.queries.llm_dedup import (
+        _capped_candidates,
+        _exact_jaccard_pairs,
+        _exploded_shingles,
+    )
+
+    stop = "all rights reserved"  # one 3-gram shared by every doc
+    n = 1000
+    rows = [(i, f"{stop} " + " ".join(f"u{i}w{j}" for j in range(12)))
+            for i in range(n)]
+    # a planted near-dup pair: identical 15-word tail, j well above 0.8
+    tail = " ".join(f"dup{j}" for j in range(15))
+    rows += [(5000, f"{tail}"), (5001, f"{tail}")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cands = _capped_candidates(_exploded_shingles(docs), max_doc_freq=50)
+    n_cands = cands.count()
+    # uncapped would be >= C(1000,2) ~ 500k; capped keeps only pairs
+    # sharing a RARE shingle
+    assert n_cands < 1000, n_cands
+
+    capped = sorted(
+        map(tuple, _exact_jaccard_pairs(docs, 0.8, max_doc_freq=50).collect())
+    )
+    assert (5000, 5001, 1.0) in capped
+    # and the capped result equals the exact result on this corpus:
+    # no 0.8-pair here depends solely on the stop shingle
+    exact = sorted(map(tuple, _exact_jaccard_pairs(docs, 0.8).collect()))
+    assert capped == exact
