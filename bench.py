@@ -59,6 +59,11 @@ HEADLINE = [
     "pack_sequential_token_bins",
     "udtf_sentence_stats",
     "stream_tumbling_replay",
+    # round 4 additions: the snapshot store's write->cluster->ranged-read
+    # path, a multi-stage behavioral funnel, and grid-window interpolation
+    "snapshot_ranged_orders_revenue",
+    "events_funnel_signup_click_purchase",
+    "ts_gap_fill_linear_interpolate",
 ]
 
 

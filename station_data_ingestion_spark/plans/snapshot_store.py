@@ -196,9 +196,14 @@ class SnapshotTable:
         self,
         partition: dict | None = None,
         ranges: dict[str, tuple] | None = None,
+        version: int | None = None,
     ) -> DataFrame | None:
-        """DataFrame over the latest snapshot's files; None if no table.
+        """DataFrame over a snapshot's files; None if no table.
 
+        ``version``: time travel — read snapshot v{version} instead of
+        the latest (manifests are immutable and data files are never
+        rewritten, so any un-vacuumed version stays exactly readable;
+        raises FileNotFoundError if that manifest was vacuumed away).
         ``partition``: optional {col: value} filter applied DRIVER-SIDE to
         the manifest, so pruned files are never even listed by Spark.
         ``ranges``: optional {col: (lo, hi)} inclusive bounds matched
@@ -209,9 +214,16 @@ class SnapshotTable:
         apply the real predicate). The returned plan holds an explicit
         file list -- immune to concurrent commits for its whole lifetime.
         """
-        v = self.latest_version()
+        v = self.latest_version() if version is None else version
         if v is None:
             return None
+        if version is not None:
+            fs, mpath, _ = _fs(self.spark, self._snap_path(version))
+            if not fs.exists(mpath):
+                raise FileNotFoundError(
+                    f"snapshot version {version} of {self.path} does not "
+                    "exist (never published, or vacuumed)"
+                )
         entries = self._read_manifest(v)["files"]
         if partition:
             entries = [
@@ -525,19 +537,21 @@ def read_table(
     path: str,
     partition: dict | None = None,
     ranges: dict[str, tuple] | None = None,
+    version: int | None = None,
 ) -> DataFrame:
     """Read a merge target regardless of layout (snapshot or plain).
 
-    ``partition``/``ranges`` prune snapshot manifests driver-side (see
+    ``partition``/``ranges`` prune snapshot manifests driver-side and
+    ``version`` time-travels to an older snapshot (see
     :meth:`SnapshotTable.read`); on plain layouts they are ignored --
     callers must always apply their real predicate either way.
     """
     t = SnapshotTable(spark, path)
     if t.exists():
-        df = t.read(partition=partition, ranges=ranges)
+        df = t.read(partition=partition, ranges=ranges, version=version)
         if df is None and (partition or ranges):
             # pruned to nothing: a valid empty result, not a missing table
-            full = t.read()
+            full = t.read(version=version)
             if full is not None:
                 return full.limit(0)
         if df is None:

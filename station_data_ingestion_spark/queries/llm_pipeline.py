@@ -262,3 +262,56 @@ def pipeline_curate_dedup_pack(spark, sf_dir):
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+@query(
+    "pipeline_curriculum_phases",
+    """
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY n_tokens, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+),
+tot AS (SELECT SUM(n_tokens) AS total FROM t)
+SELECT LEAST(2, CAST(((cum - n_tokens) * 3) // total AS BIGINT)) AS phase,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS phase_tokens,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM c, tot GROUP BY 1
+""",
+)
+def pipeline_curriculum_phases(spark, sf_dir):
+    """Curriculum ordering: docs sorted easy-to-hard (shortest first,
+    doc_id tiebreak) and split into 3 phases of equal TOKEN budget, not
+    equal doc count — the split an LLM trainer actually wants.
+
+    The global running token count reuses the distributed two-phase
+    prefix sum; the grand total attaches as a one-row broadcast (how
+    Spark executes scalar subqueries). Integer arithmetic throughout
+    makes phase boundaries engine-exact.
+    """
+    d = load(spark, sf_dir, "documents")["documents"]
+    toks = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    c = ordered_prefix_sum(toks, ["n_tokens", "doc_id"], "n_tokens", out_col="cum")
+    total = toks.agg(F.sum("n_tokens").alias("total"))
+    phase = F.least(
+        F.lit(2).cast("long"), F.expr("((cum - n_tokens) * 3) div total")
+    )
+    return (
+        c.crossJoin(F.broadcast(total))
+        .groupBy(phase.alias("phase"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("phase_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )

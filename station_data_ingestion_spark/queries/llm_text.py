@@ -290,3 +290,44 @@ def split_train_test_hash(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+@query(
+    "text_chunk_sliding_windows",
+    """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+c AS (
+  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
+         CASE WHEN len(words) <= 16 THEN 1
+              ELSE CAST(CEIL((len(words) - 16) / 12.0) AS BIGINT) + 1
+         END AS n_chunks,
+         md5(array_to_string(words[1:16], ' ')) AS first_chunk_md5
+  FROM w
+)
+SELECT doc_id, n_tokens, n_chunks, first_chunk_md5,
+       (n_chunks - 1) * 12 AS last_chunk_start
+FROM c
+""",
+)
+def text_chunk_sliding_windows(spark, sf_dir):
+    """RAG chunking: overlapping sliding word windows (size 16, stride
+    12) per document. The chunk arithmetic and first-chunk content hash
+    are the verifiable fingerprint; production materializes one row per
+    chunk with posexplode over the same arithmetic — per-doc narrow
+    work, zero shuffles."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    words = F.split("text", " ")
+    n = F.size(words).cast("long")
+    n_chunks = (
+        F.when(n <= 16, F.lit(1).cast("long"))
+        .otherwise(F.ceil((n - 16) / 12.0) + 1)
+    )
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        n_chunks.alias("n_chunks"),
+        F.md5(F.concat_ws(" ", F.slice(words, 1, 16))).alias("first_chunk_md5"),
+        ((n_chunks - 1) * 12).alias("last_chunk_start"),
+    )

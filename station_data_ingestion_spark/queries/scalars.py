@@ -262,3 +262,31 @@ def scalar_map_functions(spark, sf_dir):
         F.element_at(m, "status").alias("status_val"),
         F.map_contains_key(m, "prio").cast("int").alias("has_prio"),
     )
+
+
+@query(
+    "scalar_bitwise_functions",
+    """
+SELECT o_orderkey,
+       o_orderkey & 255 AS lo_byte,
+       o_orderkey | 4096 AS set_bit,
+       xor(o_orderkey, o_custkey) AS xored,
+       o_orderkey << 3 AS shl,
+       o_orderkey >> 2 AS shr,
+       CAST(bit_count(o_orderkey) AS INT) AS popcount
+FROM orders WHERE o_orderkey < 500
+""",
+)
+def scalar_bitwise_functions(spark, sf_dir):
+    """Bitwise scalar surface: and/or/xor, shifts, popcount — integer
+    ops, engine-exact."""
+    o = load(spark, sf_dir, "orders")["orders"].filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.expr("o_orderkey & 255").alias("lo_byte"),
+        F.expr("o_orderkey | 4096").alias("set_bit"),
+        F.expr("o_orderkey ^ o_custkey").alias("xored"),
+        F.shiftleft("o_orderkey", 3).alias("shl"),
+        F.shiftright("o_orderkey", 2).alias("shr"),
+        F.bit_count("o_orderkey").alias("popcount"),
+    )

@@ -126,3 +126,95 @@ def snapshot_partition_point_read(spark, sf_dir):
             F.min("o_orderkey").alias("min_key"),
         )
     )
+
+
+@query(
+    "snapshot_time_travel_read",
+    """
+SELECT 1 AS version, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders WHERE o_orderkey < 5000
+UNION ALL
+SELECT 2 AS version, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+""",
+)
+def snapshot_time_travel_read(spark, sf_dir):
+    """Time travel: v1 commits a filtered slice of orders, v2 overwrites
+    with the full table; reading version=1 after the overwrite must
+    still see exactly the v1 content (immutable files + immutable
+    manifests). Both versions are aggregated against source-table
+    oracles."""
+    orders = load(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = SnapshotTable(
+        spark,
+        tempfile.mkdtemp(prefix="snap_tt_") + "/orders_tt",
+        partition_cols=("o_orderstatus",),
+        stat_cols=(),
+    )
+    t.commit_overwrite_partitions(orders.filter(F.col("o_orderkey") < 5000))
+    t.commit_overwrite_partitions(orders)
+
+    def agg(df, v):
+        return df.agg(
+            F.lit(v).alias("version"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            ),
+        )
+
+    return agg(t.read(version=1), 1).unionAll(agg(t.read(), 2))
+
+
+@query(
+    "stream_snapshot_append_replay",
+    """
+SELECT event_type, COUNT(*) AS n_events,
+       SUM(CAST(ROUND(value * 10000) AS BIGINT)) / 10000.0 AS total_value
+FROM events GROUP BY event_type
+""",
+)
+def stream_snapshot_append_replay(spark, sf_dir):
+    """Streaming engine -> transactional store, composed under the gate:
+    events replay as a bounded file stream whose foreachBatch commits
+    each micro-batch into a snapshot table under a per-batch partition
+    (append semantics: a batch replaces only its OWN partition, so
+    failure-replays of batch N are idempotent while other batches'
+    commits survive). The final read-back must equal the batch
+    aggregate of the source."""
+    from station_data_ingestion_spark.queries.registry import ensure_session_confs
+
+    ensure_session_confs(spark)
+    events = load(spark, sf_dir, "events")["events"]
+    tmp = tempfile.mkdtemp(prefix="snap_stream_")
+    events.write.parquet(f"{tmp}/src")
+    t = SnapshotTable(
+        spark, f"{tmp}/tbl", partition_cols=("batch_id",), stat_cols=()
+    )
+
+    def commit_batch(batch_df, batch_id: int) -> None:
+        t.commit_overwrite_partitions(
+            batch_df.withColumn("batch_id", F.lit(int(batch_id)).cast("string"))
+        )
+
+    q = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(f"{tmp}/src")
+        .writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = t.read()
+    return got.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        (F.sum(F.round(F.col("value") * 10000).cast("long")) / 10000.0).alias(
+            "total_value"
+        ),
+    )

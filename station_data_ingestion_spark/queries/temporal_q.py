@@ -9,6 +9,7 @@ same semantics with equi-join shuffle shapes.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from station_data_ingestion_spark.operators.temporal import (
@@ -157,4 +158,121 @@ def skew_salted_user_join(spark, sf_dir):
     return joined.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.coalesce(F.col("n_purch"), F.lit(0))).alias("total_purch"),
+    )
+
+
+@query(
+    "ts_gap_fill_linear_interpolate",
+    """
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+  FROM events
+),
+grid AS (
+  SELECT t.event_type, g.h
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+              FROM bounds) g
+),
+hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 / COUNT(*) AS avg_v
+  FROM events WHERE hour(ts) % 3 = 0
+  GROUP BY event_type, date_trunc('hour', ts)
+),
+j AS (
+  SELECT grid.event_type, grid.h, hourly.avg_v,
+         LAST_VALUE(hourly.avg_v IGNORE NULLS) OVER wp AS pv,
+         LAST_VALUE(CASE WHEN hourly.avg_v IS NOT NULL THEN grid.h END
+                    IGNORE NULLS) OVER wp AS ph,
+         FIRST_VALUE(hourly.avg_v IGNORE NULLS) OVER wn AS nv,
+         FIRST_VALUE(CASE WHEN hourly.avg_v IS NOT NULL THEN grid.h END
+                     IGNORE NULLS) OVER wn AS nh
+  FROM grid LEFT JOIN hourly
+    ON hourly.event_type = grid.event_type AND hourly.h = grid.h
+  WINDOW wp AS (PARTITION BY grid.event_type ORDER BY grid.h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY grid.event_type ORDER BY grid.h
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, strftime(h, '%Y-%m-%d %H:00') AS hour_bucket,
+       FLOOR((CASE
+         WHEN ph IS NULL OR nh IS NULL THEN NULL
+         WHEN nh = ph THEN pv
+         ELSE pv + (nv - pv) * (CAST(epoch_us(h) - epoch_us(ph) AS DOUBLE)
+                                / CAST(epoch_us(nh) - epoch_us(ph) AS DOUBLE))
+       END) * 10000 + 0.5) / 10000.0 AS value_interp
+FROM j
+""",
+)
+def ts_gap_fill_linear_interpolate(spark, sf_dir):
+    """Gap-filling with LINEAR interpolation (the other half of the
+    hypertable-resample surface next to ts_resample_ffill_hourly): the
+    observed series is artificially sparsified to every-3rd-hour samples,
+    snapped to a dense hourly grid, and interior gaps are interpolated
+    between the bracketing observations; leading/trailing edges stay
+    null.
+
+    Build: two ignorenulls running windows (last-before + first-after)
+    over grid-sized partitions carry both the bracketing values and
+    their timestamps; the interpolation itself is pure arithmetic. Scale:
+    windows run over |types| x |hours| grid rows, never the raw events.
+    """
+    e = load(spark, sf_dir, "events")["events"]
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    grid = e.select("event_type").distinct().crossJoin(F.broadcast(hours))
+    hourly = (
+        e.filter(F.hour("ts") % 3 == 0)
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0
+                / F.count(F.lit(1))
+            ).alias("avg_v")
+        )
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("avg_v").isNotNull(), F.col("h"))
+    j = (
+        grid.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            "h",
+            F.last("avg_v", ignorenulls=True).over(wp).alias("pv"),
+            F.last(obs_h, ignorenulls=True).over(wp).alias("ph"),
+            F.first("avg_v", ignorenulls=True).over(wn).alias("nv"),
+            F.first(obs_h, ignorenulls=True).over(wn).alias("nh"),
+        )
+    )
+    frac = (
+        (F.unix_micros("h") - F.unix_micros("ph")).cast("double")
+        / (F.unix_micros("nh") - F.unix_micros("ph")).cast("double")
+    )
+    interp = (
+        F.when(F.col("ph").isNull() | F.col("nh").isNull(), F.lit(None))
+        .when(F.col("nh") == F.col("ph"), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    # floor(x*1e4 + 0.5) instead of round(x, 4): both engines floor
+    # identically on identical doubles, while ROUND's half-tie mode
+    # differs (3 of ~3.5k rows flipped the last digit)
+    return j.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:00").alias("hour_bucket"),
+        (F.floor(interp * 10000 + F.lit(0.5)) / 10000.0).alias("value_interp"),
     )

@@ -31,6 +31,8 @@ CROSS_JOIN_OK = {
     "q22_idle_rich_customers",
     "ts_resample_ffill_hourly",
     "text_tfidf_top_terms",  # corpus-size N: one-row count broadcast
+    "ts_gap_fill_linear_interpolate",  # same dense-grid shape as ffill
+    "pipeline_curriculum_phases",  # one-row token-total broadcast
 }
 
 # Iterative/stateful queries that execute eagerly during plan

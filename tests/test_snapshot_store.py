@@ -466,3 +466,27 @@ def test_recluster_without_conflict_single_pass(spark, tmp_path):
     assert v == 2
     got = {(r.station_id, r.value) for r in t.read(partition=part).collect()}
     assert got == {("1", 1.0), ("2", 2.0)}
+
+
+def test_time_travel_read_and_vacuumed_version_raises(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit_overwrite_partitions(
+        _df(spark, [("1", "2022-03-01", 1.0, "temperature", "day")])
+    )
+    t.commit_overwrite_partitions(
+        _df(spark, [("1", "2022-03-01", 9.0, "temperature", "day"),
+                    ("2", "2022-03-02", 2.0, "temperature", "day")])
+    )
+    # v1 still reads exactly its content after the overwrite
+    assert [r.value for r in t.read(version=1).collect()] == [1.0]
+    assert {r.value for r in t.read(version=2).collect()} == {9.0, 2.0}
+    assert {r.value for r in t.read().collect()} == {9.0, 2.0}
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        t.read(version=7)
+    # vacuum with zero retention reaps v1's manifest -> explicit error,
+    # never a silent partial read
+    t.vacuum(older_than_sec=0.0)
+    with _pytest.raises(FileNotFoundError):
+        t.read(version=1)
