@@ -116,3 +116,61 @@ def graph_pagerank_bipartite(spark, sf_dir):
             (F.lit(base) + F.expr("coalesce(s, 0) * 85 div 100")).alias("rank"),
         )
     return rank
+
+
+@query(
+    "graph_triangle_count_copurchase",
+    """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+  WHERE l_partkey % 10 = 0
+),
+e AS (
+  SELECT DISTINCT a.p AS a, b.p AS b
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+)
+SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e1.b = e2.a
+JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b
+""",
+)
+def graph_triangle_count_copurchase(spark, sf_dir):
+    """Triangle counting on the part co-purchase graph (parts appearing
+    in the same order, sampled to 1/10 of parts; edges oriented a < b so
+    each triangle is counted exactly once).
+
+    The two-hop join is the textbook distributed algorithm; at real
+    scale the standard refinement is degeneracy ordering (orient edges
+    low-degree -> high-degree instead of by id) so the e1⋈e2 wedge
+    explosion is bounded by arboricity, plus a count-distinct edge
+    pre-aggregation — the id-orientation here keeps the oracle twin
+    byte-identical.
+    """
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    nodes = (
+        li.filter(F.col("l_partkey") % 10 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = nodes.alias("a"), nodes.alias("b")
+    e = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("a"), F.col("b.p").alias("b"))
+        .distinct()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        e.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(F.broadcast(tri))
+        .select("n_edges", "n_triangles")
+    )

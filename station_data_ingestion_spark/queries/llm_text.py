@@ -331,3 +331,55 @@ def text_chunk_sliding_windows(spark, sf_dir):
         F.md5(F.concat_ws(" ", F.slice(words, 1, 16))).alias("first_chunk_md5"),
         ((n_chunks - 1) * 12).alias("last_chunk_start"),
     )
+
+
+@query(
+    "text_bigram_stats",
+    """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+b AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+),
+corpus AS (SELECT w1, w2, COUNT(*) AS cf FROM b GROUP BY w1, w2)
+SELECT b.doc_id,
+       COUNT(*) AS n_bigrams,
+       COUNT(DISTINCT b.w1 || '|' || b.w2) AS n_unique,
+       CAST(MAX(corpus.cf) AS BIGINT) AS max_corpus_freq,
+       CAST(SUM(corpus.cf) AS BIGINT) AS sum_corpus_freq
+FROM b JOIN corpus ON b.w1 = corpus.w1 AND b.w2 = corpus.w2
+WHERE b.doc_id % 5 = 0
+GROUP BY b.doc_id
+""",
+)
+def text_bigram_stats(spark, sf_dir):
+    """Corpus n-gram language statistics: per-doc bigram counts joined
+    against corpus-wide bigram frequencies (the integer core of an
+    n-gram LM / perplexity-proxy filter, kept float-free so the gate is
+    engine-exact; a real LM scorer takes ln of the same counts).
+
+    Shape: posexplode -> lead() within doc partitions -> one shuffle on
+    the bigram key for corpus counts -> join back -> one shuffle on
+    doc_id. The corpus-count table is the only broadcast candidate and
+    AQE decides.
+    """
+    d = load(spark, sf_dir, "documents")["documents"]
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    b = (
+        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w1"))
+        .withColumn("w2", F.lead("w1").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "w1", "w2")
+    )
+    corpus = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cf"))
+    return (
+        b.filter(F.col("doc_id") % 5 == 0)
+        .join(corpus, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.count_distinct(F.concat_ws("|", "w1", "w2")).alias("n_unique"),
+            F.max("cf").alias("max_corpus_freq"),
+            F.sum("cf").alias("sum_corpus_freq"),
+        )
+    )

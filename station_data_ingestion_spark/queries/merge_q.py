@@ -55,3 +55,73 @@ def merge_upsert_orders(spark, sf_dir):
     )
     merged = merge_plan(target, updates, ["o_orderkey"], replace=True)
     return merged.withColumnRenamed("_action", "action")
+
+
+@query(
+    "merge_scd2_customer_history",
+    """
+WITH c AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+)
+SELECT c_custkey, c_mktsegment, cents,
+       1 AS valid_from, CAST(NULL AS INT) AS valid_to, 1 AS is_current
+FROM c WHERE c_custkey % 6 <> 0
+UNION ALL
+SELECT c_custkey, c_mktsegment, cents, 1, 2, 0
+FROM c WHERE c_custkey % 6 = 0
+UNION ALL
+SELECT c_custkey, 'PROMO', cents, 2, CAST(NULL AS INT), 1
+FROM c WHERE c_custkey % 6 = 0
+UNION ALL
+SELECT c_custkey + 10000000, 'NEW', cents, 2, CAST(NULL AS INT), 1
+FROM c WHERE c_custkey % 1000 = 0
+""",
+)
+def merge_scd2_customer_history(spark, sf_dir):
+    """SCD type-2 merge (operators/scd2.py): history-preserving upsert.
+
+    Deterministic scenario: customers with key % 6 == 0 change segment
+    to PROMO (old row closed at v2 + new open row), key % 3 == 0 but
+    % 6 != 0 arrive as genuine no-op updates (tracked values equal ->
+    passthrough), key % 1000 == 0 also arrive key-shifted as brand-new
+    NEW-segment members. The oracle enumerates the expected table
+    directly — the operator must reproduce it from the generic
+    full-outer-join program.
+    """
+    from station_data_ingestion_spark.operators.scd2 import scd2_apply, scd2_init
+
+    c = load(spark, sf_dir, "customer")["customer"].select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    dim = scd2_init(c, key=["c_custkey"], tracked=["c_mktsegment", "cents"])
+    upd_existing = c.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 6 == 0, "PROMO")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        "cents",
+    )
+    upd_new = c.filter(F.col("c_custkey") % 1000 == 0).select(
+        (F.col("c_custkey") + 10000000).alias("c_custkey"),
+        F.lit("NEW").alias("c_mktsegment"),
+        "cents",
+    )
+    out = scd2_apply(
+        dim,
+        upd_existing.unionByName(upd_new),
+        key=["c_custkey"],
+        tracked=["c_mktsegment", "cents"],
+        effective_version=2,
+    )
+    return out.select(
+        "c_custkey",
+        "c_mktsegment",
+        "cents",
+        "valid_from",
+        "valid_to",
+        F.col("is_current").cast("int").alias("is_current"),
+    )

@@ -241,3 +241,75 @@ def window_first_last_nth_value(spark, sf_dir):
         F.last("p_name").over(w).alias("priciest"),
         F.nth_value("p_name", 2).over(w).alias("runner_up"),
     )
+
+
+@query(
+    "profile_orders_columns",
+    """
+SELECT 'o_orderkey' AS col, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(o_orderkey) AS n_null,
+       COUNT(DISTINCT o_orderkey) AS n_distinct,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS min_s,
+       CAST(MAX(o_orderkey) AS VARCHAR) AS max_s
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+       COUNT(DISTINCT o_orderstatus), MIN(o_orderstatus), MAX(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+       COUNT(DISTINCT o_orderpriority), MIN(o_orderpriority),
+       MAX(o_orderpriority)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice_cents', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+       COUNT(DISTINCT o_totalprice),
+       CAST(CAST(ROUND(MIN(o_totalprice) * 100) AS BIGINT) AS VARCHAR),
+       CAST(CAST(ROUND(MAX(o_totalprice) * 100) AS BIGINT) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+       COUNT(DISTINCT o_orderdate), strftime(MIN(o_orderdate), '%Y-%m-%d'),
+       strftime(MAX(o_orderdate), '%Y-%m-%d')
+FROM orders
+""",
+)
+def profile_orders_columns(spark, sf_dir):
+    """Table profiling (the ANALYZE/Deequ shape): per-column null count,
+    exact distinct count, and type-appropriate min/max — computed in ONE
+    aggregation pass then unpivoted with stack(), where the oracle reads
+    the table five times. Strings are compared raw; doubles as integer
+    cents; dates formatted — so every cell is engine-exact."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    agg = o.agg(
+        F.count("*").alias("n"),
+        *[
+            x
+            for c in (
+                "o_orderkey", "o_orderstatus", "o_orderpriority",
+                "o_totalprice", "o_orderdate",
+            )
+            for x in (
+                F.count(c).alias(f"nn_{c}"),
+                F.count_distinct(c).alias(f"nd_{c}"),
+            )
+        ],
+        F.min("o_orderkey").cast("string").alias("mn_key"),
+        F.max("o_orderkey").cast("string").alias("mx_key"),
+        F.min("o_orderstatus").alias("mn_st"),
+        F.max("o_orderstatus").alias("mx_st"),
+        F.min("o_orderpriority").alias("mn_pr"),
+        F.max("o_orderpriority").alias("mx_pr"),
+        F.round(F.min("o_totalprice") * 100).cast("long").cast("string").alias("mn_tp"),
+        F.round(F.max("o_totalprice") * 100).cast("long").cast("string").alias("mx_tp"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("mn_dt"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("mx_dt"),
+    )
+    stack = """stack(5,
+        'o_orderkey', n, n - nn_o_orderkey, nd_o_orderkey, mn_key, mx_key,
+        'o_orderstatus', n, n - nn_o_orderstatus, nd_o_orderstatus, mn_st, mx_st,
+        'o_orderpriority', n, n - nn_o_orderpriority, nd_o_orderpriority, mn_pr, mx_pr,
+        'o_totalprice_cents', n, n - nn_o_totalprice, nd_o_totalprice, mn_tp, mx_tp,
+        'o_orderdate', n, n - nn_o_orderdate, nd_o_orderdate, mn_dt, mx_dt
+    ) as (col, n_rows, n_null, n_distinct, min_s, max_s)"""
+    return agg.selectExpr(stack)

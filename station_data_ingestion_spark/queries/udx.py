@@ -96,3 +96,38 @@ def udaf_median_order_value(spark, sf_dir):
         group_size("o_totalprice").alias("n_orders"),
         F.round(median("o_totalprice"), 2).alias("median_price"),
     )
+
+
+@query(
+    "udf_pandas_scalar_charstats",
+    """
+SELECT doc_id,
+       CAST(len(list_distinct(string_split_regex(text, ''))) AS INT)
+           AS n_distinct_chars,
+       CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[aeiou]', '', 'g'))
+            AS INT) AS n_vowels
+FROM documents WHERE doc_id % 7 = 0
+""",
+)
+def udf_pandas_scalar_charstats(spark, sf_dir):
+    """The third user-extension point next to the UDTF and grouped UDAF:
+    a VECTORIZED SCALAR pandas_udf (Arrow batches in, one output column
+    out — never row-at-a-time). Integer outputs keep the oracle
+    engine-exact; the batch shape (pd.Series -> pd.Series) is the 100 TB
+    contract."""
+    import pandas as pd  # noqa: F811 -- executor-side import
+
+    @pandas_udf("int")
+    def distinct_chars(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: len(set(t)))
+
+    @pandas_udf("int")
+    def vowels(texts: pd.Series) -> pd.Series:
+        return texts.str.count("[aeiou]").astype("int32")
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    return d.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        distinct_chars("text").alias("n_distinct_chars"),
+        vowels("text").alias("n_vowels"),
+    )

@@ -33,6 +33,7 @@ CROSS_JOIN_OK = {
     "text_tfidf_top_terms",  # corpus-size N: one-row count broadcast
     "ts_gap_fill_linear_interpolate",  # same dense-grid shape as ffill
     "pipeline_curriculum_phases",  # one-row token-total broadcast
+    "graph_triangle_count_copurchase",  # one-row triangle-count broadcast
 }
 
 # Iterative/stateful queries that execute eagerly during plan
