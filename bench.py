@@ -283,12 +283,16 @@ def bench_scale_probe(spark, sf_dir, timings: dict[str, float], k: int = 10) -> 
         # queries().load() registers every table; unscaled ones are
         # symlinked (zero copy) -- only the scaled facts are rewritten.
         for t in ("region", "nation", "customer", "supplier", "part",
-                  "events", "embeddings"):
+                  "embeddings"):
             os.symlink(os.path.abspath(f"{sf_dir}/{t}.parquet"),
                        f"{tmp}/{t}.parquet")
         scaled("orders", ["o_orderkey"])
         scaled("lineitem", ["l_orderkey"])
         scaled("documents", ["doc_id"], salt_text=True)
+        # events: remap user_id too, so each replica user keeps the
+        # original per-user event sequence (funnel/asof semantics scale
+        # linearly instead of merging replicas into one mega-user)
+        scaled("events", ["event_id", "user_id"])
 
         for name in (
             "q5_local_supplier_revenue",
@@ -296,6 +300,7 @@ def bench_scale_probe(spark, sf_dir, timings: dict[str, float], k: int = 10) -> 
             "dedup_minhash_lsh",
             "text_benchmark_contamination",
             "pack_sequential_token_bins",
+            "events_funnel_signup_click_purchase",
         ):
             if not isinstance(timings.get(name), float):
                 probe[name] = {"error": "headline stage did not run"}

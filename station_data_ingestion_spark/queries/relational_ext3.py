@@ -313,3 +313,38 @@ def profile_orders_columns(spark, sf_dir):
         'o_orderdate', n, n - nn_o_orderdate, nd_o_orderdate, mn_dt, mx_dt
     ) as (col, n_rows, n_null, n_distinct, min_s, max_s)"""
     return agg.selectExpr(stack)
+
+
+@query(
+    "join_bloom_prefiltered_lineitems",
+    """
+WITH p AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'P')
+SELECT COUNT(*) AS n_items,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+FROM lineitem l JOIN p ON l.l_orderkey = p.o_orderkey
+""",
+)
+def join_bloom_prefiltered_lineitems(spark, sf_dir):
+    """Bloom-filter semi-join pre-filter (operators/bloom.py): lineitem
+    rows stream through a broadcast Bloom filter of the 'P'-order keys
+    before the exact join, so at scale the exchange carries candidates
+    only. False positives are removed by the real join — the oracle IS
+    the plain join."""
+    from station_data_ingestion_spark.operators.bloom import bloom_semi_join
+
+    t = load(spark, sf_dir, "lineitem", "orders")
+    big = t["lineitem"].select(
+        F.col("l_orderkey").alias("okey"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    small = (
+        t["orders"]
+        .filter(F.col("o_orderstatus") == "P")
+        .select(F.col("o_orderkey").alias("okey"))
+        .distinct()
+    )
+    return bloom_semi_join(big, small, on="okey", how="inner").agg(
+        F.count("*").alias("n_items"),
+        F.sum("cents").alias("cents"),
+    )

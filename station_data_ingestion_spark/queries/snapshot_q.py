@@ -218,3 +218,113 @@ def stream_snapshot_append_replay(spark, sf_dir):
             "total_value"
         ),
     )
+
+
+@query(
+    "snapshot_zorder_2d_read",
+    """
+WITH o AS (
+  SELECT o_orderstatus,
+         date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+             AS day_num,
+         o_custkey % 64 AS cust_bucket,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS cents
+FROM o
+WHERE day_num BETWEEN 200 AND 400 AND cust_bucket BETWEEN 10 AND 20
+GROUP BY o_orderstatus
+""",
+)
+def snapshot_zorder_2d_read(spark, sf_dir):
+    """Z-ORDER clustering: orders committed sorted by the Morton
+    interleave of (day_num, cust_bucket), zone maps recorded on BOTH
+    original dimensions. The query asserts the z-order property itself:
+    adding the second dimension's range must prune MORE files than the
+    day range alone (lexicographic clustering cannot do that), then
+    aggregates through the 2D-pruned read."""
+    from station_data_ingestion_spark.operators.zorder import zvalue2
+
+    o = load(spark, sf_dir, "orders")["orders"].select(
+        "o_orderstatus",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .alias("day_num"),
+        (F.col("o_custkey") % 64).alias("cust_bucket"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    t = SnapshotTable(
+        spark,
+        tempfile.mkdtemp(prefix="snap_z_") + "/orders_z",
+        partition_cols=(),
+        stat_cols=("day_num", "cust_bucket"),
+    )
+    # balance the dims to the same bit width before interleaving: day_num
+    # spans ~2400 values (12 bits) vs cust_bucket's 6 — unnormalized, the
+    # z-value's high bits are all day bits and the curve degenerates to
+    # day-ordering (the second dimension then prunes nothing)
+    day_q = F.shiftright(F.col("day_num"), 6)  # 0..37 -> 6 bits
+    t.commit_overwrite_partitions(
+        o.withColumn("__z", zvalue2(day_q, F.col("cust_bucket"), bits=6)),
+        cluster_by=("__z",),
+        cluster_partitions=16,
+    )
+    day = (200, 400)
+    buck = (10, 20)
+    n_day = len(t.read(ranges={"day_num": day}).inputFiles())
+    df = t.read(ranges={"day_num": day, "cust_bucket": buck})
+    if df is None or len(df.inputFiles()) >= n_day:
+        kept = 0 if df is None else len(df.inputFiles())
+        raise RuntimeError(
+            f"2nd z-order dimension pruned nothing ({kept} vs {n_day} "
+            "day-only files) — interleaving is broken"
+        )
+    return (
+        df.filter(
+            F.col("day_num").between(*day) & F.col("cust_bucket").between(*buck)
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+
+
+@query(
+    "snapshot_schema_evolution_read",
+    """
+SELECT 'a' AS src, CAST(NULL AS VARCHAR) AS band, COUNT(*) AS n
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT 'b', CASE WHEN o_totalprice > 200000 THEN 'hi' ELSE 'lo' END, COUNT(*)
+FROM orders WHERE o_orderkey % 2 = 1
+GROUP BY 2
+""",
+)
+def snapshot_schema_evolution_read(spark, sf_dir):
+    """Schema evolution: commit 2 adds a `band` column commit 1 never
+    had; the merged read presents the union schema with nulls for
+    pre-evolution files (parquet mergeSchema over the manifest's file
+    list) — Delta's ADD COLUMN semantics on plain parquet."""
+    o = load(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = SnapshotTable(
+        spark,
+        tempfile.mkdtemp(prefix="snap_evo_") + "/orders_evo",
+        partition_cols=("src",),
+        stat_cols=(),
+    )
+    t.commit_overwrite_partitions(
+        o.filter(F.col("o_orderkey") % 2 == 0).withColumn("src", F.lit("a"))
+    )
+    t.commit_overwrite_partitions(
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .withColumn("src", F.lit("b"))
+        .withColumn(
+            "band",
+            F.when(F.col("o_totalprice") > 200000, "hi").otherwise("lo"),
+        )
+    )
+    return t.read().groupBy("src", "band").agg(F.count("*").alias("n"))

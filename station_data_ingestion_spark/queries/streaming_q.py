@@ -35,13 +35,33 @@ from station_data_ingestion_spark.streaming import windows as W
 _MONEY = 'SUM(CAST(ROUND(value * 10000) AS BIGINT)) / 10000.0'
 
 
+# staged replay sources, keyed by (session id, sf_dir): the corpus is
+# immutable, so the multi-file copy the stream source needs is written
+# ONCE per session and shared by every replay query and bench repeat
+# (r3 paid the copy on every invocation). Multi-file matters: the file
+# stream source reads one file per task — a single-file source would
+# stream with parallelism 1.
+_STAGED_SRC: dict[tuple[int, str], str] = {}
+
+
+def _staged_events(spark: SparkSession, sf_dir: str) -> tuple[str, object]:
+    key = (id(spark), sf_dir)
+    if key not in _STAGED_SRC:
+        events = load(spark, sf_dir, "events")["events"]
+        d = tempfile.mkdtemp(prefix="stream_replay_src_")
+        events.write.parquet(f"{d}/src")
+        _STAGED_SRC[key] = d
+    d = _STAGED_SRC[key]
+    schema = load(spark, sf_dir, "events")["events"].schema
+    return f"{d}/src", schema
+
+
 def _replay(spark: SparkSession, sf_dir: str, op, output_mode: str) -> DataFrame:
     """Run `op(stream)` over a file-stream replay of events; return the
     drained memory sink as a batch DataFrame."""
-    events = load(spark, sf_dir, "events")["events"]
-    tmp = tempfile.mkdtemp(prefix="stream_replay_")
-    events.write.parquet(f"{tmp}/src")
-    stream = spark.readStream.schema(events.schema).parquet(f"{tmp}/src")
+    src, schema = _staged_events(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="stream_replay_")  # checkpoint only
+    stream = spark.readStream.schema(schema).parquet(src)
     name = f"replay_{uuid.uuid4().hex[:12]}"
     q = (
         op(stream)
