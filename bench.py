@@ -60,10 +60,13 @@ HEADLINE = [
     "udtf_sentence_stats",
     "stream_tumbling_replay",
     # round 4 additions: the snapshot store's write->cluster->ranged-read
-    # path, a multi-stage behavioral funnel, and grid-window interpolation
+    # path, a multi-stage behavioral funnel, grid-window interpolation,
+    # the Bloom pre-filtered join, and the SCD2 history merge
     "snapshot_ranged_orders_revenue",
     "events_funnel_signup_click_purchase",
     "ts_gap_fill_linear_interpolate",
+    "join_bloom_prefiltered_lineitems",
+    "merge_scd2_customer_history",
 ]
 
 

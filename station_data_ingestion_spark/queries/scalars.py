@@ -290,3 +290,45 @@ def scalar_bitwise_functions(spark, sf_dir):
         F.shiftright("o_orderkey", 2).alias("shr"),
         F.bit_count("o_orderkey").alias("popcount"),
     )
+
+
+@query(
+    "scalar_higher_order_functions",
+    """
+SELECT vec_id,
+       ROUND(CAST(list_sum(list_transform(embedding, x -> x * x)) AS DOUBLE), 4)
+           AS sum_sq,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+       CAST(list_sum(list_transform(embedding, x -> CAST(x > 0.5 AS INT)))
+            > 0 AS INT) AS any_gt_half,
+       ROUND(CAST(list_sum(list_transform(embedding, x -> x * x)) AS DOUBLE), 4)
+           AS dot_self
+FROM embeddings WHERE vec_id % 20 = 0
+""",
+)
+def scalar_higher_order_functions(spark, sf_dir):
+    """Higher-order array functions (transform / filter / exists /
+    zip_with) — lambda expressions evaluated INSIDE the engine, not
+    Python. Accumulation order over the array is index order in both
+    engines, so widened-to-double sums agree; rounded to absorb last-bit
+    drift. zip_with(e, e, *) is the dot-product building block the
+    similarity operators vectorize."""
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    xd = lambda x: x.cast("double")  # noqa: E731
+    return e.filter(F.col("vec_id") % 20 == 0).select(
+        "vec_id",
+        F.round(
+            F.aggregate("embedding", F.lit(0.0), lambda a, x: a + xd(x) * xd(x)),
+            4,
+        ).alias("sum_sq"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.exists("embedding", lambda x: x > 0.5).cast("int").alias("any_gt_half"),
+        F.round(
+            F.aggregate(
+                F.zip_with("embedding", "embedding", lambda a, b: xd(a) * xd(b)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            4,
+        ).alias("dot_self"),
+    )
