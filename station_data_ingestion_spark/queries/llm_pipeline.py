@@ -315,3 +315,75 @@ def pipeline_curriculum_phases(spark, sf_dir):
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+@query(
+    "pipeline_deterministic_shuffle",
+    """
+WITH r AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+             AS rk
+  FROM documents
+)
+SELECT doc_id, rk FROM r WHERE rk <= 100
+""",
+)
+def pipeline_deterministic_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffle: global shuffle order = md5(doc_id)
+    (seedless, partitioning-independent — df.sample/rand are neither),
+    ranks assigned via the distributed prefix sum instead of a
+    single-partition ROW_NUMBER window. A trainer derives epoch N's
+    order by salting the hash with N."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    keyed = d.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("__h")
+    )
+    ranked = ordered_prefix_sum(
+        keyed.withColumn("__one", F.lit(1)),
+        ["__h", "doc_id"],
+        "__one",
+        out_col="rk",
+    )
+    return ranked.filter(F.col("rk") <= 100).select("doc_id", "rk")
+
+
+@query(
+    "pipeline_quality_upsampling",
+    """
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         CASE WHEN len(string_split(text, ' ')) >= 24 THEN 3
+              WHEN len(string_split(text, ' ')) >= 16 THEN 2
+              ELSE 1 END AS n_copies
+  FROM documents
+)
+SELECT n_copies AS tier,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_copies) AS BIGINT) AS n_rows_out,
+       CAST(SUM(CAST(n_tokens AS BIGINT) * n_copies) AS BIGINT)
+           AS tokens_out
+FROM t GROUP BY n_copies
+""",
+)
+def pipeline_quality_upsampling(spark, sf_dir):
+    """Repetition-based upsampling (the data-mixing knob that repeats
+    high-quality docs N epochs): copies materialize via
+    explode(sequence(1, n)) — a narrow per-row op, no shuffle until the
+    audit aggregation. The gate compares the post-explosion row/token
+    accounting."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    n_tokens = F.size(F.split("text", " "))
+    n_copies = (
+        F.when(n_tokens >= 24, 3).when(n_tokens >= 16, 2).otherwise(1)
+    )
+    exploded = d.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        n_copies.alias("n_copies"),
+    ).withColumn("copy_i", F.explode(F.sequence(F.lit(1), F.col("n_copies"))))
+    return exploded.groupBy(F.col("n_copies").alias("tier")).agg(
+        F.count(F.lit(1)).alias("n_rows_out") ,
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.sum("n_tokens").alias("tokens_out"),
+    ).select("tier", "n_docs", "n_rows_out", "tokens_out")
