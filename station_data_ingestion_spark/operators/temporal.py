@@ -35,28 +35,35 @@ def asof_join(
     right_ts: str,
     right_cols: list[str] | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with right.ts <= left.ts.
+    """For each left row, attach the nearest right row at-or-before
+    (``direction='backward'``, pandas merge_asof default: latest
+    right.ts <= left.ts) or at-or-after (``'forward'``: earliest
+    right.ts >= left.ts) its timestamp.
 
-    Backward-inclusive as-of (pandas merge_asof default). Left rows with
-    no prior right row keep nulls. Returns all left columns plus each
-    requested right column renamed ``<col><suffix>`` (plus
+    Left rows with no match keep nulls. Returns all left columns plus
+    each requested right column renamed ``<col><suffix>`` (plus
     ``<right_ts><suffix>`` for the matched timestamp).
 
     Implementation: union the two sides with a tag ordered so that at
-    equal timestamps the right row sorts first (inclusive semantics),
-    then propagate the most recent right-side struct with
-    ``last(..., ignorenulls=True)`` over an unbounded-preceding window
-    per key. One shuffle on `on`; no range blow-up.
+    equal timestamps the right row falls INSIDE the left row's window
+    frame (before it for backward, after it for forward — both
+    inclusive), then propagate the nearest right-side struct with
+    ``last``/``first(..., ignorenulls=True)`` over an unbounded window
+    per key. One shuffle on `on`; no range blow-up, either direction.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
     right_cols = right_cols or [c for c in right.columns if c not in on and c != right_ts]
     payload = F.struct(
         F.col(right_ts).alias("__ts"), *[F.col(c) for c in right_cols]
     )
+    right_tag = 0 if direction == "backward" else 2
     r = right.select(
         *on,
         F.col(right_ts).alias("__evt_ts"),
-        F.lit(0).alias("__side"),
+        F.lit(right_tag).alias("__side"),
         payload.alias("__rv"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in on],
     )
@@ -68,12 +75,21 @@ def asof_join(
         *[F.col(c) for c in left.columns if c not in on],
     )
     unioned = r.unionByName(l_side)
-    w = (
-        Window.partitionBy(*on)
-        .orderBy("__evt_ts", "__side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = unioned.withColumn("__m", F.last("__rv", ignorenulls=True).over(w))
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*on)
+            .orderBy("__evt_ts", "__side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        nearest = F.last("__rv", ignorenulls=True).over(w)
+    else:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy("__evt_ts", "__side")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        nearest = F.first("__rv", ignorenulls=True).over(w)
+    matched = unioned.withColumn("__m", nearest)
     out_cols = (
         [F.col(c) for c in on]
         + [F.col(c) for c in left.columns if c not in on]

@@ -276,3 +276,62 @@ def ts_gap_fill_linear_interpolate(spark, sf_dir):
         F.date_format("h", "yyyy-MM-dd HH:00").alias("hour_bucket"),
         (F.floor(interp * 10000 + F.lit(0.5)) / 10000.0).alias("value_interp"),
     )
+
+
+@query(
+    "asof_forward_purchase_next_error",
+    f"""
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+errors AS (
+  SELECT user_id, ts, MAX(event_id) AS err_id
+  FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+),
+m AS (
+  SELECT p.event_id, p.user_id, p.ts AS p_ts, MIN(e.ts) AS e_ts
+  FROM purchases p LEFT JOIN errors e
+    ON e.user_id = p.user_id AND e.ts >= p.ts
+  GROUP BY p.event_id, p.user_id, p.ts
+)
+SELECT m.event_id, m.user_id,
+       strftime(m.p_ts, '{_TS_FMT_DUCK}') AS purchase_ts,
+       e.err_id,
+       strftime(m.e_ts, '{_TS_FMT_DUCK}') AS error_ts,
+       CAST(epoch_us(m.e_ts) - epoch_us(m.p_ts) AS BIGINT) AS gap_us
+FROM m LEFT JOIN errors e ON e.user_id = m.user_id AND e.ts = m.e_ts
+""",
+)
+def asof_forward_purchase_next_error(spark, sf_dir):
+    """FORWARD as-of join (direction='forward'): each purchase matched
+    to the same user's next error at-or-after it — the impact-analysis
+    twin of the backward as-of. Same one-shuffle union+window plan,
+    frame flipped to current->following. Errors pre-deduped per
+    (user, ts) for tie determinism."""
+    e = load(spark, sf_dir, "events")["events"]
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("err_id"))
+    )
+    j = asof_join(
+        purchases,
+        errors,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["err_id"],
+        suffix="_e",
+        direction="forward",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("purchase_ts"),
+        F.col("err_id_e").alias("err_id"),
+        F.date_format("ts_e", _TS_FMT).alias("error_ts"),
+        (F.unix_micros(F.col("ts_e")) - F.unix_micros(F.col("ts"))).alias("gap_us"),
+    )

@@ -102,3 +102,40 @@ def test_range_join_no_duplicate_matches(spark):
         right_start="s", right_end="e", bucket_seconds=60,
     ).collect()
     assert len(rows) == 1
+
+
+def test_asof_forward_inclusive_and_no_match(spark):
+    """Forward as-of: earliest right at-or-after left.ts; equal
+    timestamps MATCH (inclusive); trailing lefts with no later right
+    keep nulls."""
+    import datetime as dt
+
+    from station_data_ingestion_spark.operators.temporal import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 7, t(0)), (2, 7, t(5)), (3, 7, t(30))],
+        "lid long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, 7, t(5)), (101, 7, t(10))], "rid long, k long, ts timestamp"
+    )
+    j = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        right_cols=["rid"], suffix="_r", direction="forward",
+    )
+    got = {r.lid: r.rid_r for r in j.collect()}
+    assert got == {1: 100,   # next right after 10:00 is 10:05
+                   2: 100,   # equal ts 10:05 matches (inclusive)
+                   3: None}  # nothing after 10:30
+
+
+def test_asof_direction_validation(spark):
+    import pytest as _pytest
+
+    from station_data_ingestion_spark.operators.temporal import asof_join
+
+    df = spark.createDataFrame([(1, 1)], "k long, ts long")
+    with _pytest.raises(ValueError):
+        asof_join(df, df, on=["k"], left_ts="ts", right_ts="ts",
+                  direction="sideways")
