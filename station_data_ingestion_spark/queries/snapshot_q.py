@@ -328,3 +328,71 @@ def snapshot_schema_evolution_read(spark, sf_dir):
         )
     )
     return t.read().groupBy("src", "band").agg(F.count("*").alias("n"))
+
+
+@query(
+    "stream_snapshot_merge_replay",
+    """
+SELECT event_type, COUNT(*) AS n_events,
+       SUM(CAST(ROUND((value + CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END)
+                      * 10000) AS BIGINT)) / 10000.0 AS total_value
+FROM events GROUP BY event_type
+""",
+)
+def stream_snapshot_merge_replay(spark, sf_dir):
+    """Streaming foreachBatch MERGE (replace-only-changed) into the
+    transactional store, under the gate: run 1 streams the original
+    events into an empty snapshot table (all creates); a corrections
+    file (value+1 for event_id % 10 == 0) then lands in the watch dir
+    and a second availableNow run with the SAME checkpoint processes
+    only it, replacing exactly the changed rows. The read-back must
+    show corrected values — the reference's late-correction re-ingest
+    loop [reference: README.md:41-43] composed with streaming + the
+    versioned store."""
+    from station_data_ingestion_spark.operators.merge import merge_observed
+    from station_data_ingestion_spark.queries.registry import ensure_session_confs
+
+    ensure_session_confs(spark)
+    events = load(spark, sf_dir, "events")["events"].select(
+        "event_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="snap_merge_stream_")
+    watch = f"{tmp}/watch"
+    events.coalesce(4).write.parquet(watch)
+    t = SnapshotTable(
+        spark, f"{tmp}/tbl", partition_cols=("event_type",), stat_cols=()
+    )
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        target = t.read()
+        if target is None:
+            t.commit_overwrite_partitions(batch_df)
+            return
+        merged, finish = merge_observed(target, batch_df, ["event_id"])
+        t.commit_overwrite_partitions(merged)
+        finish()
+
+    def drain():
+        q = (
+            spark.readStream.schema(events.schema)
+            .parquet(watch)
+            .writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    corrections = events.filter(F.col("event_id") % 10 == 0).withColumn(
+        "value", F.col("value") + 1
+    )
+    corrections.coalesce(1).write.mode("append").parquet(watch)
+    drain()
+    got = t.read()
+    return got.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        (F.sum(F.round(F.col("value") * 10000).cast("long")) / 10000.0).alias(
+            "total_value"
+        ),
+    )

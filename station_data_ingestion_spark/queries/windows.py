@@ -151,3 +151,44 @@ def window_range_frame_trailing_spend(spark, sf_dir):
     return o.select(
         "o_orderkey", (spend / 10000.0).alias("trailing30_spend")
     )
+
+
+@query(
+    "window_rank_null_ordering",
+    """
+WITH x AS (
+  SELECT event_id, event_type,
+         NULLIF(TRY_CAST(props->>'$.k' AS BIGINT) % 7, 0) AS k
+  FROM events WHERE event_id % 50 = 0
+)
+SELECT event_id, event_type, k,
+       RANK() OVER (PARTITION BY event_type
+                    ORDER BY k ASC NULLS FIRST, event_id) AS rk_nf,
+       RANK() OVER (PARTITION BY event_type
+                    ORDER BY k DESC NULLS LAST, event_id) AS rk_nl
+FROM x
+""",
+)
+def window_rank_null_ordering(spark, sf_dir):
+    """Null-ordering semantics pinned EXPLICITLY on both engines: Spark
+    defaults to NULLS FIRST for ASC while DuckDB defaults to NULLS LAST,
+    so any nullable sort key in a window/sort must state its null
+    position or ranks silently diverge. Nulls are planted
+    deterministically (k % 7 == 0 -> null) since the corpus extraction
+    itself is never null."""
+    e = load(spark, sf_dir, "events")["events"].filter(F.col("event_id") % 50 == 0)
+    k = F.nullif(F.get_json_object("props", "$.k").cast("long") % 7, F.lit(0))
+    x = e.select("event_id", "event_type", k.alias("k"))
+    w_nf = Window.partitionBy("event_type").orderBy(
+        F.col("k").asc_nulls_first(), F.col("event_id")
+    )
+    w_nl = Window.partitionBy("event_type").orderBy(
+        F.col("k").desc_nulls_last(), F.col("event_id")
+    )
+    return x.select(
+        "event_id",
+        "event_type",
+        "k",
+        F.rank().over(w_nf).alias("rk_nf"),
+        F.rank().over(w_nl).alias("rk_nl"),
+    )
