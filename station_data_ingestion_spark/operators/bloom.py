@@ -59,6 +59,34 @@ def build_bloom_bits(keys, m_bits: int = 1 << 20, k: int = 4):
     return bits
 
 
+def bloom_prefilter(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """`big` restricted to rows whose `on` value MIGHT appear in
+    `small[on]` (no false negatives; a tunable false-positive rate).
+    This is the shuffle-volume reducer; compose with an exact join for
+    exact results."""
+    keys = [r[0] for r in small.select(on).distinct().collect()]
+    bits = build_bloom_bits(keys, m_bits=m_bits, k=k)
+    bc = big.sparkSession.sparkContext.broadcast(bits)
+    schema = big.schema
+
+    def might_contain(batches):
+        arr = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            idx = _probe_indices(pdf[on].to_numpy(), m_bits, k)
+            hits = (arr[idx // 8] & (1 << (idx % 8)).astype("uint8")) != 0
+            yield pdf[hits.all(axis=1)]
+
+    return big.mapInPandas(might_contain, schema)
+
+
 def bloom_semi_join(
     big: DataFrame,
     small: DataFrame,
@@ -75,23 +103,7 @@ def bloom_semi_join(
     """
     if how not in ("inner", "semi", "left_semi", "leftsemi"):
         raise ValueError(f"bloom pre-filter only for inner/semi joins, got {how}")
-    keys = [r[0] for r in small.select(on).distinct().collect()]
-    bits = build_bloom_bits(keys, m_bits=m_bits, k=k)
-    bc = big.sparkSession.sparkContext.broadcast(bits)
-    schema = big.schema
-
-    def might_contain(batches):
-        import numpy as np
-
-        arr = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            idx = _probe_indices(pdf[on].to_numpy(), m_bits, k)
-            hits = (arr[idx // 8] & (1 << (idx % 8)).astype("uint8")) != 0
-            yield pdf[hits.all(axis=1)]
-
-    filtered = big.mapInPandas(might_contain, schema)
+    filtered = bloom_prefilter(big, small, on, m_bits=m_bits, k=k)
     if how == "inner":
         return filtered.join(small, on, "inner")
     return filtered.join(small, on, "left_semi")

@@ -65,3 +65,23 @@ def test_bloom_semi_join_rejects_outer(spark):
     df = spark.createDataFrame([(1,)], "okey long")
     with pytest.raises(ValueError):
         bloom_semi_join(df, df, "okey", how="left")
+
+
+def test_bloom_prefilter_reduces_rows_never_drops_matches(spark):
+    """The point of the pre-filter is shuffle-volume reduction: with a
+    selective dim side, the surviving row count must be FAR below the
+    big side (modulo the fp rate) while containing every true match."""
+    from station_data_ingestion_spark.operators.bloom import bloom_prefilter
+
+    big = spark.createDataFrame(
+        [(i, i) for i in range(20_000)], "okey long, v long"
+    )
+    small = spark.createDataFrame(
+        [(i,) for i in range(0, 20_000, 100)], "okey long"  # 0.2% selective
+    )
+    kept = bloom_prefilter(big, small, "okey", m_bits=1 << 18).collect()
+    kept_keys = {r.okey for r in kept}
+    true_keys = set(range(0, 20_000, 100))
+    assert true_keys <= kept_keys, "pre-filter dropped a true match"
+    # 200 true + false positives; must be a small fraction of 20k
+    assert len(kept) < 2_000, f"pre-filter kept {len(kept)} of 20000"
