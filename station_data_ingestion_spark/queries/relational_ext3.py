@@ -348,3 +348,143 @@ def join_bloom_prefiltered_lineitems(spark, sf_dir):
         F.count("*").alias("n_items"),
         F.sum("cents").alias("cents"),
     )
+
+
+@query(
+    "agg_median_absolute_deviation",
+    """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       ROUND(MIN(med.m), 4) AS median_v,
+       ROUND(quantile_cont(ABS(e.value - med.m), 0.5), 4) AS mad
+FROM events e JOIN med ON e.event_type = med.event_type
+GROUP BY e.event_type
+""",
+)
+def agg_median_absolute_deviation(spark, sf_dir):
+    """Robust statistics: median absolute deviation — the two-pass
+    median-of-residuals shape (per-group median joined back, then a
+    second exact percentile). Both passes shuffle on the same group key;
+    identical interpolation definitions keep it engine-exact at 4dp."""
+    e = load(spark, sf_dir, "events")["events"]
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("m")
+    )
+    return (
+        e.join(med, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("m"), 4).alias("median_v"),
+            F.round(
+                F.expr("percentile(abs(value - m), 0.5)"), 4
+            ).alias("mad"),
+        )
+    )
+
+
+@query(
+    "agg_value_histogram",
+    """
+WITH b AS (
+  SELECT event_type,
+         CASE WHEN value < 0 THEN 0
+              WHEN value >= 250 THEN 11
+              ELSE CAST(FLOOR(value / 25.0) AS INT) + 1 END AS bucket
+  FROM events
+)
+SELECT event_type, bucket, COUNT(*) AS n FROM b GROUP BY event_type, bucket
+""",
+)
+def agg_value_histogram(spark, sf_dir):
+    """Equi-width histogram: 10 buckets over [0, 250) plus the 0/11
+    under/overflow buckets, stated as explicit floor arithmetic (this
+    DuckDB build lacks width_bucket; explicit edges also remove any
+    ambiguity about boundary ownership). One map-side-combined
+    shuffle."""
+    e = load(spark, sf_dir, "events")["events"]
+    bucket = (
+        F.when(F.col("value") < 0, 0)
+        .when(F.col("value") >= 250, 11)
+        .otherwise(F.floor(F.col("value") / 25.0).cast("int") + 1)
+    )
+    return e.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count("*").alias("n")
+    )
+
+
+@query(
+    "agg_mode_deterministic",
+    """
+WITH c AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT c_nationkey, c_mktsegment AS mode_seg, n AS mode_n
+FROM (SELECT c_nationkey, c_mktsegment, n,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY n DESC, c_mktsegment) AS rk
+      FROM c) WHERE rk = 1
+""",
+)
+def agg_mode_deterministic(spark, sf_dir):
+    """Mode with a DETERMINISTIC tie-break (smallest value among the
+    most frequent) — plain mode() is free to pick any tied value, which
+    can never pass a cross-engine gate. count -> argmin over
+    (-n, value): two shuffles on the same key."""
+    c = load(spark, sf_dir, "customer")["customer"]
+    counts = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("n")
+    )
+    return counts.groupBy("c_nationkey").agg(
+        F.min_by(
+            "c_mktsegment", F.struct(-F.col("n"), F.col("c_mktsegment"))
+        ).alias("mode_seg"),
+        F.max("n").alias("mode_n"),
+    )
+
+
+@query(
+    "window_ratio_to_report",
+    """
+WITH rev AS (
+  SELECT n.n_name AS nation, r.r_name AS region,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY n.n_name, r.r_name
+)
+SELECT nation, region, cents,
+       ROUND(CAST(cents AS DOUBLE)
+             / SUM(cents) OVER (PARTITION BY region), 8) AS region_share
+FROM rev
+""",
+)
+def window_ratio_to_report(spark, sf_dir):
+    """Ratio-to-report: each nation's share of its region's revenue via
+    a window SUM over the aggregated (25-row) frame — the numerator
+    aggregation did the heavy lifting, so the window input is dimension-
+    sized. Integer cents make the shares engine-exact before rounding."""
+    t = load(spark, sf_dir, "orders", "customer", "nation", "region")
+    rev = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    w = Window.partitionBy("region")
+    return rev.select(
+        "nation",
+        "region",
+        "cents",
+        F.round(F.col("cents").cast("double") / F.sum("cents").over(w), 8).alias(
+            "region_share"
+        ),
+    )

@@ -332,3 +332,27 @@ def scalar_higher_order_functions(spark, sf_dir):
             4,
         ).alias("dot_self"),
     )
+
+
+@query(
+    "scalar_edit_distance",
+    """
+SELECT p_partkey,
+       CAST(levenshtein(p_name, p_type) AS INT) AS d_name_type,
+       CAST(levenshtein(p_name, reverse(p_name)) AS INT) AS d_palindrome,
+       CAST(levenshtein(p_brand, p_type) AS INT) AS d_brand_type
+FROM part WHERE p_partkey % 50 = 0
+""",
+)
+def scalar_edit_distance(spark, sf_dir):
+    """Levenshtein edit distance (unit costs — identical definition in
+    both engines, integer-exact): the scalar behind fuzzy key matching
+    and near-dup reranking on short strings. At scale it belongs AFTER
+    a blocking/LSH candidate stage, never in a cross join."""
+    p = load(spark, sf_dir, "part")["part"]
+    return p.filter(F.col("p_partkey") % 50 == 0).select(
+        "p_partkey",
+        F.levenshtein("p_name", "p_type").alias("d_name_type"),
+        F.levenshtein("p_name", F.reverse("p_name")).alias("d_palindrome"),
+        F.levenshtein("p_brand", "p_type").alias("d_brand_type"),
+    )
