@@ -5,6 +5,7 @@ re-exports them to the verification driver.
 """
 
 from station_data_ingestion_spark.queries import (  # noqa: F401
+    dq,
     events,
     funnels,
     graph_q,

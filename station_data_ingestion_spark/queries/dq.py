@@ -1,0 +1,125 @@
+"""Data-quality audit queries: the assertion shapes a pipeline runs
+before trusting a snapshot — referential integrity, key uniqueness,
+per-partition completeness. Complements profile_orders_columns (which
+describes; these judge).
+
+All counts are integer-exact; every check is a single anti-join or
+aggregation on the natural key — at 100 TB these are the same one-shuffle
+shapes as the production joins they guard.
+
+[reference: the reference's runtime invariant checks are its only QA —
+multi-match RecordKeyException src/modules/ingestion_handler.py:193-195,
+date validation src/driver.py:132-134; this module is that idea
+generalized to table-level audits.]
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from station_data_ingestion_spark.queries.registry import load, query
+
+
+@query(
+    "dq_referential_orphans",
+    """
+SELECT 'lineitem->orders' AS fk, COUNT(*) AS n_orphans
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IS NULL
+UNION ALL
+SELECT 'orders->customer', COUNT(*)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey IS NULL
+UNION ALL
+SELECT 'customer->nation', COUNT(*)
+FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE n.n_nationkey IS NULL
+""",
+)
+def dq_referential_orphans(spark, sf_dir):
+    """Referential-integrity audit: orphan counts along the fact->dim
+    chain, each one LEFT ANTI join (no row materializes unless broken).
+    Zero counts are the expected PASS — the query certifies the check
+    machinery, a real pipeline alerts on nonzero."""
+    t = load(spark, sf_dir, "lineitem", "orders", "customer", "nation")
+
+    def orphans(child, parent, ck, pk, label):
+        n = (
+            child.join(parent, F.col(ck) == F.col(pk), "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+            .select(F.lit(label).alias("fk"), "n_orphans")
+        )
+        return n
+
+    return (
+        orphans(t["lineitem"], t["orders"], "l_orderkey", "o_orderkey",
+                "lineitem->orders")
+        .unionByName(
+            orphans(t["orders"], t["customer"], "o_custkey", "c_custkey",
+                    "orders->customer"))
+        .unionByName(
+            orphans(t["customer"], t["nation"], "c_nationkey", "n_nationkey",
+                    "customer->nation"))
+    )
+
+
+@query(
+    "dq_duplicate_composite_keys",
+    """
+WITH d AS (
+  SELECT user_id, ts, COUNT(*) AS n FROM events
+  GROUP BY user_id, ts HAVING COUNT(*) > 1
+)
+SELECT COUNT(*) AS n_dup_keys,
+       COALESCE(CAST(SUM(n) AS BIGINT), 0) AS n_dup_rows,
+       COALESCE(CAST(MAX(n) AS BIGINT), 0) AS worst_key_rows
+FROM d
+""",
+)
+def dq_duplicate_composite_keys(spark, sf_dir):
+    """Key-uniqueness audit on the (user_id, ts) composite — the same
+    groupBy-count>1 probe the merge's multi-match guard runs
+    [reference: src/modules/ingestion_handler.py:193-195], surfaced as
+    a standalone check with volume and worst-case columns."""
+    e = load(spark, sf_dir, "events")["events"]
+    d = (
+        e.groupBy("user_id", "ts")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    return d.agg(
+        F.count("*").alias("n_dup_keys"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n_dup_rows"),
+        F.coalesce(F.max("n"), F.lit(0)).alias("worst_key_rows"),
+    )
+
+
+@query(
+    "dq_daily_completeness",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       COUNT(*) AS n_types_present,
+       CAST(5 - COUNT(*) AS INT) AS n_types_missing,
+       CAST(MIN(n) AS BIGINT) AS thinnest_type_rows
+FROM daily GROUP BY d
+""",
+)
+def dq_daily_completeness(spark, sf_dir):
+    """Completeness audit: per day, how many of the 5 event types
+    reported and the thinnest type's row count — the gap detector a
+    station-data operator runs on sensor feeds (the reference handles
+    gaps by re-ingesting months [reference: utils/task.sh:1-16]; this
+    makes them visible first)."""
+    e = load(spark, sf_dir, "events")["events"]
+    daily = e.groupBy(
+        F.to_date("ts").alias("d"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    return daily.groupBy(F.date_format("d", "yyyy-MM-dd").alias("day")).agg(
+        F.count("*").alias("n_types_present"),
+        (F.lit(5) - F.count("*")).cast("int").alias("n_types_missing"),
+        F.min("n").alias("thinnest_type_rows"),
+    )
