@@ -217,3 +217,36 @@ def merge_observed(
         )
 
     return observed, finish
+
+
+def merge_apply_ops(
+    target: DataFrame,
+    ops: DataFrame,
+    key_fields: list[str],
+    op_col: str = "_op",
+    replace: bool = True,
+) -> DataFrame:
+    """MERGE with DELETE support: ``ops`` carries ``op_col`` in
+    {'upsert', 'delete'}.
+
+    Semantics (Delta's three-branch MERGE, which the reference's
+    replace-only upsert [reference: src/modules/ingestion_handler.py:
+    205-254] cannot express):
+
+    - matched  + delete -> target row dropped
+    - matched  + upsert -> replaced iff changed (merge_plan semantics)
+    - unmatched + upsert -> created
+    - unmatched + delete -> no-op (idempotent: re-deleting is safe)
+
+    Composition: one LEFT ANTI join removes deleted keys, then the
+    standard merge applies the upserts — two shuffles on the SAME key,
+    which AQE/bucketing co-partition. A delete row whose key also has an
+    upsert row raises the conflicting-duplicate error in merge_plan's
+    update-side guard only if keys collide there; here deletes are
+    applied first, so delete+upsert for one key = replace-by-new-row
+    (documented, deterministic).
+    """
+    deletes = ops.filter(F.col(op_col) == "delete").select(*key_fields)
+    upserts = ops.filter(F.col(op_col) == "upsert").drop(op_col)
+    kept = target.join(deletes, key_fields, "left_anti")
+    return merge_plan(kept, upserts, key_fields, replace=replace).drop("_action")

@@ -12,6 +12,7 @@ joins); retention is two aggregations on user_id then one on
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from station_data_ingestion_spark.queries.registry import load, query
@@ -118,4 +119,87 @@ def events_retention_cohorts(spark, sf_dir):
             off.alias("day_offset"),
         )
         .agg(F.count("*").alias("n_users"))
+    )
+
+
+@query(
+    "events_attribution_linear",
+    """
+WITH p AS (
+  SELECT event_id AS pid, user_id, ts AS pts,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT event_id AS cid, user_id, ts AS cts
+  FROM events WHERE event_type = 'click'
+),
+touch AS (
+  SELECT p.pid, p.cents, c.cid, c.cts,
+         COUNT(*) OVER (PARTITION BY p.pid) AS n,
+         ROW_NUMBER() OVER (PARTITION BY p.pid ORDER BY c.cts, c.cid) AS r
+  FROM p JOIN c
+    ON c.user_id = p.user_id
+   AND c.cts <= p.pts AND c.cts > p.pts - INTERVAL 1 HOUR
+)
+SELECT CAST(hour(cts) AS INT) AS click_hour,
+       COUNT(*) AS n_touches,
+       CAST(SUM(cents // n + CASE WHEN r <= cents % n THEN 1 ELSE 0 END)
+            AS BIGINT) AS attributed_cents
+FROM touch GROUP BY 1
+""",
+)
+def events_attribution_linear(spark, sf_dir):
+    """Linear multi-touch attribution with EXACT penny splitting: each
+    purchase's cents divide equally across the user's clicks in the
+    preceding hour, remainder pennies going to the earliest clicks
+    (largest-remainder; floats would drift across engines, integer
+    shares cannot). The touch join is the bucketed range join; the
+    per-purchase windows partition on purchase id — no global windows.
+    """
+    from station_data_ingestion_spark.operators.temporal import (
+        range_join_bucketed,
+    )
+
+    e = load(spark, sf_dir, "events")["events"]
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), "user_id", F.col("ts").alias("cts")
+    )
+    # (w_start, w_end] window: bucketed join gives c.cts >= w_start and
+    # < w_end inclusive bounds; apply the exact half-open predicate after
+    touch = range_join_bucketed(
+        c,
+        p,
+        on=["user_id"],
+        left_ts="cts",
+        right_start="w_start",
+        right_end="w_end",
+        bucket_seconds=3600,
+    ).filter(F.col("cts") > F.col("w_start"))
+    # range_join gives cts in [w_start, w_end); we need (w_start, w_end]
+    eq_end = (
+        c.join(p, "user_id").filter(F.col("cts") == F.col("w_end"))
+        .select(*touch.columns)
+    )
+    touch = touch.unionByName(eq_end)
+    w_n = Window.partitionBy("pid")
+    w_r = Window.partitionBy("pid").orderBy("cts", "cid")
+    shares = touch.select(
+        "pid", "cents", "cts",
+        F.count(F.lit(1)).over(w_n).alias("n"),
+        F.row_number().over(w_r).alias("r"),
+    )
+    share = F.expr("cents div n") + (
+        F.col("r") <= F.col("cents") % F.col("n")
+    ).cast("long")
+    return shares.groupBy(F.hour("cts").cast("int").alias("click_hour")).agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum(share).alias("attributed_cents"),
     )

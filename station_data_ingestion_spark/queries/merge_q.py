@@ -125,3 +125,65 @@ def merge_scd2_customer_history(spark, sf_dir):
         "valid_to",
         F.col("is_current").cast("int").alias("is_current"),
     )
+
+
+@query(
+    "merge_with_deletes_orders",
+    """
+WITH target AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+expected AS (
+  -- deletes: even keys divisible by 10 vanish — UNLESS an upsert for the
+  -- same key follows (delete-first composition => re-created)
+  -- upserts: keys divisible by 6 get cents+1; odd multiples of 3 created
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 6 = 0
+              THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) + 1
+              ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS cents
+  FROM orders
+  WHERE (o_orderkey % 2 = 0 AND o_orderkey % 10 <> 0 AND o_orderkey % 6 <> 0)
+     OR (o_orderkey % 6 = 0)
+     OR (o_orderkey % 2 = 1 AND o_orderkey % 3 = 0)
+)
+SELECT o_orderstatus, COUNT(*) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM expected GROUP BY o_orderstatus
+""",
+)
+def merge_with_deletes_orders(spark, sf_dir):
+    """Three-branch MERGE (upsert/delete) under the gate: target = even
+    orders; ops = DELETE every key divisible by 10, UPSERT cents+1 for
+    keys divisible by 6 and all odd multiples of 3 (creates). Keys
+    divisible by both 10 and 6 exercise the delete-then-upsert
+    composition rule (re-created with the new value). The oracle
+    enumerates the expected post-merge table directly."""
+    from station_data_ingestion_spark.operators.merge import merge_apply_ops
+
+    o = load(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    target = o.filter(F.col("o_orderkey") % 2 == 0)
+    upserts = o.filter(
+        ((F.col("o_orderkey") % 6 == 0))
+        | ((F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") % 3 == 0))
+    ).withColumn(
+        "cents",
+        F.when(F.col("o_orderkey") % 6 == 0, F.col("cents") + 1).otherwise(
+            F.col("cents")
+        ),
+    ).withColumn("_op", F.lit("upsert"))
+    deletes = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", "o_orderstatus", "cents"
+    ).withColumn("_op", F.lit("delete"))
+    merged = merge_apply_ops(
+        target, upserts.unionByName(deletes), ["o_orderkey"]
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("cents").alias("cents"),
+    )

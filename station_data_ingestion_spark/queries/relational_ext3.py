@@ -488,3 +488,73 @@ def window_ratio_to_report(spark, sf_dir):
             "region_share"
         ),
     )
+
+
+@query(
+    "agg_multi_distinct",
+    """
+SELECT o_orderstatus,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(DISTINCT o_orderpriority) AS n_priorities,
+       COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS n_days,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def agg_multi_distinct(spark, sf_dir):
+    """Multiple DISTINCT aggregates over different columns in one query
+    — the planner's Expand shape (each row replicated per distinct
+    group): one logical pass instead of three self-joined subqueries."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    return o.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.count_distinct("o_orderpriority").alias("n_priorities"),
+        F.count_distinct(F.to_date("o_orderdate")).alias("n_days"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query(
+    "join_full_outer_coalesced",
+    """
+WITH buyers AS (
+  SELECT o_custkey AS k, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+),
+rich AS (
+  SELECT c_custkey AS k, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer WHERE c_acctbal > 7500
+)
+SELECT COALESCE(b.k, r.k) AS custkey,
+       COALESCE(b.n_orders, 0) AS n_orders,
+       COALESCE(r.cents, -1) AS cents,
+       CAST(b.k IS NOT NULL AS INT) + 2 * CAST(r.k IS NOT NULL AS INT)
+           AS presence
+FROM buyers b FULL OUTER JOIN rich r ON b.k = r.k
+""",
+)
+def join_full_outer_coalesced(spark, sf_dir):
+    """FULL OUTER as a surface query (the merge uses it internally):
+    coalesced key + presence bitmap distinguishes left-only/right-only/
+    both — nulls made explicit so the gate hash is well-defined."""
+    t = load(spark, sf_dir, "orders", "customer")
+    buyers = (
+        t["orders"].groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    rich = (
+        t["customer"].filter(F.col("c_acctbal") > 7500)
+        .select(
+            F.col("c_custkey").alias("rk"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        )
+    )
+    j = buyers.join(rich, F.col("k") == F.col("rk"), "full_outer")
+    return j.select(
+        F.coalesce("k", "rk").alias("custkey"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("cents", F.lit(-1)).alias("cents"),
+        (
+            F.col("k").isNotNull().cast("int")
+            + 2 * F.col("rk").isNotNull().cast("int")
+        ).alias("presence"),
+    )

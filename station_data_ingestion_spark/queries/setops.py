@@ -146,3 +146,53 @@ def pivot_status_by_priority(spark, sf_dir):
         (F.col("O") / 10000.0).alias("total_o"),
         (F.col("P") / 10000.0).alias("total_p"),
     )
+
+
+@query(
+    "setop_except_all_multiset",
+    """
+WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus <> 'P'),
+b AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+SELECT o_custkey, COUNT(*) AS n
+FROM (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b)
+GROUP BY o_custkey
+""",
+)
+def setop_except_all_multiset(spark, sf_dir):
+    """EXCEPT ALL multiset semantics: each row's multiplicity is
+    max(count_a - count_b, 0) — bag difference, not set difference
+    (exceptAll vs except). Counted per key so the multiset itself is
+    what the gate hashes."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    a = o.filter(F.col("o_orderstatus") != "P").select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return a.exceptAll(b).groupBy("o_custkey").agg(F.count("*").alias("n"))
+
+
+@query(
+    "sort_multi_key_mixed_order",
+    """
+SELECT o_orderkey, o_orderpriority, CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price
+FROM orders
+ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC
+LIMIT 50
+""",
+)
+def sort_multi_key_mixed_order(spark, sf_dir):
+    """Mixed-direction multi-key top-k (ASC, DESC, ASC tiebreak) — one
+    TakeOrderedAndProject, never a full sort; the unique key tiebreak
+    makes the LIMIT deterministic cross-engine."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round("o_totalprice", 2).alias("price"),
+        )
+        .orderBy(
+            F.col("o_orderpriority").asc(),
+            F.col("price").desc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(50)
+    )

@@ -396,3 +396,50 @@ def stream_snapshot_merge_replay(spark, sf_dir):
             "total_value"
         ),
     )
+
+
+@query(
+    "snapshot_compaction_read",
+    """
+SELECT strftime(o_orderdate, '%Y') AS yr,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders GROUP BY 1
+""",
+)
+def snapshot_compaction_read(spark, sf_dir):
+    """OPTIMIZE/compaction under the gate: a fragmented commit (24 small
+    files) is reclustered down to 2 date-clustered files; the query
+    asserts the file count actually dropped AND the version advanced,
+    then aggregates through the compacted table — identical data, fewer
+    files, tighter zone maps (the maintenance pass every long-lived
+    table needs)."""
+    orders = load(spark, sf_dir, "orders")["orders"].select(
+        F.date_format("o_orderdate", "yyyy").alias("yr"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_odate"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.lit("a").alias("src"),
+    )
+    t = SnapshotTable(
+        spark,
+        tempfile.mkdtemp(prefix="snap_compact_") + "/orders_c",
+        partition_cols=("src",),
+        stat_cols=("o_odate",),
+    )
+    t.commit_overwrite_partitions(
+        orders, cluster_by=("o_odate",), cluster_partitions=24
+    )
+    n_before = len(t._read_manifest(t.latest_version())["files"])
+    v = t.recluster_partition(
+        {"src": "a"}, cluster_by=("o_odate",), cluster_partitions=2
+    )
+    n_after = len(t._read_manifest(v)["files"])
+    if not (v == 2 and n_after < n_before):
+        raise RuntimeError(
+            f"compaction did not shrink the table: {n_before} -> {n_after} "
+            f"files at v{v}"
+        )
+    return t.read().groupBy("yr").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("cents").alias("cents"),
+    )

@@ -112,3 +112,38 @@ def test_conflicting_duplicate_updates_raise(spark):
     )
     with pytest.raises(RecordKeyError, match="Conflicting update rows"):
         merge_observations(target, updates, keys)
+
+
+def test_merge_apply_ops_delete_upsert_matrix(spark):
+    """Three-branch merge: delete matched, upsert changed/new, no-op on
+    unmatched deletes; delete+upsert same key = re-create with new row."""
+    from station_data_ingestion_spark.operators.merge import merge_apply_ops
+
+    target = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    )
+    ops = spark.createDataFrame(
+        [
+            (2, None, "delete"),     # matched delete
+            (9, None, "delete"),     # unmatched delete -> no-op
+            (3, 31.0, "upsert"),     # matched changed -> replace
+            (4, 40.0, "upsert"),     # new -> create
+            (5, None, "delete"),     # delete...
+            (5, 50.0, "upsert"),     # ...then upsert same key -> created
+        ],
+        "k long, v double, _op string",
+    )
+    got = {(r.k, r.v) for r in merge_apply_ops(target, ops, ["k"]).collect()}
+    assert got == {(1, 10.0), (3, 31.0), (4, 40.0), (5, 50.0)}
+
+
+def test_merge_apply_ops_idempotent_replay(spark):
+    from station_data_ingestion_spark.operators.merge import merge_apply_ops
+
+    target = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    ops = spark.createDataFrame(
+        [(1, None, "delete"), (3, 30.0, "upsert")], "k long, v double, _op string"
+    )
+    once = merge_apply_ops(target, ops, ["k"])
+    twice = merge_apply_ops(once, ops, ["k"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
