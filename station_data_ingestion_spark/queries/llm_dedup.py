@@ -570,3 +570,69 @@ def dedup_canonical_docs(spark, sf_dir, checkpoint_dir=None):
     return assigned.groupBy("canonical_id").agg(
         (F.count(F.lit(1)) - 1).alias("n_dropped")
     )
+
+
+_CC_SIZES_ORACLE = f"""
+WITH RECURSIVE {_SHINGLE_SQL},
+pairs AS (SELECT a_id, b_id FROM jacc WHERE j >= 0.8),
+edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+          UNION SELECT b_id, a_id FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+labels AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS rep_id FROM reach GROUP BY u
+),
+csizes AS (SELECT rep_id, COUNT(*) AS sz FROM labels GROUP BY rep_id)
+SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+       CAST(SUM(sz) AS BIGINT) AS n_docs
+FROM csizes GROUP BY sz
+"""
+
+
+@query("dedup_cluster_size_histogram", _CC_SIZES_ORACLE)
+def dedup_cluster_size_histogram(spark, sf_dir):
+    """Duplicate-cluster size distribution — the report a dedup run
+    publishes (how much of the corpus sits in 2-dup vs 50-dup clusters
+    decides the canonical-keep policy). Adds one dimension-sized
+    aggregation on top of the star-contraction components."""
+    from station_data_ingestion_spark.operators.graph import (
+        connected_components,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    pairs = _exact_jaccard_pairs(d, 0.8).select("a_id", "b_id")
+    labels = connected_components(pairs)
+    sizes = labels.groupBy("rep").agg(F.count("*").alias("sz"))
+    return sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("sz").alias("n_docs"),
+    )
+
+
+_NEARDUP_DEGREE_ORACLE = f"""
+WITH RECURSIVE {_SHINGLE_SQL},
+pairs AS (SELECT a_id, b_id FROM jacc WHERE j >= 0.8),
+nodes AS (SELECT a_id AS u FROM pairs UNION ALL SELECT b_id FROM pairs),
+deg AS (SELECT u, COUNT(*) AS d FROM nodes GROUP BY u)
+SELECT d AS degree, COUNT(*) AS n_docs FROM deg GROUP BY d
+"""
+
+
+@query("dedup_neardup_degree_distribution", _NEARDUP_DEGREE_ORACLE)
+def dedup_neardup_degree_distribution(spark, sf_dir):
+    """Near-dup graph degree distribution: how many similars each doc
+    has — the skew diagnostic run BEFORE clustering (a power-law tail
+    here predicts hot keys in the CC join and justifies the df-cap
+    candidate tier)."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    pairs = _exact_jaccard_pairs(d, 0.8).select("a_id", "b_id")
+    nodes = pairs.select(F.col("a_id").alias("u")).unionAll(
+        pairs.select(F.col("b_id").alias("u"))
+    )
+    deg = nodes.groupBy("u").agg(F.count("*").alias("d"))
+    return deg.groupBy(F.col("d").alias("degree")).agg(
+        F.count("*").alias("n_docs")
+    )
