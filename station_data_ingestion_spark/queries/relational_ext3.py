@@ -558,3 +558,33 @@ def join_full_outer_coalesced(spark, sf_dir):
             + 2 * F.col("rk").isNotNull().cast("int")
         ).alias("presence"),
     )
+
+
+@query(
+    "agg_bool_and_or",
+    """
+SELECT n.n_name AS nation,
+       CAST(bool_and(c.c_acctbal > 0) AS INT) AS all_positive,
+       CAST(bool_or(c.c_acctbal > 9000) AS INT) AS any_rich,
+       CAST(bool_and(c.c_mktsegment IS NOT NULL) AS INT) AS seg_complete,
+       COUNT(*) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def agg_bool_and_or(spark, sf_dir):
+    """Boolean aggregates (every/any): the A3 all-complete AND-reduce
+    [reference: utils/all_complete.py:4-12] generalized to grouped
+    table-level assertions; cast to int for the gate hash."""
+    t = load(spark, sf_dir, "customer", "nation")
+    j = t["customer"].join(
+        F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    return j.groupBy(F.col("n_name").alias("nation")).agg(
+        F.bool_and(F.col("c_acctbal") > 0).cast("int").alias("all_positive"),
+        F.bool_or(F.col("c_acctbal") > 9000).cast("int").alias("any_rich"),
+        F.bool_and(F.col("c_mktsegment").isNotNull()).cast("int").alias(
+            "seg_complete"
+        ),
+        F.count("*").alias("n_customers"),
+    )
