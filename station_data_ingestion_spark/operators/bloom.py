@@ -2,61 +2,105 @@
 before an exact join.
 
 The pattern behind Spark's own runtime row-level filtering (and every
-warehouse's join pruning): when the dim side's key set is small enough
-to summarize, ship a Bloom filter to the fact side's scan and drop rows
-that cannot match BEFORE the shuffle. The exact join still runs after
-the pre-filter, so false positives cost only wasted shuffle bytes,
-never correctness — results are identical to the plain join.
+warehouse's join pruning): summarize the dim side's key set in a Bloom
+filter and drop fact rows that cannot match BEFORE the shuffle. The
+exact join still runs after the pre-filter, so false positives cost
+only wasted shuffle bytes, never correctness — results are identical
+to the plain join.
 
-Implementation notes (pure numpy/Arrow — the JVM BloomFilter from
-df.stat.bloomFilter is a py4j handle that cannot ship to Python
-workers):
-- driver collects the DISTINCT dim keys (bounded by the dim table — the
-  same boundedness argument as broadcast joins; do not use this when the
-  dim side is huge),
-- double hashing (idx_i = h1 + i*h2 mod m) over two independent 64-bit
-  hashes from pandas' SipHash (`pd.util.hash_array` with different hash
-  keys) gives k probes per key,
-- the bit array broadcasts once per executor; membership tests are
-  vectorized per Arrow batch.
+Everything stays JVM-side (no Python stage anywhere):
 
-At 100 TB: fact-side scan stays narrow (key column only feeds the
-filter), the filter is one broadcast of m/8 bytes, and the exchange
-after it carries only candidate rows.
+- **build**: each dim key's k probe-bit indices are computed with
+  ``xxhash64`` Column expressions, exploded, and OR-folded into 64-bit
+  words with a ``bit_or`` aggregation grouped by word index. ``bit_or``
+  partial-aggregates map-side, so the shuffle AND the driver collect are
+  bounded by ``m_bits/64`` words (16 KiB of longs for the default 2^20
+  bits) — NOT by the dim key count. The dim side is never collected;
+  it can be arbitrarily large.
+- **probe**: the words ship as one array<bigint> literal inside the
+  filter predicate (delivered once per executor via the task-binary
+  broadcast), and each fact row evaluates k ``get``/``shiftright``/``&``
+  expressions inside WholeStageCodegen. The filter references only the
+  key column, so column pruning keeps the fact scan narrow and no row
+  ever crosses into a Python worker.
+
+Both sides hash the SAME Spark-typed value with the SAME JVM xxhash64
+(the dim key is cast to the fact key's type first), so there is no
+driver-vs-worker string-rendering divergence for floats or any other
+type — no false negatives by construction.
+
+Double hashing (idx_i = h1 + i*h2 mod m, h2 odd) gives k probes from
+two independent hashes (xxhash64 seeded differently via an extra lit
+argument); all arithmetic is done on pmod-reduced values so it is
+overflow-free under ANSI mode.
+
+At 100 TB: the fact-side scan stays narrow (only the key column feeds
+the filter), the filter costs one ≤ m/8-byte literal per executor, and
+the exchange after it carries only candidate rows.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# second-hash salt: any constant; hashing (key, salt) vs (key) gives an
+# independent 64-bit hash from the same xxhash64 kernel
+_H2_SALT = -1640531527
 
 
-_HK1 = "0123456789abcdef"
-_HK2 = "fedcba9876543210"
+def _index_exprs(col: Column, m_bits: int, k: int) -> list[Column]:
+    """k bit-index Columns for `col` (double hashing, all values < m)."""
+    h1 = F.pmod(F.xxhash64(col), F.lit(m_bits))
+    # odd step < m_bits: full-period stepping when m is a power of two
+    h2 = F.pmod(F.xxhash64(col, F.lit(_H2_SALT)), F.lit(m_bits // 2)) * 2 + 1
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)]
 
 
-def _probe_indices(values, m_bits: int, k: int):
-    """(n, k) array of bit indices for each value (double hashing)."""
-    import numpy as np
-    import pandas as pd
+def build_bloom_words(keys: DataFrame, on: str, m_bits: int = 1 << 20, k: int = 4) -> list[int]:
+    """Bloom bit array for `keys[on]`, packed into m_bits/64 int64 words.
 
-    s = pd.Series(values).astype(str)
-    h1 = pd.util.hash_array(s.to_numpy(dtype=object), hash_key=_HK1)
-    h2 = pd.util.hash_array(s.to_numpy(dtype=object), hash_key=_HK2) | 1
-    idx = (
-        h1[:, None] + np.arange(k, dtype="uint64")[None, :] * h2[:, None]
-    ) % np.uint64(m_bits)
-    return idx.astype("int64")
+    Distributed build: explode each key's k bit indices, OR them into
+    words with a partial-aggregating ``bit_or`` — the shuffle and the
+    driver collect are bounded by the word count, never the key count.
+    """
+    if m_bits % 64 or m_bits < 64:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+    exploded = keys.select(
+        F.explode(F.array(*_index_exprs(F.col(on), m_bits, k))).alias("idx")
+    )
+    rows = (
+        exploded.groupBy(F.expr("idx div 64").alias("w"))
+        .agg(F.expr("bit_or(shiftleft(1L, cast(idx % 64 as int)))").alias("bits"))
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        words[r["w"]] = r["bits"]
+    return words
 
 
-def build_bloom_bits(keys, m_bits: int = 1 << 20, k: int = 4):
-    """Dense uint8 bit array with all keys' probe bits set."""
-    import numpy as np
+def bloom_might_contain(col: Column, words: list[int], m_bits: int, k: int) -> Column:
+    """Boolean Column: all k probe bits of `col` are set in `words`.
 
-    bits = np.zeros(m_bits // 8, dtype="uint8")
-    if len(keys):
-        idx = _probe_indices(keys, m_bits, k).ravel()
-        np.bitwise_or.at(bits, idx // 8, (1 << (idx % 8)).astype("uint8"))
-    return bits
+    Pure JVM expression tree (get / shiftright / bitwise-and over an
+    array<bigint> literal) — runs inside WholeStageCodegen.
+    """
+    arr = F.lit(words)
+
+    def bit_set(idx: Column) -> Column:
+        word = F.get(arr, F.floor(idx / F.lit(64)).cast("int"))
+        return (
+            F.call_function(
+                "shiftright", word, F.pmod(idx, F.lit(64)).cast("int")
+            ).bitwiseAND(F.lit(1))
+            == 1
+        )
+
+    # forall over the k probe indices keeps ONE occurrence of the words
+    # literal in the plan (k separate predicates would embed k copies,
+    # multiplying the task-binary broadcast k-fold)
+    return F.forall(F.array(*_index_exprs(col, m_bits, k)), bit_set)
 
 
 def bloom_prefilter(
@@ -70,21 +114,12 @@ def bloom_prefilter(
     `small[on]` (no false negatives; a tunable false-positive rate).
     This is the shuffle-volume reducer; compose with an exact join for
     exact results."""
-    keys = [r[0] for r in small.select(on).distinct().collect()]
-    bits = build_bloom_bits(keys, m_bits=m_bits, k=k)
-    bc = big.sparkSession.sparkContext.broadcast(bits)
-    schema = big.schema
-
-    def might_contain(batches):
-        arr = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            idx = _probe_indices(pdf[on].to_numpy(), m_bits, k)
-            hits = (arr[idx // 8] & (1 << (idx % 8)).astype("uint8")) != 0
-            yield pdf[hits.all(axis=1)]
-
-    return big.mapInPandas(might_contain, schema)
+    key_type = big.schema[on].dataType
+    # canonical typed hashing: cast the dim key to the fact key's exact
+    # type so xxhash64 sees identical bits on both sides
+    keys = small.select(F.col(on).cast(key_type).alias(on))
+    words = build_bloom_words(keys, on, m_bits=m_bits, k=k)
+    return big.filter(bloom_might_contain(F.col(on), words, m_bits, k))
 
 
 def bloom_semi_join(

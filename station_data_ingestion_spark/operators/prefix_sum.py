@@ -48,10 +48,16 @@ def ordered_prefix_sum(
         .repartitionByRange(num_partitions, *order_cols)
         .sortWithinPartitions(*order_cols)
     )
-    # cache: the totals pass and the cumsum pass must see the SAME
-    # partitioning (repartitionByRange samples boundaries
-    # nondeterministically between actions otherwise)
-    ranged = ranged.persist()
+    # eager localCheckpoint, NOT persist: the totals pass and the cumsum
+    # pass must see the SAME partitioning (repartitionByRange samples
+    # boundaries nondeterministically between actions otherwise).
+    # Checkpointing cuts the lineage so a recompute with different
+    # boundaries is impossible, and — unlike persist(), whose
+    # CacheManager entry lives until an explicit unpersist this operator
+    # has no hook to issue (r3/r4 ADVICE: one leaked cached frame per
+    # call) — the materialized blocks are reclaimed by the
+    # ContextCleaner as soon as the returned frame is garbage-collected.
+    ranged = ranged.localCheckpoint(eager=True)
     totals = {
         r["p"]: r["t"]
         for r in ranged.groupBy(F.spark_partition_id().alias("p"))

@@ -19,6 +19,41 @@ bounded by |dimension|, not |history|.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+_DUP_UPDATE_MSG = (
+    "scd2_apply: conflicting duplicate update keys (same key, different "
+    "tracked values) — each would open its own is_current row and corrupt "
+    "the dimension for every later wave"
+)
+
+
+def _dedup_updates(u: DataFrame, key: list[str], tracked: list[str]) -> DataFrame:
+    """Collapse EXACT duplicate update rows; raise on CONFLICTING ones.
+
+    Same guard semantic (and same hash-window implementation notes) as
+    operators/merge.py: duplicate update keys fanning through the
+    full-outer join would emit multiple closed rows and multiple
+    is_current=true rows per key — silent corruption. xxhash64 skips
+    null inputs, so each column hashes together with its isNull flag.
+    """
+    h = F.xxhash64(*[e for c in tracked for e in (F.col(c), F.col(c).isNull())])
+    w = Window.partitionBy(*key).orderBy("_h")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        u.withColumn("_h", h)
+        .withColumn(
+            "_conflict", F.min("_h").over(frame) != F.max("_h").over(frame)
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(
+            F.when(
+                F.col("_conflict"),
+                F.raise_error(F.lit(_DUP_UPDATE_MSG)).cast("boolean"),
+            ).otherwise(F.col("_rn") == 1)
+        )
+        .drop("_h", "_conflict", "_rn")
+    )
 
 
 def scd2_apply(
@@ -42,6 +77,7 @@ def scd2_apply(
     """
     hist = dim.filter(~F.col("is_current"))
     cur = dim.filter(F.col("is_current"))
+    updates = _dedup_updates(updates.select(*key, *tracked), key, tracked)
     u = updates.select(
         *[F.col(k).alias(f"__u_{k}") for k in key],
         *[F.col(c).alias(f"__u_{c}") for c in tracked],

@@ -172,8 +172,10 @@ def events_attribution_linear(spark, sf_dir):
     c = e.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("cid"), "user_id", F.col("ts").alias("cts")
     )
-    # (w_start, w_end] window: bucketed join gives c.cts >= w_start and
-    # < w_end inclusive bounds; apply the exact half-open predicate after
+    # (w_start, w_end] window directly from the bucketed join — ONE
+    # bucketed range join, no unbucketed user_id-only tie-break join
+    # (r4's eq_end leg was per-user cartesian: a whale user's
+    # clicks x purchases melted that stage at scale)
     touch = range_join_bucketed(
         c,
         p,
@@ -182,13 +184,9 @@ def events_attribution_linear(spark, sf_dir):
         right_start="w_start",
         right_end="w_end",
         bucket_seconds=3600,
-    ).filter(F.col("cts") > F.col("w_start"))
-    # range_join gives cts in [w_start, w_end); we need (w_start, w_end]
-    eq_end = (
-        c.join(p, "user_id").filter(F.col("cts") == F.col("w_end"))
-        .select(*touch.columns)
+        include_start=False,
+        include_end=True,
     )
-    touch = touch.unionByName(eq_end)
     w_n = Window.partitionBy("pid")
     w_r = Window.partitionBy("pid").orderBy("cts", "cid")
     shares = touch.select(

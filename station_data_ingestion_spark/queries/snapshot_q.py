@@ -271,7 +271,10 @@ def snapshot_zorder_2d_read(spark, sf_dir):
     )
     day = (200, 400)
     buck = (10, 20)
-    n_day = len(t.read(ranges={"day_num": day}).inputFiles())
+    day_df = t.read(ranges={"day_num": day})
+    # read() returns None when every file is pruned; treat as 0 files so
+    # an unlucky clustering yields the diagnostic error, not AttributeError
+    n_day = 0 if day_df is None else len(day_df.inputFiles())
     df = t.read(ranges={"day_num": day, "cust_bucket": buck})
     if df is None or len(df.inputFiles()) >= n_day:
         kept = 0 if df is None else len(df.inputFiles())

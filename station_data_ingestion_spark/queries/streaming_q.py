@@ -24,6 +24,7 @@ marks this surface as engine-provided]
 
 from __future__ import annotations
 
+import atexit
 import tempfile
 import uuid
 
@@ -35,17 +36,31 @@ from station_data_ingestion_spark.streaming import windows as W
 _MONEY = 'SUM(CAST(ROUND(value * 10000) AS BIGINT)) / 10000.0'
 
 
-# staged replay sources, keyed by (session id, sf_dir): the corpus is
-# immutable, so the multi-file copy the stream source needs is written
-# ONCE per session and shared by every replay query and bench repeat
-# (r3 paid the copy on every invocation). Multi-file matters: the file
-# stream source reads one file per task — a single-file source would
-# stream with parallelism 1.
-_STAGED_SRC: dict[tuple[int, str], str] = {}
+# staged replay sources, keyed by (Spark application id, sf_dir): the
+# corpus is immutable, so the multi-file copy the stream source needs is
+# written ONCE per session and shared by every replay query and bench
+# repeat (r3 paid the copy on every invocation). Multi-file matters: the
+# file stream source reads one file per task — a single-file source
+# would stream with parallelism 1. applicationId is unique per session
+# (id(spark) could be recycled by the allocator after a session is
+# garbage-collected and silently reuse a stale dir — ADVICE r4); staged
+# dirs are removed at interpreter exit.
+_STAGED_SRC: dict[tuple[str, str], str] = {}
+
+
+def _cleanup_staged() -> None:
+    import shutil
+
+    for d in _STAGED_SRC.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _STAGED_SRC.clear()
+
+
+atexit.register(_cleanup_staged)
 
 
 def _staged_events(spark: SparkSession, sf_dir: str) -> tuple[str, object]:
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _STAGED_SRC:
         events = load(spark, sf_dir, "events")["events"]
         d = tempfile.mkdtemp(prefix="stream_replay_src_")

@@ -53,6 +53,9 @@ def test_keeps_plan_distributed(spark):
     plan = buf.getvalue()
     assert "Window" not in plan
     assert "MapInPandas" in plan
-    assert plan.count("rangepartitioning") >= 1
-    # no hash exchange of the full frame after the range partition
-    assert "hashpartitioning" not in plan
+    # the one range shuffle runs inside the eager localCheckpoint, so the
+    # visible plan is just the narrow Arrow pass over the checkpointed
+    # RDD: NO exchange of any kind may appear after it
+    assert "Exchange" not in plan and "hashpartitioning" not in plan
+    # and the checkpointed frame really is range-partitioned 8 ways
+    assert out.rdd.getNumPartitions() == 8

@@ -1,5 +1,6 @@
 """SCD type-2 merge operator: history-preserving upsert semantics."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from station_data_ingestion_spark.operators.scd2 import scd2_apply, scd2_init
@@ -74,3 +75,30 @@ def test_scd2_null_tracked_values_nullsafe(spark):
         ["id"], ["seg", "cents"], effective_version=2,
     )
     assert out2.count() == 2
+
+
+def test_scd2_exact_duplicate_updates_collapse(spark):
+    """ADVICE r4: duplicate update keys fanned through the full-outer
+    join and emitted multiple is_current rows. Exact duplicates must
+    collapse to ONE new version (idempotent), like merge_plan."""
+    snap = spark.createDataFrame([(1, "A", 10)], "id long, seg string, cents long")
+    dim = scd2_init(snap, ["id"], ["seg", "cents"])
+    ups = spark.createDataFrame(
+        [(1, "B", 20), (1, "B", 20), (1, "B", 20)],
+        "id long, seg string, cents long",
+    )
+    out = scd2_apply(dim, ups, ["id"], ["seg", "cents"], effective_version=2)
+    assert out.count() == 2  # closed old + one open new
+    assert out.filter("is_current").count() == 1
+
+
+def test_scd2_conflicting_duplicate_updates_raise(spark):
+    snap = spark.createDataFrame([(1, "A", 10)], "id long, seg string, cents long")
+    dim = scd2_init(snap, ["id"], ["seg", "cents"])
+    ups = spark.createDataFrame(
+        [(1, "B", 20), (1, "C", 30)], "id long, seg string, cents long"
+    )
+    out = scd2_apply(dim, ups, ["id"], ["seg", "cents"], effective_version=2)
+    with pytest.raises(Exception) as ei:
+        out.collect()
+    assert "conflicting duplicate" in str(ei.value)

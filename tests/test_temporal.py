@@ -139,3 +139,31 @@ def test_asof_direction_validation(spark):
     with _pytest.raises(ValueError):
         asof_join(df, df, on=["k"], left_ts="ts", right_ts="ts",
                   direction="sideways")
+
+
+def test_range_join_bucketed_inclusive_end_exclusive_start(spark):
+    """(start, end] bounds: the inclusive-end bucket needs no extra
+    explode rows (sequence covers end's bucket) and the exclusive start
+    drops the exact-start row."""
+    events = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01 10:00:00"), "start-excluded"),
+            ("u1", _ts("2024-01-01 10:00:01"), "in-after-start"),
+            ("u1", _ts("2024-01-01 11:00:00"), "end-included"),
+            ("u1", _ts("2024-01-01 11:00:01"), "out-after-end"),
+        ],
+        "user string, ts timestamp, tag string",
+    )
+    windows = spark.createDataFrame(
+        [("u1", _ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:00:00"), "w1")],
+        "user string, s timestamp, e timestamp, wid string",
+    )
+    got = sorted(
+        r["tag"]
+        for r in range_join_bucketed(
+            events, windows, on=["user"], left_ts="ts",
+            right_start="s", right_end="e", bucket_seconds=1800,
+            include_start=False, include_end=True,
+        ).collect()
+    )
+    assert got == ["end-included", "in-after-start"]

@@ -5,9 +5,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from station_data_ingestion_spark.operators.bloom import (
+    bloom_might_contain,
+    bloom_prefilter,
     bloom_semi_join,
-    build_bloom_bits,
-    _probe_indices,
+    build_bloom_words,
 )
 from station_data_ingestion_spark.operators.zorder import zvalue2
 
@@ -37,16 +38,20 @@ def test_zvalue2_masks_out_of_range(spark):
     assert df.first().z == _morton_ref(0, 3, 6)
 
 
-def test_bloom_bits_no_false_negatives_low_fp():
-    keys = list(range(0, 5000, 5))
-    bits = build_bloom_bits(keys, m_bits=1 << 16, k=4)
-    idx = _probe_indices(keys, 1 << 16, 4)
-    hits = (bits[idx // 8] & (1 << (idx % 8)).astype("uint8")) != 0
-    assert hits.all(), "Bloom filters NEVER have false negatives"
-    probe = [x for x in range(1, 5000, 7) if x % 5 != 0]
-    idx2 = _probe_indices(probe, 1 << 16, 4)
-    fp = ((bits[idx2 // 8] & (1 << (idx2 % 8)).astype("uint8")) != 0).all(axis=1)
-    assert fp.mean() < 0.05, f"false-positive rate {fp.mean():.3f} too high"
+def test_bloom_words_no_false_negatives_low_fp(spark):
+    keys = spark.createDataFrame([(i,) for i in range(0, 5000, 5)], "okey long")
+    words = build_bloom_words(keys, "okey", m_bits=1 << 16, k=4)
+    hits = keys.filter(
+        bloom_might_contain(F.col("okey"), words, 1 << 16, 4)
+    ).count()
+    assert hits == keys.count(), "Bloom filters NEVER have false negatives"
+    probe = spark.createDataFrame(
+        [(x,) for x in range(1, 5000, 7) if x % 5 != 0], "okey long"
+    )
+    fp = probe.filter(
+        bloom_might_contain(F.col("okey"), words, 1 << 16, 4)
+    ).count() / probe.count()
+    assert fp < 0.05, f"false-positive rate {fp:.3f} too high"
 
 
 def test_bloom_semi_join_equals_plain_join(spark):
@@ -71,8 +76,6 @@ def test_bloom_prefilter_reduces_rows_never_drops_matches(spark):
     """The point of the pre-filter is shuffle-volume reduction: with a
     selective dim side, the surviving row count must be FAR below the
     big side (modulo the fp rate) while containing every true match."""
-    from station_data_ingestion_spark.operators.bloom import bloom_prefilter
-
     big = spark.createDataFrame(
         [(i, i) for i in range(20_000)], "okey long, v long"
     )
@@ -85,3 +88,41 @@ def test_bloom_prefilter_reduces_rows_never_drops_matches(spark):
     assert true_keys <= kept_keys, "pre-filter dropped a true match"
     # 200 true + false positives; must be a small fraction of 20k
     assert len(kept) < 2_000, f"pre-filter kept {len(kept)} of 20000"
+
+
+def test_bloom_prefilter_is_jvm_only_and_narrow(spark):
+    """The r4 regression to guard forever: the probe must be a pure JVM
+    filter (no Python/Arrow stage on the fact side) so the scan stays
+    narrow and codegen'd."""
+    big = spark.createDataFrame([(i, i * 2) for i in range(100)], "okey long, v long")
+    small = spark.createDataFrame([(3,), (7,)], "okey long")
+    plan = bloom_prefilter(big, small, "okey")._jdf.queryExecution().executedPlan().toString()
+    for marker in ("mapInPandas", "MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan, f"Python stage leaked into the bloom probe:\n{plan}"
+
+
+def test_bloom_float_keys_no_false_negatives(spark):
+    """ADVICE r4 (medium): str()-based hashing diverged between driver
+    floats and pandas float32 renderings -> silent false negatives. The
+    JVM build/probe hash the same typed value via xxhash64; float keys
+    (including a float32 fact side vs float64 dim side) must keep every
+    true match."""
+    vals = [0.3, 0.1 + 0.2, 1e-7, 123456.789, float(np.float32(0.3))]
+    big = spark.createDataFrame(
+        [(float(np.float32(v)), i) for i, v in enumerate(vals)],
+        "okey float, v long",
+    )
+    # dim side arrives as float64; bloom_prefilter casts it to the fact type
+    small = spark.createDataFrame([(v,) for v in vals], "okey double")
+    kept = bloom_prefilter(big, small, "okey").count()
+    matched = big.join(
+        small.select(F.col("okey").cast("float").alias("okey")), "okey", "left_semi"
+    ).count()
+    assert kept >= matched and matched > 0
+
+
+def test_bloom_mismatched_int_types_no_false_negatives(spark):
+    big = spark.createDataFrame([(i, i) for i in range(500)], "okey long, v long")
+    small = spark.createDataFrame([(i,) for i in range(0, 500, 9)], "okey int")
+    got = sorted(r.okey for r in bloom_semi_join(big, small.select(F.col("okey").cast("long").alias("okey")), "okey").collect())
+    assert got == sorted(range(0, 500, 9))
