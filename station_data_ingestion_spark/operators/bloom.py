@@ -17,12 +17,17 @@ Everything stays JVM-side (no Python stage anywhere):
   bounded by ``m_bits/64`` words (16 KiB of longs for the default 2^20
   bits) — NOT by the dim key count. The dim side is never collected;
   it can be arbitrarily large.
-- **probe**: the words ship as one array<bigint> literal inside the
-  filter predicate (delivered once per executor via the task-binary
-  broadcast), and each fact row evaluates k ``get``/``shiftright``/``&``
-  expressions inside WholeStageCodegen. The filter references only the
-  key column, so column pruning keeps the fact scan narrow and no row
-  ever crosses into a Python worker.
+- **probe**: the packed words travel as ONE array<bigint> value in a
+  single-row broadcast joined to the fact side (a broadcast
+  nested-loop join against one row: each output row just references
+  the same array — one ~m/8-byte broadcast per executor, no per-row
+  copy). Deliberately NOT ``F.lit(list)``: PySpark expands a list
+  literal into ``CreateArray`` with m/64 child literals evaluated per
+  row, which measured 18x SLOWER than the plain join at sf0.1. Each
+  fact row then evaluates k ``get``/``shiftright``/``&`` predicates —
+  plain codegen-capable expressions (no interpreted higher-order
+  function) — referencing only the key column, so column pruning keeps
+  the fact scan narrow and no row ever crosses into a Python worker.
 
 Both sides hash the SAME Spark-typed value with the SAME JVM xxhash64
 (the dim key is cast to the fact key's type first), so there is no
@@ -35,14 +40,17 @@ argument); all arithmetic is done on pmod-reduced values so it is
 overflow-free under ANSI mode.
 
 At 100 TB: the fact-side scan stays narrow (only the key column feeds
-the filter), the filter costs one ≤ m/8-byte literal per executor, and
-the exchange after it carries only candidate rows.
+the filter), the filter costs one ≤ m/8-byte broadcast per executor,
+and the exchange after it carries only candidate rows.
 """
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # second-hash salt: any constant; hashing (key, salt) vs (key) gives an
 # independent 64-bit hash from the same xxhash64 kernel
@@ -80,27 +88,22 @@ def build_bloom_words(keys: DataFrame, on: str, m_bits: int = 1 << 20, k: int = 
     return words
 
 
-def bloom_might_contain(col: Column, words: list[int], m_bits: int, k: int) -> Column:
-    """Boolean Column: all k probe bits of `col` are set in `words`.
+def bloom_might_contain(col: Column, words: Column, m_bits: int, k: int) -> Column:
+    """Boolean Column: all k probe bits of `col` are set in the packed
+    word array `words` (an array<bigint> Column — pass the single-row
+    broadcast attribute, see :func:`bloom_prefilter`).
 
-    Pure JVM expression tree (get / shiftright / bitwise-and over an
-    array<bigint> literal) — runs inside WholeStageCodegen.
+    Pure JVM expression tree (get / shiftright / bitwise-and) — runs
+    inside WholeStageCodegen.
     """
-    arr = F.lit(words)
-
-    def bit_set(idx: Column) -> Column:
-        word = F.get(arr, F.floor(idx / F.lit(64)).cast("int"))
-        return (
-            F.call_function(
-                "shiftright", word, F.pmod(idx, F.lit(64)).cast("int")
-            ).bitwiseAND(F.lit(1))
-            == 1
-        )
-
-    # forall over the k probe indices keeps ONE occurrence of the words
-    # literal in the plan (k separate predicates would embed k copies,
-    # multiplying the task-binary broadcast k-fold)
-    return F.forall(F.array(*_index_exprs(col, m_bits, k)), bit_set)
+    tests = []
+    for idx in _index_exprs(col, m_bits, k):
+        word = F.get(words, F.floor(idx / F.lit(64)).cast("int"))
+        bit = F.call_function(
+            "shiftright", word, F.pmod(idx, F.lit(64)).cast("int")
+        ).bitwiseAND(F.lit(1))
+        tests.append(bit == 1)
+    return reduce(lambda a, b: a & b, tests)
 
 
 def bloom_prefilter(
@@ -119,7 +122,16 @@ def bloom_prefilter(
     # type so xxhash64 sees identical bits on both sides
     keys = small.select(F.col(on).cast(key_type).alias(on))
     words = build_bloom_words(keys, on, m_bits=m_bits, k=k)
-    return big.filter(bloom_might_contain(F.col(on), words, m_bits, k))
+    spark = big.sparkSession
+    bf = spark.createDataFrame(
+        [(words,)],
+        T.StructType([T.StructField("__bf", T.ArrayType(T.LongType()), False)]),
+    )
+    return (
+        big.crossJoin(F.broadcast(bf))
+        .filter(bloom_might_contain(F.col(on), F.col("__bf"), m_bits, k))
+        .drop("__bf")
+    )
 
 
 def bloom_semi_join(

@@ -23,6 +23,7 @@ from station_data_ingestion_spark.queries import (  # noqa: F401
     scalars,
     setops,
     snapshot_q,
+    sources_q,
     streaming_q,
     temporal_q,
     udx,

@@ -636,3 +636,91 @@ def dedup_neardup_degree_distribution(spark, sf_dir):
     return deg.groupBy(F.col("d").alias("degree")).agg(
         F.count("*").alias("n_docs")
     )
+
+
+# --- tier 2b: AllPairs/PPJoin-style prefix filtering -------------------------
+
+
+def _prefix_candidates(exploded: DataFrame, threshold: float) -> DataFrame:
+    """Candidate (a_id, b_id, na, nb) pairs via PREFIX FILTERING
+    (AllPairs/PPJoin family): order each doc's shingles by ascending
+    global document frequency (rarest first, ties by shingle), keep only
+    the first n - ceil(t*n) + 1 as the doc's prefix, and join docs on
+    shared PREFIX shingles with the Jaccard size filter
+    t*na <= nb <= na/t.
+
+    Completeness: J(a,b) >= t implies overlap >= t/(1+t)*(na+nb) >=
+    ceil(t*n_x) for each side (given the size filter, itself implied by
+    J >= t), and two sets whose overlap meets that bound must share a
+    token within these prefixes under ANY common total order — so no
+    true pair is lost; the proof is the standard prefix-filtering
+    principle.
+
+    Scale: vs the plain explode-join (every shared shingle a candidate
+    row), the join input shrinks to prefix tokens only — and because
+    prefixes are the RAREST tokens, the per-shingle fan-out is smallest
+    exactly where the join would explode. The df table adds one extra
+    aggregation on the shingle key it already shuffles on.
+    """
+    df_tbl = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = exploded.join(df_tbl, "shingle")
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    prefix = ranked.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk")
+        <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    )
+    a = prefix.select(
+        F.col("doc_id").alias("a_id"), F.col("n").alias("na"), "shingle"
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("b_id"), F.col("n").alias("nb"), "shingle"
+    )
+    return (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.col("nb") * threshold <= F.col("na"))
+            & (F.col("na") * threshold <= F.col("nb"))
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def _prefix_filtered_jaccard_pairs(d: DataFrame, threshold: float) -> DataFrame:
+    """Exact-threshold Jaccard pairs: prefix-filtered candidates, then
+    exact rerank from the pair texts (same Arrow verifier as the df-cap
+    path) — identical output to :func:`_exact_jaccard_pairs`."""
+    exploded = _exploded_shingles(d)
+    cands = _prefix_candidates(exploded, threshold)
+    texts = d.select("doc_id", "text")
+    pairs = (
+        cands.join(
+            texts.select(
+                F.col("doc_id").alias("a_id"), F.col("text").alias("a_text")
+            ),
+            "a_id",
+        )
+        .join(
+            texts.select(
+                F.col("doc_id").alias("b_id"), F.col("text").alias("b_text")
+            ),
+            "b_id",
+        )
+        .mapInPandas(_pair_jaccard_batch, "a_id long, b_id long, j double")
+    )
+    return pairs.filter(F.col("j") >= threshold).select(
+        "a_id", "b_id", F.round("j", 4).alias("jaccard")
+    )
+
+
+@query("dedup_jaccard_prefix_filtered", _JACCARD_ORACLE)
+def dedup_jaccard_prefix_filtered(spark, sf_dir):
+    """Word-3-gram Jaccard near-dup pairs (j >= 0.8) via PREFIX
+    FILTERING instead of the full explode-join: same answer as
+    dedup_ngram_jaccard_pairs (same oracle), but candidates come only
+    from shared rarest-prefix shingles + the size filter — the
+    AllPairs/PPJoin shape whose join volume survives boilerplate-heavy
+    corpora that melt the plain shingle join."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    return _prefix_filtered_jaccard_pairs(d, 0.8)

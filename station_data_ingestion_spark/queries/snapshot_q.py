@@ -446,3 +446,119 @@ def snapshot_compaction_read(spark, sf_dir):
         F.count("*").alias("n_orders"),
         F.sum("cents").alias("cents"),
     )
+
+
+@query(
+    "snapshot_version_diff_orders",
+    """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+v2 AS (
+  SELECT k, CASE WHEN k % 5 = 0 THEN cents * 2 ELSE cents END AS cents
+  FROM base WHERE k % 7 <> 0
+  UNION ALL
+  SELECT k + 1000000000, cents + 17 FROM base WHERE k % 11 = 0
+),
+d AS (
+  SELECT COALESCE(b.k, v.k) AS k, b.cents AS oc, v.cents AS nc
+  FROM base b FULL OUTER JOIN v2 v ON b.k = v.k
+)
+SELECT CASE WHEN oc IS NULL THEN 'added'
+            WHEN nc IS NULL THEN 'removed'
+            WHEN oc <> nc THEN 'changed' ELSE 'unchanged' END AS change_type,
+       COUNT(*) AS n_rows,
+       CAST(SUM(COALESCE(nc, oc)) AS BIGINT) AS cents
+FROM d GROUP BY 1
+""",
+)
+def snapshot_version_diff_orders(spark, sf_dir):
+    """Changelog between two committed snapshot versions
+    (operators/table_diff.py keyed_diff — the table_changes/CDF
+    primitive): v1 is an orders slice, v2 applies deterministic deletes
+    (k%7=0), updates (cents doubled where k%5=0) and inserts (k%11=0
+    re-keyed +1e9); the diff read back from the store must classify
+    every key exactly as the rules say. cents are integer so 'changed'
+    detection has no float-compare hazard."""
+    from station_data_ingestion_spark.operators.table_diff import keyed_diff
+
+    base = load(spark, sf_dir, "orders")["orders"].select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    v2 = (
+        base.filter(F.col("k") % 7 != 0)
+        .select(
+            "k",
+            F.when(F.col("k") % 5 == 0, F.col("cents") * 2)
+            .otherwise(F.col("cents"))
+            .alias("cents"),
+        )
+        .unionByName(
+            base.filter(F.col("k") % 11 == 0).select(
+                (F.col("k") + 1000000000).alias("k"),
+                (F.col("cents") + 17).alias("cents"),
+            )
+        )
+    )
+    t = SnapshotTable(
+        spark,
+        tempfile.mkdtemp(prefix="snap_diff_") + "/orders_diff",
+        partition_cols=(),
+        stat_cols=(),
+    )
+    t.commit_overwrite_partitions(base)
+    t.commit_overwrite_partitions(v2)
+    diff = keyed_diff(t.read(version=1), t.read(version=2), key=["k"])
+    return diff.groupBy("change_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.coalesce(F.col("new_data.cents"), F.col("old_data.cents"))
+        ).alias("cents"),
+    )
+
+
+@query(
+    "rollup_cascade_hourly_daily",
+    """
+SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d') AS day,
+       event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(ROUND(value * 10000) AS BIGINT)) / 10000.0 AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def rollup_cascade_hourly_daily(spark, sf_dir):
+    """Hierarchical rollup cascade (the hypertable continuous-aggregate
+    pattern): the HOURLY rollup is materialized into a snapshot table,
+    and the DAILY answer is computed from the stored hourly rows — never
+    rescanning raw events. Scaled-integer partial sums are associative,
+    so the cascade is bit-identical to aggregating raw (the oracle).
+    At 100 TB the hourly table is write-once per hour and the daily
+    query reads ~24 rows per (day, type) instead of the raw stream."""
+    e = load(spark, sf_dir, "events")["events"]
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 10000).cast("long")).alias("scaled"),
+    )
+    t = SnapshotTable(
+        spark,
+        tempfile.mkdtemp(prefix="snap_rollup_") + "/events_hourly",
+        partition_cols=(),
+        stat_cols=(),
+    )
+    t.commit_overwrite_partitions(hourly)
+    stored = t.read()
+    return stored.groupBy(
+        F.date_format(F.date_trunc("day", F.col("hour_ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        "event_type",
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        (F.sum("scaled") / 10000.0).alias("total_value"),
+    )

@@ -29,6 +29,7 @@ import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from station_data_ingestion_spark.queries.registry import load, query
 from station_data_ingestion_spark.streaming import windows as W
@@ -236,3 +237,41 @@ def stream_session_replay(spark, sf_dir):
     is at or before the watermark; the oracle replays the same
     gaps-and-islands + finalization rule."""
     return _replay(spark, sf_dir, W.session_windows, "append")
+
+
+@query(
+    "stream_topk_ttl_replay",
+    """
+WITH tot AS (
+  SELECT event_type, user_id,
+         SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS scaled
+  FROM events GROUP BY event_type, user_id
+),
+r AS (
+  SELECT event_type, user_id, scaled,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY scaled DESC, user_id) AS rnk
+  FROM tot
+)
+SELECT event_type, CAST(rnk AS INT) AS rank, user_id,
+       scaled / 10000.0 AS total_value
+FROM r WHERE rnk <= 5
+""",
+)
+def stream_topk_ttl_replay(spark, sf_dir):
+    """Stateful streaming top-5 users by spend per event type, with
+    event-time TTL eviction (streaming/windows.py
+    topk_user_spend_with_ttl). The replay's TTL exceeds the corpus time
+    span so nothing evicts and the FINAL emission per event_type (max
+    n_seen — strictly monotone) equals the batch top-k with the same
+    (spend DESC, user_id ASC) total order; eviction itself is pinned by
+    a planted-gap pytest (no SQL analog of watermark-driven eviction)."""
+    sink = _replay(
+        spark, sf_dir, lambda s: W.topk_user_spend_with_ttl(s, k=5), "update"
+    )
+    final = Window.partitionBy("event_type")
+    return (
+        sink.withColumn("_mx", F.max("n_seen").over(final))
+        .filter(F.col("n_seen") == F.col("_mx"))
+        .select("event_type", "rank", "user_id", "total_value")
+    )

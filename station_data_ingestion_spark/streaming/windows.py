@@ -174,3 +174,102 @@ def stream_stream_click_purchase_join(
             f"p_user = c_user AND c_ts <= p_ts AND c_ts >= p_ts - INTERVAL {lookback}"
         ),
     ).select("p_id", "c_id", "p_user", "p_ts", "c_ts")
+
+
+def topk_user_spend_with_ttl(
+    events: DataFrame,
+    k: int = 5,
+    ttl_ms: int = 3650 * 24 * 3600 * 1000,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming per-event-type top-k users by exact accumulated spend,
+    with event-time TTL eviction of idle users (ROADMAP r5 item 3).
+
+    State per event_type: cumulative row count ``n_seen`` plus parallel
+    arrays (user, scaled-integer total, last-seen event-time ms). Each
+    micro-batch folds its rows in, then evicts every user whose last
+    activity is older than (current watermark - ttl_ms) — so state is
+    bounded by the users ACTIVE within the TTL horizon (rate x ttl),
+    not by all users ever seen. That is the point of the TTL: an
+    unbounded stream cannot keep a total per historical user. Totals
+    are scaled int64 (the _MONEY determinism pattern) so the final
+    emission equals the batch aggregate bit-for-bit.
+
+    Each emission carries ``n_seen`` (strictly monotone), so a batch
+    consumer selects the final top-k as the rows with max n_seen per
+    event_type. With ttl_ms larger than the replayed corpus' time span
+    nothing is evicted and the final state matches the batch top-k
+    exactly (the gate's oracle); eviction mechanics are pinned by a
+    planted-gap pytest instead.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = normalize_event_ts(events)
+
+    def update(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        if state.exists:
+            n_seen, users, scaled, last = state.get
+        else:
+            n_seen, users, scaled, last = 0, [], [], []
+        d = {int(u): [int(s), int(t)] for u, s, t in zip(users, scaled, last)}
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            vals = (pdf["value"] * 10000).round().astype("int64")
+            # unit-safe epoch-ms regardless of the batch's datetime64 unit
+            ts_ms = pdf["ts"].values.astype("datetime64[ms]").astype("int64")
+            for u, v, t in zip(pdf["user_id"].astype("int64"), vals, ts_ms):
+                ent = d.get(int(u))
+                if ent is None:
+                    d[int(u)] = [int(v), int(t)]
+                else:
+                    ent[0] += int(v)
+                    if t > ent[1]:
+                        ent[1] = int(t)
+        wm = state.getCurrentWatermarkMs()
+        if wm > 0:
+            horizon = wm - ttl_ms
+            d = {u: st for u, st in d.items() if st[1] >= horizon}
+        us = sorted(d)
+        state.update(
+            (
+                int(n_seen),
+                us,
+                [d[u][0] for u in us],
+                [d[u][1] for u in us],
+            )
+        )
+        top = sorted(d.items(), key=lambda kv: (-kv[1][0], kv[0]))[:k]
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(top),
+                "n_seen": np.full(len(top), n_seen, dtype="int64"),
+                "rank": np.arange(1, len(top) + 1, dtype="int32"),
+                "user_id": np.array([u for u, _ in top], dtype="int64"),
+                "total_value": np.array(
+                    [s for _, (s, _) in top], dtype="int64"
+                )
+                / 10000.0,
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .select("event_type", "user_id", "value", "ts")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "event_type string, n_seen long, rank int, user_id long, "
+                "total_value double"
+            ),
+            stateStructType=(
+                "n_seen long, users array<long>, scaled array<long>, "
+                "last array<long>"
+            ),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

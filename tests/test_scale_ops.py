@@ -238,3 +238,40 @@ def test_jaccard_df_cap_bounds_stop_shingle_blowup(spark, tmp_path):
     # no 0.8-pair here depends solely on the stop shingle
     exact = sorted(map(tuple, _exact_jaccard_pairs(docs, 0.8).collect()))
     assert capped == exact
+
+
+def test_prefix_filtered_jaccard_matches_exact_and_prunes(spark, tmp_path):
+    """Prefix filtering must (1) return exactly the explode-join pairs
+    and (2) generate FEWER candidate pairs on a boilerplate-heavy corpus
+    (the rarest-prefix property: common shingles never seed candidates
+    unless they fall inside a short prefix)."""
+    from station_data_ingestion_spark.queries.llm_dedup import (
+        _exact_jaccard_pairs,
+        _exploded_shingles,
+        _prefix_candidates,
+        _prefix_filtered_jaccard_pairs,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(10))
+    rows = [
+        # 60 docs sharing 10 boilerplate words + unique tails (not dups)
+        (i, f"{boiler} " + " ".join(f"d{i}x{j}" for j in range(20)))
+        for i in range(60)
+    ]
+    # planted near-dup pairs
+    base = " ".join(f"w{i}" for i in range(40))
+    rows += [(100, base + " tailA"), (101, base + " tailA"), (102, base + " tailB")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = sorted(map(tuple, _prefix_filtered_jaccard_pairs(docs, 0.8).collect()))
+    want = sorted(map(tuple, _exact_jaccard_pairs(docs, 0.8).collect()))
+    assert got == want and len(want) >= 2
+
+    exploded = _exploded_shingles(docs)
+    n_prefix = _prefix_candidates(exploded, 0.8).count()
+    a = exploded.select(F.col("doc_id").alias("a_id"), F.col("shingle").alias("s"))
+    b = exploded.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("s"))
+    n_plain = (
+        a.join(b, "s").filter("a_id < b_id").select("a_id", "b_id").distinct().count()
+    )
+    assert n_prefix < n_plain, (n_prefix, n_plain)

@@ -288,3 +288,48 @@ def test_stateful_totals_exact_with_negative_values_multibatch(spark, tmp_path):
     assert vals == {7: (3, -1.3333), 8: (2, 2.4999)}
     # multiple batches really happened: user 7 emitted >= 2 updates
     assert got.filter("user_id = 7").count() >= 2
+
+
+def test_topk_ttl_evicts_idle_users_keeps_active_totals(spark, tmp_path):
+    """Event-time TTL: a user idle longer than the TTL horizon is
+    evicted from top-k state (even if it holds the max total), while an
+    active user's total accumulates across batches untouched."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    t10 = t0 + dt.timedelta(days=10)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    src = tmp_path / "ttl_src"
+    batches = [
+        # batch 1: whale user 100 spends big, user 7 small
+        [(1, t0, 100, "purchase", 1000.0), (2, t0, 7, "purchase", 1.0)],
+        # batch 2: only user 7, 10 days later -> advances the watermark
+        [(3, t10, 7, "purchase", 2.0)],
+        # batch 3: watermark is now ~t0+10d-2h; horizon (ttl=1d) passes
+        # t0, so user 100 must be gone; user 7 keeps its FULL total
+        [(4, t10 + dt.timedelta(hours=1), 7, "purchase", 4.0)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"f{i}.parquet")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    got = drain_to_memory(
+        spark,
+        W.topk_user_spend_with_ttl(stream, k=5, ttl_ms=24 * 3600 * 1000),
+        "topk_ttl_t",
+        output_mode="update",
+    )
+    rows = got.collect()
+    mx = max(r.n_seen for r in rows)
+    assert mx == 4, "all three batches must have been folded in"
+    final = {r.user_id: (r.rank, r.total_value) for r in rows if r.n_seen == mx}
+    assert 100 not in final, "idle whale must be TTL-evicted"
+    assert final[7] == (1, 7.0), "active user keeps its cross-batch exact total"
+    # before the eviction horizon passed, the whale led the board
+    first = {r.user_id: r.rank for r in rows if r.n_seen == 2}
+    assert first.get(100) == 1

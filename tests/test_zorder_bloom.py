@@ -5,10 +5,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from station_data_ingestion_spark.operators.bloom import (
-    bloom_might_contain,
     bloom_prefilter,
     bloom_semi_join,
-    build_bloom_words,
 )
 from station_data_ingestion_spark.operators.zorder import zvalue2
 
@@ -40,17 +38,12 @@ def test_zvalue2_masks_out_of_range(spark):
 
 def test_bloom_words_no_false_negatives_low_fp(spark):
     keys = spark.createDataFrame([(i,) for i in range(0, 5000, 5)], "okey long")
-    words = build_bloom_words(keys, "okey", m_bits=1 << 16, k=4)
-    hits = keys.filter(
-        bloom_might_contain(F.col("okey"), words, 1 << 16, 4)
-    ).count()
+    hits = bloom_prefilter(keys, keys, "okey", m_bits=1 << 16).count()
     assert hits == keys.count(), "Bloom filters NEVER have false negatives"
     probe = spark.createDataFrame(
         [(x,) for x in range(1, 5000, 7) if x % 5 != 0], "okey long"
     )
-    fp = probe.filter(
-        bloom_might_contain(F.col("okey"), words, 1 << 16, 4)
-    ).count() / probe.count()
+    fp = bloom_prefilter(probe, keys, "okey", m_bits=1 << 16).count() / probe.count()
     assert fp < 0.05, f"false-positive rate {fp:.3f} too high"
 
 
