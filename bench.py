@@ -328,6 +328,46 @@ def bench_scale_probe(spark, sf_dir, timings: dict[str, float], k: int = 10) -> 
     return probe
 
 
+def bench_snapshot_read_isolated(spark, sf_dir, timings: dict[str, object]) -> None:
+    """Read-path-isolated snapshot timing (r4 VERDICT 'What's missing'
+    #2): the gate query `snapshot_ranged_orders_revenue` times
+    write + cluster + read together, hiding the zone-map read win. Here
+    the table is written/clustered ONCE outside the clock and only the
+    ranged read + aggregate is timed — the write-once/read-many shape
+    the store actually serves at 100 TB. For contrast,
+    `snapshot_full_scan_agg` times the same aggregate over ALL files
+    (no range -> no skipping), so the delta IS the file-skipping win."""
+    from pyspark.sql import functions as F
+
+    from station_data_ingestion_spark.queries.snapshot_q import (
+        _orders_snapshot,
+        _ranged_read,
+    )
+
+    t = _orders_snapshot(spark, sf_dir)
+
+    def ranged():
+        df = _ranged_read(t, "1996-01-01", "1996-12-31")
+        materialize(
+            df.groupBy("o_orderstatus").agg(
+                F.count("*").alias("n"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("c"),
+            )
+        )
+
+    def full():
+        df = t.read()
+        materialize(
+            df.groupBy("o_orderstatus").agg(
+                F.count("*").alias("n"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("c"),
+            )
+        )
+
+    timings["snapshot_ranged_read_only"] = timed_median(ranged)
+    timings["snapshot_full_scan_agg"] = timed_median(full)
+
+
 def _iter_dates(n_days):
     from datetime import date, timedelta
 
@@ -372,6 +412,13 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         timings["ingest_pipeline"] = {"error": f"{type(e).__name__}: {e}"[:500]}
         errors["ingest_pipeline"] = timings["ingest_pipeline"]["error"]
+    try:
+        bench_snapshot_read_isolated(spark, sf_dir, timings)
+    except Exception as e:  # noqa: BLE001
+        timings["snapshot_ranged_read_only"] = {
+            "error": f"{type(e).__name__}: {e}"[:500]
+        }
+        errors["snapshot_ranged_read_only"] = timings["snapshot_ranged_read_only"]["error"]
 
     total = round(sum(t for t in timings.values() if isinstance(t, float)), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
