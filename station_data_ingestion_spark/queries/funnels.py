@@ -201,3 +201,50 @@ def events_attribution_linear(spark, sf_dir):
         F.count(F.lit(1)).alias("n_touches"),
         F.sum(share).alias("attributed_cents"),
     )
+
+
+@query(
+    "events_longest_daily_streak",
+    """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+  FROM events WHERE event_type = 'purchase'
+),
+grp AS (
+  SELECT user_id, d,
+         d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS INT)
+           AS anchor
+  FROM days
+),
+streaks AS (
+  SELECT user_id, COUNT(*) AS len FROM grp GROUP BY user_id, anchor
+),
+best AS (SELECT user_id, MAX(len) AS longest FROM streaks GROUP BY user_id)
+SELECT CAST(longest AS BIGINT) AS longest_streak,
+       COUNT(*) AS n_users
+FROM best GROUP BY 1
+""",
+)
+def events_longest_daily_streak(spark, sf_dir):
+    """Longest consecutive-day purchase streak per user (gaps-and-islands
+    via the date-minus-row_number anchor), reduced to the streak-length
+    distribution. Distinct from sessionization: islands are calendar
+    days, not gap-bounded timestamp runs. Windows partition on user_id —
+    high-cardinality, no global window."""
+    e = load(spark, sf_dir, "events")["events"]
+    days = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = grp.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    best = streaks.groupBy("user_id").agg(F.max("len").alias("longest"))
+    return best.groupBy(F.col("longest").alias("longest_streak")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

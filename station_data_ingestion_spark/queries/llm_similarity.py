@@ -448,3 +448,138 @@ def sim_kmeans_clusters(spark, sf_dir):
             4,
         ).alias("mean_dist"),
     )
+
+
+_RRF_ORACLE = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+exact_scored AS (
+  SELECT q_id, c_id, ROUND({_COS_SQL.format(a='qv', b='cv')}, 6) AS sim
+  FROM q, c
+),
+exact_ranked AS (
+  SELECT q_id, c_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS ra
+  FROM exact_scored
+),
+quant AS (
+  SELECT vec_id,
+         list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+           x -> CAST(ROUND(x * 127.0 /
+             list_aggregate(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))), 'max'))
+             AS BIGINT)) AS qv
+  FROM embeddings
+  WHERE list_aggregate(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))), 'max') > 0
+),
+quant_scored AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+         CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS ip
+  FROM quant a, quant b WHERE a.vec_id < 5 AND b.vec_id >= 5
+),
+quant_ranked AS (
+  SELECT q_id, c_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ip DESC, c_id) AS rb
+  FROM quant_scored
+),
+fused AS (
+  SELECT COALESCE(e.q_id, x.q_id) AS q_id, COALESCE(e.c_id, x.c_id) AS c_id,
+         ROUND(COALESCE(1.0 / (60 + e.ra), 0.0)
+             + COALESCE(1.0 / (60 + x.rb), 0.0), 6) AS rrf
+  FROM (SELECT * FROM exact_ranked WHERE ra <= 20) e
+  FULL OUTER JOIN (SELECT * FROM quant_ranked WHERE rb <= 20) x
+    ON e.q_id = x.q_id AND e.c_id = x.c_id
+)
+SELECT q_id, c_id, rrf,
+       CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rrf DESC, c_id) AS BIGINT)
+         AS rk
+FROM fused
+QUALIFY rk <= 10
+"""
+
+
+@query("sim_hybrid_rrf_fusion", _RRF_ORACLE)
+def sim_hybrid_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion: the exact-cosine
+    top-20 list and the int8-quantized integer-dot top-20 list (the 4x
+    cheaper index a production system probes first) fuse per (query,
+    candidate) as sum of 1/(60+rank) — the standard RRF with k=60.
+
+    Both input ranks are engine-deterministic (6-dp-rounded cosine with
+    c_id tiebreak; EXACT int64 quantized dot), and the fused score is a
+    fixed two-term per-row float expression, so the fusion is
+    reproducible bit-for-bit. Scale shape: each signal is a top-k
+    retrieval (bounded lists per query), and the fusion joins two
+    20-row-per-query lists — negligible next to retrieval itself.
+    """
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        _norm("embedding").alias("qn"),
+    )
+    c = e.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("cv"),
+        _norm("embedding").alias("cn"),
+    )
+    exact = c.crossJoin(F.broadcast(q)).select(
+        "q_id",
+        "c_id",
+        F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6).alias("sim"),
+    )
+    wa = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    ea = (
+        exact.withColumn("ra", F.row_number().over(wa))
+        .filter(F.col("ra") <= 20)
+        .select("q_id", "c_id", "ra")
+    )
+
+    ed = F.transform("embedding", lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(ed, lambda x: F.abs(x)))
+    qv = F.transform(
+        "ed", lambda x: F.round(x * (F.lit(127.0) / F.col("amax"))).cast("long")
+    )
+    quant = (
+        e.select("vec_id", ed.alias("ed"), amax.alias("amax"))
+        .filter(F.col("amax") > 0)
+        .select("vec_id", qv.alias("qv"))
+    )
+    qq = quant.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("qv").alias("qa")
+    )
+    qc = quant.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("c_id"), F.col("qv").alias("qb")
+    )
+    ip = F.aggregate(
+        F.zip_with("qa", "qb", lambda p, r: p * r),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    qscored = qc.crossJoin(F.broadcast(qq)).select("q_id", "c_id", ip.alias("ip"))
+    wb = Window.partitionBy("q_id").orderBy(F.col("ip").desc(), F.col("c_id"))
+    eb = (
+        qscored.withColumn("rb", F.row_number().over(wb))
+        .filter(F.col("rb") <= 20)
+        .select(
+            F.col("q_id").alias("x_q"), F.col("c_id").alias("x_c"), "rb"
+        )
+    )
+    fused = ea.join(
+        eb,
+        (F.col("q_id") == F.col("x_q")) & (F.col("c_id") == F.col("x_c")),
+        "full_outer",
+    ).select(
+        F.coalesce("q_id", "x_q").alias("q_id"),
+        F.coalesce("c_id", "x_c").alias("c_id"),
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.col("ra") + 60), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.col("rb") + 60), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.col("rrf").desc(), F.col("c_id"))
+    return (
+        fused.withColumn("rk", F.row_number().over(wf).cast("long"))
+        .filter(F.col("rk") <= 10)
+        .select("q_id", "c_id", "rrf", "rk")
+    )

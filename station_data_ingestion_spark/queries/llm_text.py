@@ -383,3 +383,60 @@ def text_bigram_stats(spark, sf_dir):
             F.sum("cf").alias("sum_corpus_freq"),
         )
     )
+
+
+@query(
+    "text_bigram_novelty",
+    """
+WITH bg AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(words)),
+         i -> words[i] || ' ' || words[i+1])) AS bs
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+),
+x AS (SELECT doc_id, UNNEST(bs) AS b FROM bg),
+df AS (SELECT b, COUNT(*) AS d FROM x GROUP BY b),
+per AS (
+  SELECT x.doc_id, COUNT(*) AS n_bigrams,
+         SUM(CASE WHEN df.d = 1 THEN 1 ELSE 0 END) AS n_unique
+  FROM x JOIN df USING (b) GROUP BY x.doc_id
+)
+SELECT doc_id, n_bigrams, CAST(n_unique AS BIGINT) AS n_unique,
+       CAST(ROUND(1000000.0 * n_unique / n_bigrams) AS BIGINT) AS novelty_ppm
+FROM per
+""",
+)
+def text_bigram_novelty(spark, sf_dir):
+    """Per-document bigram NOVELTY: the fraction of a doc's distinct
+    word bigrams appearing in NO other document (corpus df = 1) — a
+    boilerplate/templating signal (low novelty = copy-heavy doc) that is
+    exactly integer-countable, unlike LM log-prob scores whose float
+    accumulation order drifts across engines. One shuffle on the bigram
+    key (the corpus df), one join back, one per-doc aggregation."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    w = F.split(F.col("text"), " ")
+    bigrams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("words") - 1),
+            lambda i: F.concat(
+                F.element_at("words", i), F.lit(" "), F.element_at("words", i + 1)
+            ),
+        )
+    )
+    x = (
+        d.select("doc_id", w.alias("words"))
+        .filter(F.size("words") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("b"))
+    )
+    dfreq = x.groupBy("b").agg(F.count(F.lit(1)).alias("d"))
+    per = x.join(dfreq, "b").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum((F.col("d") == 1).cast("long")).alias("n_unique"),
+    )
+    return per.select(
+        "doc_id",
+        "n_bigrams",
+        "n_unique",
+        F.round(1000000.0 * F.col("n_unique") / F.col("n_bigrams"))
+        .cast("long")
+        .alias("novelty_ppm"),
+    )

@@ -562,3 +562,70 @@ def rollup_cascade_hourly_daily(spark, sf_dir):
         F.sum("n_events").alias("n_events"),
         (F.sum("scaled") / 10000.0).alias("total_value"),
     )
+
+
+@query(
+    "rollup_incremental_update",
+    """
+SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d') AS day,
+       event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(ROUND(value * 10000) AS BIGINT)) / 10000.0 AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def rollup_incremental_update(spark, sf_dir):
+    """INCREMENTAL continuous-aggregate maintenance: the hourly rollup
+    is day-partitioned in the snapshot store; a base commit covers the
+    first window (days <= 2024-01-24) and an incremental commit
+    RECOMPUTES ONLY the affected day partitions (24th onward —
+    overwriting the boundary day, late-data style, and adding the new
+    ones) while every earlier partition's files are untouched. The
+    daily answer read from the maintained table must equal a full
+    recompute over raw events (the oracle). At 100 TB this is the
+    whole point of the partitioned rollup: a late-arriving day costs
+    one day's re-aggregation, not a table rebuild."""
+    e = load(spark, sf_dir, "events")["events"]
+    cutoff = "2024-01-24"
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+
+    def hourly(df):
+        return df.groupBy(
+            day.alias("day"),
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+            "event_type",
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 10000).cast("long")).alias("scaled"),
+        )
+
+    t = SnapshotTable(
+        spark,
+        tempfile.mkdtemp(prefix="snap_incr_") + "/events_hourly",
+        partition_cols=("day",),
+        stat_cols=(),
+    )
+    t.commit_overwrite_partitions(hourly(e.filter(day <= cutoff)))
+    v1 = t.latest_version()
+    base_entries = {
+        f["path"]
+        for f in t._read_manifest(v1)["files"]
+        if f["partition"]["day"] < cutoff
+    }
+    t.commit_overwrite_partitions(hourly(e.filter(day >= cutoff)))
+    v2 = t.latest_version()
+    kept_entries = {
+        f["path"]
+        for f in t._read_manifest(v2)["files"]
+        if f["partition"]["day"] < cutoff
+    }
+    if kept_entries != base_entries:
+        raise RuntimeError(
+            "incremental commit rewrote untouched day partitions — "
+            "maintenance is not incremental"
+        )
+    stored = t.read()
+    return stored.groupBy("day", "event_type").agg(
+        F.sum("n_events").alias("n_events"),
+        (F.sum("scaled") / 10000.0).alias("total_value"),
+    )

@@ -26,6 +26,7 @@ SF = "/root/testdata/sf0.001"
 #   bounded by the calendar, not the event count
 CROSS_JOIN_OK = {
     "sim_brute_topk",
+    "sim_hybrid_rrf_fusion",  # same 5-query broadcast shape as sim_brute_topk
     "subquery_above_avg_parts",
     "q11_important_stock_share",
     "q22_idle_rich_customers",
