@@ -67,6 +67,15 @@ HEADLINE = [
     "ts_gap_fill_linear_interpolate",
     "join_bloom_prefiltered_lineitems",
     "merge_scd2_customer_history",
+    # round 5 additions: prefix-filtered set-similarity join, the
+    # stateful-TTL streaming top-k replay, incremental rollup
+    # maintenance through the store, RRF fusion retrieval, and the
+    # bounded-fan-out rolling distinct count
+    "dedup_jaccard_prefix_filtered",
+    "stream_topk_ttl_replay",
+    "rollup_incremental_update",
+    "sim_hybrid_rrf_fusion",
+    "events_rolling_wau",
 ]
 
 

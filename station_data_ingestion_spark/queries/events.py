@@ -316,3 +316,35 @@ def events_anomaly_zscore(spark, sf_dir):
         .filter(F.abs(z) > 3)
         .select("event_id", "event_type", F.round(z, 6).alias("z"))
     )
+
+
+@query(
+    "events_rolling_wau",
+    """
+WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+days AS (SELECT DISTINCT d FROM act),
+expanded AS (
+  SELECT a.user_id, dd.d AS as_of
+  FROM act a JOIN days dd ON dd.d >= a.d AND dd.d < a.d + 7
+)
+SELECT strftime(as_of, '%Y-%m-%d') AS as_of,
+       COUNT(DISTINCT user_id) AS wau
+FROM expanded GROUP BY 1
+""",
+)
+def events_rolling_wau(spark, sf_dir):
+    """Rolling 7-day active users per observed day (WAU). A RANGE
+    window cannot COUNT DISTINCT, and re-scanning 7 days of history per
+    day is quadratic-ish; the scalable idiom is bounded fan-out: each
+    (user, active-day) row explodes into the <=7 as-of days it supports,
+    then one distinct-count per day. Fan-out is exactly 7x the DISTINCT
+    (user, day) table — independent of event volume."""
+    e = load(spark, sf_dir, "events")["events"]
+    act = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    days = act.select("d").distinct().select(F.col("d").alias("as_of"))
+    expanded = act.withColumn(
+        "as_of", F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6)))
+    ).join(days, "as_of", "left_semi")
+    return expanded.groupBy(
+        F.date_format("as_of", "yyyy-MM-dd").alias("as_of")
+    ).agg(F.count_distinct("user_id").alias("wau"))

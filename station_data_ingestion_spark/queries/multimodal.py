@@ -195,3 +195,50 @@ def mm_frame_sampling(spark, sf_dir):
         "n_frames",
         F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(5))).alias("fi"),
     ).select("doc_id", "n_frames", F.col("fi").cast("long").alias("frame_idx"))
+
+
+@query(
+    "mm_phash_neardup",
+    """
+WITH a0 AS (
+  SELECT doc_id,
+         list_transform(
+           string_split(regexp_replace(text, '[^ -~]', '', 'g'), ''),
+           x -> unicode(x)) AS cs
+  FROM documents
+),
+a1 AS (
+  SELECT doc_id, cs, len(cs) AS n,
+         CAST(list_aggregate(cs, 'sum') AS BIGINT) AS total
+  FROM a0 WHERE len(cs) >= 60
+),
+h AS (
+  SELECT doc_id,
+         CAST(list_aggregate(list_transform(range(0, 60), b ->
+           CASE WHEN CAST(list_aggregate(
+                       array_slice(cs, (b*n)//60 + 1, ((b+1)*n)//60),
+                       'sum') AS BIGINT) * n
+                     > total * (((b+1)*n)//60 - (b*n)//60)
+                THEN (1::BIGINT << b) ELSE 0 END), 'sum') AS BIGINT) AS ph
+  FROM a1
+)
+SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+       CAST(bit_count(xor(x.ph, y.ph)) AS BIGINT) AS hamming
+FROM h x JOIN h y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.ph, y.ph)) <= 11
+""",
+)
+def mm_phash_neardup(spark, sf_dir):
+    """Perceptual-hash near-duplicate pairs over the binary payload
+    column (operators/phash.py): 60-bit block-mean aHash per asset in
+    one narrow Arrow stage, candidates from 12x5-bit band buckets
+    (lossless for Hamming <= 11 by pigeonhole), exact JVM bit_count
+    rerank. The oracle recomputes the identical integer-exact hash
+    definition in SQL and brute-forces all pairs — so the banded path
+    must find EXACTLY the brute-force pairs, proving the bucketing
+    loses nothing."""
+    from station_data_ingestion_spark.operators.phash import phash_neardup_pairs
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    payload = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return phash_neardup_pairs(payload, "doc_id", "payload", max_hamming=11)

@@ -588,3 +588,104 @@ def agg_bool_and_or(spark, sf_dir):
         ),
         F.count("*").alias("n_customers"),
     )
+
+
+@query(
+    "agg_winsorized_mean",
+    """
+WITH p AS (
+  SELECT event_type,
+         ROUND(quantile_cont(value, 0.05), 4) AS lo,
+         ROUND(quantile_cont(value, 0.95), 4) AS hi
+  FROM events GROUP BY event_type
+),
+c AS (
+  SELECT e.event_type,
+         CAST(ROUND(LEAST(GREATEST(e.value, p.lo), p.hi) * 10000) AS BIGINT)
+           AS scaled
+  FROM events e JOIN p USING (event_type)
+)
+SELECT event_type, COUNT(*) AS n,
+       SUM(scaled) / 10000.0 AS win_total,
+       ROUND(SUM(scaled) / (10000.0 * COUNT(*)), 6) AS win_mean
+FROM c GROUP BY event_type
+""",
+)
+def agg_winsorized_mean(spark, sf_dir):
+    """Winsorized mean per event type: clip at the exact P5/P95 (rounded
+    to 4dp so the clip thresholds are bit-identical across engines —
+    raw interpolated quantiles can differ in the last ulp), then the
+    scaled-integer mean. The percentile aggregation is per-group (one
+    shuffle) and the thresholds broadcast back onto the fact rows."""
+    e = load(spark, sf_dir, "events")["events"]
+    p = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.05)"), 4).alias("lo"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("hi"),
+    )
+    clipped = e.join(F.broadcast(p), "event_type").select(
+        "event_type",
+        F.round(
+            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+            * 10000
+        )
+        .cast("long")
+        .alias("scaled"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (F.sum("scaled") / 10000.0).alias("win_total"),
+        F.round(F.sum("scaled") / (10000.0 * F.count("*")), 6).alias(
+            "win_mean"
+        ),
+    )
+
+
+@query(
+    "agg_equidepth_histogram",
+    """
+WITH t AS (
+  SELECT NTILE(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT bucket, COUNT(*) AS n, MIN(cents) AS lo, MAX(cents) AS hi
+FROM t GROUP BY 1
+""",
+)
+def agg_equidepth_histogram(spark, sf_dir):
+    """Equi-depth (NTILE) histogram WITHOUT the global single-partition
+    window the SQL formulation implies: the global rank comes from the
+    distributed two-phase prefix sum (operators/prefix_sum.py) over the
+    (price, key) total order, and NTILE's exact bucket arithmetic
+    (first n%k buckets take ceil(n/k) rows) is applied per row. The
+    oracle IS the NTILE window — same buckets, but the engine never
+    funnels the table through one task."""
+    from station_data_ingestion_spark.operators.prefix_sum import (
+        ordered_prefix_sum,
+    )
+
+    o = load(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    ranked = ordered_prefix_sum(
+        o, ["price", "o_orderkey"], F.lit(1), out_col="rank"
+    )
+    n = o.count()
+    k = 8
+    q, m = n // k, n % k
+    r0 = F.col("rank") - 1  # 0-based rank
+    big_span = m * (q + 1)
+    bucket = F.when(
+        r0 < big_span, F.floor(r0 / (q + 1)) + 1
+    ).otherwise(F.floor((r0 - big_span) / q) + m + 1)
+    return (
+        ranked.select(bucket.cast("long").alias("bucket"), "cents")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("cents").alias("lo"),
+            F.max("cents").alias("hi"),
+        )
+    )
