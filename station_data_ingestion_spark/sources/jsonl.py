@@ -61,15 +61,19 @@ def quarantine_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Split a permissive read into (clean_rows, corrupt_rows).
 
     Corrupt rows carry only the raw line; clean rows drop the corrupt
-    column. Spark requires a cached/materialized frame to filter on the
-    corrupt column reliably (the raw-line column exists only while the
-    parser sees the raw input), so the split runs on a cached frame.
+    column. Spark requires a materialized frame to filter on the corrupt
+    column reliably (the raw-line column exists only while the parser
+    sees the raw input), so the split runs on an eager localCheckpoint —
+    the same pattern as operators/prefix_sum.py: unlike cache(), whose
+    CacheManager entry leaks without an explicit unpersist the caller
+    would have to remember, checkpoint blocks are reclaimed by the
+    ContextCleaner once the returned frames are garbage-collected.
     """
     if CORRUPT_COL not in df.columns:
         raise ValueError("quarantine_split needs a permissive read")
     from pyspark.sql import functions as F
 
-    cached = df.cache()
-    clean = cached.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-    bad = cached.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+    mat = df.localCheckpoint(eager=True)
+    clean = mat.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = mat.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
     return clean, bad

@@ -48,7 +48,6 @@ def test_permissive_quarantines_malformed_lines(spark, tmp_path):
     assert sorted(r.id for r in clean.collect()) == [1, 3]
     bad_rows = [r[CORRUPT_COL] for r in bad.collect()]
     assert bad_rows == ["{broken"], "raw malformed line must be preserved"
-    df.unpersist()
 
 
 def test_mode_validation():
