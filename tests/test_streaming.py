@@ -333,3 +333,39 @@ def test_topk_ttl_evicts_idle_users_keeps_active_totals(spark, tmp_path):
     # before the eviction horizon passed, the whale led the board
     first = {r.user_id: r.rank for r in rows if r.n_seen == 2}
     assert first.get(100) == 1
+
+
+def test_state_v2_running_totals(spark, tmp_path):
+    """transformWithStateInPandas twin of running_user_totals. The
+    container lacks protobuf (the state-v2 worker's wire protocol), so
+    this skips there — the operator is complete and this test IS the
+    proof obligation wherever protobuf exists."""
+    from station_data_ingestion_spark.streaming.state_v2 import (
+        ROCKSDB_PROVIDER,
+        running_user_totals_v2,
+        state_v2_available,
+    )
+
+    if not state_v2_available():
+        pytest.skip("protobuf missing: transformWithState worker cannot start")
+    import datetime as dt
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+        rows = [(1, t0, 7, 10.00005), (2, t0, 7, -3.3333), (3, t0, 8, 2.5)]
+        schema = "event_id long, ts timestamp, user_id long, value double"
+        src = str(tmp_path / "sv2_src")
+        spark.createDataFrame(rows, schema).write.parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        got = drain_to_memory(
+            spark, running_user_totals_v2(stream), "sv2_totals_t", "update"
+        )
+        vals = {r.user_id: (r.n_events, r.total_value) for r in got.collect()}
+        assert vals == {7: (2, 6.6668), 8: (1, 2.5)}
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
