@@ -38,6 +38,31 @@ from station_data_ingestion_spark.queries.registry import (
 )
 
 
+import atexit
+
+_TMP_DIRS: list[str] = []
+
+
+def _tmpdir(prefix: str) -> str:
+    """mkdtemp tracked for atexit removal: gate queries rebuild their
+    snapshot tables per invocation (bench repeats each stage 3x), so
+    untracked dirs would accumulate for the process lifetime."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    _TMP_DIRS.append(d)
+    return d
+
+
+def _cleanup_tmpdirs() -> None:
+    import shutil
+
+    for d in _TMP_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _TMP_DIRS.clear()
+
+
+atexit.register(_cleanup_tmpdirs)
+
+
 def _orders_snapshot(spark, sf_dir: str) -> SnapshotTable:
     """Commit a date-clustered snapshot copy of orders; return the table."""
     orders = load(spark, sf_dir, "orders")["orders"].select(
@@ -49,7 +74,7 @@ def _orders_snapshot(spark, sf_dir: str) -> SnapshotTable:
     )
     t = SnapshotTable(
         spark,
-        tempfile.mkdtemp(prefix="snap_gate_") + "/orders_snap",
+        _tmpdir(prefix="snap_gate_") + "/orders_snap",
         partition_cols=("o_orderstatus",),
         stat_cols=("o_odate",),
     )
@@ -151,7 +176,7 @@ def snapshot_time_travel_read(spark, sf_dir):
     )
     t = SnapshotTable(
         spark,
-        tempfile.mkdtemp(prefix="snap_tt_") + "/orders_tt",
+        _tmpdir(prefix="snap_tt_") + "/orders_tt",
         partition_cols=("o_orderstatus",),
         stat_cols=(),
     )
@@ -190,7 +215,7 @@ def stream_snapshot_append_replay(spark, sf_dir):
 
     ensure_session_confs(spark)
     events = load(spark, sf_dir, "events")["events"]
-    tmp = tempfile.mkdtemp(prefix="snap_stream_")
+    tmp = _tmpdir(prefix="snap_stream_")
     events.write.parquet(f"{tmp}/src")
     t = SnapshotTable(
         spark, f"{tmp}/tbl", partition_cols=("batch_id",), stat_cols=()
@@ -255,7 +280,7 @@ def snapshot_zorder_2d_read(spark, sf_dir):
     )
     t = SnapshotTable(
         spark,
-        tempfile.mkdtemp(prefix="snap_z_") + "/orders_z",
+        _tmpdir(prefix="snap_z_") + "/orders_z",
         partition_cols=(),
         stat_cols=("day_num", "cust_bucket"),
     )
@@ -315,7 +340,7 @@ def snapshot_schema_evolution_read(spark, sf_dir):
     )
     t = SnapshotTable(
         spark,
-        tempfile.mkdtemp(prefix="snap_evo_") + "/orders_evo",
+        _tmpdir(prefix="snap_evo_") + "/orders_evo",
         partition_cols=("src",),
         stat_cols=(),
     )
@@ -359,7 +384,7 @@ def stream_snapshot_merge_replay(spark, sf_dir):
     events = load(spark, sf_dir, "events")["events"].select(
         "event_id", "event_type", "value"
     )
-    tmp = tempfile.mkdtemp(prefix="snap_merge_stream_")
+    tmp = _tmpdir(prefix="snap_merge_stream_")
     watch = f"{tmp}/watch"
     events.coalesce(4).write.parquet(watch)
     t = SnapshotTable(
@@ -425,7 +450,7 @@ def snapshot_compaction_read(spark, sf_dir):
     )
     t = SnapshotTable(
         spark,
-        tempfile.mkdtemp(prefix="snap_compact_") + "/orders_c",
+        _tmpdir(prefix="snap_compact_") + "/orders_c",
         partition_cols=("src",),
         stat_cols=("o_odate",),
     )
@@ -505,7 +530,7 @@ def snapshot_version_diff_orders(spark, sf_dir):
     )
     t = SnapshotTable(
         spark,
-        tempfile.mkdtemp(prefix="snap_diff_") + "/orders_diff",
+        _tmpdir(prefix="snap_diff_") + "/orders_diff",
         partition_cols=(),
         stat_cols=(),
     )
@@ -547,7 +572,7 @@ def rollup_cascade_hourly_daily(spark, sf_dir):
     )
     t = SnapshotTable(
         spark,
-        tempfile.mkdtemp(prefix="snap_rollup_") + "/events_hourly",
+        _tmpdir(prefix="snap_rollup_") + "/events_hourly",
         partition_cols=(),
         stat_cols=(),
     )
@@ -601,7 +626,7 @@ def rollup_incremental_update(spark, sf_dir):
 
     t = SnapshotTable(
         spark,
-        tempfile.mkdtemp(prefix="snap_incr_") + "/events_hourly",
+        _tmpdir(prefix="snap_incr_") + "/events_hourly",
         partition_cols=("day",),
         stat_cols=(),
     )

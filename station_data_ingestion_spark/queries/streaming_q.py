@@ -49,12 +49,16 @@ _MONEY = 'SUM(CAST(ROUND(value * 10000) AS BIGINT)) / 10000.0'
 _STAGED_SRC: dict[tuple[str, str], str] = {}
 
 
+_CKPT_DIRS: list[str] = []
+
+
 def _cleanup_staged() -> None:
     import shutil
 
-    for d in _STAGED_SRC.values():
+    for d in list(_STAGED_SRC.values()) + _CKPT_DIRS:
         shutil.rmtree(d, ignore_errors=True)
     _STAGED_SRC.clear()
+    _CKPT_DIRS.clear()
 
 
 atexit.register(_cleanup_staged)
@@ -77,6 +81,7 @@ def _replay(spark: SparkSession, sf_dir: str, op, output_mode: str) -> DataFrame
     drained memory sink as a batch DataFrame."""
     src, schema = _staged_events(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="stream_replay_")  # checkpoint only
+    _CKPT_DIRS.append(tmp)
     stream = spark.readStream.schema(schema).parquet(src)
     name = f"replay_{uuid.uuid4().hex[:12]}"
     q = (

@@ -369,3 +369,54 @@ def test_state_v2_running_totals(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_global_dedup_survives_restart_with_fresh_checkpoint(spark, tmp_path):
+    """The table-as-state dedup must reject ids seen in a PREVIOUS run
+    even when the second stream starts from a brand-new checkpoint
+    (where dropDuplicatesWithinWatermark's checkpoint-bound state is
+    blind)."""
+    import datetime as dt
+
+    from station_data_ingestion_spark.plans.snapshot_store import SnapshotTable
+    from station_data_ingestion_spark.streaming.global_dedup import (
+        run_global_dedup_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    table = SnapshotTable(
+        spark, str(tmp_path / "dedup_tbl"), partition_cols=("batch_id",),
+        stat_cols=(),
+    )
+
+    src_a = str(tmp_path / "src_a")
+    spark.createDataFrame(
+        [(1, t0, 7, 1.0), (2, t0, 7, 2.0), (3, t0, 8, 3.0)], schema
+    ).write.parquet(src_a)
+    q = run_global_dedup_stream(
+        spark.readStream.schema(schema).parquet(src_a),
+        table,
+        str(tmp_path / "ck_a"),
+    )
+    q.awaitTermination()
+
+    # second run: NEW source dir, NEW checkpoint (simulated redeploy);
+    # ids 2 and 3 recur (plus an in-batch dup of 4)
+    src_b = str(tmp_path / "src_b")
+    spark.createDataFrame(
+        [(2, t0, 7, 9.0), (3, t0, 8, 9.0), (4, t0, 9, 4.0), (4, t0, 9, 4.0)],
+        schema,
+    ).write.parquet(src_b)
+    q2 = run_global_dedup_stream(
+        spark.readStream.schema(schema).parquet(src_b),
+        table,
+        str(tmp_path / "ck_b"),
+    )
+    q2.awaitTermination()
+
+    rows = table.read().select("event_id", "value").collect()
+    got = sorted((r.event_id, r.value) for r in rows)
+    assert got == [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)], (
+        "each id exactly once, FIRST write wins across restarts"
+    )
