@@ -690,7 +690,16 @@ def _prefix_candidates(exploded: DataFrame, threshold: float) -> DataFrame:
 def _prefix_filtered_jaccard_pairs(d: DataFrame, threshold: float) -> DataFrame:
     """Exact-threshold Jaccard pairs: prefix-filtered candidates, then
     exact rerank from the pair texts (same Arrow verifier as the df-cap
-    path) — identical output to :func:`_exact_jaccard_pairs`."""
+    path) — identical output to :func:`_exact_jaccard_pairs`.
+
+    The shingle stage is deliberately RECOMPUTED by its consumers (df
+    aggregation, rank join, both self-join sides) rather than
+    materialized: measured at sf0.1, eager localCheckpoint of either
+    the exploded table or the prefix slice is 30-60% SLOWER than the
+    recompute (the narrow Arrow stage is cheap; forcing eager
+    materialization serializes stages AQE otherwise overlaps), and at
+    100 TB storing every shingle row is the memory hazard. CPU
+    recompute is the right side of that trade here."""
     exploded = _exploded_shingles(d)
     cands = _prefix_candidates(exploded, threshold)
     texts = d.select("doc_id", "text")
