@@ -615,13 +615,23 @@ def rollup_incremental_update(spark, sf_dir):
     day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
 
     def hourly(df):
-        return df.groupBy(
-            day.alias("day"),
-            F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
-            "event_type",
-        ).agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.round(F.col("value") * 10000).cast("long")).alias("scaled"),
+        return (
+            df.groupBy(
+                day.alias("day"),
+                F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+                "event_type",
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.round(F.col("value") * 10000).cast("long")).alias(
+                    "scaled"
+                ),
+            )
+            # co-locate each day's rows before the day-partitioned write:
+            # otherwise every shuffle task writes a sliver into every day
+            # directory (tasks x days tiny files — the small-files problem
+            # inside our own commit)
+            .repartition("day")
         )
 
     t = SnapshotTable(
