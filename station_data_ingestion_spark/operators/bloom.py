@@ -35,9 +35,9 @@ driver-vs-worker string-rendering divergence for floats or any other
 type — no false negatives by construction.
 
 Double hashing (idx_i = h1 + i*h2 mod m, h2 odd) gives k probes from
-two independent hashes (xxhash64 seeded differently via an extra lit
-argument); all arithmetic is done on pmod-reduced values so it is
-overflow-free under ANSI mode.
+the lower/upper halves of one xxhash64 evaluation (Kirsch-Mitzenmacher);
+all arithmetic is done on pmod-reduced values so it is overflow-free
+under ANSI mode.
 
 At 100 TB: the fact-side scan stays narrow (only the key column feeds
 the filter), the filter costs one ≤ m/8-byte broadcast per executor,
@@ -52,16 +52,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# second-hash salt: any constant; hashing (key, salt) vs (key) gives an
-# independent 64-bit hash from the same xxhash64 kernel
-_H2_SALT = -1640531527
-
 
 def _index_exprs(col: Column, m_bits: int, k: int) -> list[Column]:
-    """k bit-index Columns for `col` (double hashing, all values < m)."""
-    h1 = F.pmod(F.xxhash64(col), F.lit(m_bits))
+    """k bit-index Columns for `col` (double hashing, all values < m).
+
+    Both hashes derive from ONE xxhash64 evaluation (lower bits -> h1,
+    upper 32 bits -> h2, Kirsch-Mitzenmacher style): per-row probe cost
+    is a single hash plus k pmod/shift index computations."""
+    h = F.xxhash64(col)
+    h1 = F.pmod(h, F.lit(m_bits))
     # odd step < m_bits: full-period stepping when m is a power of two
-    h2 = F.pmod(F.xxhash64(col, F.lit(_H2_SALT)), F.lit(m_bits // 2)) * 2 + 1
+    h2 = F.pmod(F.shiftright(h, 32), F.lit(m_bits // 2)) * 2 + 1
     return [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)]
 
 
