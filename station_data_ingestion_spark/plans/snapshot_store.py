@@ -119,6 +119,9 @@ class SnapshotTable:
         path: str,
         partition_cols: tuple[str, ...] = ("datatype", "period"),
         stat_cols: tuple[str, ...] = ("date",),
+        bloom_cols: tuple[str, ...] = (),
+        bloom_bits: int = 1 << 14,
+        bloom_k: int = 4,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
@@ -129,6 +132,20 @@ class SnapshotTable:
         # as Delta/Iceberg file stats. Columns absent from a commit's
         # schema are skipped silently.
         self.stat_cols = tuple(stat_cols)
+        # columns with a per-FILE Bloom filter in the manifest: POINT
+        # lookups skip files whose bloom rejects the probed value. This
+        # is the case zone maps cannot serve -- a column orthogonal to
+        # the clustering order, where every file's min/max spans the
+        # whole key range but each file holds only its slice's values
+        # (Delta's bloom filter index / Iceberg's value-set filters).
+        # bloom_bits defaults to 2^14 (2 KiB/words per file-column):
+        # ~2% false-keep per file at ~2k distinct values per file.
+        # Probing hashes a LITERAL of the caller's value with the same
+        # xxhash64 used at build time, so the probed Python value must
+        # carry the column's Spark type (int->long, str->string, ...).
+        self.bloom_cols = tuple(bloom_cols)
+        self.bloom_bits = int(bloom_bits)
+        self.bloom_k = int(bloom_k)
 
     # -- manifest plumbing -------------------------------------------------
 
@@ -197,6 +214,7 @@ class SnapshotTable:
         partition: dict | None = None,
         ranges: dict[str, tuple] | None = None,
         version: int | None = None,
+        point: dict | None = None,
     ) -> DataFrame | None:
         """DataFrame over a snapshot's files; None if no table.
 
@@ -213,6 +231,14 @@ class SnapshotTable:
         (pruning is an optimization, never a filter -- callers still
         apply the real predicate). The returned plan holds an explicit
         file list -- immune to concurrent commits for its whole lifetime.
+        ``point``: optional {col: value} EQUALITY probes matched against
+        the manifest's per-file Bloom filters (bloom_cols): a file is
+        skipped iff its bloom says the value cannot be present — the
+        data-skipping case zone maps cannot serve (a column orthogonal
+        to the clustering order). No false negatives; false positives
+        only keep extra files. The probed value must carry the column's
+        Spark literal type (see __init__ note). Files without a bloom
+        for the column are always kept.
         """
         v = self.latest_version() if version is None else version
         if v is None:
@@ -255,6 +281,31 @@ class SnapshotTable:
                 return True
 
             entries = [e for e in entries if may_match(e)]
+        if point:
+            # k probe indices per (col, m, k) geometry, computed once via
+            # a one-row Spark eval of the SAME xxhash64 the build used
+            idx_cache: dict[tuple, list[int]] = {}
+
+            def bloom_keeps(e: dict) -> bool:
+                blooms = e.get("bloom") or {}
+                for col, val in point.items():
+                    b = blooms.get(col)
+                    if not b:
+                        continue  # no bloom -> cannot prune, keep file
+                    geom = (col, b["m"], b["k"], b.get("t"))
+                    if geom not in idx_cache:
+                        idx_cache[geom] = self._bloom_probe_indices(
+                            val, b["m"], b["k"], b.get("t")
+                        )
+                    words = b["words"]
+                    for i in idx_cache[geom]:
+                        # Python's infinite two's complement matches the
+                        # JVM's 64-bit pattern for bit positions 0..63
+                        if not (words[i // 64] >> (i % 64)) & 1:
+                            return False
+                return True
+
+            entries = [e for e in entries if bloom_keeps(e)]
         if not entries:
             return None
         paths = [f"{self.path}/data/{e['path']}" for e in entries]
@@ -315,6 +366,83 @@ class SnapshotTable:
             }
         return out
 
+    def _file_blooms(self, staging: str) -> dict[str, dict]:
+        """Per-staged-file Bloom words for each bloom_col (one Spark job
+        per column; rows shuffled/collected = files x m/64 words, never
+        data rows). Same staging-relative keying as _file_stats."""
+        from urllib.parse import unquote
+
+        from pyspark.sql import functions as F
+
+        from station_data_ingestion_spark.operators.bloom import _index_exprs
+
+        if not self.bloom_cols or not _list_parquet_rel(self.spark, staging):
+            return {}
+        df = self.spark.read.parquet(staging)
+        present = [c for c in self.bloom_cols if c in df.columns]
+        if not present:
+            return {}
+        m, k = self.bloom_bits, self.bloom_k
+        token = "/" + staging.rstrip("/").rsplit("/", 1)[-1] + "/"
+        out: dict[str, dict] = {}
+        for c in present:
+            rows = (
+                df.select(
+                    F.input_file_name().alias("__f"),
+                    F.explode(F.array(*_index_exprs(F.col(c), m, k))).alias(
+                        "idx"
+                    ),
+                )
+                .groupBy(
+                    "__f", F.expr("idx div 64").alias("w")
+                )
+                .agg(
+                    F.expr(
+                        "bit_or(shiftleft(1L, cast(idx % 64 as int)))"
+                    ).alias("bits")
+                )
+                .collect()
+            )
+            per_file: dict[str, list[int]] = {}
+            for r in rows:
+                rel = unquote(r["__f"]).split(token, 1)[-1]
+                words = per_file.setdefault(rel, [0] * (m // 64))
+                words[r["w"]] = r["bits"]
+            # the column's Spark type rides in the manifest so the probe
+            # literal is cast to the EXACT build type before hashing —
+            # xxhash64(int32 20) != xxhash64(int64 20), and a Python int
+            # probe would otherwise arrive as an int32 literal: a silent
+            # FALSE NEGATIVE (true files pruned)
+            dtype = df.schema[c].dataType.simpleString()
+            for rel, words in per_file.items():
+                out.setdefault(rel, {})[c] = {
+                    "m": m, "k": k, "t": dtype, "words": words
+                }
+        return out
+
+    def _bloom_probe_indices(
+        self, value, m: int, k: int, dtype: str | None
+    ) -> list[int]:
+        """The k bit indices a literal value hashes to (one-row Spark
+        eval so the probe uses the exact JVM xxhash64 the build used,
+        with the literal cast to the recorded build-time column type)."""
+        from pyspark.sql import functions as F
+
+        from station_data_ingestion_spark.operators.bloom import _index_exprs
+
+        probe = F.lit(value).cast(dtype) if dtype else F.lit(value)
+        row = (
+            self.spark.range(1)
+            .select(
+                *[
+                    e.alias(f"i{j}")
+                    for j, e in enumerate(_index_exprs(probe, m, k))
+                ]
+            )
+            .first()
+        )
+        return [int(row[f"i{j}"]) for j in range(k)]
+
     def commit_overwrite_partitions(
         self,
         df: DataFrame,
@@ -350,7 +478,8 @@ class SnapshotTable:
         staging = f"{self.path}/{_STAGING}/{uuid.uuid4().hex}"
         df.write.partitionBy(*self.partition_cols).parquet(staging)
         stats = self._file_stats(staging, list(self.stat_cols))
-        new_entries = self._promote_staging(staging, stats)
+        blooms = self._file_blooms(staging)
+        new_entries = self._promote_staging(staging, stats, blooms)
         replaced = {
             tuple(sorted(e["partition"].items())) for e in new_entries
         }
@@ -383,7 +512,10 @@ class SnapshotTable:
         )
 
     def _promote_staging(
-        self, staging: str, stats: dict[str, dict] | None = None
+        self,
+        staging: str,
+        stats: dict[str, dict] | None = None,
+        blooms: dict[str, dict] | None = None,
     ) -> list[dict]:
         """Rename staged parquet files into the shared data tree.
 
@@ -411,6 +543,8 @@ class SnapshotTable:
             }
             if stats and rel in stats:
                 entry["stats"] = stats[rel]
+            if blooms and rel in blooms:
+                entry["bloom"] = blooms[rel]
             entries.append(entry)
         fs.delete(HPath(staging), True)
         return entries

@@ -664,3 +664,56 @@ def rollup_incremental_update(spark, sf_dir):
         F.sum("n_events").alias("n_events"),
         (F.sum("scaled") / 10000.0).alias("total_value"),
     )
+
+
+@query(
+    "snapshot_bloom_point_read",
+    """
+WITH probe AS (
+  SELECT MIN(o_orderkey) AS pk FROM orders WHERE o_orderkey % 997 = 0
+)
+SELECT o.o_orderkey, o.o_custkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS odate,
+       CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+FROM orders o, probe WHERE o.o_orderkey = probe.pk
+""",
+)
+def snapshot_bloom_point_read(spark, sf_dir):
+    """Per-file Bloom-index point lookup (the data-skipping case zone
+    maps cannot serve): the table is CLUSTERED BY DATE (realistic
+    ingestion order) with a manifest bloom on o_orderkey, which is
+    orthogonal to date — so every file's min/max orderkey spans the
+    whole range and only the bloom can skip files. The read asserts it
+    actually pruned; the real equality predicate then runs on the kept
+    files (pruning is never a filter)."""
+    orders = load(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    probe_key = int(
+        orders.filter(F.col("o_orderkey") % 997 == 0)
+        .agg(F.min("o_orderkey"))
+        .first()[0]
+    )
+    t = SnapshotTable(
+        spark,
+        _tmpdir(prefix="snap_bloomidx_") + "/orders_bloom",
+        partition_cols=(),
+        stat_cols=("odate",),
+        bloom_cols=("o_orderkey",),
+    )
+    t.commit_overwrite_partitions(
+        orders, cluster_by=("odate",), cluster_partitions=8
+    )
+    total = len(t._read_manifest(t.latest_version())["files"])
+    df = t.read(point={"o_orderkey": probe_key})
+    if df is None or len(df.inputFiles()) >= total:
+        kept = 0 if df is None else len(df.inputFiles())
+        raise RuntimeError(
+            f"bloom index pruned nothing ({kept}/{total} files kept)"
+        )
+    return df.filter(F.col("o_orderkey") == probe_key).select(
+        "o_orderkey", "o_custkey", "odate", "cents"
+    )

@@ -490,3 +490,66 @@ def test_time_travel_read_and_vacuumed_version_raises(spark, tmp_path):
     t.vacuum(older_than_sec=0.0)
     with _pytest.raises(FileNotFoundError):
         t.read(version=1)
+
+
+def test_bloom_point_read_prunes_files_never_rows(spark, tmp_path):
+    """Per-file Bloom index: a point lookup on a column ORTHOGONAL to the
+    clustering must skip most files (zone maps cannot — every file spans
+    the full key range) while keeping every file that truly holds the
+    key."""
+    t = SnapshotTable(
+        spark,
+        str(tmp_path / "bloom_tbl"),
+        partition_cols=(),
+        stat_cols=("ord",),
+        bloom_cols=("k",),
+    )
+    # k is random w.r.t. ord, so ord-clustered files each hold a k-slice
+    rows = [(i, (i * 2654435761) % 4096, i % 7) for i in range(8000)]
+    df = spark.createDataFrame(rows, "ord long, k long, grp long")
+    t.commit_overwrite_partitions(df, cluster_by=("ord",), cluster_partitions=8)
+    total = len(t._read_manifest(t.latest_version())["files"])
+    assert total == 8
+
+    probe_k = (123 * 2654435761) % 4096  # k of ord=123 — exists
+    got = t.read(point={"k": int(probe_k)})
+    assert got is not None
+    kept = len(got.inputFiles())
+    assert kept < total, "bloom index pruned nothing"
+    # pruning is never a filter: the real predicate still finds ALL rows
+    truth = sorted(r_ord for r_ord, rk, _ in rows if rk == probe_k)
+    found = sorted(
+        r.ord for r in got.filter(F.col("k") == int(probe_k)).collect()
+    )
+    assert found == truth, "bloom pruning dropped true rows"
+
+    # absent value: most (often all) files pruned; any kept file is a
+    # false positive and harmless because the real predicate finds 0 rows
+    miss = t.read(point={"k": 999_999})
+    if miss is not None:
+        assert miss.filter(F.col("k") == 999_999).count() == 0
+
+
+def test_bloom_point_read_keeps_unbloomed_files(spark, tmp_path):
+    """Files committed WITHOUT bloom_cols (older table versions) must
+    always be kept by a point read — pruning degrades, never corrupts."""
+    path = str(tmp_path / "mixed_tbl")
+    plain = SnapshotTable(spark, path, partition_cols=(), stat_cols=())
+    plain.commit_overwrite_partitions(
+        spark.createDataFrame([(1, 10)], "ord long, k long")
+    )
+    bloomed = SnapshotTable(
+        spark, path, partition_cols=(), stat_cols=(), bloom_cols=("k",)
+    )
+    bloomed.commit_overwrite_partitions(
+        spark.createDataFrame([(2, 20)], "ord long, k long")
+    )
+    # v2 overwrote the (single, unpartitioned) slice; time-travel to v1
+    # exercises bloom-less entries under a point read
+    got_v1 = bloomed.read(version=1, point={"k": 999})
+    assert got_v1 is not None and got_v1.count() == 1, (
+        "bloom-less file must be kept even for a missing key"
+    )
+    got_v2 = bloomed.read(point={"k": 20})
+    assert got_v2 is not None
+    assert got_v2.filter(F.col("k") == 20).count() == 1
