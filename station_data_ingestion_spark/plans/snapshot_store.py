@@ -323,6 +323,31 @@ class SnapshotTable:
         finally:
             self.spark.conf.set(conf_key, prev)
 
+    def count_rows(
+        self, partition: dict | None = None, version: int | None = None
+    ) -> int | None:
+        """Metadata-only COUNT(*): sum the per-file row counts recorded
+        at commit time — no data file is opened (Delta's count-from-
+        stats). Returns None when the table is absent OR any live entry
+        predates row-count stats (caller falls back to a scan; a partial
+        sum would silently undercount)."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            return None
+        entries = self._read_manifest(v)["files"]
+        if partition:
+            entries = [
+                e for e in entries
+                if all(e["partition"].get(k) == v_ for k, v_ in partition.items())
+            ]
+        total = 0
+        for e in entries:
+            n = (e.get("stats") or {}).get("__rows")
+            if n is None:
+                return None
+            total += int(n)
+        return total
+
     # -- write -------------------------------------------------------------
 
     def _file_stats(self, staging: str, cols: list[str]) -> dict[str, dict]:
@@ -338,13 +363,13 @@ class SnapshotTable:
 
         from pyspark.sql import functions as F
 
-        if not cols or not _list_parquet_rel(self.spark, staging):
+        if not _list_parquet_rel(self.spark, staging):
             return {}  # zero-row commit stages no files
         df = self.spark.read.parquet(staging)
         present = [c for c in cols if c in df.columns]
-        if not present:
-            return {}
-        aggs = []
+        # row count always rides along (reserved "__rows" key): it makes
+        # COUNT(*) a metadata-only read (count_rows()) like Delta's
+        aggs = [F.count(F.lit(1)).alias("__rows")]
         for c in present:
             aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
         rows = (
@@ -364,6 +389,7 @@ class SnapshotTable:
                 ]
                 for c in present
             }
+            out[rel]["__rows"] = int(r["__rows"])
         return out
 
     def _file_blooms(self, staging: str) -> dict[str, dict]:

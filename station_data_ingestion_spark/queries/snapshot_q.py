@@ -717,3 +717,42 @@ def snapshot_bloom_point_read(spark, sf_dir):
     return df.filter(F.col("o_orderkey") == probe_key).select(
         "o_orderkey", "o_custkey", "odate", "cents"
     )
+
+
+@query(
+    "snapshot_metadata_count",
+    """
+SELECT o_orderstatus AS status, COUNT(*) AS n_rows
+FROM orders GROUP BY 1
+""",
+)
+def snapshot_metadata_count(spark, sf_dir):
+    """Metadata-only COUNT(*) per partition: the answer comes entirely
+    from the manifest's commit-time per-file row counts
+    (SnapshotTable.count_rows) — no data file is opened at read time,
+    the lakehouse count-from-stats fast path. The counts were computed
+    by a distributed aggregation at COMMIT time; the read is O(manifest).
+    """
+    orders = load(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey", "o_orderstatus"
+    )
+    t = SnapshotTable(
+        spark,
+        _tmpdir(prefix="snap_cnt_") + "/orders_cnt",
+        partition_cols=("o_orderstatus",),
+        stat_cols=(),
+    )
+    t.commit_overwrite_partitions(orders)
+    statuses = sorted(
+        {
+            e["partition"]["o_orderstatus"]
+            for e in t._read_manifest(t.latest_version())["files"]
+        }
+    )
+    rows = []
+    for s in statuses:
+        n = t.count_rows(partition={"o_orderstatus": s})
+        if n is None:
+            raise RuntimeError("manifest lacks row counts — fast path broken")
+        rows.append((s, n))
+    return spark.createDataFrame(rows, "status string, n_rows long")
