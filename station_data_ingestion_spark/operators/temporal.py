@@ -36,11 +36,18 @@ def asof_join(
     right_cols: list[str] | None = None,
     suffix: str = "_right",
     direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the nearest right row at-or-before
     (``direction='backward'``, pandas merge_asof default: latest
     right.ts <= left.ts) or at-or-after (``'forward'``: earliest
     right.ts >= left.ts) its timestamp.
+
+    ``tolerance_seconds`` (pandas merge_asof ``tolerance`` parity):
+    when set, a nearest match further than this from the left timestamp
+    is treated as NO match (nulls) — a per-row predicate on the already-
+    computed nearest struct, so the plan shape (one shuffle) is
+    unchanged.
 
     Left rows with no match keep nulls. Returns all left columns plus
     each requested right column renamed ``<col><suffix>`` (plus
@@ -90,6 +97,14 @@ def asof_join(
         )
         nearest = F.first("__rv", ignorenulls=True).over(w)
     matched = unioned.withColumn("__m", nearest)
+    if tolerance_seconds is not None:
+        gap = F.unix_micros(F.col("__evt_ts")) - F.unix_micros(
+            F.col("__m.__ts")
+        )
+        if direction == "forward":
+            gap = -gap
+        within = gap <= F.lit(int(tolerance_seconds * 1_000_000))
+        matched = matched.withColumn("__m", F.when(within, F.col("__m")))
     out_cols = (
         [F.col(c) for c in on]
         + [F.col(c) for c in left.columns if c not in on]

@@ -335,3 +335,61 @@ def asof_forward_purchase_next_error(spark, sf_dir):
         F.date_format("ts_e", _TS_FMT).alias("error_ts"),
         (F.unix_micros(F.col("ts_e")) - F.unix_micros(F.col("ts"))).alias("gap_us"),
     )
+
+
+@query(
+    "asof_tolerance_purchase_click",
+    f"""
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, ts, MAX(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+matched AS (
+  SELECT p.event_id, p.user_id, p.ts AS pts, c.ts AS cts, c.click_id
+  FROM purchases p ASOF LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND c.ts <= p.ts
+)
+SELECT event_id, user_id,
+       strftime(pts, '{_TS_FMT_DUCK}') AS purchase_ts,
+       CASE WHEN epoch_us(pts) - epoch_us(cts) <= 1800 * 1000000
+            THEN click_id END AS click_id,
+       CASE WHEN epoch_us(pts) - epoch_us(cts) <= 1800 * 1000000
+            THEN strftime(cts, '{_TS_FMT_DUCK}') END AS click_ts
+FROM matched
+""",
+)
+def asof_tolerance_purchase_click(spark, sf_dir):
+    """Backward as-of join with a 30-minute TOLERANCE (pandas
+    merge_asof tolerance parity): a nearest click older than the bound
+    is no match — the purchase keeps nulls instead of a stale
+    attribution. Same one-shuffle union+window plan; the tolerance is a
+    per-row predicate on the matched struct."""
+    e = load(spark, sf_dir, "events")["events"]
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    j = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["click_id"],
+        suffix="_c",
+        tolerance_seconds=1800,
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("purchase_ts"),
+        F.col("click_id_c").alias("click_id"),
+        F.date_format("ts_c", _TS_FMT).alias("click_ts"),
+    )

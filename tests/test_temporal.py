@@ -167,3 +167,27 @@ def test_range_join_bucketed_inclusive_end_exclusive_start(spark):
         ).collect()
     )
     assert got == ["end-included", "in-after-start"]
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    left = spark.createDataFrame(
+        [("u1", _ts("2024-01-01 12:00:00")), ("u2", _ts("2024-01-01 12:00:00"))],
+        "user string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01 11:59:00"), "fresh"),   # 60s back
+            ("u2", _ts("2024-01-01 10:00:00"), "stale"),   # 2h back
+        ],
+        "user string, ts timestamp, tag string",
+    )
+    from station_data_ingestion_spark.operators.temporal import asof_join
+
+    got = {
+        r.user: r.tag_r
+        for r in asof_join(
+            left, right, on=["user"], left_ts="ts", right_ts="ts",
+            right_cols=["tag"], suffix="_r", tolerance_seconds=300,
+        ).collect()
+    }
+    assert got == {"u1": "fresh", "u2": None}
