@@ -756,3 +756,52 @@ def snapshot_metadata_count(spark, sf_dir):
             raise RuntimeError("manifest lacks row counts — fast path broken")
         rows.append((s, n))
     return spark.createDataFrame(rows, "status string, n_rows long")
+
+
+@query(
+    "stream_global_dedup_replay",
+    """
+SELECT event_type, COUNT(*) AS n_events,
+       SUM(CAST(ROUND(value * 10000) AS BIGINT)) / 10000.0 AS total_value
+FROM events GROUP BY event_type
+""",
+)
+def stream_global_dedup_replay(spark, sf_dir):
+    """Cross-restart exactly-once dedup under the gate
+    (streaming/global_dedup.py): the replay source holds TWO full copies
+    of events split across micro-batches, and the duplicates are removed
+    against the snapshot table's committed history — so the final table
+    aggregates exactly like the pristine source (the oracle). The
+    within-watermark operator cannot pass this test: duplicates arrive
+    beyond any bounded state horizon."""
+    from station_data_ingestion_spark.queries.registry import (
+        ensure_session_confs,
+    )
+    from station_data_ingestion_spark.streaming.global_dedup import (
+        run_global_dedup_stream,
+    )
+
+    ensure_session_confs(spark)
+    events = load(spark, sf_dir, "events")["events"]
+    tmp = _tmpdir(prefix="snap_gdedup_")
+    # two staged copies -> every event id arrives twice, in different
+    # micro-batches (maxFilesPerTrigger=4 over 8 files)
+    events.repartition(4).write.parquet(f"{tmp}/src")
+    events.repartition(4).write.mode("append").parquet(f"{tmp}/src")
+    t = SnapshotTable(
+        spark, f"{tmp}/tbl", partition_cols=("batch_id",), stat_cols=()
+    )
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(f"{tmp}/src")
+    )
+    q = run_global_dedup_stream(stream, t, f"{tmp}/ckpt")
+    q.awaitTermination()
+    stored = t.read()
+    return stored.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        (
+            F.sum(F.round(F.col("value") * 10000).cast("long")) / 10000.0
+        ).alias("total_value"),
+    )
