@@ -280,3 +280,64 @@ def stream_topk_ttl_replay(spark, sf_dir):
         .filter(F.col("n_seen") == F.col("_mx"))
         .select("event_type", "rank", "user_id", "total_value")
     )
+
+
+@query(
+    "stream_interval_left_join_replay",
+    """
+WITH m AS (
+  -- the engine's global watermark is the MIN over both watermarked
+  -- inputs of (max event time - delay): base it on the lagging stream
+  SELECT least(
+    (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'),
+    (SELECT MAX(ts) FROM events WHERE event_type = 'click')
+  ) AS mx
+),
+p AS (SELECT event_id AS p_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS c_id, user_id, ts AS c_ts
+      FROM events WHERE event_type = 'click'),
+matched AS (
+  SELECT p.p_id, c.c_id, p.user_id AS p_user, p.p_ts, c.c_ts
+  FROM p JOIN c ON p.user_id = c.user_id
+   AND c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+),
+unmatched_closed AS (
+  SELECT p.p_id, CAST(NULL AS BIGINT) AS c_id, p.user_id AS p_user,
+         p.p_ts, CAST(NULL AS TIMESTAMP) AS c_ts
+  FROM p, m
+  WHERE NOT EXISTS (
+    SELECT 1 FROM c WHERE c.user_id = p.user_id
+      AND c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+  )
+  AND p.p_ts <= mx - INTERVAL 2 HOUR
+)
+SELECT p_id, c_id, p_user,
+       strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+       strftime(c_ts, '%Y-%m-%d %H:%M:%S') AS c_ts
+FROM matched
+UNION ALL
+SELECT p_id, c_id, p_user,
+       strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+       strftime(c_ts, '%Y-%m-%d %H:%M:%S') AS c_ts
+FROM unmatched_closed
+""",
+)
+def stream_interval_left_join_replay(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join through the streaming
+    engine: matches emit as found (= the batch inner join), null-click
+    rows emit only for purchases whose join state fully expired below
+    the final watermark (p_ts <= max(ts) - 2h delay — the click window
+    upper bound IS p_ts, so expiry is p_ts + delay). The oracle replays
+    exactly that finalization rule; purchases too recent for the
+    watermark to prove unmatched are correctly ABSENT from both sides."""
+    sink = _replay(
+        spark, sf_dir, W.stream_stream_click_purchase_left_join, "append"
+    )
+    return sink.select(
+        "p_id",
+        "c_id",
+        "p_user",
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("p_ts"),
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("c_ts"),
+    )

@@ -273,3 +273,47 @@ def topk_user_spend_with_ttl(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_stream_click_purchase_left_join(
+    events: DataFrame,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase emits —
+    matched rows as matches arrive, and a null-click row once the
+    watermark proves no match can still come (the purchase's join
+    window has fully expired from state).
+
+    The outer side is what distinguishes this from the inner join: the
+    engine may only emit the null row after event time passes
+    purchase_ts + lookback + watermark delay, so state stays bounded
+    AND unmatched purchases are not lost — the streaming analog of a
+    left join's null-extension.
+    """
+    events = normalize_event_ts(events)
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return p.join(
+        c,
+        F.expr(
+            f"p_user = c_user AND c_ts <= p_ts AND c_ts >= p_ts - INTERVAL {lookback}"
+        ),
+        "left_outer",
+    ).select("p_id", "c_id", "p_user", "p_ts", "c_ts")
