@@ -110,6 +110,14 @@ def _partition_of(rel_path: str, partition_cols: tuple[str, ...]) -> dict:
     return values
 
 
+def _norm_uri_rel(uri: str, data_prefix: str) -> str:
+    """input_file_name() URI -> manifest-relative path (unquote once,
+    then strip everything through the table's data dir)."""
+    from urllib.parse import unquote
+
+    return unquote(uri).split(data_prefix, 1)[-1]
+
+
 class SnapshotTable:
     """Parquet table with manifest-listed files and atomic commits."""
 
@@ -574,6 +582,115 @@ class SnapshotTable:
             entries.append(entry)
         fs.delete(HPath(staging), True)
         return entries
+
+    def _commit_file_replacement(
+        self, replaced_paths: set[str], new_entries: list[dict], base_v: int
+    ) -> int:
+        """Publish: base version's files with `replaced_paths` swapped
+        for `new_entries`. FILE-level replacement (vs _commit_entries'
+        partition level) for predicate rewrites. Raises on a concurrent
+        commit instead of rebasing: another writer may have rewritten or
+        replaced the same files, and silently merging two row-level
+        rewrites can lose one of them (same rule as recluster)."""
+        if self.latest_version() != base_v:
+            raise ConcurrentCommitError(
+                f"table advanced past v{base_v} during a predicate "
+                f"rewrite at {self.path}; re-run against the new version"
+            )
+        kept = [
+            e for e in self._read_manifest(base_v)["files"]
+            if e["path"] not in replaced_paths
+        ]
+        version = base_v + 1
+        manifest = {
+            "version": version,
+            "partition_cols": list(self.partition_cols),
+            "files": kept + new_entries,
+        }
+        if not self._write_manifest_exclusive(version, manifest):
+            raise ConcurrentCommitError(
+                f"lost the publish race for v{version} at {self.path}"
+            )
+        return version
+
+    def delete_where(self, condition) -> int:
+        """DELETE FROM ... WHERE: rewrite ONLY the files containing
+        matching rows (others keep their exact identity — time travel
+        to the prior version still sees everything). Returns the new
+        version (or the current one when nothing matched).
+
+        One predicate-pushed scan finds the files with matches (per-file
+        match counts via input_file_name), then only those files are
+        re-read, filtered, and re-staged. At 100 TB the rewrite volume
+        is bounded by the files actually touched, and the scan that
+        finds them enjoys whatever zone-map/partition layout the table
+        already has.
+        """
+        return self.rewrite_where(condition, lambda df, cond: df.filter(~cond))
+
+    def update_where(self, condition, assignments: dict) -> int:
+        """UPDATE ... SET col=expr WHERE: same file-bounded rewrite as
+        delete_where; `assignments` maps column name -> Column applied
+        to matching rows (non-matching rows in touched files pass
+        through unchanged)."""
+        from pyspark.sql import functions as F
+
+        def apply(df, cond):
+            out = df
+            for col, expr in assignments.items():
+                out = out.withColumn(col, F.when(cond, expr).otherwise(F.col(col)))
+            return out
+
+        return self.rewrite_where(condition, apply)
+
+    def rewrite_where(self, condition, transform) -> int:
+        """Shared DELETE/UPDATE machinery: `transform(df, condition)`
+        is applied to the files whose rows match `condition`."""
+        from pyspark.sql import functions as F
+
+        base_v = self.latest_version()
+        if base_v is None:
+            raise ValueError(f"no table at {self.path}")
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        current = self.read(version=base_v)
+        prefix = f"{self.path}/data/"
+        hit_files = {
+            _norm_uri_rel(r["__f"], prefix)
+            for r in current.filter(cond)
+            .groupBy(F.input_file_name().alias("__f"))
+            .count()
+            .collect()
+        }
+        if not hit_files:
+            return base_v
+        entries = self._read_manifest(base_v)["files"]
+        touched = [e for e in entries if e["path"] in hit_files]
+        if len(touched) != len(hit_files):
+            raise RuntimeError(
+                "matched files missing from the manifest — path "
+                "normalization bug, refusing to rewrite"
+            )
+        paths = [f"{self.path}/data/{e['path']}" for e in touched]
+        conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        prev = self.spark.conf.get(conf_key, "true")
+        self.spark.conf.set(conf_key, "false")
+        try:
+            df = (
+                self.spark.read.option("basePath", f"{self.path}/data")
+                .option("mergeSchema", "true")
+                .parquet(*paths)
+            )
+        finally:
+            self.spark.conf.set(conf_key, prev)
+        rewritten = transform(df, cond)
+        staging = f"{self.path}/{_STAGING}/{uuid.uuid4().hex}"
+        rewritten.write.partitionBy(*self.partition_cols).parquet(staging)
+        stats = self._file_stats(staging, list(self.stat_cols))
+        blooms = self._file_blooms(staging)
+        new_entries = self._promote_staging(staging, stats, blooms)
+        return self._commit_file_replacement(
+            {e["path"] for e in touched}, new_entries, base_v
+        )
 
     # -- maintenance -------------------------------------------------------
 

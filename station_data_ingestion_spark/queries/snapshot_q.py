@@ -805,3 +805,92 @@ def stream_global_dedup_replay(spark, sf_dir):
             F.sum(F.round(F.col("value") * 10000).cast("long")) / 10000.0
         ).alias("total_value"),
     )
+
+
+@query(
+    "snapshot_delete_where",
+    """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+WHERE NOT (o_custkey BETWEEN 0 AND 200)
+GROUP BY o_orderstatus
+""",
+)
+def snapshot_delete_where(spark, sf_dir):
+    """Predicate DELETE on the store (DELETE FROM ... WHERE): the
+    custkey-clustered layout means a custkey-range delete matches rows
+    in only a few files, and ONLY those are rewritten — asserted
+    in-query by surviving file identities. Read-back must equal the
+    filtered oracle; time travel to v1 still sees every row."""
+    orders = load(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    t = SnapshotTable(
+        spark,
+        _tmpdir(prefix="snap_del_") + "/orders_del",
+        partition_cols=(),
+        stat_cols=("o_custkey",),
+    )
+    t.commit_overwrite_partitions(
+        orders, cluster_by=("o_custkey",), cluster_partitions=8
+    )
+    v1 = t.latest_version()
+    before = {e["path"] for e in t._read_manifest(v1)["files"]}
+    t.delete_where(F.col("o_custkey").between(0, 200))
+    after = {e["path"] for e in t._read_manifest(t.latest_version())["files"]}
+    if not (before & after):
+        raise RuntimeError(
+            "clustered-range delete rewrote every file — rewrite is "
+            "not file-bounded"
+        )
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+
+
+@query(
+    "snapshot_update_where",
+    """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN o_custkey % 7 = 0
+                     THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) * 2
+                     ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END)
+            AS BIGINT) AS cents
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def snapshot_update_where(spark, sf_dir):
+    """Predicate UPDATE on the store (UPDATE ... SET ... WHERE): cents
+    doubled for matching rows, non-matching rows in touched files pass
+    through byte-exact, untouched files keep their identity."""
+    orders = load(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    t = SnapshotTable(
+        spark,
+        _tmpdir(prefix="snap_upd_") + "/orders_upd",
+        partition_cols=(),
+        stat_cols=(),
+    )
+    t.commit_overwrite_partitions(orders)
+    t.update_where(F.col("o_custkey") % 7 == 0, {"cents": F.col("cents") * 2})
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("cents"),
+        )
+    )

@@ -553,3 +553,77 @@ def test_bloom_point_read_keeps_unbloomed_files(spark, tmp_path):
     got_v2 = bloomed.read(point={"k": 20})
     assert got_v2 is not None
     assert got_v2.filter(F.col("k") == 20).count() == 1
+
+
+def test_delete_where_rewrites_only_touched_files(spark, tmp_path):
+    """DELETE FROM ... WHERE: rows gone, untouched files keep their
+    exact identity, and time travel still sees the pre-delete table."""
+    t = SnapshotTable(
+        spark, str(tmp_path / "del_tbl"), partition_cols=(), stat_cols=("k",)
+    )
+    df = spark.createDataFrame([(i, i % 100) for i in range(10_000)], "k long, g long")
+    t.commit_overwrite_partitions(df, cluster_by=("k",), cluster_partitions=8)
+    v1 = t.latest_version()
+    before = {e["path"] for e in t._read_manifest(v1)["files"]}
+    # k-clustered files: deleting a k-range touches few files
+    v2 = t.delete_where(F.col("k") < 2000)
+    assert v2 == v1 + 1
+    after = {e["path"] for e in t._read_manifest(v2)["files"]}
+    kept_identity = before & after
+    assert kept_identity, "untouched files must keep their exact paths"
+    assert t.read().count() == 8000
+    assert t.read().filter("k < 2000").count() == 0
+    assert t.read(version=v1).count() == 10_000, "time travel sees pre-delete"
+
+
+def test_delete_where_no_match_is_noop(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "del_noop"), partition_cols=(), stat_cols=())
+    t.commit_overwrite_partitions(spark.createDataFrame([(1,)], "k long"))
+    v = t.latest_version()
+    assert t.delete_where(F.col("k") > 100) == v
+    assert t.latest_version() == v and t.read().count() == 1
+
+
+def test_update_where_applies_assignments_to_matches_only(spark, tmp_path):
+    t = SnapshotTable(
+        spark, str(tmp_path / "upd_tbl"), partition_cols=(), stat_cols=("k",)
+    )
+    t.commit_overwrite_partitions(
+        spark.createDataFrame([(i, 10) for i in range(1000)], "k long, v long"),
+        cluster_by=("k",),
+        cluster_partitions=4,
+    )
+    t.update_where(F.col("k") % 10 == 0, {"v": F.col("v") * 100})
+    got = {r.k: r.v for r in t.read().collect()}
+    assert len(got) == 1000
+    assert got[40] == 1000 and got[41] == 10
+
+
+def test_predicate_rewrite_refuses_concurrent_commit(spark, tmp_path):
+    import pytest as _pytest
+
+    from station_data_ingestion_spark.plans.snapshot_store import (
+        ConcurrentCommitError,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "race_tbl"), partition_cols=(), stat_cols=())
+    t.commit_overwrite_partitions(
+        spark.createDataFrame([(i,) for i in range(100)], "k long")
+    )
+    orig = t._promote_staging
+
+    def racing_promote(*a, **kw):
+        entries = orig(*a, **kw)
+        # another writer lands a commit between the rewrite and publish
+        t2 = SnapshotTable(spark, t.path, partition_cols=(), stat_cols=())
+        t2.commit_overwrite_partitions(
+            spark.createDataFrame([(999,)], "k long")
+        )
+        return entries
+
+    t._promote_staging = racing_promote
+    try:
+        with _pytest.raises(ConcurrentCommitError):
+            t.delete_where(F.col("k") < 10)
+    finally:
+        t._promote_staging = orig
