@@ -810,10 +810,11 @@ def stream_global_dedup_replay(spark, sf_dir):
 @query(
     "snapshot_delete_where",
     """
+WITH b AS (SELECT CAST(FLOOR(MAX(o_custkey) / 8.0) AS BIGINT) AS hi FROM orders)
 SELECT o_orderstatus, COUNT(*) AS n_orders,
        CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
-FROM orders
-WHERE NOT (o_custkey BETWEEN 0 AND 200)
+FROM orders, b
+WHERE o_custkey > b.hi
 GROUP BY o_orderstatus
 """,
 )
@@ -840,7 +841,10 @@ def snapshot_delete_where(spark, sf_dir):
     )
     v1 = t.latest_version()
     before = {e["path"] for e in t._read_manifest(v1)["files"]}
-    t.delete_where(F.col("o_custkey").between(0, 200))
+    # scale-relative bound (~1/8 of the clustered key range) so the
+    # delete stays file-bounded at every test SF
+    hi = int(orders.agg(F.floor(F.max("o_custkey") / 8.0)).first()[0])
+    t.delete_where(F.col("o_custkey") <= hi)
     after = {e["path"] for e in t._read_manifest(t.latest_version())["files"]}
     if not (before & after):
         raise RuntimeError(
