@@ -130,6 +130,7 @@ class SnapshotTable:
         bloom_cols: tuple[str, ...] = (),
         bloom_bits: int = 1 << 14,
         bloom_k: int = 4,
+        constraints: dict[str, str] | None = None,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
@@ -154,6 +155,13 @@ class SnapshotTable:
         self.bloom_cols = tuple(bloom_cols)
         self.bloom_bits = int(bloom_bits)
         self.bloom_k = int(bloom_k)
+        # CHECK constraints enforced ON WRITE ({name: SQL predicate}):
+        # a violating row fails the commit before anything is published
+        # (the staging write aborts; the table keeps its prior version).
+        # SQL CHECK semantics: a NULL predicate result PASSES. Enforced
+        # as a raise_error filter riding the write itself — zero extra
+        # passes over the data.
+        self.constraints = dict(constraints or {})
 
     # -- manifest plumbing -------------------------------------------------
 
@@ -509,6 +517,7 @@ class SnapshotTable:
                 cluster_by
             )
             df = df.repartitionByRange(*args).sortWithinPartitions(*cluster_by)
+        df = self._enforce_constraints(df)
         staging = f"{self.path}/{_STAGING}/{uuid.uuid4().hex}"
         df.write.partitionBy(*self.partition_cols).parquet(staging)
         stats = self._file_stats(staging, list(self.stat_cols))
@@ -582,6 +591,26 @@ class SnapshotTable:
             entries.append(entry)
         fs.delete(HPath(staging), True)
         return entries
+
+    def _enforce_constraints(self, df: DataFrame) -> DataFrame:
+        """Attach the CHECK-constraint guard to a commit's plan: any row
+        whose predicate is FALSE (NULL passes, per SQL CHECK) raises
+        during the staging write, aborting the commit pre-publish."""
+        from pyspark.sql import functions as F
+
+        for name, pred in self.constraints.items():
+            ok = F.coalesce(F.expr(pred), F.lit(True))
+            df = df.filter(
+                F.when(
+                    ~ok,
+                    F.raise_error(
+                        F.lit(
+                            f"CHECK constraint '{name}' violated: {pred}"
+                        )
+                    ).cast("boolean"),
+                ).otherwise(F.lit(True))
+            )
+        return df
 
     def _commit_file_replacement(
         self, replaced_paths: set[str], new_entries: list[dict], base_v: int

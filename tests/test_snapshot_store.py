@@ -627,3 +627,37 @@ def test_predicate_rewrite_refuses_concurrent_commit(spark, tmp_path):
             t.delete_where(F.col("k") < 10)
     finally:
         t._promote_staging = orig
+
+
+def test_check_constraints_enforced_on_write(spark, tmp_path):
+    """A violating row fails the commit BEFORE publish; the table keeps
+    its prior version. NULL predicate results pass (SQL CHECK)."""
+    import pytest as _pytest
+
+    t = SnapshotTable(
+        spark,
+        str(tmp_path / "ck_tbl"),
+        partition_cols=(),
+        stat_cols=(),
+        constraints={"positive_v": "v > 0", "id_not_null": "k IS NOT NULL"},
+    )
+    t.commit_overwrite_partitions(
+        spark.createDataFrame([(1, 5), (2, None)], "k long, v long")
+    )  # v NULL passes CHECK v > 0
+    v1 = t.latest_version()
+    assert t.read().count() == 2
+
+    with _pytest.raises(Exception) as ei:
+        t.commit_overwrite_partitions(
+            spark.createDataFrame([(3, -1)], "k long, v long")
+        )
+    assert "positive_v" in str(ei.value)
+    assert t.latest_version() == v1, "failed commit must publish nothing"
+    assert t.read().count() == 2
+
+    with _pytest.raises(Exception) as ei2:
+        t.commit_overwrite_partitions(
+            spark.createDataFrame([(None, 9)], "k long, v long")
+        )
+    assert "id_not_null" in str(ei2.value)
+    assert t.latest_version() == v1
