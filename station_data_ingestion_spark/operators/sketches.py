@@ -116,13 +116,20 @@ def _ss_merge(a: dict, b: dict, k: int) -> dict:
     return dict(top)
 
 
-def space_saving_topk(df: DataFrame, col: str, k: int = 32) -> list[tuple]:
+def space_saving_topk(
+    df: DataFrame, col: str, k: int = 32, with_total: bool = False
+):
     """(item, est_count, overestimate) list, count-descending.
 
     Guarantee: any item with true frequency > N/k appears; est_count >=
     true count >= est_count - overestimate. Per-partition summaries are
     k-slot dicts built in one Arrow pass and tree-merged on the driver
     (rows collected = partitions, never keys).
+
+    ``with_total=True`` returns ``(items, n)`` where ``n`` is the exact
+    row count, accumulated on the SAME scan (per-partition counts ride
+    the partial summaries) -- the N of the N/k guarantee without a
+    second pass over the data.
     """
 
     def partials(batches):
@@ -130,11 +137,13 @@ def space_saving_topk(df: DataFrame, col: str, k: int = 32) -> list[tuple]:
         from pyspark import TaskContext
 
         slots: dict = {}
+        n_rows = 0
         seen = False
         for pdf in batches:
             if not len(pdf):
                 continue
             seen = True
+            n_rows += len(pdf)
             for v in pdf[col].astype(str):
                 if v in slots:
                     c, o = slots[v]
@@ -154,23 +163,29 @@ def space_saving_topk(df: DataFrame, col: str, k: int = 32) -> list[tuple]:
                     "item": list(slots),
                     "c": [slots[i][0] for i in slots],
                     "o": [slots[i][1] for i in slots],
+                    "n": n_rows,
                 }
             )
 
     rows = df.select(col).mapInPandas(
-        partials, "pid int, item string, c long, o long"
+        partials, "pid int, item string, c long, o long, n long"
     ).collect()
     by_part: dict[int, dict] = {}
+    n_by_part: dict[int, int] = {}
     for r in rows:
         by_part.setdefault(r["pid"], {})[r["item"]] = (int(r["c"]), int(r["o"]))
+        n_by_part[r["pid"]] = int(r["n"])
     summary: dict = {}
     # deterministic fold order (by partition id): merge is conservative
     # in any order, but a fixed order makes repeated runs identical
     for pid in sorted(by_part):
         summary = _ss_merge(summary, by_part[pid], k)
-    return [
+    items = [
         (item, c, o)
         for item, (c, o) in sorted(
             summary.items(), key=lambda kv: (-kv[1][0], str(kv[0]))
         )
     ]
+    if with_total:
+        return items, sum(n_by_part.values())
+    return items

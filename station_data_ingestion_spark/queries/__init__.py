@@ -16,12 +16,14 @@ from station_data_ingestion_spark.queries import (  # noqa: F401
     llm_text,
     merge_q,
     multimodal,
+    recursive_q,
     relational,
     relational_ext,
     relational_ext2,
     relational_ext3,
     scalars,
     setops,
+    sketch_q,
     snapshot_q,
     sources_q,
     streaming_q,

@@ -898,3 +898,61 @@ def snapshot_update_where(spark, sf_dir):
             F.sum("cents").alias("cents"),
         )
     )
+
+
+@query(
+    "snapshot_check_constraints",
+    """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def snapshot_check_constraints(spark, sf_dir):
+    """CHECK constraints enforced on commit: a violating batch fails
+    BEFORE publish (the table keeps its prior version — asserted
+    in-query), a clean batch commits, and read-back equals the oracle.
+    The guard rides the staging write itself (raise_error filter), so
+    enforcement costs zero extra passes at any scale."""
+    orders = load(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    t = SnapshotTable(
+        spark,
+        _tmpdir(prefix="snap_ck_") + "/orders_ck",
+        partition_cols=(),
+        stat_cols=(),
+        constraints={
+            "price_positive": "o_totalprice > 0",
+            "key_not_null": "o_orderkey IS NOT NULL",
+        },
+    )
+    t.commit_overwrite_partitions(orders)
+    v1 = t.latest_version()
+    bad = orders.limit(1).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") * -1).alias("o_totalprice"),
+    )
+    try:
+        t.commit_overwrite_partitions(orders.unionAll(bad))
+    except Exception as exc:  # noqa: BLE001 — Spark wraps USER_RAISED
+        if "price_positive" not in str(exc):
+            raise
+    else:
+        raise RuntimeError("violating commit was accepted by CHECK guard")
+    if t.latest_version() != v1:
+        raise RuntimeError("failed commit published a new version")
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            ),
+        )
+    )

@@ -67,3 +67,12 @@ def test_space_saving_finds_all_heavy_hitters(spark):
     # heavy keys dominate the top of the summary
     top6 = [item for item, _, _ in summary[:6]]
     assert set(top6) == set(heavy)
+
+
+def test_space_saving_with_total_counts_rows(spark):
+    """with_total=True returns the exact row count from the same scan."""
+    rows = _skewed_rows(n=5000)
+    df = spark.createDataFrame([(r,) for r in rows], "k string").repartition(6)
+    items, n = space_saving_topk(df, "k", k=16, with_total=True)
+    assert n == len(rows)
+    assert items == space_saving_topk(df, "k", k=16)
