@@ -956,3 +956,88 @@ def snapshot_check_constraints(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "rollup_cdf_incremental_agg",
+    """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS s,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+v2 AS (
+  SELECT k,
+         CASE WHEN k % 5 = 0 THEN 'U' ELSE s END AS s,
+         CASE WHEN k % 5 = 0 THEN cents * 2 ELSE cents END AS cents
+  FROM base WHERE k % 7 <> 0 AND s <> 'P'
+  UNION ALL
+  SELECT k + 1000000000, 'N', cents + 17 FROM base WHERE k % 11 = 0
+)
+SELECT s AS o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM v2 GROUP BY 1
+""",
+)
+def rollup_cdf_incremental_agg(spark, sf_dir):
+    """Incremental view maintenance from the changelog
+    (operators/ivm.py): a grouped SUM/COUNT aggregate of snapshot v1 is
+    rolled forward to v2 by applying ONLY the keyed diff — deletes
+    retract, inserts add, updates that MOVE rows between groups retract
+    from the old group and add to the new one. The mutation births two
+    groups ('U' from moved rows, 'N' from inserts) and kills one (every
+    'P' row is deleted, so its count hits zero and the group is
+    eliminated). The oracle fully recomputes the v2 aggregate — gate
+    green means delta maintenance and recomputation agree exactly."""
+    from station_data_ingestion_spark.operators.ivm import apply_agg_delta
+    from station_data_ingestion_spark.operators.table_diff import keyed_diff
+
+    base = load(spark, sf_dir, "orders")["orders"].select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("s"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    v2 = (
+        base.filter((F.col("k") % 7 != 0) & (F.col("s") != "P"))
+        .select(
+            "k",
+            F.when(F.col("k") % 5 == 0, F.lit("U"))
+            .otherwise(F.col("s"))
+            .alias("s"),
+            F.when(F.col("k") % 5 == 0, F.col("cents") * 2)
+            .otherwise(F.col("cents"))
+            .alias("cents"),
+        )
+        .unionByName(
+            base.filter(F.col("k") % 11 == 0).select(
+                (F.col("k") + 1000000000).alias("k"),
+                F.lit("N").alias("s"),
+                (F.col("cents") + 17).alias("cents"),
+            )
+        )
+    )
+    t = SnapshotTable(
+        spark,
+        _tmpdir(prefix="snap_ivm_") + "/orders_ivm",
+        partition_cols=(),
+        stat_cols=(),
+    )
+    t.commit_overwrite_partitions(base)
+    # the materialized view: aggregate of v1, computed ONCE
+    agg_v1 = (
+        t.read(version=1)
+        .groupBy("s")
+        .agg(F.count("*").alias("n_orders"), F.sum("cents").alias("cents"))
+    )
+    t.commit_overwrite_partitions(v2)
+    diff = keyed_diff(t.read(version=1), t.read(version=2), key=["k"])
+    new_agg = apply_agg_delta(
+        agg_v1,
+        diff.where(F.col("change_type") != "unchanged"),
+        group_cols=["s"],
+        sum_cols={"cents": "cents"},
+        count_col="n_orders",
+    )
+    return new_agg.select(
+        F.col("s").alias("o_orderstatus"), "n_orders", "cents"
+    )
