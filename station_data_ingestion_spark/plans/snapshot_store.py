@@ -324,20 +324,60 @@ class SnapshotTable:
             entries = [e for e in entries if bloom_keeps(e)]
         if not entries:
             return None
-        paths = [f"{self.path}/data/{e['path']}" for e in entries]
+        return self._read_entry_files(entries)
+
+    def _read_entry_files(self, entries: list[dict]) -> DataFrame:
+        """Scan manifest entries, restoring partition columns.
+
+        Entries written under DIFFERENT partition specs (see
+        :meth:`evolve_partition_spec`) cannot share one hive discovery
+        pass -- Spark refuses conflicting partition layouts under a
+        single basePath. Files are grouped by their entry's spec (the
+        partition keys recorded at commit), each group gets its own
+        basePath read (per-SPEC, never per-value: the number of reads
+        is the number of specs the table has ever had, not the number
+        of partitions), and groups are unioned by name. A column that
+        moved between data and path position lands in the same output
+        column either way; columns added by schema evolution null-fill
+        (the same semantics mergeSchema gives within one group).
+        """
+        groups: dict[tuple, list[str]] = {}
+        for e in entries:
+            spec = tuple(sorted(e["partition"].keys()))
+            groups.setdefault(spec, []).append(
+                f"{self.path}/data/{e['path']}"
+            )
         # numeric-looking partition values (datatype='850') must read back
         # as strings, or a merge would rewrite them as a new '850.0' slice
         conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
         prev = self.spark.conf.get(conf_key, "true")
         self.spark.conf.set(conf_key, "false")
         try:
-            return (
+            dfs = [
                 self.spark.read.option("basePath", f"{self.path}/data")
                 .option("mergeSchema", "true")
                 .parquet(*paths)
-            )
+                for _, paths in sorted(groups.items())
+            ]
         finally:
             self.spark.conf.set(conf_key, prev)
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
+
+    def evolve_partition_spec(self, partition_cols: tuple[str, ...]) -> None:
+        """Change the partition spec for FUTURE commits (Iceberg-style
+        partition evolution). Existing files are never rewritten: they
+        stay in their old layout, their manifest entries keep the old
+        spec, and reads union the layouts transparently
+        (:meth:`_read_entry_files`). Caveats, same as Iceberg's:
+        ``commit_overwrite_partitions`` matches partitions of the NEW
+        spec only (old-spec files are never replaced by a
+        partition-level overwrite -- use ``delete_where`` for row-level
+        removal across specs), and driver-side ``read(partition=...)``
+        pruning only skips files whose own spec recorded that column."""
+        self.partition_cols = tuple(partition_cols)
 
     def count_rows(
         self, partition: dict | None = None, version: int | None = None
@@ -699,19 +739,8 @@ class SnapshotTable:
                 "matched files missing from the manifest — path "
                 "normalization bug, refusing to rewrite"
             )
-        paths = [f"{self.path}/data/{e['path']}" for e in touched]
-        conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-        prev = self.spark.conf.get(conf_key, "true")
-        self.spark.conf.set(conf_key, "false")
-        try:
-            df = (
-                self.spark.read.option("basePath", f"{self.path}/data")
-                .option("mergeSchema", "true")
-                .parquet(*paths)
-            )
-        finally:
-            self.spark.conf.set(conf_key, prev)
-        rewritten = transform(df, cond)
+        df = self._read_entry_files(touched)
+        rewritten = self._enforce_constraints(transform(df, cond))
         staging = f"{self.path}/{_STAGING}/{uuid.uuid4().hex}"
         rewritten.write.partitionBy(*self.partition_cols).parquet(staging)
         stats = self._file_stats(staging, list(self.stat_cols))

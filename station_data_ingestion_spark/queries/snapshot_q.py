@@ -1041,3 +1041,55 @@ def rollup_cdf_incremental_agg(spark, sf_dir):
     return new_agg.select(
         F.col("s").alias("o_orderstatus"), "n_orders", "cents"
     )
+
+
+@query(
+    "snapshot_partition_evolution_read",
+    """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS s,
+         strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT s, month, COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS cents
+FROM base GROUP BY s, month
+""",
+)
+def snapshot_partition_evolution_read(spark, sf_dir):
+    """Partition evolution (Iceberg-style): batch 1 commits under
+    partition spec (s), the spec evolves to (month), batch 2 commits
+    under the new layout — old files are never rewritten. A single
+    read() unions both layouts, restoring each file's partition column
+    from ITS OWN spec (s from the path for batch 1, from data for
+    batch 2, and vice versa for month), so the grouped aggregate over
+    both columns must equal the spec-free oracle. The manifest is
+    asserted in-query to actually hold two distinct specs."""
+    base = load(spark, sf_dir, "orders")["orders"].select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("s"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    t = SnapshotTable(
+        spark,
+        _tmpdir(prefix="snap_evo_") + "/orders_evo",
+        partition_cols=("s",),
+        stat_cols=(),
+    )
+    t.commit_overwrite_partitions(base.filter(F.col("k") % 2 == 0))
+    t.evolve_partition_spec(("month",))
+    t.commit_overwrite_partitions(base.filter(F.col("k") % 2 == 1))
+    specs = {
+        tuple(sorted(e["partition"].keys()))
+        for e in t._read_manifest(t.latest_version())["files"]
+    }
+    if specs != {("s",), ("month",)}:
+        raise RuntimeError(
+            f"expected two coexisting partition specs, got {specs}"
+        )
+    return (
+        t.read()
+        .groupBy("s", "month")
+        .agg(F.count("*").alias("n_orders"), F.sum("cents").alias("cents"))
+    )

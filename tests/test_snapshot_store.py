@@ -661,3 +661,71 @@ def test_check_constraints_enforced_on_write(spark, tmp_path):
         )
     assert "id_not_null" in str(ei2.value)
     assert t.latest_version() == v1
+
+
+def test_partition_evolution_read_and_cross_spec_delete(spark, tmp_path):
+    """Spec evolves (g)->(h): reads union both layouts; a predicate
+    DELETE spanning both specs rewrites under the NEW spec; time travel
+    still sees the pre-delete rows."""
+    t = SnapshotTable(
+        spark,
+        str(tmp_path / "evo_tbl"),
+        partition_cols=("g",),
+        stat_cols=(),
+    )
+    rows1 = [(i, f"g{i % 2}", f"h{i % 3}", i * 10) for i in range(0, 20, 2)]
+    rows2 = [(i, f"g{i % 2}", f"h{i % 3}", i * 10) for i in range(1, 20, 2)]
+    schema = "k long, g string, h string, v long"
+    t.commit_overwrite_partitions(spark.createDataFrame(rows1, schema))
+    t.evolve_partition_spec(("h",))
+    t.commit_overwrite_partitions(spark.createDataFrame(rows2, schema))
+
+    got = {(r["k"], r["g"], r["h"], r["v"]) for r in t.read().collect()}
+    assert got == set(rows1) | set(rows2)
+
+    # driver-side pruning on the OLD spec column: old-spec files prune,
+    # new-spec files (no g recorded) are conservatively kept
+    old_files = {
+        e["path"]
+        for e in t._read_manifest(t.latest_version())["files"]
+        if "g" in e["partition"]
+    }
+    kept = t.read(partition={"g": "g0"}).inputFiles()
+    kept_rel = {p.split("/data/", 1)[-1] for p in kept}
+    assert not any(
+        e in kept_rel
+        for e in old_files
+        if "g=g1" in e
+    ), "old-spec files for the other partition must be pruned"
+
+    v_before = t.latest_version()
+    t.delete_where(F.col("k") % 5 == 0)  # hits both specs' files
+    got2 = {(r["k"], r["g"], r["h"], r["v"]) for r in t.read().collect()}
+    assert got2 == {r for r in set(rows1) | set(rows2) if r[0] % 5 != 0}
+    # time travel: pre-delete version intact
+    old = {(r["k"], r["g"], r["h"], r["v"])
+           for r in t.read(version=v_before).collect()}
+    assert old == set(rows1) | set(rows2)
+
+
+def test_update_where_enforces_check_constraints(spark, tmp_path):
+    """UPDATE must satisfy table CHECK constraints: a violating
+    assignment aborts pre-publish and the table is unchanged."""
+    import pytest as _pytest
+
+    t = SnapshotTable(
+        spark,
+        str(tmp_path / "ck_upd"),
+        partition_cols=(),
+        stat_cols=(),
+        constraints={"v_positive": "v > 0"},
+    )
+    t.commit_overwrite_partitions(
+        spark.createDataFrame([(1, 5), (2, 7)], "k long, v long")
+    )
+    v1 = t.latest_version()
+    with _pytest.raises(Exception) as ei:
+        t.update_where(F.col("k") == 2, {"v": F.lit(-3)})
+    assert "v_positive" in str(ei.value)
+    assert t.latest_version() == v1
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == {(1, 5), (2, 7)}
