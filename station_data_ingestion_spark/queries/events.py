@@ -348,3 +348,65 @@ def events_rolling_wau(spark, sf_dir):
     return expanded.groupBy(
         F.date_format("as_of", "yyyy-MM-dd").alias("as_of")
     ).agg(F.count_distinct("user_id").alias("wau"))
+
+
+_PATTERN_CODE_SQL = """
+CASE event_type WHEN 'signup' THEN 's' WHEN 'click' THEN 'c'
+     WHEN 'view' THEN 'v' WHEN 'purchase' THEN 'p'
+     WHEN 'error' THEN 'e' ELSE 'x' END
+"""
+
+_PATTERN_ORACLE = f"""
+WITH seqs AS (
+  SELECT user_id,
+         string_agg({_PATTERN_CODE_SQL}, '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT user_id, LENGTH(seq) AS n_events,
+         LENGTH(regexp_extract_all(seq, 's[cv]*p', 0)) AS n_matches
+  FROM seqs
+)
+SELECT user_id, n_events, n_matches FROM m WHERE n_matches > 0
+"""
+
+
+@query(
+    "events_pattern_match_regex",
+    _PATTERN_ORACLE,
+    doc="MATCH_RECOGNIZE-lite: per-user symbol sequence + leftmost "
+    "non-overlapping regex count of signup->clicks/views->purchase.",
+)
+def events_pattern_match_regex(spark, sf_dir):
+    """Row-pattern recognition (operators/sequence.py): users whose
+    stream contains signup followed by only clicks/views until a
+    purchase ('s[cv]*p' — an error or another signup breaks the run).
+    Non-overlapping leftmost counting = MATCH_RECOGNIZE skip-past-last-
+    row. The oracle rebuilds the same sequences with string_agg and the
+    same regex in DuckDB."""
+    from station_data_ingestion_spark.operators.sequence import (
+        count_pattern,
+        encode_sequences,
+    )
+
+    e = load(spark, sf_dir, "events")["events"]
+    code = (
+        F.when(F.col("event_type") == "signup", "s")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "error", "e")
+        .otherwise("x")
+    )
+    seqs = encode_sequences(
+        e, key="user_id", order_cols=["ts", "event_id"], code=code
+    )
+    return (
+        count_pattern(seqs, "s[cv]*p")
+        .where(F.col("n_matches") > 0)
+        .select(
+            "user_id",
+            F.length("seq").cast("long").alias("n_events"),
+            F.col("n_matches").cast("long").alias("n_matches"),
+        )
+    )
