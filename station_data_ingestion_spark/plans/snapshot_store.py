@@ -366,6 +366,41 @@ class SnapshotTable:
             out = out.unionByName(d, allowMissingColumns=True)
         return out
 
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE ... TO VERSION v (Delta RESTORE): publish a
+        NEW version whose file set is exactly ``version``'s. Data files
+        are immutable, so this is a metadata-only commit — nothing is
+        copied at any table size, the rolled-back versions stay
+        readable (restore of a restore works), and vacuum keeps the
+        restored files live because the newest manifest references
+        them. Raises FileNotFoundError if ``version`` was vacuumed,
+        ConcurrentCommitError if another writer wins the publish race.
+        """
+        base_v = self.latest_version()
+        if base_v is None:
+            raise ValueError(f"no table at {self.path}")
+        fs, mpath, _ = _fs(self.spark, self._snap_path(version))
+        if not fs.exists(mpath):
+            raise FileNotFoundError(
+                f"snapshot version {version} of {self.path} does not "
+                "exist (never published, or vacuumed)"
+            )
+        target = self._read_manifest(version)
+        new_v = base_v + 1
+        manifest = {
+            "version": new_v,
+            "partition_cols": target.get(
+                "partition_cols", list(self.partition_cols)
+            ),
+            "files": target["files"],
+            "restored_from": version,
+        }
+        if not self._write_manifest_exclusive(new_v, manifest):
+            raise ConcurrentCommitError(
+                f"lost the publish race for v{new_v} at {self.path}"
+            )
+        return new_v
+
     def evolve_partition_spec(self, partition_cols: tuple[str, ...]) -> None:
         """Change the partition spec for FUTURE commits (Iceberg-style
         partition evolution). Existing files are never rewritten: they

@@ -733,3 +733,32 @@ def dedup_jaccard_prefix_filtered(spark, sf_dir):
     corpora that melt the plain shingle join."""
     d = load(spark, sf_dir, "documents")["documents"]
     return _prefix_filtered_jaccard_pairs(d, 0.8)
+
+
+@query(
+    "dedup_fuzzy_ed1_suppliers",
+    """
+SELECT a.s_suppkey AS a_id, b.s_suppkey AS b_id,
+       levenshtein(a.s_name, b.s_name) AS dist
+FROM supplier a JOIN supplier b
+  ON a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 1
+""",
+)
+def dedup_fuzzy_ed1_suppliers(spark, sf_dir):
+    """Fuzzy string join, edit distance <= 1 (operators/fuzzy.py):
+    deletion-variant blocking (SymSpell cover — exact completeness, not
+    LSH recall) turns the all-pairs levenshtein join into one bucketed
+    equi-join on variants plus a candidates-only rerank. The oracle is
+    the naive quadratic join — affordable at gate scale, which is
+    exactly why the gate can certify the pruned plan's completeness."""
+    from station_data_ingestion_spark.operators.fuzzy import fuzzy_join_ed1
+
+    s = load(spark, sf_dir, "supplier")["supplier"].select(
+        "s_suppkey", "s_name"
+    )
+    return fuzzy_join_ed1(s, "s_suppkey", "s_name").select(
+        F.col("a_id").cast("long"),
+        F.col("b_id").cast("long"),
+        F.col("dist").cast("long"),
+    )

@@ -1093,3 +1093,51 @@ def snapshot_partition_evolution_read(spark, sf_dir):
         .groupBy("s", "month")
         .agg(F.count("*").alias("n_orders"), F.sum("cents").alias("cents"))
     )
+
+
+@query(
+    "snapshot_restore_read",
+    """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def snapshot_restore_read(spark, sf_dir):
+    """RESTORE to a prior version (metadata-only rollback): v1 is the
+    full orders slice, v2 deletes a third of it, restore(1) publishes
+    v3 with v1's exact file set — the latest read must equal the
+    unmutated oracle, and the rolled-back v2 stays readable (asserted
+    in-query, along with v3's file identity == v1's)."""
+    orders = load(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = SnapshotTable(
+        spark,
+        _tmpdir(prefix="snap_restore_") + "/orders_restore",
+        partition_cols=(),
+        stat_cols=(),
+    )
+    t.commit_overwrite_partitions(orders)
+    t.delete_where(F.col("o_orderkey") % 3 == 0)
+    n_v2 = t.read(version=2).count()
+    v3 = t.restore(1)
+    if v3 != 3:
+        raise RuntimeError(f"restore published v{v3}, expected v3")
+    f1 = {e["path"] for e in t._read_manifest(1)["files"]}
+    f3 = {e["path"] for e in t._read_manifest(3)["files"]}
+    if f1 != f3:
+        raise RuntimeError("restore must reference v1's exact files")
+    if n_v2 >= t.read(version=1).count():
+        raise RuntimeError("v2 delete did not shrink the table")
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            ),
+        )
+    )

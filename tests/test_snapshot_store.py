@@ -729,3 +729,26 @@ def test_update_where_enforces_check_constraints(spark, tmp_path):
     assert "v_positive" in str(ei.value)
     assert t.latest_version() == v1
     assert {(r["k"], r["v"]) for r in t.read().collect()} == {(1, 5), (2, 7)}
+
+
+def test_restore_rolls_back_and_is_itself_versioned(spark, tmp_path):
+    """restore(v) is a NEW commit of v's file set: the mutation stays
+    readable, restore-of-restore works, vacuumed targets raise."""
+    import pytest as _pytest
+
+    t = SnapshotTable(
+        spark, str(tmp_path / "restore_tbl"), partition_cols=(), stat_cols=()
+    )
+    t.commit_overwrite_partitions(
+        spark.createDataFrame([(i, i * 10) for i in range(10)], "k long, v long")
+    )
+    t.delete_where(F.col("k") < 5)
+    assert t.read().count() == 5
+    v3 = t.restore(1)
+    assert v3 == 3
+    assert t.read().count() == 10
+    assert t.read(version=2).count() == 5  # rollback kept the mutation
+    v4 = t.restore(2)  # restore of a non-latest mutated version
+    assert v4 == 4 and t.read().count() == 5
+    with _pytest.raises(FileNotFoundError):
+        t.restore(99)
