@@ -76,6 +76,15 @@ HEADLINE = [
     "rollup_incremental_update",
     "sim_hybrid_rrf_fusion",
     "events_rolling_wau",
+    # round 5 late additions: O(log D) iterative hierarchy resolution,
+    # sketch-candidates + exact-verify heavy hitters, changelog-driven
+    # incremental view maintenance, deletion-variant fuzzy join, and
+    # per-key sequence pattern matching
+    "hierarchy_depth_pointer_doubling",
+    "sketch_spacesaving_heavy_hitters",
+    "rollup_cdf_incremental_agg",
+    "dedup_fuzzy_ed1_suppliers",
+    "events_pattern_match_regex",
 ]
 
 

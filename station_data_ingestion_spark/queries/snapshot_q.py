@@ -1141,3 +1141,69 @@ def snapshot_restore_read(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "stream_bloom_dedup_replay",
+    """
+SELECT event_type, COUNT(*) AS n_events,
+       SUM(CAST(ROUND(value * 10000) AS BIGINT)) / 10000.0 AS total_value
+FROM events GROUP BY event_type
+""",
+)
+def stream_bloom_dedup_replay(spark, sf_dir):
+    """Bloom-accelerated cross-restart dedup under the gate
+    (streaming/bloom_dedup.py): same two-full-copies replay as
+    stream_global_dedup_replay, but each micro-batch splits on the
+    persistent bloom — misses skip the history join ("definitely new"),
+    hits take the exact anti-join. The final table must still equal the
+    pristine source aggregate, and the split is asserted in-query: the
+    duplicate copy MUST travel the exact path (a bloom false negative
+    would instead let it through the fast path and fail the oracle)."""
+    from station_data_ingestion_spark.queries.registry import (
+        ensure_session_confs,
+    )
+    from station_data_ingestion_spark.streaming.bloom_dedup import (
+        run_bloom_dedup_stream,
+    )
+
+    ensure_session_confs(spark)
+    events = load(spark, sf_dir, "events")["events"]
+    tmp = _tmpdir(prefix="snap_bdedup_")
+    # copy 1 strictly precedes copy 2 in modification time: the file
+    # stream (oldest-first) then delivers every id once before its
+    # duplicate, so the whole first copy is fast-path ("definitely
+    # new") and the whole second copy must take the exact path
+    import time as _time
+
+    events.repartition(4).write.parquet(f"{tmp}/src")
+    _time.sleep(1.2)
+    events.repartition(4).write.mode("append").parquet(f"{tmp}/src")
+    t = SnapshotTable(
+        spark, f"{tmp}/tbl", partition_cols=("batch_id",), stat_cols=()
+    )
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(f"{tmp}/src")
+    )
+    stats: dict = {}
+    q = run_bloom_dedup_stream(
+        stream, t, f"{tmp}/ckpt", f"{tmp}/bloom", stats=stats
+    )
+    q.awaitTermination()
+    n_src = events.count()
+    if stats.get("exact_path_rows", 0) < n_src:
+        raise RuntimeError(
+            "every duplicated id must hit the bloom and take the exact "
+            f"path: exact={stats.get('exact_path_rows')} < {n_src}"
+        )
+    if stats.get("fast_path_rows", 0) == 0:
+        raise RuntimeError("no batch used the definitely-new fast path")
+    stored = t.read()
+    return stored.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        (
+            F.sum(F.round(F.col("value") * 10000).cast("long")) / 10000.0
+        ).alias("total_value"),
+    )

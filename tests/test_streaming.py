@@ -420,3 +420,80 @@ def test_global_dedup_survives_restart_with_fresh_checkpoint(spark, tmp_path):
     assert got == [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)], (
         "each id exactly once, FIRST write wins across restarts"
     )
+
+
+def test_bloom_dedup_cross_restart_and_superset_safety(spark, tmp_path):
+    """Bloom-split dedup: recurring ids from a PREVIOUS deployment are
+    rejected (fresh checkpoint, persistent bloom + table history), and
+    a bloom persisted for a commit that never landed (crash between
+    bloom save and table commit) only sends rows to the exact path --
+    it must never swallow them."""
+    import datetime as dt
+
+    from station_data_ingestion_spark.plans.snapshot_store import SnapshotTable
+    from station_data_ingestion_spark.streaming.bloom_dedup import (
+        bloom_dedup_commit,
+        run_bloom_dedup_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    table = SnapshotTable(
+        spark, str(tmp_path / "bd_tbl"), partition_cols=("batch_id",),
+        stat_cols=(),
+    )
+    bloom = str(tmp_path / "bd_bloom")
+
+    src_a = str(tmp_path / "src_a")
+    spark.createDataFrame(
+        [(1, t0, 7, 1.0), (2, t0, 7, 2.0), (3, t0, 8, 3.0)], schema
+    ).write.parquet(src_a)
+    stats_a: dict = {}
+    q = run_bloom_dedup_stream(
+        spark.readStream.schema(schema).parquet(src_a),
+        table, str(tmp_path / "ck_a"), bloom, stats=stats_a,
+    )
+    q.awaitTermination()
+    assert stats_a == {"fast_path_rows": 3, "exact_path_rows": 0}
+
+    # crash simulation: a batch saves its bloom, then dies before the
+    # table commit -- id 50 is in the bloom but NOT in the table
+    phantom = spark.createDataFrame([(50, t0, 9, 5.0)], schema)
+    commit = bloom_dedup_commit(table, bloom, run_token="crashed")
+    orig = table.commit_overwrite_partitions
+    table.commit_overwrite_partitions = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("simulated crash")
+    )
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="simulated crash"):
+            commit(phantom, 0)
+    finally:
+        table.commit_overwrite_partitions = orig
+    assert table.read().count() == 3  # nothing published
+
+    # redeploy: new checkpoint; ids 2,3 recur, id 50 is the phantom
+    # (bloom-positive but absent from the table -> must be DELIVERED),
+    # id 4 is brand new (fast path)
+    src_b = str(tmp_path / "src_b")
+    spark.createDataFrame(
+        [(2, t0, 7, 9.0), (3, t0, 8, 9.0), (50, t0, 9, 5.0), (4, t0, 9, 4.0)],
+        schema,
+    ).write.parquet(src_b)
+    stats_b: dict = {}
+    q2 = run_bloom_dedup_stream(
+        spark.readStream.schema(schema).parquet(src_b),
+        table, str(tmp_path / "ck_b"), bloom, stats=stats_b,
+    )
+    q2.awaitTermination()
+
+    got = sorted(
+        (r.event_id, r.value)
+        for r in table.read().select("event_id", "value").collect()
+    )
+    assert got == [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0), (50, 5.0)]
+    # ids 2,3,50 were bloom-positive (exact path); 4 took the fast path
+    # (up to false positives, which can only move rows fast->exact)
+    assert stats_b["exact_path_rows"] >= 3
+    assert stats_b["exact_path_rows"] + stats_b["fast_path_rows"] == 4
