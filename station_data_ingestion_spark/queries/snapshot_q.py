@@ -1207,3 +1207,56 @@ def stream_bloom_dedup_replay(spark, sf_dir):
             F.sum(F.round(F.col("value") * 10000).cast("long")) / 10000.0
         ).alias("total_value"),
     )
+
+
+@query(
+    "snapshot_vacuum_read",
+    """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders
+WHERE o_orderkey % 3 <> 0
+GROUP BY o_orderstatus
+""",
+)
+def snapshot_vacuum_read(spark, sf_dir):
+    """VACUUM under the gate: v1 commits the full slice, v2 deletes a
+    third (file-bounded rewrite), vacuum(0) reaps the files only v1
+    references and v1's manifest. The surviving latest version must
+    still aggregate exactly (vacuum must never touch a live file), and
+    the vacuumed version must now raise on time travel — both asserted
+    in-query."""
+    import time as _time
+
+    orders = load(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = SnapshotTable(
+        spark,
+        _tmpdir(prefix="snap_vac_") + "/orders_vac",
+        partition_cols=(),
+        stat_cols=(),
+    )
+    t.commit_overwrite_partitions(orders)
+    t.delete_where(F.col("o_orderkey") % 3 == 0)
+    _time.sleep(0.05)  # mtime strictly below the cutoff
+    deleted = t.vacuum(older_than_sec=0)
+    if not deleted:
+        raise RuntimeError("vacuum reaped nothing — rewrite left no orphans")
+    try:
+        t.read(version=1)
+    except FileNotFoundError:
+        pass
+    else:
+        raise RuntimeError("vacuumed version 1 must no longer be readable")
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            ),
+        )
+    )

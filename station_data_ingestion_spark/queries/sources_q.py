@@ -1,7 +1,7 @@
 """Source-format surface under the correctness gate.
 
-The wide-CSV path is gate-covered through the ingestion queries; this
-module runs the OTHER batch source formats end-to-end: stage a corpus
+This module runs batch source formats end-to-end — including the
+reference's wide-CSV ingestion dataflow (ingest_wide_csv_e2e): stage a corpus
 slice in the format under test, read it back through the engine's
 reader, aggregate, and compare against the DuckDB oracle on the
 original parquet — so a reader bug (encoding, schema drift, silent
@@ -70,4 +70,101 @@ def source_jsonl_roundtrip(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
         F.sum(F.length("text")).alias("sum_text_len"),
+    )
+
+
+def _staged_wide_csv(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic station-matrix CSV derived from orders: stations =
+    o_custkey % 50, date columns = March 1996, cells = cents sums (or
+    NA). Built driver-side on purpose — this constructs the TEST INPUT
+    (bounded: 50 rows x 31 columns); the operator under test then reads
+    it back distributed."""
+    key = (spark.sparkContext.applicationId, sf_dir, "wide_csv")
+    if key not in _STAGED:
+        days = [f"1996-03-{d:02d}" for d in range(1, 32)]
+        orders = load(spark, sf_dir, "orders")["orders"]
+        cells = (
+            orders.where(
+                F.col("o_orderdate").between(days[0], days[-1])
+            )
+            .groupBy(
+                (F.col("o_custkey") % 50).alias("skn"),
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+            )
+            .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+            .collect()
+        )
+        matrix: dict[int, dict[str, int]] = {}
+        for r in cells:
+            matrix.setdefault(int(r["skn"]), {})[r["d"]] = int(r["cents"])
+        meta = "Station.Name,Observer,Network,Island,ELEV.m.,LAT,LON,NCEI.id,NWS.id,NESDIS.id,SCAN.id,SMART_NODE_RF.id,Notes"
+        header = "SKN," + meta + "," + ",".join(
+            "X" + d.replace("-", ".") for d in days
+        )
+        lines = [header]
+        for skn in sorted(matrix):
+            vals = [str(matrix[skn].get(d, "NA")) for d in days]
+            lines.append(
+                f"{skn},st{skn}," + ",".join(["NA"] * 12) + "," + ",".join(vals)
+            )
+        d = tempfile.mkdtemp(prefix="wide_src_")
+        with open(f"{d}/orders_wide.csv", "w", encoding="utf-8") as f:
+            f.write("\n".join(lines) + "\n")
+        _STAGED[key] = d
+    return f"{_STAGED[key]}/orders_wide.csv"
+
+
+@query(
+    "ingest_wide_csv_e2e",
+    """
+SELECT CAST(o_custkey % 50 AS VARCHAR) AS station_id,
+       strftime(o_orderdate, '%Y-%m-%d') AS obs_date,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+         AS value
+FROM orders
+WHERE CAST(o_orderdate AS DATE)
+      BETWEEN DATE '1996-03-02' AND DATE '1996-03-30'
+GROUP BY 1, 2
+""",
+)
+def ingest_wide_csv_e2e(spark, sf_dir):
+    """The reference's CORE dataflow end-to-end under the oracle gate
+    for the first time: a wide station matrix (derived from orders so
+    DuckDB can recompute it) goes through the real ingestion job —
+    header classification, inclusive date-range column pruning (the job
+    range drops the Mar 1 and Mar 31 columns), NA sentinel filtering,
+    narrow unpivot, strict double cast, composite-key MERGE into the
+    versioned snapshot store — and the table read back must equal the
+    straight SQL aggregate. [reference: src/driver.py:136-170 — this is
+    that pipeline, restated as one declarative Spark plan]"""
+    from station_data_ingestion_spark.plans.jobspec import (
+        DataItemSpec,
+        JobSpec,
+    )
+    from station_data_ingestion_spark.plans.runner import run_job
+    from station_data_ingestion_spark.plans.snapshot_store import read_table
+
+    csv_path = _staged_wide_csv(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="ingest_e2e_")
+    _STAGED[(spark.sparkContext.applicationId, sf_dir, f"work{work}")] = work
+    item = DataItemSpec(
+        files=[csv_path],
+        datatype="order_cents",
+        period="day",
+        fill="raw",
+        start_date="1996-03-02",
+        end_date="1996-03-30",
+    )
+    run_job(
+        spark,
+        JobSpec(data=[item]),
+        f"{work}/obs_table",
+        None,
+        staging_dir=f"{work}/staging",
+    )
+    obs = read_table(spark, f"{work}/obs_table")
+    return obs.select(
+        "station_id",
+        F.col("date").alias("obs_date"),
+        "value",
     )
