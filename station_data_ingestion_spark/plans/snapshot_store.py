@@ -41,6 +41,7 @@ from station_data_ingestion_spark.operators.maintenance import _unescape_pv
 
 _SNAPDIR = "_snapshots"
 _STAGING = "_staging"
+_PENDING = "_pending"
 _MAX_COMMIT_ATTEMPTS = 20
 
 
@@ -584,6 +585,23 @@ class SnapshotTable:
         twice -- only pass pure plans (no accumulator/stat side effects,
         no nondeterminism); persist first otherwise.
         """
+        new_entries = self._write_and_promote(
+            df, cluster_by, cluster_partitions
+        )
+        replaced = {
+            tuple(sorted(e["partition"].items())) for e in new_entries
+        }
+        return self._commit_entries(replaced, new_entries)
+
+    def _write_and_promote(
+        self,
+        df: DataFrame,
+        cluster_by: tuple[str, ...] | None = None,
+        cluster_partitions: int | None = None,
+    ) -> list[dict]:
+        """Shared write path: cluster, enforce constraints, write to
+        staging, collect stats/blooms, promote files into data/.
+        Returns manifest entries — NOT yet referenced by any manifest."""
         if cluster_by:
             # explicit cluster_partitions pins the file count (AQE would
             # otherwise coalesce small commits into one file, which is
@@ -597,11 +615,97 @@ class SnapshotTable:
         df.write.partitionBy(*self.partition_cols).parquet(staging)
         stats = self._file_stats(staging, list(self.stat_cols))
         blooms = self._file_blooms(staging)
-        new_entries = self._promote_staging(staging, stats, blooms)
-        replaced = {
-            tuple(sorted(e["partition"].items())) for e in new_entries
-        }
-        return self._commit_entries(replaced, new_entries)
+        return self._promote_staging(staging, stats, blooms)
+
+    # -- write-audit-publish ----------------------------------------------
+
+    def _pending_path(self, token: str) -> str:
+        return f"{self.path}/{_PENDING}/{token}.json"
+
+    def stage_commit(
+        self,
+        df: DataFrame,
+        cluster_by: tuple[str, ...] | None = None,
+        cluster_partitions: int | None = None,
+    ) -> str:
+        """Write-audit-publish, step 1 (Iceberg WAP / Delta shadow
+        branch): write ``df``'s files into the shared data tree and
+        record them in a PENDING manifest that no reader sees. Audit
+        the staged rows with :meth:`read_staged`, then
+        :meth:`publish_staged` (atomic, dynamic-partition-overwrite
+        semantics, optimistic-retried over concurrent commits) or
+        :meth:`abort_staged` (removes the files). Returns the token.
+
+        Staged-but-unpublished files are vacuum-protected: vacuum
+        treats every pending manifest's entries as live (abandoned
+        stagings lose that protection when their pending manifest is
+        reaped past the retention window)."""
+        entries = self._write_and_promote(df, cluster_by, cluster_partitions)
+        token = uuid.uuid4().hex
+        fs, dest, jvm = _fs(self.spark, self._pending_path(token))
+        fs.mkdirs(dest.getParent())
+        out = fs.create(dest, False)
+        try:
+            out.write(
+                json.dumps(
+                    {
+                        "token": token,
+                        "partition_cols": list(self.partition_cols),
+                        "files": entries,
+                    },
+                    indent=1,
+                ).encode("utf-8")
+            )
+        finally:
+            out.close()
+        return token
+
+    def _read_pending(self, token: str) -> dict:
+        fs, p, jvm = _fs(self.spark, self._pending_path(token))
+        if not fs.exists(p):
+            raise FileNotFoundError(
+                f"no staged commit {token} at {self.path} "
+                "(published, aborted, or vacuumed)"
+            )
+        stream = fs.open(p)
+        try:
+            text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        return json.loads(text)
+
+    def read_staged(self, token: str) -> DataFrame | None:
+        """The staged (unpublished) rows of ``token`` — the audit
+        surface. None for an empty staging."""
+        entries = self._read_pending(token)["files"]
+        if not entries:
+            return None
+        return self._read_entry_files(entries)
+
+    def publish_staged(self, token: str) -> int:
+        """WAP step 3a: make the staged commit the next table version
+        (metadata-only — the data files are already in place). The
+        pending manifest is removed on success."""
+        pending = self._read_pending(token)
+        entries = pending["files"]
+        replaced = {tuple(sorted(e["partition"].items())) for e in entries}
+        version = self._commit_entries(replaced, entries)
+        fs, p, _ = _fs(self.spark, self._pending_path(token))
+        fs.delete(p, False)
+        return version
+
+    def abort_staged(self, token: str) -> list[str]:
+        """WAP step 3b: drop the staged commit — delete its data files
+        and the pending manifest. Returns the removed file paths."""
+        pending = self._read_pending(token)
+        fs, p, jvm = _fs(self.spark, self._pending_path(token))
+        HPath = jvm.org.apache.hadoop.fs.Path
+        removed = []
+        for e in pending["files"]:
+            fs.delete(HPath(f"{self.path}/data/{e['path']}"), False)
+            removed.append(e["path"])
+        fs.delete(p, False)
+        return removed
 
     def _commit_entries(
         self, replaced: set[tuple], new_entries: list[dict]
@@ -868,6 +972,24 @@ class SnapshotTable:
         cutoff_ms = (_time.time() - older_than_sec) * 1000.0
         fs, _, jvm = _fs(self.spark, self.path)
         HPath = jvm.org.apache.hadoop.fs.Path
+        # staged-but-unpublished (WAP) files are live while their
+        # pending manifest survives; stale pending manifests past the
+        # retention window are reaped first (their files then fall out
+        # of the live set and get collected like any other orphan)
+        pend_root = HPath(f"{self.path}/{_PENDING}")
+        if fs.exists(pend_root):
+            for st in fs.listStatus(pend_root):
+                name = st.getPath().getName()
+                if not name.endswith(".json"):
+                    continue
+                if st.getModificationTime() < cutoff_ms:
+                    fs.delete(st.getPath(), False)
+                    continue
+                try:
+                    pending = self._read_pending(name[:-5])
+                except (FileNotFoundError, ValueError):
+                    continue
+                live |= {e["path"] for e in pending["files"]}
         deleted = []
         data_root = HPath(f"{self.path}/data")
         if fs.exists(data_root):

@@ -1260,3 +1260,71 @@ def snapshot_vacuum_read(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "snapshot_wap_audit_publish",
+    """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def snapshot_wap_audit_publish(spark, sf_dir):
+    """Write-audit-publish (Iceberg WAP): a staged commit is invisible
+    to readers until its audit passes. The clean batch stages, passes a
+    duplicate-key/null-key audit on read_staged, and publishes; a
+    corrupt batch (duplicated keys) stages, FAILS the audit, and is
+    aborted — its data files are physically removed and the table
+    version never moves (all asserted in-query). The final read must
+    equal the clean-batch oracle."""
+    orders = load(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = SnapshotTable(
+        spark,
+        _tmpdir(prefix="snap_wap_") + "/orders_wap",
+        partition_cols=(),
+        stat_cols=(),
+    )
+
+    def audit_ok(df) -> bool:
+        r = df.agg(
+            F.count("*").alias("n"),
+            F.count_distinct("o_orderkey").alias("d"),
+            F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("nulls"),
+        ).first()
+        return r["n"] > 0 and r["n"] == r["d"] and r["nulls"] == 0
+
+    tok1 = t.stage_commit(orders)
+    if t.latest_version() is not None:
+        raise RuntimeError("staged commit must be invisible pre-publish")
+    if not audit_ok(t.read_staged(tok1)):
+        raise RuntimeError("clean batch failed its own audit")
+    t.publish_staged(tok1)
+    v1 = t.latest_version()
+
+    bad = orders.limit(5).unionAll(orders.limit(5))
+    tok2 = t.stage_commit(bad)
+    staged_paths = [e["path"] for e in t._read_pending(tok2)["files"]]
+    if audit_ok(t.read_staged(tok2)):
+        raise RuntimeError("duplicate-key batch must fail the audit")
+    removed = t.abort_staged(tok2)
+    if set(removed) != set(staged_paths) or not removed:
+        raise RuntimeError("abort must remove exactly the staged files")
+    if t.latest_version() != v1:
+        raise RuntimeError("aborted staging must not move the version")
+    live = {e["path"] for e in t._read_manifest(v1)["files"]}
+    if live & set(removed):
+        raise RuntimeError("aborted files leaked into the live manifest")
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            ),
+        )
+    )

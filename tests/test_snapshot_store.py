@@ -752,3 +752,67 @@ def test_restore_rolls_back_and_is_itself_versioned(spark, tmp_path):
     assert v4 == 4 and t.read().count() == 5
     with _pytest.raises(FileNotFoundError):
         t.restore(99)
+
+
+def test_wap_stage_publish_abort_and_vacuum_protection(spark, tmp_path):
+    """Staged commits are invisible, publish is atomic over concurrent
+    commits, abort removes files, and vacuum protects staged files
+    while their pending manifest is within retention."""
+    import os
+    import time
+
+    import pytest as _pytest
+
+    t = SnapshotTable(
+        spark, str(tmp_path / "wap_tbl"), partition_cols=(), stat_cols=()
+    )
+    t.commit_overwrite_partitions(
+        spark.createDataFrame([(1, 10)], "k long, v long")
+    )
+    v1 = t.latest_version()
+
+    tok = t.stage_commit(spark.createDataFrame([(2, 20)], "k long, v long"))
+    assert t.latest_version() == v1  # invisible
+    assert {r["k"] for r in t.read_staged(tok).collect()} == {2}
+
+    # a concurrent commit lands between stage and publish: publish must
+    # retry over the new base and keep BOTH (disjoint partitions = ())
+    # ... with empty partition_cols every commit replaces the whole
+    # no-partition slice, so publish REPLACES the concurrent row: that
+    # is dynamic-partition-overwrite semantics, assert exactly that.
+    t.commit_overwrite_partitions(
+        spark.createDataFrame([(3, 30)], "k long, v long")
+    )
+    v_pub = t.publish_staged(tok)
+    assert v_pub == t.latest_version()
+    assert {r["k"] for r in t.read().collect()} == {2}
+    with _pytest.raises(FileNotFoundError):
+        t.read_staged(tok)  # pending manifest consumed
+
+    # abort path: files physically removed
+    tok2 = t.stage_commit(spark.createDataFrame([(4, 40)], "k long, v long"))
+    paths = [e["path"] for e in t._read_pending(tok2)["files"]]
+    removed = t.abort_staged(tok2)
+    assert set(removed) == set(paths) and removed
+    for rel in removed:
+        assert not os.path.exists(f"{t.path}/data/{rel}")
+    assert {r["k"] for r in t.read().collect()} == {2}
+
+    # vacuum protection: age the staged DATA files past retention but
+    # keep the pending manifest fresh -> files survive, publish works
+    tok3 = t.stage_commit(spark.createDataFrame([(5, 50)], "k long, v long"))
+    for e in t._read_pending(tok3)["files"]:
+        os.utime(f"{t.path}/data/{e['path']}", (1, 1))
+    t.vacuum(older_than_sec=3600)
+    t.publish_staged(tok3)
+    assert {r["k"] for r in t.read().collect()} == {5}
+
+    # stale staging: age files AND pending manifest -> vacuum reaps both
+    tok4 = t.stage_commit(spark.createDataFrame([(6, 60)], "k long, v long"))
+    for e in t._read_pending(tok4)["files"]:
+        os.utime(f"{t.path}/data/{e['path']}", (1, 1))
+    os.utime(t._pending_path(tok4), (1, 1))
+    deleted = t.vacuum(older_than_sec=3600)
+    assert deleted, "stale staged files must be reaped"
+    with _pytest.raises(FileNotFoundError):
+        t.read_staged(tok4)
