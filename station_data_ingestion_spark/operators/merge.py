@@ -51,6 +51,7 @@ def merge_plan(
     updates: DataFrame,
     key_fields: list[str],
     replace: bool = True,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """Build the merged table with an ``_action`` column, lazily.
 
@@ -60,7 +61,34 @@ def merge_plan(
     row raise at execution time via raise_error (no extra pass). Exact
     duplicate update rows collapse to one; conflicting duplicates (same
     key, different data) raise -- see the inline note.
+
+    ``evolve_schema=True`` is Delta's mergeSchema for MERGE: columns
+    present on only one side are null-filled on the other (with the
+    owning side's type) instead of raising — existing target rows keep
+    NULL for a brand-new update column, dropped-column updates leave
+    the target's values in place only for 'keep' rows (a 'replace'
+    writes the update's NULL: the update IS the new truth for matched
+    rows). Key columns must exist on both sides regardless.
     """
+    if evolve_schema:
+        missing_keys = [
+            k for k in key_fields
+            if k not in target.columns or k not in updates.columns
+        ]
+        if missing_keys:
+            raise ValueError(
+                f"key fields must exist on both sides: {missing_keys}"
+            )
+        for c in updates.columns:
+            if c not in target.columns:
+                target = target.withColumn(
+                    c, F.lit(None).cast(updates.schema[c].dataType)
+                )
+        for c in target.columns:
+            if c not in updates.columns:
+                updates = updates.withColumn(
+                    c, F.lit(None).cast(target.schema[c].dataType)
+                )
     data_cols = [c for c in updates.columns if c not in key_fields]
     if set(target.columns) != set(updates.columns):
         raise ValueError(

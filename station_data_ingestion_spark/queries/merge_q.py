@@ -187,3 +187,55 @@ def merge_with_deletes_orders(spark, sf_dir):
         F.count("*").alias("n_rows"),
         F.sum("cents").alias("cents"),
     )
+
+
+@query(
+    "merge_schema_evolution_orders",
+    """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderpriority AS prio
+  FROM orders
+),
+t AS (SELECT k, cents FROM base WHERE k % 2 = 0),
+u AS (SELECT k, cents * 2 AS cents, prio FROM base WHERE k % 3 = 0),
+m AS (
+  SELECT COALESCE(t.k, u.k) AS k,
+         CASE WHEN t.k IS NULL THEN 'create'
+              WHEN u.k IS NULL THEN 'keep'
+              ELSE 'replace' END AS action,
+         CASE WHEN u.k IS NOT NULL THEN u.cents ELSE t.cents END AS cents,
+         CASE WHEN u.k IS NOT NULL THEN u.prio ELSE NULL END AS prio
+  FROM t FULL OUTER JOIN u ON t.k = u.k
+)
+SELECT action, COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS cents,
+       COUNT(prio) AS n_with_priority
+FROM m GROUP BY action
+""",
+)
+def merge_schema_evolution_orders(spark, sf_dir):
+    """MERGE with automatic schema evolution (Delta's
+    mergeSchema-for-MERGE): updates carry a column the target never had
+    (o_orderpriority); evolve_schema=True null-fills it on the target
+    side, so kept rows read NULL, replaced/created rows carry the
+    update's value — asserted by the per-action n_with_priority counts
+    against the oracle's full-outer-join simulation."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    target = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("k"), cents.alias("cents")
+    )
+    updates = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        (cents * 2).alias("cents"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    merged = merge_plan(
+        target, updates, ["k"], replace=True, evolve_schema=True
+    )
+    return merged.groupBy(F.col("_action").alias("action")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("cents").alias("cents"),
+        F.count("prio").alias("n_with_priority"),
+    )

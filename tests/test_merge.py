@@ -147,3 +147,34 @@ def test_merge_apply_ops_idempotent_replay(spark):
     once = merge_apply_ops(target, ops, ["k"])
     twice = merge_apply_ops(once, ops, ["k"])
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_merge_schema_evolution(spark):
+    """evolve_schema: new update columns null-fill the target; dropped
+    columns null-fill the updates (replace writes the update's NULL);
+    missing key fields still raise; default remains strict."""
+    import pytest as _pytest
+
+    from station_data_ingestion_spark.operators.merge import merge_plan
+
+    target = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b")], "k long, v long, old_col string"
+    )
+    updates = spark.createDataFrame(
+        [(2, 21, "x"), (3, 30, "y")], "k long, v long, new_col string"
+    )
+    with _pytest.raises(ValueError, match="schema mismatch"):
+        merge_plan(target, updates, ["k"])
+    out = {
+        r["k"]: (r["_action"], r["v"], r["old_col"], r["new_col"])
+        for r in merge_plan(
+            target, updates, ["k"], replace=True, evolve_schema=True
+        ).collect()
+    }
+    assert out == {
+        1: ("keep", 10, "a", None),
+        2: ("replace", 21, None, "x"),  # update is the new truth
+        3: ("create", 30, None, "y"),
+    }
+    with _pytest.raises(ValueError, match="key fields must exist"):
+        merge_plan(target.drop("k"), updates, ["k"], evolve_schema=True)
