@@ -267,7 +267,8 @@ class SnapshotTable:
                     f"snapshot version {version} of {self.path} does not "
                     "exist (never published, or vacuumed)"
                 )
-        entries = self._read_manifest(v)["files"]
+        manifest = self._read_manifest(v)
+        entries = manifest["files"]
         if partition:
             entries = [
                 e for e in entries
@@ -325,9 +326,13 @@ class SnapshotTable:
             entries = [e for e in entries if bloom_keeps(e)]
         if not entries:
             return None
-        return self._read_entry_files(entries)
+        return self._read_entry_files(
+            entries, renames=manifest.get("renames", [])
+        )
 
-    def _read_entry_files(self, entries: list[dict]) -> DataFrame:
+    def _read_entry_files(
+        self, entries: list[dict], renames: list[list[str]] | None = None
+    ) -> DataFrame:
         """Scan manifest entries, restoring partition columns.
 
         Entries written under DIFFERENT partition specs (see
@@ -365,7 +370,83 @@ class SnapshotTable:
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d, allowMissingColumns=True)
+        if renames:
+            out = self._apply_renames(out, renames)
         return out
+
+    def _latest_renames(self) -> list[list[str]]:
+        v = self.latest_version()
+        if v is None:
+            return []
+        return self._read_manifest(v).get("renames", [])
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Metadata-only column rename (Iceberg rename-column): no data
+        file is touched — old files keep the old physical name, future
+        writers use the new one, and every read unifies them via the
+        manifest's rename chain. Constraints (in lieu of Iceberg's
+        field ids): a renamed-away name is RETIRED (re-adding a column
+        with that name would make old files' values resurface under the
+        chain — raises instead), and partition columns cannot be
+        renamed (their name is baked into directory layout and entry
+        keys)."""
+        if old == new:
+            raise ValueError("rename requires distinct names")
+        renames = self._latest_renames()
+        retired = {frm for frm, _ in renames}
+        if new in retired:
+            raise ValueError(
+                f"'{new}' was previously renamed away; reusing it would "
+                "resurface old files' values under the rename chain"
+            )
+        if old in self.partition_cols:
+            raise ValueError("cannot rename a partition column")
+        cur = self.read()
+        if cur is not None and new in cur.columns:
+            raise ValueError(
+                f"'{new}' already exists in the live schema; renaming "
+                "onto it would silently merge two columns"
+            )
+        base_v = self.latest_version()
+        if base_v is None:
+            raise ValueError(f"no table at {self.path}")
+        m = self._read_manifest(base_v)
+        for e in m["files"]:
+            if old in e["partition"]:
+                raise ValueError(
+                    "cannot rename a column that partitions live files"
+                )
+        version = base_v + 1
+        manifest = {
+            "version": version,
+            "partition_cols": list(self.partition_cols),
+            "renames": renames + [[old, new]],
+            "files": m["files"],
+        }
+        if not self._write_manifest_exclusive(version, manifest):
+            raise ConcurrentCommitError(
+                f"lost the publish race for v{version} at {self.path}"
+            )
+        return version
+
+    @staticmethod
+    def _apply_renames(df: DataFrame, renames: list[list[str]]) -> DataFrame:
+        """Unify a rename chain over a possibly mixed-era scan: no file
+        holds both the old and the new physical name (retired names
+        cannot be re-added), so coalescing the two columns and dropping
+        the old one reconstructs the logical column exactly. Applied in
+        chain order so a→b→c resolves through every era."""
+        from pyspark.sql import functions as F
+
+        for frm, to in renames:
+            if frm not in df.columns:
+                continue
+            if to in df.columns:
+                df = df.withColumn(to, F.coalesce(F.col(to), F.col(frm)))
+            else:
+                df = df.withColumn(to, F.col(frm))
+            df = df.drop(frm)
+        return df
 
     def restore(self, version: int) -> int:
         """RESTORE TABLE ... TO VERSION v (Delta RESTORE): publish a
@@ -396,6 +477,11 @@ class SnapshotTable:
             "files": target["files"],
             "restored_from": version,
         }
+        # schema metadata stays CURRENT: restore rolls back data, not
+        # renames (a rename after the restored version still applies)
+        cur = self._latest_renames()
+        if cur:
+            manifest["renames"] = cur
         if not self._write_manifest_exclusive(new_v, manifest):
             raise ConcurrentCommitError(
                 f"lost the publish race for v{new_v} at {self.path}"
@@ -727,6 +813,13 @@ class SnapshotTable:
                 "partition_cols": list(self.partition_cols),
                 "files": kept + new_entries,
             }
+            renames = (
+                self._read_manifest(base_v).get("renames", [])
+                if base_v is not None
+                else []
+            )
+            if renames:
+                manifest["renames"] = renames
             if self._write_manifest_exclusive(version, manifest):
                 return version
         raise ConcurrentCommitError(
@@ -805,9 +898,9 @@ class SnapshotTable:
                 f"table advanced past v{base_v} during a predicate "
                 f"rewrite at {self.path}; re-run against the new version"
             )
+        base_m = self._read_manifest(base_v)
         kept = [
-            e for e in self._read_manifest(base_v)["files"]
-            if e["path"] not in replaced_paths
+            e for e in base_m["files"] if e["path"] not in replaced_paths
         ]
         version = base_v + 1
         manifest = {
@@ -815,6 +908,8 @@ class SnapshotTable:
             "partition_cols": list(self.partition_cols),
             "files": kept + new_entries,
         }
+        if base_m.get("renames"):
+            manifest["renames"] = base_m["renames"]
         if not self._write_manifest_exclusive(version, manifest):
             raise ConcurrentCommitError(
                 f"lost the publish race for v{version} at {self.path}"
@@ -878,7 +973,9 @@ class SnapshotTable:
                 "matched files missing from the manifest — path "
                 "normalization bug, refusing to rewrite"
             )
-        df = self._read_entry_files(touched)
+        df = self._read_entry_files(
+            touched, renames=self._read_manifest(base_v).get("renames", [])
+        )
         rewritten = self._enforce_constraints(transform(df, cond))
         staging = f"{self.path}/{_STAGING}/{uuid.uuid4().hex}"
         rewritten.write.partitionBy(*self.partition_cols).parquet(staging)

@@ -1328,3 +1328,52 @@ def snapshot_wap_audit_publish(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "snapshot_rename_column_read",
+    """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS amount_cents
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def snapshot_rename_column_read(spark, sf_dir):
+    """Metadata-only column rename (Iceberg rename-column): batch 1
+    commits with column `cents`, the column is renamed to
+    `amount_cents` WITHOUT touching any file (file identity across the
+    rename asserted in-query), batch 2 commits under the new name. One
+    read must unify both eras into `amount_cents` and aggregate exactly
+    like the rename-free oracle."""
+    base = load(spark, sf_dir, "orders")["orders"].select(
+        F.col("o_orderkey").alias("k"),
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    t = SnapshotTable(
+        spark,
+        _tmpdir(prefix="snap_ren_") + "/orders_ren",
+        partition_cols=("batch",),
+        stat_cols=(),
+    )
+    t.commit_overwrite_partitions(
+        base.filter(F.col("k") % 2 == 0).withColumn("batch", F.lit("b1"))
+    )
+    files_v1 = {e["path"] for e in t._read_manifest(1)["files"]}
+    t.rename_column("cents", "amount_cents")
+    files_v2 = {e["path"] for e in t._read_manifest(2)["files"]}
+    if files_v1 != files_v2:
+        raise RuntimeError("rename must be metadata-only (files changed)")
+    t.commit_overwrite_partitions(
+        base.filter(F.col("k") % 2 == 1)
+        .withColumnRenamed("cents", "amount_cents")
+        .withColumn("batch", F.lit("b2"))
+    )
+    df = t.read()
+    if "cents" in df.columns or "amount_cents" not in df.columns:
+        raise RuntimeError(f"rename chain not applied: {df.columns}")
+    return df.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("amount_cents").alias("amount_cents"),
+    )

@@ -816,3 +816,49 @@ def test_wap_stage_publish_abort_and_vacuum_protection(spark, tmp_path):
     assert deleted, "stale staged files must be reaped"
     with _pytest.raises(FileNotFoundError):
         t.read_staged(tok4)
+
+
+def test_rename_column_chain_retirement_and_rewrites(spark, tmp_path):
+    """Rename chains resolve across eras; retired names cannot return;
+    predicate rewrites physically migrate touched files to the newest
+    name; partition columns refuse to rename."""
+    import pytest as _pytest
+
+    t = SnapshotTable(
+        spark, str(tmp_path / "ren_tbl"), partition_cols=("g",), stat_cols=()
+    )
+    t.commit_overwrite_partitions(
+        spark.createDataFrame([(1, "a", 10)], "k long, g string, v long")
+    )
+    t.rename_column("v", "v2")
+    t.commit_overwrite_partitions(
+        spark.createDataFrame([(2, "b", 20)], "k long, g string, v2 long")
+    )
+    t.rename_column("v2", "v3")  # chain: v -> v2 -> v3
+    got = {(r["k"], r["v3"]) for r in t.read().collect()}
+    assert got == {(1, 10), (2, 20)}
+    with _pytest.raises(ValueError, match="renamed away"):
+        t.rename_column("k", "v")  # retired name cannot return
+    with _pytest.raises(ValueError, match="partition column"):
+        t.rename_column("g", "h")
+
+    # time travel BEFORE the first rename sees the original name
+    assert "v" in t.read(version=1).columns
+
+    # predicate rewrite reads through the chain and writes the new name
+    t.update_where(F.col("k") == 1, {"v3": F.lit(11)})
+    got2 = {(r["k"], r["v3"]) for r in t.read().collect()}
+    assert got2 == {(1, 11), (2, 20)}
+
+
+def test_rename_onto_live_column_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    t = SnapshotTable(
+        spark, str(tmp_path / "ren2_tbl"), partition_cols=(), stat_cols=()
+    )
+    t.commit_overwrite_partitions(
+        spark.createDataFrame([(1, 2, 3)], "a long, b long, c long")
+    )
+    with _pytest.raises(ValueError, match="already exists"):
+        t.rename_column("a", "b")
