@@ -526,6 +526,101 @@ class SnapshotTable:
             total += int(n)
         return total
 
+    def read_appends(
+        self,
+        from_version: int | None,
+        to_version: int | None = None,
+        on_rewrite: str = "error",
+    ):
+        """Streaming-source read of the commit log (Delta's streaming
+        table source): the files ADDED between ``from_version``
+        (exclusive; None = from the beginning) and ``to_version``
+        (inclusive; None = latest). Returns ``(df, cursor)`` — feed
+        ``cursor`` back as the next ``from_version``; ``df`` is None
+        when nothing new landed. Incremental consumers pay only for new
+        files, never a table rescan.
+
+        Non-append changes (delete/update/compaction/recluster REMOVE
+        files): with ``on_rewrite='error'`` (default) the read raises —
+        rewritten files re-deliver their surviving rows, which breaks
+        exactly-once append semantics (Delta fails the same way without
+        ignoreChanges). ``on_rewrite='include'`` delivers the rewritten
+        files anyway (at-least-once: surviving rows of rewritten files
+        appear again); row-level consumers should use
+        operators/table_diff.keyed_diff instead."""
+        if on_rewrite not in ("error", "include"):
+            raise ValueError(f"on_rewrite must be error|include, got {on_rewrite}")
+        v_hi = self.latest_version() if to_version is None else to_version
+        if v_hi is None:
+            return None, from_version
+        if from_version is not None and from_version >= v_hi:
+            return None, v_hi
+        old_paths: set = set()
+        if from_version is not None:
+            old_paths = {
+                e["path"]
+                for e in self._read_manifest(from_version)["files"]
+            }
+        hi_m = self._read_manifest(v_hi)
+        hi_paths = {e["path"] for e in hi_m["files"]}
+        removed = old_paths - hi_paths
+        if removed and on_rewrite == "error":
+            raise RuntimeError(
+                f"non-append change between v{from_version} and v{v_hi}: "
+                f"{len(removed)} file(s) were rewritten/removed — use "
+                "on_rewrite='include' (at-least-once) or keyed_diff for "
+                "row-level changes"
+            )
+        new_entries = [e for e in hi_m["files"] if e["path"] not in old_paths]
+        if not new_entries:
+            return None, v_hi
+        return (
+            self._read_entry_files(
+                new_entries, renames=hi_m.get("renames", [])
+            ),
+            v_hi,
+        )
+
+    def stats_min_max(
+        self,
+        col: str,
+        partition: dict | None = None,
+        version: int | None = None,
+    ) -> tuple | None:
+        """Metadata-only MIN/MAX of a stat column: fold the per-file
+        zone-map ranges recorded at commit — no data file is opened
+        (the same manifest-aggregation trick Iceberg's scan planning
+        uses for min/max pushdown). Returns (min, max), or None when
+        the table is absent, any live entry lacks the column's stats,
+        or any recorded bound is NULL (an all-null file makes a purely
+        metadata answer unsound — caller falls back to a scan).
+
+        Exactness caveat: per-file bounds are recorded from the ROWS
+        (not nudged), except DECIMAL stats which are widened outward
+        for pruning safety — those make this a bound, not an exact
+        answer; the engine's stat columns here are strings/dates/ints,
+        which record exactly."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            return None
+        entries = self._read_manifest(v)["files"]
+        if partition:
+            entries = [
+                e for e in entries
+                if all(e["partition"].get(k) == v_ for k, v_ in partition.items())
+            ]
+        if not entries:
+            return None
+        lo = hi = None
+        for e in entries:
+            mnmx = (e.get("stats") or {}).get(col)
+            if mnmx is None or mnmx[0] is None or mnmx[1] is None:
+                return None
+            mn, mx = mnmx
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+        return (lo, hi)
+
     # -- write -------------------------------------------------------------
 
     def _file_stats(self, staging: str, cols: list[str]) -> dict[str, dict]:

@@ -1377,3 +1377,106 @@ def snapshot_rename_column_read(spark, sf_dir):
         F.count("*").alias("n_orders"),
         F.sum("amount_cents").alias("amount_cents"),
     )
+
+
+@query(
+    "snapshot_stats_min_max",
+    """
+SELECT 'all' AS scope, MIN(strftime(o_orderdate, '%Y-%m-%d')) AS min_date,
+       MAX(strftime(o_orderdate, '%Y-%m-%d')) AS max_date
+FROM orders
+UNION ALL
+SELECT o_orderstatus AS scope, MIN(strftime(o_orderdate, '%Y-%m-%d')),
+       MAX(strftime(o_orderdate, '%Y-%m-%d'))
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def snapshot_stats_min_max(spark, sf_dir):
+    """Metadata-only MIN/MAX from zone maps (Iceberg manifest min/max
+    pushdown): global and per-partition date bounds come purely from
+    the manifest's per-file stats — no data file opened — and must
+    equal the oracle's full-scan MIN/MAX exactly (stat columns here are
+    ISO strings: recorded exactly, never widened)."""
+    t = _orders_snapshot(spark, sf_dir)
+    rows = []
+    mnmx = t.stats_min_max("o_odate")
+    if mnmx is None:
+        raise RuntimeError("metadata min/max unavailable on fresh stats")
+    rows.append(("all", mnmx[0], mnmx[1]))
+    statuses = sorted(
+        {
+            e["partition"]["o_orderstatus"]
+            for e in t._read_manifest(t.latest_version())["files"]
+        }
+    )
+    for s in statuses:
+        b = t.stats_min_max("o_odate", partition={"o_orderstatus": s})
+        if b is None:
+            raise RuntimeError(f"metadata min/max unavailable for {s}")
+        rows.append((s, b[0], b[1]))
+    return spark.createDataFrame(
+        rows, "scope string, min_date string, max_date string"
+    )
+
+
+@query(
+    "snapshot_stream_source_appends",
+    """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def snapshot_stream_source_appends(spark, sf_dir):
+    """The snapshot table as a STREAMING SOURCE (Delta streaming table
+    source): three append commits are consumed incrementally through
+    the version cursor — each round reads ONLY the newly added files —
+    and the accumulated union must equal the full-table oracle. A
+    rewrite (delete_where) then lands and the next cursor read must
+    REFUSE (non-append change breaks exactly-once append semantics),
+    while on_rewrite='include' still delivers — both asserted
+    in-query."""
+    base = load(spark, sf_dir, "orders")["orders"].select(
+        F.col("o_orderkey").alias("k"),
+        "o_orderstatus",
+        "o_totalprice",
+        (F.col("o_orderkey") % 3).cast("string").alias("batch"),
+    )
+    t = SnapshotTable(
+        spark,
+        _tmpdir(prefix="snap_src_") + "/orders_src",
+        partition_cols=("batch",),
+        stat_cols=(),
+    )
+    cursor = None
+    parts = []
+    for b in ("0", "1", "2"):
+        t.commit_overwrite_partitions(base.filter(F.col("batch") == b))
+        df, cursor = t.read_appends(cursor)
+        if df is None:
+            raise RuntimeError(f"append commit {b} delivered nothing")
+        parts.append(df)
+    empty, cursor = t.read_appends(cursor)
+    if empty is not None:
+        raise RuntimeError("caught-up cursor must deliver nothing")
+    t.delete_where(F.col("k") % 7 == 0)
+    try:
+        t.read_appends(cursor)
+    except RuntimeError as exc:
+        if "non-append" not in str(exc):
+            raise
+    else:
+        raise RuntimeError("rewrite must fail the append-only cursor")
+    inc, _ = t.read_appends(cursor, on_rewrite="include")
+    if inc is None:
+        raise RuntimeError("include mode must deliver rewritten files")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        ),
+    )

@@ -862,3 +862,53 @@ def test_rename_onto_live_column_raises(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="already exists"):
         t.rename_column("a", "b")
+
+
+def test_stats_min_max_metadata_only(spark, tmp_path):
+    t = SnapshotTable(
+        spark, str(tmp_path / "mm_tbl"), partition_cols=("g",),
+        stat_cols=("v",),
+    )
+    t.commit_overwrite_partitions(
+        spark.createDataFrame(
+            [(1, "a", 5), (2, "a", 9), (3, "b", -2)], "k long, g string, v long"
+        )
+    )
+    assert t.stats_min_max("v") == (-2, 9)
+    assert t.stats_min_max("v", partition={"g": "a"}) == (5, 9)
+    assert t.stats_min_max("missing") is None
+    assert t.stats_min_max("v", partition={"g": "zzz"}) is None
+    # a commit with an all-null stat column makes metadata unsound
+    t.commit_overwrite_partitions(
+        spark.createDataFrame([(4, "c", None)], "k long, g string, v long")
+    )
+    assert t.stats_min_max("v") is None
+    assert t.stats_min_max("v", partition={"g": "a"}) == (5, 9)
+
+
+def test_read_appends_cursor_semantics(spark, tmp_path):
+    t = SnapshotTable(
+        spark, str(tmp_path / "src_tbl"), partition_cols=("b",), stat_cols=()
+    )
+    df1, cur = t.read_appends(None)
+    assert df1 is None and cur is None  # absent table
+    t.commit_overwrite_partitions(
+        spark.createDataFrame([(1, "x", 10)], "k long, b string, v long")
+    )
+    df1, cur = t.read_appends(None)
+    assert {r["k"] for r in df1.collect()} == {1} and cur == 1
+    t.commit_overwrite_partitions(
+        spark.createDataFrame([(2, "y", 20)], "k long, b string, v long")
+    )
+    df2, cur = t.read_appends(cur)
+    assert {r["k"] for r in df2.collect()} == {2} and cur == 2
+    # overwrite of an EXISTING partition is a rewrite, not an append
+    t.commit_overwrite_partitions(
+        spark.createDataFrame([(3, "x", 30)], "k long, b string, v long")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="non-append"):
+        t.read_appends(cur)
+    inc, cur2 = t.read_appends(cur, on_rewrite="include")
+    assert {r["k"] for r in inc.collect()} == {3} and cur2 == 3
