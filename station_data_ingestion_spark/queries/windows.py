@@ -192,3 +192,41 @@ def window_rank_null_ordering(spark, sf_dir):
         F.rank().over(w_nf).alias("rk_nf"),
         F.rank().over(w_nl).alias("rk_nl"),
     )
+
+
+@query(
+    "window_topk_two_phase",
+    """
+WITH ranked AS (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC,
+                    o_orderkey
+         ) AS rk
+  FROM orders
+)
+SELECT o_orderpriority, o_orderkey, cents, rk FROM ranked WHERE rk <= 5
+""",
+)
+def window_topk_two_phase(spark, sf_dir):
+    """Grouped top-k via the two-phase partial operator
+    (operators/topk.py): per-partition Arrow pass discards
+    non-contenders BEFORE the exchange (survivors <= partitions x
+    groups x k instead of every row), final window ranks the sliver —
+    result identical to the full row_number window, which is exactly
+    what the oracle computes."""
+    from station_data_ingestion_spark.operators.topk import grouped_topk
+
+    o = load(spark, sf_dir, "orders")["orders"].select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return grouped_topk(
+        o,
+        group_cols=["o_orderpriority"],
+        order_cols=[("cents", True), ("o_orderkey", False)],
+        k=5,
+    )
