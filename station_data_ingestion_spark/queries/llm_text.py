@@ -440,3 +440,45 @@ def text_bigram_novelty(spark, sf_dir):
         .cast("long")
         .alias("novelty_ppm"),
     )
+
+
+@query(
+    "text_bpe_pair_counts",
+    """
+WITH words AS (
+  SELECT word, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split(
+      regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' ')) AS word
+    FROM documents
+  ) WHERE length(word) >= 2
+  GROUP BY word
+),
+pairs AS (
+  SELECT substring(w.word, i, 1) || ' ' || substring(w.word, i + 1, 1)
+           AS pair,
+         w.freq
+  FROM words w, unnest(generate_series(1, length(w.word) - 1)) AS t(i)
+)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+FROM pairs GROUP BY pair
+ORDER BY cnt DESC, pair LIMIT 20
+""",
+)
+def text_bpe_pair_counts(spark, sf_dir):
+    """BPE round-1 pair statistics (operators/bpe.py): the corpus
+    compresses to (word, freq) and adjacent character pairs are counted
+    weighted by frequency — the exact aggregation every trainer round
+    runs, certified against DuckDB's recount. (Multi-round training
+    needs greedy merge semantics SQL can't express; pytest verifies the
+    full trainer against a Python reference — see tests/test_bpe.py.)"""
+    from station_data_ingestion_spark.operators.bpe import (
+        corpus_words,
+        weighted_pair_counts,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    return (
+        weighted_pair_counts(corpus_words(d))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(20)
+    )
