@@ -123,3 +123,51 @@ def dq_daily_completeness(spark, sf_dir):
         (F.lit(5) - F.count("*")).cast("int").alias("n_types_missing"),
         F.min("n").alias("thinnest_type_rows"),
     )
+
+
+@query(
+    "dq_key_skew_profile",
+    """
+WITH counts AS (
+  SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+),
+topk AS (
+  SELECT cnt FROM counts ORDER BY cnt DESC, o_custkey LIMIT 10
+)
+SELECT (SELECT COUNT(*) FROM counts) AS n_keys,
+       (SELECT CAST(SUM(cnt) AS BIGINT) FROM counts) AS total_rows,
+       (SELECT MAX(cnt) FROM counts) AS max_cnt,
+       (SELECT MIN(cnt) FROM counts) AS min_cnt,
+       (SELECT CAST(SUM(cnt) AS BIGINT) FROM topk) AS top10_rows,
+       (SELECT CAST(SUM(cnt) AS BIGINT) FROM topk) * 10000
+         // (SELECT CAST(SUM(cnt) AS BIGINT) FROM counts)
+         AS top10_share_bp
+""",
+)
+def dq_key_skew_profile(spark, sf_dir):
+    """Join/agg-key skew diagnosis — the pre-flight check before
+    choosing salting or AQE skew handling at scale: per-key counts
+    folded to n_keys / max / min / top-10 mass (share in integer basis
+    points, so the hash compare is float-free)."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    counts = o.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    top10 = counts.orderBy(
+        F.col("cnt").desc(), "o_custkey"
+    ).limit(10).agg(F.sum("cnt").alias("top10_rows"))
+    overall = counts.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("total_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.min("cnt").alias("min_cnt"),
+    )
+    return (
+        overall.crossJoin(F.broadcast(top10))
+        .withColumn(
+            "top10_share_bp",
+            (F.col("top10_rows") * 10000 / F.col("total_rows")).cast("long"),
+        )
+        .select(
+            "n_keys", "total_rows", "max_cnt", "min_cnt",
+            "top10_rows", "top10_share_bp",
+        )
+    )

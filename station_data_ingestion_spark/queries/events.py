@@ -410,3 +410,90 @@ def events_pattern_match_regex(spark, sf_dir):
             F.col("n_matches").cast("long").alias("n_matches"),
         )
     )
+
+
+_SWEEP_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN date_diff('second',
+                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                 ts) > 1800
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, event_id,
+         CAST(SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM ordered
+), sessions AS (
+  SELECT user_id, session_seq,
+         CAST(epoch(MIN(ts)) AS BIGINT) AS s,
+         CAST(epoch(MAX(ts)) AS BIGINT) AS e
+  FROM numbered GROUP BY user_id, session_seq
+), deltas AS (
+  SELECT s AS t, 1 AS d, user_id, session_seq FROM sessions
+  UNION ALL
+  SELECT e + 1 AS t, -1 AS d, user_id, session_seq FROM sessions
+), swept AS (
+  SELECT SUM(d) OVER (ORDER BY t, d, user_id, session_seq
+                      ROWS UNBOUNDED PRECEDING) AS cur
+  FROM deltas
+)
+SELECT CAST((SELECT MAX(cur) FROM swept) AS BIGINT) AS max_concurrent,
+       (SELECT COUNT(*) FROM sessions) AS n_sessions
+"""
+
+
+@query(
+    "events_max_concurrent_sessions",
+    _SWEEP_ORACLE,
+    doc="Peak concurrency via a DISTRIBUTED sweep line: +1/-1 deltas "
+    "through the two-phase prefix sum — no global window.",
+)
+def events_max_concurrent_sessions(spark, sf_dir):
+    """Classic sweep-line (max concurrent sessions) without a global
+    window: session boundaries become +1/-1 deltas and the running
+    count is the engine's distributed prefix sum
+    (operators/prefix_sum.py) over the total order (t, delta, user,
+    session) — ties resolve ends-at-t+1 before starts, identically in
+    the oracle's window."""
+    from station_data_ingestion_spark.operators.prefix_sum import (
+        ordered_prefix_sum,
+    )
+
+    e = load(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    gap = F.col("ts").cast("long") - prev_ts.cast("long")
+    is_new = F.when(prev_ts.isNull() | (gap > 1800), 1).otherwise(0)
+    sessions = (
+        e.select("user_id", "ts", "event_id")
+        .withColumn(
+            "session_seq",
+            F.sum(is_new).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min(F.col("ts").cast("long")).alias("s"),
+            F.max(F.col("ts").cast("long")).alias("e"),
+        )
+    )
+    deltas = sessions.select(
+        F.col("s").alias("t"), F.lit(1).alias("d"), "user_id", "session_seq"
+    ).unionAll(
+        sessions.select(
+            (F.col("e") + 1).alias("t"),
+            F.lit(-1).alias("d"),
+            "user_id",
+            "session_seq",
+        )
+    )
+    swept = ordered_prefix_sum(
+        deltas, ["t", "d", "user_id", "session_seq"], "d", out_col="cur"
+    )
+    return swept.agg(F.max("cur").alias("max_concurrent")).crossJoin(
+        F.broadcast(sessions.agg(F.count("*").alias("n_sessions")))
+    )

@@ -482,3 +482,76 @@ def text_bpe_pair_counts(spark, sf_dir):
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(20)
     )
+
+
+@query(
+    "text_skipgram_pairs",
+    """
+WITH arrs AS (
+  SELECT doc_id, string_split(
+    regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' ') AS arr
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, word, pos FROM (
+    SELECT doc_id, unnest(arr) AS word,
+           generate_subscripts(arr, 1) AS pos
+    FROM arrs
+  ) WHERE length(word) >= 2
+),
+seq AS (
+  SELECT doc_id, word,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS i
+  FROM toks
+),
+pairs AS (
+  SELECT a.word AS center, b.word AS context
+  FROM seq a JOIN seq b
+    ON a.doc_id = b.doc_id AND b.i - a.i IN (1, 2)
+)
+SELECT center, context, cnt FROM (
+  SELECT center, context, COUNT(*) AS cnt FROM (
+    SELECT center, context FROM pairs
+    UNION ALL
+    SELECT context AS center, center AS context FROM pairs
+  ) GROUP BY center, context
+) ORDER BY cnt DESC, center, context LIMIT 25
+""",
+)
+def text_skipgram_pairs(spark, sf_dir):
+    """Skip-gram (center, context) pair generation, window ±2 — the
+    embedding-training co-occurrence stage. Bounded fan-out via
+    lead(1)/lead(2) over per-doc position (each token emits ≤2 forward
+    pairs, mirrored for the symmetric window) — never a per-doc
+    self-join. Gaps from dropped short words close up first (positions
+    re-rank AFTER filtering), matching the oracle's row_number."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.split(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", ""),
+                " ",
+            )
+        ).alias("pos", "word"),
+    ).where(F.length("word") >= 2)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    fwd = toks.select(
+        F.col("word").alias("center"),
+        F.lead("word", 1).over(w).alias("c1"),
+        F.lead("word", 2).over(w).alias("c2"),
+    )
+    pairs = fwd.select(
+        "center", F.explode(F.array("c1", "c2")).alias("context")
+    ).where(F.col("context").isNotNull())
+    sym = pairs.unionAll(
+        pairs.select(
+            F.col("context").alias("center"), F.col("center").alias("context")
+        )
+    )
+    return (
+        sym.groupBy("center", "context")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "center", "context")
+        .limit(25)
+    )

@@ -35,6 +35,8 @@ CROSS_JOIN_OK = {
     "ts_gap_fill_linear_interpolate",  # same dense-grid shape as ffill
     "pipeline_curriculum_phases",  # one-row token-total broadcast
     "graph_triangle_count_copurchase",  # one-row triangle-count broadcast
+    "events_max_concurrent_sessions",  # one-row session-count broadcast
+    "dq_key_skew_profile",  # one-row top10-mass broadcast
     "join_bloom_prefiltered_lineitems",  # one-row bloom-words broadcast:
     # the packed filter ships as a single array value (a list literal
     # would expand to a per-row CreateArray — measured 17x slower)
