@@ -239,3 +239,81 @@ def merge_schema_evolution_orders(spark, sf_dir):
         F.sum("cents").alias("cents"),
         F.count("prio").alias("n_with_priority"),
     )
+
+
+@query(
+    "merge_scd2_point_in_time_join",
+    """
+WITH c AS (
+  SELECT c_custkey, c_mktsegment FROM customer
+),
+dim AS (
+  SELECT c_custkey, c_mktsegment, 1 AS valid_from,
+         CASE WHEN c_custkey % 6 = 0 THEN 2 ELSE NULL END AS valid_to
+  FROM c
+  UNION ALL
+  SELECT c_custkey, 'PROMO', 2, NULL FROM c WHERE c_custkey % 6 = 0
+),
+facts AS (
+  SELECT o_orderkey, o_custkey, (o_orderkey % 2) + 1 AS wave,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+joined AS (
+  SELECT f.wave, d.c_mktsegment AS segment, f.cents
+  FROM facts f JOIN dim d
+    ON f.o_custkey = d.c_custkey
+   AND d.valid_from <= f.wave
+   AND (d.valid_to IS NULL OR f.wave < d.valid_to)
+)
+SELECT wave, segment, COUNT(*) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM joined GROUP BY wave, segment
+""",
+)
+def merge_scd2_point_in_time_join(spark, sf_dir):
+    """Point-in-time (AS OF) lookup against an SCD2 dimension — the
+    warehouse pattern SCD2 history exists FOR: each fact joins the
+    dimension row whose validity interval covers the fact's version
+    (valid_from <= t < valid_to, open-ended current rows). Facts at
+    wave 1 must see pre-change segments, wave 2 the PROMO rows — a
+    history mix-up (joining is_current only, or closed rows leaking)
+    shifts the per-wave aggregates and fails the oracle. Dimension
+    side broadcasts (dimension << facts); at larger dimensions the
+    same predicate runs through range_join_bucketed on the version
+    axis."""
+    c = load(spark, sf_dir, "customer")["customer"].select(
+        "c_custkey", "c_mktsegment"
+    )
+    changed = F.col("c_custkey") % 6 == 0
+    dim = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit(1).alias("valid_from"),
+        F.when(changed, F.lit(2)).cast("int").alias("valid_to"),
+    ).unionByName(
+        c.where(changed).select(
+            "c_custkey",
+            F.lit("PROMO").alias("c_mktsegment"),
+            F.lit(2).alias("valid_from"),
+            F.lit(None).cast("int").alias("valid_to"),
+        )
+    )
+    facts = load(spark, sf_dir, "orders")["orders"].select(
+        "o_custkey",
+        ((F.col("o_orderkey") % 2) + 1).alias("wave"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    joined = facts.join(
+        F.broadcast(dim),
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("valid_from") <= F.col("wave"))
+        & (F.col("valid_to").isNull() | (F.col("wave") < F.col("valid_to"))),
+        "inner",
+    )
+    return joined.groupBy(
+        "wave", F.col("c_mktsegment").alias("segment")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum("cents").alias("cents"),
+    )
