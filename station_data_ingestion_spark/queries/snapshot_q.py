@@ -1480,3 +1480,80 @@ def snapshot_stream_source_appends(spark, sf_dir):
             "cents"
         ),
     )
+
+
+@query(
+    "rollup_streaming_cursor_incremental",
+    """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def rollup_streaming_cursor_incremental(spark, sf_dir):
+    """Composition of the engine's incremental primitives: append
+    commits land in the snapshot table, a version CURSOR
+    (read_appends — the streaming-source path) delivers only each
+    round's new files, and a downstream rollup is maintained by
+    merging per-batch partial aggregates — the fact table is never
+    rescanned (asserted: each cursor read's file count equals that
+    batch's commit, not the table). Final rollup must equal the
+    full-recompute oracle."""
+    base = load(spark, sf_dir, "orders")["orders"].select(
+        "o_orderstatus",
+        "o_totalprice",
+        (F.col("o_orderkey") % 4).cast("string").alias("batch"),
+    )
+    t = SnapshotTable(
+        spark,
+        _tmpdir(prefix="snap_cursor_") + "/orders_cursor",
+        partition_cols=("batch",),
+        stat_cols=(),
+    )
+    cursor, agg = None, None
+    for b in ("0", "1", "2", "3"):
+        t.commit_overwrite_partitions(base.filter(F.col("batch") == b))
+        df, cursor = t.read_appends(cursor)
+        if df is None:
+            raise RuntimeError(f"batch {b} delivered nothing")
+        n_batch_files = len(df.inputFiles())
+        n_table_files = len(t._read_manifest(cursor)["files"])
+        if b != "0" and n_batch_files >= n_table_files:
+            raise RuntimeError(
+                "cursor read rescanned the table instead of the append"
+            )
+        part = df.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            ),
+        )
+        if agg is None:
+            agg = part
+        else:
+            zero = F.lit(0).cast("long")
+            merged = agg.alias("a").join(
+                part.alias("d"),
+                F.col("a.o_orderstatus").eqNullSafe(
+                    F.col("d.o_orderstatus")
+                ),
+                "full_outer",
+            )
+            agg = merged.select(
+                F.coalesce(
+                    F.col("a.o_orderstatus"), F.col("d.o_orderstatus")
+                ).alias("o_orderstatus"),
+                (
+                    F.coalesce(F.col("a.n_orders"), zero)
+                    + F.coalesce(F.col("d.n_orders"), zero)
+                ).alias("n_orders"),
+                (
+                    F.coalesce(F.col("a.cents"), zero)
+                    + F.coalesce(F.col("d.cents"), zero)
+                ).alias("cents"),
+            )
+        # the maintained rollup is tiny: checkpoint keeps the loop's
+        # plan flat instead of nesting four joins of lazy scans
+        agg = agg.localCheckpoint()
+    return agg
