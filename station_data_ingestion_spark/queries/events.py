@@ -497,3 +497,32 @@ def events_max_concurrent_sessions(spark, sf_dir):
     return swept.agg(F.max("cur").alias("max_concurrent")).crossJoin(
         F.broadcast(sessions.agg(F.count("*").alias("n_sessions")))
     )
+
+
+@query(
+    "events_props_json_extract",
+    """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS k_sum,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max,
+       COUNT(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) % 10 = 0
+                  THEN 1 END) AS k_mod10
+FROM events GROUP BY event_type
+""",
+)
+def events_props_json_extract(spark, sf_dir):
+    """Semi-structured payload extraction on the EVENT STREAM (the
+    props JSON column): typed get_json_object pushdown into plain
+    aggregates — the common telemetry shape where structure lives
+    inside a string column. Parsing stays JVM-side (get_json_object),
+    never a Python stage."""
+    e = load(spark, sf_dir, "events")["events"]
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("k_sum"),
+        F.max(k).alias("k_max"),
+        F.count(F.when(k % 10 == 0, 1)).alias("k_mod10"),
+    )
