@@ -85,6 +85,8 @@ HEADLINE = [
     "rollup_cdf_incremental_agg",
     "dedup_fuzzy_ed1_suppliers",
     "events_pattern_match_regex",
+    "window_topk_two_phase",
+    "text_bpe_pair_counts",
 ]
 
 
