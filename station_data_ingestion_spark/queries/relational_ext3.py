@@ -689,3 +689,43 @@ def agg_equidepth_histogram(spark, sf_dir):
             F.max("cents").alias("hi"),
         )
     )
+
+
+@query(
+    "join_null_safe_equality",
+    """
+WITH keyed AS (
+  SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+              ELSE o_custkey % 50 END AS k,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+agg AS (
+  SELECT k, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+  FROM keyed GROUP BY k
+),
+dim AS (SELECT DISTINCT k FROM keyed)
+SELECT d.k, a.n, a.cents
+FROM dim d JOIN agg a ON d.k IS NOT DISTINCT FROM a.k
+""",
+)
+def join_null_safe_equality(spark, sf_dir):
+    """Null-safe equality join (eqNullSafe / IS NOT DISTINCT FROM): a
+    NULL key must join the NULL group instead of silently dropping —
+    the semantic corner where a plain equi-join loses rows. Still a
+    hash-joinable condition on both engines (null-safe equality is an
+    equi-join key, not a filter)."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    keyed = o.select(
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_custkey") % 50)
+        .alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    agg = keyed.groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("cents")
+    )
+    dim = keyed.select("k").distinct()
+    return dim.alias("d").join(
+        agg.alias("a"), F.col("d.k").eqNullSafe(F.col("a.k"))
+    ).select(F.col("d.k").alias("k"), "n", "cents")

@@ -230,3 +230,47 @@ def window_topk_two_phase(spark, sf_dir):
         order_cols=[("cents", True), ("o_orderkey", False)],
         k=5,
     )
+
+
+@query(
+    "window_range_exclude_current",
+    """
+SELECT event_id,
+       CAST(SUM(cents) OVER (
+         PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+         RANGE BETWEEN 3600 PRECEDING AND 3600 FOLLOWING
+         EXCLUDE CURRENT ROW
+       ) AS BIGINT) AS neighbor_cents
+FROM (
+  SELECT event_id, user_id, ts,
+         CAST(ROUND(value * 10000) AS BIGINT) AS cents
+  FROM events
+)
+""",
+)
+def window_range_exclude_current(spark, sf_dir):
+    """RANGE frame with EXCLUDE CURRENT ROW — a frame modifier Spark
+    lacks — emulated as (range sum - own value), with the empty-frame
+    corner made exact: when the current row is its frame's ONLY row the
+    result must be NULL (DuckDB's native EXCLUDE semantics), not 0, so
+    the emulation guards on the frame count. Peers at the same ordering
+    value stay included on both engines (EXCLUDE CURRENT ROW, not
+    EXCLUDE GROUP)."""
+    e = load(spark, sf_dir, "events")["events"].select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("sec"),
+        F.round(F.col("value") * 10000).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, 3600)
+    )
+    in_frame = F.count(F.lit(1)).over(w)
+    return e.select(
+        "event_id",
+        F.when(
+            in_frame > 1, F.sum("cents").over(w) - F.col("cents")
+        ).alias("neighbor_cents"),
+    )
