@@ -389,7 +389,10 @@ class SnapshotTable:
         with that name would make old files' values resurface under the
         chain — raises instead), and partition columns cannot be
         renamed (their name is baked into directory layout and entry
-        keys)."""
+        keys). Cost note: the live-name collision check builds the
+        merged read schema (mergeSchema touches every live footer) — a
+        rename is rare DDL, so exhaustive correctness wins; a
+        footer-schema cache would amortize it on huge tables."""
         if old == new:
             raise ValueError("rename requires distinct names")
         renames = self._latest_renames()

@@ -34,15 +34,36 @@ def test_equals_full_window_on_skewed_groups(spark):
 
 
 def test_phase1_bounds_shuffled_rows(spark):
+    """The whole point of the operator: rows reaching the exchange are
+    bounded by partitions x groups x k, not the input size."""
+    import pandas as pd
+
     rows = [(i, f"g{i % 3}", i) for i in range(3000)]
     df = spark.createDataFrame(rows, "k long, g string, v long").repartition(8)
-    out = grouped_topk(df, ["g"], [("v", True), ("k", False)], k=2)
-    # survivors stage: at most partitions(8) x groups(3) x k(2) = 48
-    # rows reach the exchange; count the pre-window frame via its plan
-    # twin -- rebuild phase 1 alone and count
-    from station_data_ingestion_spark.operators import topk as _m
 
-    # cheap proxy: result correctness + k bound per group
+    # phase 1 in isolation: replicate the operator's partial pass and
+    # COUNT its output -- the exchange input
+    sort_by, ascending = ["v", "k"], [False, True]
+
+    def partial(batches):
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            both = pdf if acc is None else pd.concat((acc, pdf))
+            acc = (
+                both.sort_values(sort_by, ascending=ascending, kind="stable")
+                .groupby(["g"], sort=False, dropna=False)
+                .head(2)
+            )
+        if acc is not None:
+            yield acc
+
+    survivors = df.mapInPandas(partial, df.schema).count()
+    assert survivors <= 8 * 3 * 2, survivors
+    assert survivors < 3000, "phase 1 must prune, not pass through"
+
+    out = grouped_topk(df, ["g"], [("v", True), ("k", False)], k=2)
     per_group = {}
     for r in out.collect():
         per_group.setdefault(r["g"], []).append(r["rk"])
