@@ -76,10 +76,15 @@ def _load_bloom(spark, path: str) -> dict | None:
 
 
 def _save_bloom(spark, path: str, payload: dict, version: int) -> None:
-    """Atomic write of bloom-v{version}.json (temp + rename). Losing a
-    version race to a concurrent writer is tolerated: blooms only ever
-    grow, and an older surviving file still satisfies the superset
-    invariant for ITS committed ids; the exact path absorbs the rest."""
+    """Atomic write of bloom-v{version}.json (temp + rename).
+
+    The rename MUST be verified: the protocol is save-bloom-then-commit,
+    so a silently lost save would let the table commit ids the bloom
+    never recorded — breaking the superset invariant and waving real
+    duplicates through the fast path later. A failed rename (e.g. a
+    concurrent writer won this version number) raises instead, failing
+    the batch BEFORE its table commit; the streaming retry then reloads
+    the winner's bloom and re-ORs on top of it."""
     fs, p, jvm = _fs(spark, path)
     fs.mkdirs(p)
     HPath = jvm.org.apache.hadoop.fs.Path
@@ -89,7 +94,13 @@ def _save_bloom(spark, path: str, payload: dict, version: int) -> None:
         out.write(json.dumps(payload).encode("utf-8"))
     finally:
         out.close()
-    fs.rename(tmp, HPath(f"{path}/bloom-v{version:09d}.json"))
+    dest = HPath(f"{path}/bloom-v{version:09d}.json")
+    if not fs.rename(tmp, dest):
+        fs.delete(tmp, False)
+        raise IOError(
+            f"lost the bloom publish race for v{version} at {path}; "
+            "batch aborts before its table commit (superset invariant)"
+        )
 
 
 def bloom_dedup_commit(

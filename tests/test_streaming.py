@@ -497,3 +497,54 @@ def test_bloom_dedup_cross_restart_and_superset_safety(spark, tmp_path):
     # (up to false positives, which can only move rows fast->exact)
     assert stats_b["exact_path_rows"] >= 3
     assert stats_b["exact_path_rows"] + stats_b["fast_path_rows"] == 4
+
+
+def test_bloom_save_race_fails_batch_before_commit(spark, tmp_path):
+    """A lost bloom publish race must abort the batch BEFORE its table
+    commit — a silently lost save would break the superset invariant
+    and admit duplicates later."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from station_data_ingestion_spark.plans.snapshot_store import SnapshotTable
+    from station_data_ingestion_spark.streaming.bloom_dedup import (
+        _save_bloom,
+        bloom_dedup_commit,
+    )
+
+    bloom = str(tmp_path / "race_bloom")
+    # occupy version 0 so the batch's save collides
+    _save_bloom(spark, bloom, {"m_bits": 1 << 20, "k": 4, "words": []}, 0)
+    with _pytest.raises(IOError, match="publish race"):
+        _save_bloom(spark, bloom, {"m_bits": 1 << 20, "k": 4, "words": []}, 0)
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    table = SnapshotTable(
+        spark, str(tmp_path / "race_tbl"), partition_cols=("batch_id",),
+        stat_cols=(),
+    )
+    commit = bloom_dedup_commit(table, bloom, run_token="r")
+    batch = spark.createDataFrame(
+        [(1, t0, 7, 1.0)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    # simulate a concurrent writer landing v1 AFTER our load: stale-read
+    # patch makes the batch target v1, which is already occupied
+    from station_data_ingestion_spark.streaming import bloom_dedup as bd
+
+    _save_bloom(spark, bloom, {"m_bits": 1 << 20, "k": 4, "words": []}, 1)
+    orig_load = bd._load_bloom
+
+    def stale_load(spark_, path_):
+        out = dict(orig_load(spark_, path_))
+        out["version"] = 0  # we read v0; the racer's v1 landed after
+        return out
+
+    bd._load_bloom = stale_load
+    try:
+        with _pytest.raises(IOError, match="publish race"):
+            commit(batch, 0)
+    finally:
+        bd._load_bloom = orig_load
+    assert not table.exists(), "losing the bloom race must not commit"
