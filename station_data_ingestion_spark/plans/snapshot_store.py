@@ -560,6 +560,13 @@ class SnapshotTable:
             return None, v_hi
         old_paths: set = set()
         if from_version is not None:
+            fs, mpath, _ = _fs(self.spark, self._snap_path(from_version))
+            if not fs.exists(mpath):
+                raise FileNotFoundError(
+                    f"cursor version {from_version} of {self.path} was "
+                    "vacuumed past retention — restart the consumer from "
+                    "a full read (cursor=None) or a surviving version"
+                )
             old_paths = {
                 e["path"]
                 for e in self._read_manifest(from_version)["files"]

@@ -912,3 +912,25 @@ def test_read_appends_cursor_semantics(spark, tmp_path):
         t.read_appends(cur)
     inc, cur2 = t.read_appends(cur, on_rewrite="include")
     assert {r["k"] for r in inc.collect()} == {3} and cur2 == 3
+
+
+def test_read_appends_vacuumed_cursor_raises_cleanly(spark, tmp_path):
+    import os
+    import time
+
+    import pytest as _pytest
+
+    t = SnapshotTable(
+        spark, str(tmp_path / "vc_tbl"), partition_cols=("b",), stat_cols=()
+    )
+    t.commit_overwrite_partitions(
+        spark.createDataFrame([(1, "x", 1)], "k long, b string, v long")
+    )
+    _, cur = t.read_appends(None)
+    t.commit_overwrite_partitions(
+        spark.createDataFrame([(2, "y", 2)], "k long, b string, v long")
+    )
+    time.sleep(0.05)
+    t.vacuum(older_than_sec=0)  # reaps the v1 manifest behind the cursor
+    with _pytest.raises(FileNotFoundError, match="vacuumed past retention"):
+        t.read_appends(cur)
