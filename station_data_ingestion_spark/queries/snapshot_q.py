@@ -1557,3 +1557,75 @@ def rollup_streaming_cursor_incremental(spark, sf_dir):
         # plan flat instead of nesting four joins of lazy scans
         agg = agg.localCheckpoint()
     return agg
+
+
+@query(
+    "stream_wap_audit_replay",
+    """
+SELECT event_type, COUNT(*) AS n_events,
+       SUM(CAST(ROUND(value * 10000) AS BIGINT)) / 10000.0 AS total_value
+FROM events GROUP BY event_type
+""",
+)
+def stream_wap_audit_replay(spark, sf_dir):
+    """Audit-gated streaming ingestion (streaming/wap_stream.py): the
+    replay source holds the clean events followed by a POISONED copy
+    (negated values, re-keyed ids). Each micro-batch is staged, audited
+    (no negative values), and published or aborted whole — so the final
+    table must aggregate exactly like the clean source, and both
+    outcomes must have occurred (asserted in-query). No reader can ever
+    have seen a poisoned row: it never left the pending staging."""
+    import time as _time
+
+    from station_data_ingestion_spark.queries.registry import (
+        ensure_session_confs,
+    )
+    from station_data_ingestion_spark.streaming.wap_stream import (
+        run_wap_stream,
+    )
+
+    ensure_session_confs(spark)
+    events = load(spark, sf_dir, "events")["events"]
+    tmp = _tmpdir(prefix="snap_wapstream_")
+    events.repartition(4).write.parquet(f"{tmp}/src")
+    _time.sleep(1.2)  # clean copy strictly precedes the poison in mtime
+    poisoned = events.select(
+        (F.col("event_id") + 1000000000).alias("event_id"),
+        "ts",
+        "user_id",
+        "event_type",
+        (F.col("value") * -1 - 1).alias("value"),
+        "props",
+    )
+    poisoned.select(*events.columns).repartition(4).write.mode(
+        "append"
+    ).parquet(f"{tmp}/src")
+    t = SnapshotTable(
+        spark, f"{tmp}/tbl", partition_cols=("batch_id",), stat_cols=()
+    )
+
+    def audit(df) -> bool:
+        r = df.agg(
+            F.count(F.when(F.col("value") < 0, 1)).alias("bad"),
+            F.count("*").alias("n"),
+        ).first()
+        return r["n"] > 0 and r["bad"] == 0
+
+    stats: dict = {}
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(f"{tmp}/src")
+    )
+    q = run_wap_stream(stream, t, f"{tmp}/ckpt", audit, stats=stats)
+    q.awaitTermination()
+    if not stats.get("published"):
+        raise RuntimeError("no batch published — replay broken")
+    if not stats.get("aborted"):
+        raise RuntimeError("the poisoned batch must have been aborted")
+    return t.read().groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        (
+            F.sum(F.round(F.col("value") * 10000).cast("long")) / 10000.0
+        ).alias("total_value"),
+    )

@@ -341,3 +341,44 @@ def stream_interval_left_join_replay(spark, sf_dir):
         F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("p_ts"),
         F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("c_ts"),
     )
+
+
+@query(
+    "stream_static_join_replay",
+    f"""
+WITH m AS (SELECT MAX(ts) AS mx FROM events),
+j AS (
+  SELECT e.ts, e.value, c.c_mktsegment AS segment
+  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+),
+agg AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, segment,
+         COUNT(*) AS n_events, {_MONEY} AS total_value
+  FROM j GROUP BY 1, 2
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start,
+       segment, n_events, total_value
+FROM agg, m
+WHERE ws + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
+""",
+)
+def stream_static_join_replay(spark, sf_dir):
+    """Stream-STATIC join under the gate (the dimension-enrichment
+    pattern): the event stream inner-joins a static customer dimension
+    per micro-batch — stateless on the join, so only the windowed
+    aggregate carries state — and the watermark-finalized per-segment
+    windows must equal the batch oracle."""
+    from station_data_ingestion_spark.streaming.windows import (
+        static_enriched_counts,
+    )
+
+    dim = load(spark, sf_dir, "customer")["customer"].select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return _replay(
+        spark,
+        sf_dir,
+        lambda s: static_enriched_counts(s, dim),
+        "append",
+    )

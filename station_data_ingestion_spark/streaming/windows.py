@@ -317,3 +317,36 @@ def stream_stream_click_purchase_left_join(
         ),
         "left_outer",
     ).select("p_id", "c_id", "p_user", "p_ts", "c_ts")
+
+
+def static_enriched_counts(
+    events: DataFrame,
+    dim: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static enrichment join + windowed rollup: each micro-batch
+    inner-joins the STATIC dimension (no state, no watermark needed on
+    the dim side — Spark re-plans it per batch, broadcast when small)
+    and aggregates per (window, segment). The streaming-state story is
+    unchanged from tumbling_counts; the join adds zero state."""
+    events = normalize_event_ts(events)
+    return (
+        events.withWatermark("ts", watermark)
+        .join(dim, "user_id")
+        .groupBy(F.window("ts", window).alias("w"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 10000).cast("long")) / 10000.0
+            ).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias(
+                "window_start"
+            ),
+            "segment",
+            "n_events",
+            "total_value",
+        )
+    )
