@@ -35,15 +35,33 @@ from pyspark.sql import DataFrame
 SAMPLE_ROWS = 2048
 
 
-def estimate_row_bytes(df: DataFrame, sample_rows: int = SAMPLE_ROWS) -> float:
-    """Mean Arrow-encoded bytes per row from a bounded head sample.
+def estimate_row_bytes(
+    df: DataFrame,
+    sample_rows: int = SAMPLE_ROWS,
+    total_rows: int | None = None,
+) -> float:
+    """Mean Arrow-encoded bytes per row from a bounded RANDOM sample.
 
-    Driver cost is bounded by sample_rows regardless of table size.
-    Returns 0.0 for an empty frame.
+    When ``total_rows`` is known (write_sized_parquet counts first), a
+    seeded Bernoulli sample spread across the whole table is used —
+    data ordered by payload width (common after clustering) would bias
+    a head sample by large factors. Without ``total_rows`` the fraction
+    cannot be derived, so a head sample is the documented fallback
+    (assumes rows homogeneous in width). Driver cost stays bounded by
+    ~sample_rows either way. Returns 0.0 for an empty frame.
     """
     import pyarrow as pa
 
-    pdf = df.limit(sample_rows).toPandas()
+    if total_rows and total_rows > sample_rows:
+        # No .limit() after .sample(): limit takes the FIRST rows of
+        # the sampled stream, which re-introduces the head bias the
+        # sample exists to remove. Bernoulli keeps ~sample_rows in
+        # expectation, which is all the estimate needs.
+        frac = min(1.0, sample_rows / total_rows)
+        sampled = df.sample(fraction=frac, seed=7)
+    else:
+        sampled = df.limit(sample_rows)
+    pdf = sampled.toPandas()
     if not len(pdf):
         return 0.0
     table = pa.Table.from_pandas(pdf, preserve_index=False)
@@ -64,7 +82,7 @@ def write_sized_parquet(
     if n == 0:
         df.coalesce(1).write.mode("overwrite").parquet(path)
         return 1
-    per_row = estimate_row_bytes(df, sample_rows=sample_rows)
+    per_row = estimate_row_bytes(df, sample_rows=sample_rows, total_rows=n)
     total = per_row * n
     n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     df.repartition(n_files).write.mode("overwrite").parquet(path)

@@ -405,6 +405,13 @@ class SnapshotTable:
         if old in self.partition_cols:
             raise ValueError("cannot rename a partition column")
         cur = self.read()
+        if cur is None or old not in cur.columns:
+            # A typo'd rename must not publish an inert chain entry: it
+            # would consume a version and retire `old` for nothing.
+            raise ValueError(
+                f"'{old}' does not exist in the live schema; nothing to "
+                "rename"
+            )
         if cur is not None and new in cur.columns:
             raise ValueError(
                 f"'{new}' already exists in the live schema; renaming "
@@ -556,8 +563,16 @@ class SnapshotTable:
         v_hi = self.latest_version() if to_version is None else to_version
         if v_hi is None:
             return None, from_version
-        if from_version is not None and from_version >= v_hi:
-            return None, v_hi
+        if from_version is not None and from_version > v_hi:
+            # An explicit to_version older than the cursor must never
+            # move the cursor backwards: feeding the regressed cursor
+            # back would re-deliver files already consumed.
+            raise ValueError(
+                f"inverted read_appends range: cursor v{from_version} is "
+                f"past to_version v{v_hi} at {self.path}"
+            )
+        if from_version is not None and from_version == v_hi:
+            return None, from_version
         old_paths: set = set()
         if from_version is not None:
             fs, mpath, _ = _fs(self.spark, self._snap_path(from_version))
@@ -1034,7 +1049,17 @@ class SnapshotTable:
         finds them enjoys whatever zone-map/partition layout the table
         already has.
         """
-        return self.rewrite_where(condition, lambda df, cond: df.filter(~cond))
+        from pyspark.sql import functions as F
+
+        # SQL DELETE deletes only rows where the predicate is TRUE; a
+        # NULL predicate KEEPS the row. A bare filter(~cond) would drop
+        # NULL rows (filter keeps only TRUE), and only in touched files
+        # — silent, file-layout-dependent loss for nullable predicate
+        # columns. Coalesce to FALSE so NULL rows survive everywhere.
+        return self.rewrite_where(
+            condition,
+            lambda df, cond: df.filter(~F.coalesce(cond, F.lit(False))),
+        )
 
     def update_where(self, condition, assignments: dict) -> int:
         """UPDATE ... SET col=expr WHERE: same file-bounded rewrite as

@@ -55,3 +55,23 @@ def test_empty_frame(spark, tmp_path):
 def test_rejects_bad_target(spark, tmp_path):
     with pytest.raises(ValueError):
         write_sized_parquet(spark.range(1), str(tmp_path / "x"), target_mb=0)
+
+
+def test_estimate_row_bytes_unbiased_on_size_ordered_data(spark):
+    """Data clustered by payload width (tiny rows first) must not fool
+    the estimator: with total_rows known it samples across the table."""
+    df = (
+        spark.range(20_000)
+        .select(
+            "id",
+            F.expr(
+                "repeat('x', CASE WHEN id < 19000 THEN 1 ELSE 2000 END)"
+            ).alias("payload"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("id")
+    )
+    head_est = estimate_row_bytes(df, sample_rows=1024)  # sees tiny rows only
+    rand_est = estimate_row_bytes(df, sample_rows=1024, total_rows=20_000)
+    # true mean ~ (19000*1 + 1000*2000)/20000 ~ 101 bytes of payload
+    assert rand_est > head_est * 3, (head_est, rand_est)

@@ -934,3 +934,53 @@ def test_read_appends_vacuumed_cursor_raises_cleanly(spark, tmp_path):
     t.vacuum(older_than_sec=0)  # reaps the v1 manifest behind the cursor
     with _pytest.raises(FileNotFoundError, match="vacuumed past retention"):
         t.read_appends(cur)
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    """SQL DELETE semantics: a NULL predicate keeps the row — even when
+    the NULL row shares a data file with a matching (TRUE) row."""
+    t = SnapshotTable(
+        spark, str(tmp_path / "del_null"), partition_cols=(), stat_cols=()
+    )
+    # One file: NULLs co-located with matches (the dangerous layout).
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 50), (4, None)], "k long, v long"
+    ).coalesce(1)
+    t.commit_overwrite_partitions(df)
+    t.delete_where(F.col("v") > 10)  # NULL > 10 is NULL, not TRUE
+    got = {(r.k, r.v) for r in t.read().collect()}
+    assert got == {(1, 5), (2, None), (4, None)}, got
+
+
+def test_read_appends_inverted_range_raises(spark, tmp_path):
+    t = SnapshotTable(
+        spark, str(tmp_path / "inv_tbl"), partition_cols=("b",), stat_cols=()
+    )
+    t.commit_overwrite_partitions(
+        spark.createDataFrame([(1, "x", 1)], "k long, b string, v long")
+    )
+    t.commit_overwrite_partitions(
+        spark.createDataFrame([(2, "y", 2)], "k long, b string, v long")
+    )
+    _, cur = t.read_appends(None)
+    assert cur == 2
+    # caught-up cursor never regresses
+    df, cur2 = t.read_appends(cur)
+    assert df is None and cur2 == cur
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inverted"):
+        t.read_appends(cur, to_version=1)
+
+
+def test_rename_missing_column_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    t = SnapshotTable(
+        spark, str(tmp_path / "ren_missing"), partition_cols=(), stat_cols=()
+    )
+    t.commit_overwrite_partitions(spark.createDataFrame([(1,)], "k long"))
+    v = t.latest_version()
+    with _pytest.raises(ValueError, match="does not exist"):
+        t.rename_column("typo_col", "better")
+    assert t.latest_version() == v, "no inert version consumed"
