@@ -109,7 +109,13 @@ def timed_median(fn, n: int = 3) -> float:
     return round(sorted(ts)[n // 2], 3)
 
 
-def bench_ingestion(spark, timings: dict[str, float]) -> None:
+def bench_ingestion(
+    spark,
+    timings: dict[str, float],
+    n_stations: int = 1000,
+    single_shot: bool = False,
+    prefix: str = "ingest_",
+) -> None:
     """Ingestion-pipeline stage taxonomy (BASELINE.md): parse (scan +
     unpivot + filter + cast), merge-create, merge-probe + replace.
 
@@ -117,6 +123,9 @@ def bench_ingestion(spark, timings: dict[str, float]) -> None:
     ~ lineitem-sf0.1-sized) is generated, ingested, merged into an empty
     target (all creates), then re-merged with 10% of values mutated
     (probe + replace-only-changed).
+
+    ``n_stations``/``single_shot``/``prefix`` parameterize the 10x scale
+    probe (a 10x-wider station matrix, each stage timed once).
     """
     import shutil
     import tempfile
@@ -127,7 +136,8 @@ def bench_ingestion(spark, timings: dict[str, float]) -> None:
     from station_data_ingestion_spark.plans.jobspec import DataItemSpec
     from station_data_ingestion_spark.sources.wide_csv import ingest_wide_csv
 
-    n_stations, n_days = 1000, 731
+    n_days = 731
+    median = (lambda fn, n=1: timed_median(fn, n=1)) if single_shot else timed_median
     rng = np.random.default_rng(42)
     values = np.round(rng.uniform(0, 40, size=(n_stations, n_days)), 2)
     na_mask = rng.random((n_stations, n_days)) < 0.03
@@ -147,7 +157,7 @@ def bench_ingestion(spark, timings: dict[str, float]) -> None:
             start_date="2022-01-01", end_date="2023-12-31",
         )
         write_csv(f"{tmp}/a.csv", values)
-        timings["ingest_parse"] = timed_median(
+        timings[f"{prefix}parse"] = median(
             lambda: materialize(ingest_wide_csv(spark, f"{tmp}/a.csv", spec)[0])
         )
         obs, _ = ingest_wide_csv(spark, f"{tmp}/a.csv", spec)
@@ -165,7 +175,7 @@ def bench_ingestion(spark, timings: dict[str, float]) -> None:
         # n=5 for the merge stages: their heavy shuffles are where the
         # shared box's intermittent multi-second stalls land, and 3
         # samples occasionally put the median on a stall
-        timings["ingest_merge_create"] = timed_median(create_run, n=5)
+        timings[f"{prefix}merge_create"] = median(create_run, n=5)
         obs.unpersist()
 
         mutated = values.copy()
@@ -187,7 +197,7 @@ def bench_ingestion(spark, timings: dict[str, float]) -> None:
             stats2 = finish2()
             assert stats2.created == 0 and stats2.replaced > 0
 
-        timings["ingest_merge_replace"] = timed_median(replace_run, n=5)
+        timings[f"{prefix}merge_replace"] = median(replace_run, n=5)
         obs2.unpersist()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -348,6 +358,32 @@ def bench_scale_probe(spark, sf_dir, timings: dict[str, float], k: int = 10) -> 
     return probe
 
 
+
+
+def bench_scale_probe_ingest(spark, timings: dict, k: int = 10) -> dict:
+    """Ingestion-path 10x probe: the same stage taxonomy over a k-times
+    WIDER station matrix (k*1000 stations x 731 dates), each stage timed
+    once. Reports per_unit_ratio vs the 1x medians -- the reference's
+    own workload shape (parse / merge-create / merge-replace) held to
+    the same linear-scaling bar as the query stages."""
+    probe: dict[str, dict] = {}
+    need = ("ingest_parse", "ingest_merge_create", "ingest_merge_replace")
+    if not all(isinstance(timings.get(s), float) for s in need):
+        return {"error": "1x ingest stages did not run"}
+    big: dict[str, float] = {}
+    bench_ingestion(
+        spark, big, n_stations=1000 * k, single_shot=True, prefix="ingest_"
+    )
+    for s in need:
+        if isinstance(big.get(s), float):
+            probe[s] = {
+                "t_1x": timings[s],
+                f"t_{k}x": big[s],
+                "per_unit_ratio": round(big[s] / (k * timings[s]), 2),
+            }
+    return probe
+
+
 def bench_snapshot_read_isolated(spark, sf_dir, timings: dict[str, object]) -> None:
     """Read-path-isolated snapshot timing (r4 VERDICT 'What's missing'
     #2): the gate query `snapshot_ranged_orders_revenue` times
@@ -459,8 +495,21 @@ def main() -> None:
             out["scale_probe"] = bench_scale_probe(spark, sf_dir, timings)
         except Exception as e:  # noqa: BLE001
             out["scale_probe"] = {"error": f"{type(e).__name__}: {e}"[:500]}
+        try:
+            out["scale_probe_ingest"] = bench_scale_probe_ingest(spark, timings)
+        except Exception as e:  # noqa: BLE001
+            out["scale_probe_ingest"] = {"error": f"{type(e).__name__}: {e}"[:500]}
     out["history_delta"] = _record_history(out)
-    print(json.dumps(out))
+    # Full artifact to a deterministic path: the driver's BENCH_r{N}.json
+    # keeps only the stdout tail, which progress-bar \r fragments can
+    # corrupt past parsing (BENCH_r05.json stored parsed: null). The file
+    # is the authoritative copy; the stdout line (leading newline detaches
+    # it from any glued fragment) stays for tail-captures that do parse.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_LAST.json"), "w", encoding="utf-8") as f:
+        json.dump(out, f, indent=1)
+    sys.stdout.write("\n" + json.dumps(out) + "\n")
+    sys.stdout.flush()
 
 
 def _record_history(out: dict) -> dict | None:

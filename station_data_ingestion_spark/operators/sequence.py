@@ -32,19 +32,54 @@ def encode_sequences(
     key: str,
     order_cols: list[str],
     code: Column,
+    max_events_per_key: int | None = None,
 ) -> DataFrame:
     """One row per key: ``key`` + ``seq`` (the symbol string of the
     key's events, ordered by ``order_cols`` — include a unique
     tiebreaker so the order is total and engine-independent).
 
     ``code`` must evaluate to a single-character string per event.
+
+    ``max_events_per_key`` is the whale-key guard: per-key state is the
+    key's whole event string, bounded only by per-entity activity (the
+    standard MATCH_RECOGNIZE state bound). Without a cap, one bot/whale
+    key silently builds an unbounded string on a single task. With a
+    cap, any key exceeding it fails the job LOUDLY (raise_error naming
+    the offending key) — the check fires on the collected array size
+    BEFORE the symbol string is materialized, so the failure costs one
+    aggregation buffer, not a giant string; callers pre-filter the
+    named key (or raise the cap) and re-run. A hard memory bound would
+    need a pre-count pass over the same shuffle — the loud-failure cap
+    buys the observability without doubling the scan.
     """
     ordered = F.array_sort(
         F.collect_list(F.struct(*order_cols, code.alias("_c")))
     )
+    if max_events_per_key is not None:
+        if max_events_per_key <= 0:
+            raise ValueError(
+                f"max_events_per_key must be positive, got {max_events_per_key}"
+            )
+        guarded = F.when(
+            F.size(ordered) <= max_events_per_key, ordered
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("sequence whale key "),
+                    F.col(key).cast("string"),
+                    F.lit(
+                        f": event count exceeds max_events_per_key="
+                        f"{max_events_per_key}; pre-filter bot/whale "
+                        "keys or raise the cap"
+                    ),
+                )
+            )
+        )
+    else:
+        guarded = ordered
     return df.groupBy(key).agg(
         F.array_join(
-            F.transform(ordered, lambda s: s["_c"]), ""
+            F.transform(guarded, lambda s: s["_c"]), ""
         ).alias("seq")
     )
 

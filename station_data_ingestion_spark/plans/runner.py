@@ -37,6 +37,7 @@ from station_data_ingestion_spark.sources.remote import stage_if_remote
 from station_data_ingestion_spark.sources.wide_csv import ingest_wide_csv
 
 OBS_PARTITION_COLS = ("datatype", "period")
+_MAX_MERGE_REDO_ATTEMPTS = 5
 
 
 def template_dates(config_text: str, on: date | None = None) -> str:
@@ -191,20 +192,49 @@ def _merge_into_table(
 
     The single sequence both runner modes share; key-integrity failures
     surface as RecordKeyError.
+
+    Concurrency: MERGE is read-merge-write, so a rival commit landing
+    between our target read and our publish would be silently dropped by
+    a last-publisher-wins rebase. Snapshot targets therefore publish
+    with compare-and-swap (``expected_version`` = the version the merge
+    read); a CAS loss re-reads the NEW snapshot and redoes the whole
+    merge — serializable isolation, never lost updates. Bounded retries:
+    a merge is minutes of work, so pathological contention should fail
+    loudly rather than spin.
     """
-    target = read_obs_table(spark, obs_table_path, item)
-    obs, target = _align_union_columns(obs, target)
-    merged, finish = merge_observed(
-        target, obs, item.key_fields, replace=item.replace_duplicates
+    from station_data_ingestion_spark.plans.snapshot_store import (
+        ConcurrentCommitError,
+        SnapshotTable,
     )
-    try:
-        _overwrite_slice(merged, obs_table_path, item, table_format)
-    except Exception as e:
-        for msg in (_MULTI_MATCH_MSG, _DUP_UPDATE_MSG):
-            if msg in str(e):
-                raise RecordKeyError(msg) from e
-        raise
-    return finish()
+
+    obs_in = obs
+    last_conflict: Exception | None = None
+    for _attempt in range(_MAX_MERGE_REDO_ATTEMPTS):
+        snap = SnapshotTable(spark, obs_table_path, OBS_PARTITION_COLS)
+        expected = snap.latest_version() or 0
+        target = read_obs_table(spark, obs_table_path, item)
+        obs, target = _align_union_columns(obs_in, target)
+        merged, finish = merge_observed(
+            target, obs, item.key_fields, replace=item.replace_duplicates
+        )
+        try:
+            _overwrite_slice(
+                merged, obs_table_path, item, table_format,
+                expected_version=expected,
+            )
+        except ConcurrentCommitError as e:
+            last_conflict = e
+            continue
+        except Exception as e:
+            for msg in (_MULTI_MATCH_MSG, _DUP_UPDATE_MSG):
+                if msg in str(e):
+                    raise RecordKeyError(msg) from e
+            raise
+        return finish()
+    raise ConcurrentCommitError(
+        f"merge into {obs_table_path} lost the serialization race "
+        f"{_MAX_MERGE_REDO_ATTEMPTS} times"
+    ) from last_conflict
 
 
 def _align_union_columns(obs: DataFrame, target: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -468,6 +498,7 @@ def _overwrite_slice(
     table_path: str,
     item: DataItemSpec,
     table_format: str = "snapshot",
+    expected_version: int | None = None,
 ) -> None:
     """Overwrite only the merged (datatype, period) partition slice.
 
@@ -495,7 +526,7 @@ def _overwrite_slice(
         # would evaluate the merge plan (and its created/replaced stat
         # aggregation) twice. Zone-map stats still record; a maintenance
         # pass can re-cluster slices offline when date pruning matters.
-        snap.commit_overwrite_partitions(merged)
+        snap.commit_overwrite_partitions(merged, expected_version=expected_version)
         return
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -772,6 +772,7 @@ class SnapshotTable:
         df: DataFrame,
         cluster_by: tuple[str, ...] | None = None,
         cluster_partitions: int | None = None,
+        expected_version: int | None = None,
     ) -> int:
         """Write df's rows, replacing exactly the partitions df contains.
 
@@ -780,6 +781,16 @@ class SnapshotTable:
         version. Safe under concurrent commits to DISJOINT partitions;
         commits touching the same partition serialize by version, last
         publisher wins (same as Delta's replaceWhere at this granularity).
+
+        ``expected_version``: compare-and-swap publish for READ-MERGE-
+        WRITE callers (MERGE reads the slice, computes the new rows, and
+        rewrites it — last-publisher-wins would silently drop a rival
+        merge's rows). When set, the publish raises
+        :class:`ConcurrentCommitError` if the table has advanced past
+        that version instead of rebasing; the caller re-reads and redoes
+        the merge (see plans.runner._merge_into_table). This is Delta/
+        Iceberg serializable-isolation conflict detection at whole-table
+        granularity.
 
         ``cluster_by``: optionally range-partition + sort the rows by
         these columns before writing, so each file covers a TIGHT,
@@ -797,7 +808,7 @@ class SnapshotTable:
         replaced = {
             tuple(sorted(e["partition"].items())) for e in new_entries
         }
-        return self._commit_entries(replaced, new_entries)
+        return self._commit_entries(replaced, new_entries, expected_version)
 
     def _write_and_promote(
         self,
@@ -914,13 +925,28 @@ class SnapshotTable:
         return removed
 
     def _commit_entries(
-        self, replaced: set[tuple], new_entries: list[dict]
+        self,
+        replaced: set[tuple],
+        new_entries: list[dict],
+        expected_version: int | None = None,
     ) -> int:
         """Publish: latest files with `replaced` partitions' entries
         swapped for `new_entries`. Declarative — no data I/O — so the
-        optimistic-retry loop is cheap."""
+        optimistic-retry loop is cheap. With ``expected_version`` the
+        loop degenerates to CAS: any advance past it raises instead of
+        rebasing (the staged files stay promoted-but-unreferenced and
+        are vacuum-reaped, same as any lost commit)."""
         for _ in range(_MAX_COMMIT_ATTEMPTS):
             base_v = self.latest_version()
+            # expected_version=0 means "I read an absent table" (CAS on
+            # the bootstrap commit — two bootstrapping mergers must not
+            # both think they created the table).
+            if expected_version is not None and (base_v or 0) != expected_version:
+                raise ConcurrentCommitError(
+                    f"table advanced to v{base_v} past expected "
+                    f"v{expected_version} at {self.path}; re-read and "
+                    "redo the merge"
+                )
             kept: list[dict] = []
             if base_v is not None:
                 kept = [

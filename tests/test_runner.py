@@ -252,3 +252,50 @@ def test_mid_file_resume_reingests_only_unfinished_ranges(
         resume_ranges_bytes=150, ranges_per_commit=2,
     ) == {}
     assert 0 < stats[csv].created < 40 * 5  # this run's ranges only
+
+
+def test_concurrent_merges_same_slice_never_lose_updates(spark, tmp_path):
+    """Two merges race on ONE (datatype, period) slice: the loser's CAS
+    publish fails (table advanced past the version it merged against),
+    and the redo loop re-reads + re-merges — the rival's rows survive.
+    Under last-publisher-wins rebase they would be silently dropped."""
+    from station_data_ingestion_spark.plans.runner import _merge_into_table
+    from station_data_ingestion_spark.plans.snapshot_store import SnapshotTable
+
+    table = str(tmp_path / "obs_race")
+    item = DataItemSpec(
+        files=[], datatype="temperature", period="day", fill="raw",
+        start_date="2022-03-01", end_date="2022-03-31",
+    )
+
+    def obs(station, value):
+        return spark.createDataFrame(
+            [(station, "2022-03-01", value, "temperature", "day", "raw")],
+            "station_id string, date string, value double, "
+            "datatype string, period string, fill string",
+        )
+
+    # seed (also exercises the bootstrap CAS path, expected_version=0)
+    _merge_into_table(spark, obs("1", 1.0), item, table)
+
+    orig = SnapshotTable._write_manifest_exclusive
+    state = {"fired": False}
+
+    def hooked(self, version, manifest):
+        if not state["fired"]:
+            state["fired"] = True
+            # rival merge lands BETWEEN writer1's read and its publish
+            s = _merge_into_table(spark, obs("3", 3.0), item, table)
+            assert s.created == 1
+        return orig(self, version, manifest)
+
+    SnapshotTable._write_manifest_exclusive = hooked
+    try:
+        stats = _merge_into_table(spark, obs("2", 2.0), item, table)
+    finally:
+        SnapshotTable._write_manifest_exclusive = orig
+    assert state["fired"]
+    assert stats.created == 1
+
+    got = {(r.station_id, r.value) for r in read_table(spark, table).collect()}
+    assert got == {("1", 1.0), ("2", 2.0), ("3", 3.0)}, got

@@ -34,3 +34,41 @@ def test_nonoverlapping_leftmost_counting(spark):
         for r in count_pattern(_seqs(spark, rows), "s[cv]*p").collect()
     }
     assert out == {1: 2, 2: 1, 3: 0}
+
+
+def test_whale_key_guard_raises_loudly(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from station_data_ingestion_spark.operators.sequence import (
+        count_pattern,
+        encode_sequences,
+    )
+
+    rows = [("u1", i, "c") for i in range(5)] + [
+        ("whale", i, "c") for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts long, ev string")
+    code = F.substring("ev", 1, 1)
+
+    # under the cap: identical to the unguarded result
+    ok = encode_sequences(
+        df.filter("user_id = 'u1'"), "user_id", ["ts"], code,
+        max_events_per_key=100,
+    )
+    assert ok.collect()[0]["seq"] == "ccccc"
+
+    whaled = encode_sequences(
+        df, "user_id", ["ts"], code, max_events_per_key=100
+    )
+    with pytest.raises(Exception, match="whale key whale"):
+        whaled.collect()
+
+    with pytest.raises(ValueError, match="positive"):
+        encode_sequences(df, "user_id", ["ts"], code, max_events_per_key=0)
+
+    # no cap: legacy behavior untouched
+    legacy = count_pattern(
+        encode_sequences(df, "user_id", ["ts"], code), "c+"
+    )
+    assert legacy.count() == 2
