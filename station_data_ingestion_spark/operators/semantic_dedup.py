@@ -128,19 +128,16 @@ def semantic_near_pairs(
             "embedding"
         ),
     )
-    # unit-normalize driver-visible input of kmeans via a view: blocking
-    # geometry lives on the sphere where cos<->L2 is exact
-    normed = vecs.select(
+    # unit-normalize the kmeans input: blocking geometry lives on the
+    # sphere, where cos >= tau <=> L2 <= r exactly
+    normed = vecs.withColumn(
+        "_n",
+        F.sqrt(
+            F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x * x)
+        ),
+    ).select(
         "vec_id",
-        F.transform(
-            "embedding",
-            lambda v: v
-            / F.sqrt(
-                F.aggregate(
-                    "embedding", F.lit(0.0), lambda acc, x: acc + x * x
-                )
-            ),
-        ).alias("embedding"),
+        F.transform("embedding", lambda v: v / F.col("_n")).alias("embedding"),
     )
     centroids = kmeans_fit(normed, k=k, n_iter=n_iter)
     replicated = vecs.mapInPandas(

@@ -762,3 +762,64 @@ def dedup_fuzzy_ed1_suppliers(spark, sf_dir):
         F.col("b_id").cast("long"),
         F.col("dist").cast("long"),
     )
+
+
+@query(
+    "dedup_semantic_clusters",
+    """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), twins AS (
+  SELECT a.vec_id + 100000 AS vec_id,
+         list_transform(list_zip(a.v, b.v), p -> p[1] + 0.1 * p[2]) AS v
+  FROM base a JOIN base b ON b.vec_id = a.vec_id + 1
+  WHERE a.vec_id % 10 = 0
+), corpus AS (
+  SELECT * FROM base UNION ALL SELECT * FROM twins
+), pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v))
+           * sqrt(list_dot_product(b.v, b.v))) >= 0.95
+)
+SELECT c.vec_id,
+       (SELECT MIN(p.a_id) FROM pairs p WHERE p.b_id = c.vec_id) AS pruned_by
+FROM corpus c
+""",
+)
+def dedup_semantic_clusters(spark, sf_dir):
+    """SemDeDup semantic dedup (operators/semantic_dedup.py): k-means
+    cluster the corpus embeddings, generate candidate pairs ONLY inside
+    margin-replicated clusters (triangle-inequality superset — never
+    all-pairs), exact-cosine rerank, then prune every doc that has a
+    lower-id neighbor with cos >= 0.95 (pruned_by = that neighbor;
+    NULL = kept representative). The base embeddings are mutually
+    far (max cos ~0.6), so near-duplicate TWINS are planted
+    deterministically (every 10th vector + 0.1x its successor — the
+    same construction in both engines); the oracle recomputes the
+    answer by brute-force quadratic join, which the margin guarantee
+    says the cluster-bounded plan must match exactly."""
+    from station_data_ingestion_spark.operators.semantic_dedup import (
+        semantic_dedup_prune,
+        semantic_near_pairs,
+    )
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    base = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    twins = (
+        base.alias("a")
+        .join(base.alias("b"), F.col("b.vec_id") == F.col("a.vec_id") + 1)
+        .filter(F.col("a.vec_id") % 10 == 0)
+        .select(
+            (F.col("a.vec_id") + 100000).alias("vec_id"),
+            F.zip_with("a.v", "b.v", lambda x, y: x + F.lit(0.1) * y).alias("v"),
+        )
+    )
+    corpus = base.unionByName(twins)
+    pairs = semantic_near_pairs(corpus, tau=0.95, k=8, n_iter=3, vec_col="v")
+    return semantic_dedup_prune(corpus, pairs)
