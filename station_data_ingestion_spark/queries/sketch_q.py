@@ -93,3 +93,36 @@ def sketch_cms_verified_heavy_events(spark, sf_dir: str):
         .agg(F.count("*").alias("cnt"))
         .where(F.col("cnt") * _K > F.lit(n))
     )
+
+
+_KLL_PHIS = [0.25, 0.5, 0.75, 0.95]
+
+# one SELECT per phi: DuckDB's QUANTILE only takes constant parameters
+_KLL_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT CAST({phi} AS DOUBLE) AS phi, "
+    f"quantile_disc(o_totalprice, {phi}) AS value FROM orders"
+    for phi in (0.25, 0.5, 0.75, 0.95)
+)
+
+
+@query(
+    "sketch_kll_quantiles",
+    oracle=_KLL_ORACLE,
+    doc="KLL sketch brackets each target rank; exact band-count verify "
+    "+ histogram refinement produce the EXACT quantile_disc values.",
+)
+def sketch_kll_quantiles(spark, sf_dir: str):
+    """Mergeable KLL quantile sketch -> exact quantiles
+    (operators/kll.py): one Arrow pass builds per-partition compactor
+    stacks, the driver merges them, and each target rank is bracketed
+    by a sketch band that an exact counting pass verifies and narrows
+    (full-range fallback if the sketch ever missed — correctness never
+    depends on the sketch). Output = DuckDB quantile_disc exactly:
+    the value at 1-indexed rank ceil(phi*n)."""
+    from station_data_ingestion_spark.operators.kll import kll_exact_quantiles
+
+    orders = load(spark, sf_dir, "orders")["orders"]
+    rows = kll_exact_quantiles(
+        orders, "o_totalprice", _KLL_PHIS, k=200, delta=0.05
+    )
+    return spark.createDataFrame(rows, "phi double, value double")
