@@ -119,6 +119,15 @@ def _norm_uri_rel(uri: str, data_prefix: str) -> str:
     return unquote(uri).split(data_prefix, 1)[-1]
 
 
+def _entry_key(e: dict) -> tuple:
+    """Identity of a manifest entry: (data root, relative path). Normal
+    entries have no "base" (their root is this table's data dir);
+    shallow-clone entries carry the SOURCE table's absolute data root,
+    so two entries with equal relative paths under different roots never
+    alias."""
+    return (e.get("base"), e["path"])
+
+
 class SnapshotTable:
     """Parquet table with manifest-listed files and atomic commits."""
 
@@ -187,6 +196,109 @@ class SnapshotTable:
     def exists(self) -> bool:
         return self.latest_version() is not None
 
+    def versions(self) -> list[tuple[int, float]]:
+        """Surviving (version, commit_epoch_seconds) pairs, ascending.
+        Commit time is the manifest file's modification time — the same
+        source Delta uses for timestamp time travel, with the same
+        caveat (a filesystem-level copy can rewrite it)."""
+        fs, path, _ = _fs(self.spark, f"{self.path}/{_SNAPDIR}")
+        if not fs.exists(path):
+            return []
+        out = []
+        for st in fs.listStatus(path):
+            name = st.getPath().getName()
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    out.append((int(name[1:-5]), st.getModificationTime() / 1000.0))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def history(self) -> list[dict]:
+        """DESCRIBE HISTORY: one dict per surviving version, ascending —
+        version, commit timestamp, file/partition counts, and flags for
+        rename-chain presence and shallow-clone (external) entries.
+        Driver-side manifest reads only; no data I/O."""
+        out = []
+        for v, ts in self.versions():
+            m = self._read_manifest(v)
+            files = m["files"]
+            out.append(
+                {
+                    "version": v,
+                    "timestamp": ts,
+                    "n_files": len(files),
+                    "n_partitions": len(
+                        {tuple(sorted(e["partition"].items())) for e in files}
+                    ),
+                    "has_renames": bool(m.get("renames")),
+                    "n_external_files": sum(1 for e in files if e.get("base")),
+                }
+            )
+        return out
+
+    def version_as_of(self, timestamp: float) -> int:
+        """Newest surviving version committed at or before ``timestamp``
+        (epoch seconds) — Delta's TIMESTAMP AS OF resolution."""
+        best = None
+        for v, ts in self.versions():
+            if ts <= timestamp:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no snapshot of {self.path} existed at epoch {timestamp} "
+                "(before the first surviving commit — earlier versions may "
+                "have been vacuumed)"
+            )
+        return best
+
+    def clone_to(self, dst_path: str) -> "SnapshotTable":
+        """Zero-copy shallow clone (Delta SHALLOW CLONE): the clone's v1
+        manifest references this table's CURRENT data files in place —
+        no data is copied, and from then on the two tables diverge
+        independently. Clone-side appends/merges write into the clone's
+        own tree; DELETE/UPDATE copy-on-write rewrites land locally
+        while untouched source files stay shared; clone-side vacuum
+        never deletes source files (external entries are not in its
+        local live set). Caveat, same as Delta's: vacuuming the SOURCE
+        past the clone's creation can reap files the clone still
+        references — clones are for short-lived branches/experiments,
+        or pair them with source retention."""
+        import os as _os
+
+        src_v = self.latest_version()
+        if src_v is None:
+            raise ValueError(f"no table to clone at {self.path}")
+        dst = SnapshotTable(
+            self.spark,
+            dst_path,
+            self.partition_cols,
+            self.stat_cols,
+            bloom_cols=self.bloom_cols,
+            constraints=self.constraints,
+        )
+        if dst.exists():
+            raise ValueError(f"clone destination {dst_path} already exists")
+        m = self._read_manifest(src_v)
+        # entries that are themselves clone references keep their
+        # original root (clone-of-clone still points at the real file)
+        src_root = f"{_os.path.abspath(self.path)}/data"
+        files = [
+            {**e, "base": e.get("base") or src_root} for e in m["files"]
+        ]
+        manifest = {
+            "version": 1,
+            "partition_cols": list(self.partition_cols),
+            "files": files,
+        }
+        if m.get("renames"):
+            manifest["renames"] = m["renames"]
+        if not dst._write_manifest_exclusive(1, manifest):
+            raise ConcurrentCommitError(
+                f"lost the publish race for v1 at {dst_path}"
+            )
+        return dst
+
     def _read_manifest(self, version: int) -> dict:
         fs, path, jvm = _fs(self.spark, self._snap_path(version))
         stream = fs.open(path)
@@ -232,6 +344,7 @@ class SnapshotTable:
         ranges: dict[str, tuple] | None = None,
         version: int | None = None,
         point: dict | None = None,
+        as_of: float | None = None,
     ) -> DataFrame | None:
         """DataFrame over a snapshot's files; None if no table.
 
@@ -239,6 +352,9 @@ class SnapshotTable:
         the latest (manifests are immutable and data files are never
         rewritten, so any un-vacuumed version stays exactly readable;
         raises FileNotFoundError if that manifest was vacuumed away).
+        ``as_of``: timestamp time travel (epoch seconds) — resolves to
+        the newest version committed at or before that instant
+        (:meth:`version_as_of`); mutually exclusive with ``version``.
         ``partition``: optional {col: value} filter applied DRIVER-SIDE to
         the manifest, so pruned files are never even listed by Spark.
         ``ranges``: optional {col: (lo, hi)} inclusive bounds matched
@@ -257,6 +373,10 @@ class SnapshotTable:
         Spark literal type (see __init__ note). Files without a bloom
         for the column are always kept.
         """
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass either version or as_of, not both")
+            version = self.version_as_of(as_of)
         v = self.latest_version() if version is None else version
         if v is None:
             return None
@@ -349,10 +469,9 @@ class SnapshotTable:
         """
         groups: dict[tuple, list[str]] = {}
         for e in entries:
-            spec = tuple(sorted(e["partition"].keys()))
-            groups.setdefault(spec, []).append(
-                f"{self.path}/data/{e['path']}"
-            )
+            base = e.get("base") or f"{self.path}/data"
+            spec = (tuple(sorted(e["partition"].keys())), base)
+            groups.setdefault(spec, []).append(f"{base}/{e['path']}")
         # numeric-looking partition values (datatype='850') must read back
         # as strings, or a merge would rewrite them as a new '850.0' slice
         conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
@@ -360,10 +479,10 @@ class SnapshotTable:
         self.spark.conf.set(conf_key, "false")
         try:
             dfs = [
-                self.spark.read.option("basePath", f"{self.path}/data")
+                self.spark.read.option("basePath", base)
                 .option("mergeSchema", "true")
                 .parquet(*paths)
-                for _, paths in sorted(groups.items())
+                for (_, base), paths in sorted(groups.items())
             ]
         finally:
             self.spark.conf.set(conf_key, prev)
@@ -583,11 +702,11 @@ class SnapshotTable:
                     "a full read (cursor=None) or a surviving version"
                 )
             old_paths = {
-                e["path"]
+                _entry_key(e)
                 for e in self._read_manifest(from_version)["files"]
             }
         hi_m = self._read_manifest(v_hi)
-        hi_paths = {e["path"] for e in hi_m["files"]}
+        hi_paths = {_entry_key(e) for e in hi_m["files"]}
         removed = old_paths - hi_paths
         if removed and on_rewrite == "error":
             raise RuntimeError(
@@ -596,7 +715,9 @@ class SnapshotTable:
                 "on_rewrite='include' (at-least-once) or keyed_diff for "
                 "row-level changes"
             )
-        new_entries = [e for e in hi_m["files"] if e["path"] not in old_paths]
+        new_entries = [
+            e for e in hi_m["files"] if _entry_key(e) not in old_paths
+        ]
         if not new_entries:
             return None, v_hi
         return (
@@ -1046,7 +1167,7 @@ class SnapshotTable:
             )
         base_m = self._read_manifest(base_v)
         kept = [
-            e for e in base_m["files"] if e["path"] not in replaced_paths
+            e for e in base_m["files"] if _entry_key(e) not in replaced_paths
         ]
         version = base_v + 1
         manifest = {
@@ -1112,9 +1233,28 @@ class SnapshotTable:
             raise ValueError(f"no table at {self.path}")
         cond = F.expr(condition) if isinstance(condition, str) else condition
         current = self.read(version=base_v)
-        prefix = f"{self.path}/data/"
+        entries = self._read_manifest(base_v)["files"]
+        # every data root this snapshot references (the local one plus
+        # any shallow-clone sources) maps a scanned URI back to its key
+        prefixes = sorted(
+            {f"{self.path}/data/"}
+            | {f"{e['base']}/" for e in entries if e.get("base")},
+            key=len,
+            reverse=True,
+        )
+
+        def uri_key(uri: str) -> tuple:
+            from urllib.parse import unquote
+
+            u = unquote(uri)
+            for p in prefixes:
+                if p in u:
+                    base = p.rstrip("/") if p != f"{self.path}/data/" else None
+                    return (base, u.split(p, 1)[-1])
+            return (None, u)
+
         hit_files = {
-            _norm_uri_rel(r["__f"], prefix)
+            uri_key(r["__f"])
             for r in current.filter(cond)
             .groupBy(F.input_file_name().alias("__f"))
             .count()
@@ -1122,8 +1262,7 @@ class SnapshotTable:
         }
         if not hit_files:
             return base_v
-        entries = self._read_manifest(base_v)["files"]
-        touched = [e for e in entries if e["path"] in hit_files]
+        touched = [e for e in entries if _entry_key(e) in hit_files]
         if len(touched) != len(hit_files):
             raise RuntimeError(
                 "matched files missing from the manifest — path "
@@ -1139,7 +1278,7 @@ class SnapshotTable:
         blooms = self._file_blooms(staging)
         new_entries = self._promote_staging(staging, stats, blooms)
         return self._commit_file_replacement(
-            {e["path"] for e in touched}, new_entries, base_v
+            {_entry_key(e) for e in touched}, new_entries, base_v
         )
 
     # -- maintenance -------------------------------------------------------
@@ -1187,11 +1326,13 @@ class SnapshotTable:
             new_v = self.commit_overwrite_partitions(
                 df, cluster_by=cluster_by, cluster_partitions=cluster_partitions
             )
-            base_paths = {e["path"] for e in self._partition_entries(base_v, partition)}
+            base_paths = {
+                _entry_key(e) for e in self._partition_entries(base_v, partition)
+            }
             conflict_v = None
             for v in range(base_v + 1, new_v):
                 mid_paths = {
-                    e["path"] for e in self._partition_entries(v, partition)
+                    _entry_key(e) for e in self._partition_entries(v, partition)
                 }
                 if mid_paths != base_paths:
                     conflict_v = v  # newest conflicting version wins
@@ -1221,7 +1362,13 @@ class SnapshotTable:
         v = self.latest_version()
         if v is None:
             return []
-        live = {e["path"] for e in self._read_manifest(v)["files"]}
+        # only LOCAL entries pin local files; shallow-clone entries live
+        # in their source's data root, which this vacuum never touches
+        live = {
+            e["path"]
+            for e in self._read_manifest(v)["files"]
+            if not e.get("base")
+        }
         cutoff_ms = (_time.time() - older_than_sec) * 1000.0
         fs, _, jvm = _fs(self.spark, self.path)
         HPath = jvm.org.apache.hadoop.fs.Path

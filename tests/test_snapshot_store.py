@@ -984,3 +984,101 @@ def test_rename_missing_column_raises(spark, tmp_path):
     with _pytest.raises(ValueError, match="does not exist"):
         t.rename_column("typo_col", "better")
     assert t.latest_version() == v, "no inert version consumed"
+
+
+def test_history_and_timestamp_time_travel(spark, tmp_path):
+    import time
+
+    t = SnapshotTable(spark, str(tmp_path / "hist_tbl"))
+    t.commit_overwrite_partitions(
+        _df(spark, [("1", "2022-03-01", 1.0, "temperature", "day")])
+    )
+    time.sleep(1.1)
+    mid = time.time()
+    time.sleep(1.1)
+    t.commit_overwrite_partitions(
+        _df(spark, [("1", "2022-03-01", 2.0, "temperature", "day")])
+    )
+    h = t.history()
+    assert [r["version"] for r in h] == [1, 2]
+    assert h[0]["timestamp"] < h[1]["timestamp"]
+    assert h[0]["n_files"] == 1 and h[0]["n_external_files"] == 0
+    # as_of between the commits resolves to v1
+    assert t.version_as_of(mid) == 1
+    assert [r.value for r in t.read(as_of=mid).collect()] == [1.0]
+    assert [r.value for r in t.read(as_of=time.time()).collect()] == [2.0]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no snapshot"):
+        t.version_as_of(mid - 1000)
+    with _pytest.raises(ValueError, match="not both"):
+        t.read(version=1, as_of=mid)
+
+
+def test_shallow_clone_reads_and_diverges(spark, tmp_path):
+    src = SnapshotTable(spark, str(tmp_path / "src_tbl"))
+    src.commit_overwrite_partitions(
+        _df(spark, [("1", "2022-03-01", 1.0, "temperature", "day"),
+                    ("2", "2022-03-01", 2.0, "rainfall", "day")])
+    )
+    clone = src.clone_to(str(tmp_path / "clone_tbl"))
+    # zero copy: clone's data dir holds no parquet yet
+    import glob
+
+    assert not glob.glob(str(tmp_path / "clone_tbl" / "data" / "**" / "*.parquet"),
+                         )
+    got = {(r.station_id, r.value) for r in clone.read().collect()}
+    assert got == {("1", 1.0), ("2", 2.0)}
+    # clone-side append diverges; source untouched
+    clone.commit_overwrite_partitions(
+        _df(spark, [("3", "2022-03-01", 3.0, "humidity", "day")])
+    )
+    assert clone.read().count() == 3 and src.read().count() == 2
+    # source-side change after the clone point is invisible to the clone
+    src.commit_overwrite_partitions(
+        _df(spark, [("1", "2022-03-01", 9.9, "temperature", "day")])
+    )
+    assert {r.value for r in clone.read().collect()} == {1.0, 2.0, 3.0}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already exists"):
+        src.clone_to(str(tmp_path / "clone_tbl"))
+
+
+def test_shallow_clone_cow_delete_and_vacuum_isolation(spark, tmp_path):
+    import glob
+    import time
+
+    src = SnapshotTable(
+        spark, str(tmp_path / "cow_src"), partition_cols=(), stat_cols=("k",)
+    )
+    df = spark.createDataFrame([(i, i % 10) for i in range(1000)], "k long, g long")
+    src.commit_overwrite_partitions(df, cluster_by=("k",), cluster_partitions=4)
+    clone = src.clone_to(str(tmp_path / "cow_clone"))
+    # copy-on-write DELETE on the clone: rewrites land locally
+    clone.delete_where(F.col("k") < 250)
+    assert clone.read().count() == 750
+    assert src.read().count() == 1000, "source must be untouched"
+    local = glob.glob(
+        str(tmp_path / "cow_clone" / "data" / "**" / "*.parquet"), recursive=True
+    )
+    assert local, "COW rewrite must write into the clone's own tree"
+    # untouched files stay shared (external entries remain)
+    h = clone.history()
+    assert h[-1]["n_external_files"] >= 1
+    # clone vacuum never reaps the source's files
+    n_src = len(
+        glob.glob(str(tmp_path / "cow_src" / "data" / "**" / "*.parquet"),
+                  recursive=True)
+    )
+    time.sleep(0.05)
+    clone.vacuum(older_than_sec=0)
+    assert len(
+        glob.glob(str(tmp_path / "cow_src" / "data" / "**" / "*.parquet"),
+                  recursive=True)
+    ) == n_src
+    assert clone.read().count() == 750
+    # update_where on shared files also lands locally, source untouched
+    clone.update_where(F.col("k") >= 900, {"g": F.lit(77)})
+    assert clone.read().filter("g = 77").count() == 100
+    assert src.read().filter("g = 77").count() == 0
