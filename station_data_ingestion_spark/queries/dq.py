@@ -171,3 +171,51 @@ def dq_key_skew_profile(spark, sf_dir):
             "top10_rows", "top10_share_bp",
         )
     )
+
+
+@query(
+    "dq_benford_first_digit",
+    """
+WITH digits AS (
+  SELECT substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+         AS digit
+  FROM orders
+), counts AS (
+  SELECT digit, COUNT(*) AS cnt FROM digits GROUP BY digit
+)
+SELECT digit, CAST(cnt AS BIGINT) AS cnt,
+       CAST(cnt * 10000 // SUM(cnt) OVER () AS BIGINT) AS share_bp,
+       CAST(FLOOR(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 10000)
+            AS BIGINT) AS benford_bp
+FROM counts
+""",
+)
+def dq_benford_first_digit(spark, sf_dir):
+    """Benford's-law first-digit audit on order totals: observed
+    first-significant-digit shares vs the Benford expectation, both in
+    integer basis points (fabricated or capped financial data diverges
+    hard from Benford — a standard forensic DQ probe). One narrow
+    scan + a 9-row aggregate; the window total never shuffles data."""
+    orders = load(spark, sf_dir, "orders")["orders"]
+    counts = (
+        orders.select(
+            F.substring(
+                F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return counts.select(
+        "digit",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.expr("cnt * 10000 div sum(cnt) over ()").cast("long").alias(
+            "share_bp"
+        ),
+        F.floor(
+            F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+            * 10000
+        )
+        .cast("long")
+        .alias("benford_bp"),
+    )

@@ -526,3 +526,122 @@ def events_props_json_extract(spark, sf_dir):
         F.max(k).alias("k_max"),
         F.count(F.when(k % 10 == 0, 1)).alias("k_mod10"),
     )
+
+
+@query(
+    "events_interval_union_length",
+    """
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(ROUND(value * 60000000) AS BIGINT) AS e
+  FROM events
+), flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   >= s THEN 0 ELSE 1 END AS new_island
+  FROM iv
+), islands AS (
+  SELECT user_id, s, e,
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS island
+  FROM flagged
+), per_island AS (
+  SELECT user_id, island, MAX(e) - MIN(s) AS len_us
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id, CAST(SUM(len_us) AS BIGINT) AS covered_us,
+       CAST(COUNT(*) AS BIGINT) AS n_islands
+FROM per_island GROUP BY user_id
+""",
+)
+def events_interval_union_length(spark, sf_dir):
+    """Interval-union (merge-overlapping-intervals) length per user:
+    each event opens a [ts, ts + value minutes] activity interval; the
+    union's total measure and island count are the de-overlapped
+    exposure metrics (ad exposure, machine uptime, on-call coverage).
+    Gaps-and-islands via one running MAX(end) window — one shuffle on
+    user_id, no self-join, integer microsecond arithmetic end to end."""
+    ev = load(spark, sf_dir, "events")["events"]
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + F.round(F.col("value") * 60000000).cast("long")
+        ).alias("e"),
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("s", "e", "event_id")
+    prev_max = F.max("e").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(prev_max >= F.col("s"), F.lit(0)).otherwise(F.lit(1)).alias(
+            "new_island"
+        ),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(
+            Window.partitionBy("user_id")
+            .orderBy("s", "e")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_island = islands.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("len_us")
+    )
+    return per_island.groupBy("user_id").agg(
+        F.sum("len_us").cast("long").alias("covered_us"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+    )
+
+
+@query(
+    "events_markov_transitions",
+    """
+WITH seq AS (
+  SELECT user_id, event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events
+), pairs AS (
+  SELECT src, dst, COUNT(*) AS cnt FROM seq WHERE dst IS NOT NULL
+  GROUP BY src, dst
+)
+SELECT src, dst, CAST(cnt AS BIGINT) AS cnt,
+       CAST(cnt * 10000 // SUM(cnt) OVER (PARTITION BY src) AS BIGINT)
+       AS p_bp
+FROM pairs
+""",
+)
+def events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: consecutive (src -> dst) event-type pairs via LEAD (one
+    shuffle on user_id, bounded fan-out — never a self-join), then
+    global pair counts with per-src transition probability in exact
+    integer basis points."""
+    ev = load(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return pairs.select(
+        "src",
+        "dst",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.expr("cnt * 10000 div sum(cnt) over (partition by src)")
+        .cast("long")
+        .alias("p_bp"),
+    )

@@ -823,3 +823,61 @@ def dedup_semantic_clusters(spark, sf_dir):
     corpus = base.unionByName(twins)
     pairs = semantic_near_pairs(corpus, tau=0.95, k=8, n_iter=3, vec_col="v")
     return semantic_dedup_prune(corpus, pairs)
+
+
+_CONTAINMENT_ORACLE = f"""
+WITH {_SHINGLE_SQL},
+both_dirs AS (
+  SELECT a_id AS src_id, b_id AS dst_id,
+         n_common * 10000 // sa.n AS containment_bp
+  FROM common JOIN sizes sa ON sa.doc_id = a_id
+  UNION ALL
+  SELECT b_id AS src_id, a_id AS dst_id,
+         n_common * 10000 // sb.n AS containment_bp
+  FROM common JOIN sizes sb ON sb.doc_id = b_id
+)
+SELECT src_id, dst_id, CAST(containment_bp AS BIGINT) AS containment_bp
+FROM both_dirs WHERE containment_bp >= 5000
+"""
+
+
+@query("text_ngram_containment", _CONTAINMENT_ORACLE)
+def text_ngram_containment(spark, sf_dir):
+    """Directional n-gram containment |A∩B| / |A| (>= 50%) — the
+    asymmetric cousin of Jaccard that catches a SHORT document embedded
+    in a long one (quote inclusion, benchmark leakage into a crawl
+    page), which symmetric Jaccard dilutes away. Same explode-join
+    candidate shape as the Jaccard query — shuffles on shingle, only
+    true-overlap pairs materialize, each surviving overlap emits both
+    directions. Exact integer basis points, no float thresholds."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    exploded = _exploded_shingles(d)
+    a, b = exploded.alias("a"), exploded.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    both = common.select(
+        F.col("a_id").alias("src_id"),
+        F.col("b_id").alias("dst_id"),
+        F.expr("n_common * 10000 div na").alias("containment_bp"),
+    ).unionByName(
+        common.select(
+            F.col("b_id").alias("src_id"),
+            F.col("a_id").alias("dst_id"),
+            F.expr("n_common * 10000 div nb").alias("containment_bp"),
+        )
+    )
+    return both.filter(F.col("containment_bp") >= 5000).select(
+        "src_id", "dst_id", F.col("containment_bp").cast("long")
+    )

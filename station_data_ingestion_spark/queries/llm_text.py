@@ -555,3 +555,103 @@ def text_skipgram_pairs(spark, sf_dir):
         .orderBy(F.col("cnt").desc(), "center", "context")
         .limit(25)
     )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b555-\d{4}\b"
+
+
+@query(
+    "text_pii_redaction",
+    f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-0'
+              || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || ' now'
+         AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+       len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones
+FROM aug
+""",
+)
+def text_pii_redaction(spark, sf_dir):
+    """PII masking pass for a training corpus: regex-redact email
+    addresses and NANP test-range phone numbers, reporting per-doc
+    match counts. The synthetic corpus has no PII, so deterministic
+    PII is PLANTED identically in both engines and the redacted text
+    itself is hash-compared — the real check is that the masking regex
+    behaves identically under Java regex and RE2 (patterns stay inside
+    the common dialect: classes, bounded reps, word boundaries). One
+    narrow projection, all JVM codegen, no shuffle."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-0"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit(" now"),
+        ).alias("text"),
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("clean_text"),
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), F.lit(0))).alias(
+            "n_phones"
+        ),
+    )
+
+
+@query(
+    "text_char_entropy",
+    """
+WITH chars AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(text, '.')) AS ch FROM documents
+), counts AS (
+  SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+       ROUND(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 4) AS entropy_bits
+FROM counts GROUP BY doc_id
+""",
+)
+def text_char_entropy(spark, sf_dir):
+    """Per-document Shannon entropy of the character distribution — the
+    classic gibberish/compression-quality feature (low entropy = repeated
+    filler, high = random noise). Algebraic form log2(n) - sum(c*log2 c)/n
+    avoids materializing probabilities; one explode + two-level JVM
+    aggregation, shuffling only (doc_id, char) counts."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    counts = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all("text", F.lit("."), F.lit(0))
+            ).alias("ch"),
+        )
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return counts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+        F.round(
+            F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c"),
+            4,
+        ).alias("entropy_bits"),
+    )

@@ -729,3 +729,61 @@ def join_null_safe_equality(spark, sf_dir):
     return dim.alias("d").join(
         agg.alias("a"), F.col("d.k").eqNullSafe(F.col("a.k"))
     ).select(F.col("d.k").alias("k"), "n", "cents")
+
+
+@query(
+    "join_reciprocal_best_match",
+    """
+WITH spend AS (
+  SELECT o.o_custkey AS custkey, l.l_partkey AS partkey,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS spend_cents
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT custkey, partkey, spend_cents,
+         ROW_NUMBER() OVER (PARTITION BY custkey
+                            ORDER BY spend_cents DESC, partkey) AS rc,
+         ROW_NUMBER() OVER (PARTITION BY partkey
+                            ORDER BY spend_cents DESC, custkey) AS rp
+  FROM spend
+)
+SELECT custkey, partkey, spend_cents FROM ranked WHERE rc = 1 AND rp = 1
+""",
+)
+def join_reciprocal_best_match(spark, sf_dir):
+    """Reciprocal best match (mutual top-1): customer-part pairs where
+    the part is the customer's biggest spend AND the customer is the
+    part's biggest buyer — the matching primitive behind dedupe-linkage
+    and recommender reciprocity. Two ROW_NUMBER windows over ONE
+    aggregated spend table (never a join of two ranked copies);
+    deterministic tiebreak by key. Integer cents throughout."""
+    t = load(spark, sf_dir, "orders", "lineitem")
+    spend = (
+        t["orders"]
+        .join(
+            t["lineitem"],
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("spend_cents")
+        )
+    )
+    rc = Window.partitionBy("custkey").orderBy(
+        F.col("spend_cents").desc(), "partkey"
+    )
+    rp = Window.partitionBy("partkey").orderBy(
+        F.col("spend_cents").desc(), "custkey"
+    )
+    return (
+        spend.withColumn("rc", F.row_number().over(rc))
+        .withColumn("rp", F.row_number().over(rp))
+        .filter((F.col("rc") == 1) & (F.col("rp") == 1))
+        .select("custkey", "partkey", "spend_cents")
+    )
