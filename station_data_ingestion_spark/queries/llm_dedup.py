@@ -298,7 +298,12 @@ def _minhash_bands_batch(batches):
     a_vec = np.array([a for a, _ in _PERMS], dtype=np.uint64)
     b_vec = np.array([b for _, b in _PERMS], dtype=np.uint64)
     p = np.uint64(_P)
-    for pdf in batches:
+    # slice each Arrow batch: the (n_shingles, 32) permutation matrix for
+    # a full 10k-row batch peaks near 1 GB per task; ~2k docs bounds it
+    # to ~60 MB without changing the output (reduceat is per-doc)
+    chunk = 2048
+
+    def one_chunk(pdf):
         # same shingling as the exact-Jaccard rerank (_shingle_set):
         # candidate generation and rerank MUST tokenize identically or
         # the recall guarantee silently degrades
@@ -306,7 +311,7 @@ def _minhash_bands_batch(batches):
         counts = np.array([len(s) for s in ssets])
         keep = counts > 0
         if not keep.any():
-            continue
+            return None
         counts = counts[keep]
         doc_ids = pdf["doc_id"].to_numpy()[keep]
         flat = np.concatenate(
@@ -322,13 +327,19 @@ def _minhash_bands_batch(batches):
             sig[:, 0::2].astype(np.int64) * np.int64(_P)
             + sig[:, 1::2].astype(np.int64)
         )  # (n_docs, 16)
-        yield pd.DataFrame(
+        return pd.DataFrame(
             {
                 "doc_id": np.repeat(doc_ids, _BANDS),
                 "band": np.tile(np.arange(_BANDS, dtype=np.int32), len(doc_ids)),
                 "sig": band_sig.reshape(-1),
             }
         )
+
+    for whole in batches:
+        for lo in range(0, len(whole), chunk):
+            out = one_chunk(whole.iloc[lo : lo + chunk])
+            if out is not None:
+                yield out
 
 
 @query("dedup_minhash_lsh", _JACCARD_ORACLE)
@@ -349,6 +360,16 @@ def dedup_minhash_lsh(spark, sf_dir):
     bands = d.select("doc_id", "text").mapInPandas(
         _minhash_bands_batch, "doc_id long, band int, sig long"
     )
+    # Materialize the band table ONCE. Without this, Catalyst sees only
+    # a default size estimate for the MapInPandas output, decides it is
+    # broadcastable, and builds a BroadcastHashJoin whose BUILD SIDE is
+    # the whole band table: the expensive signature stage runs twice
+    # (once per join side) and 16 rows/doc funnel through the driver --
+    # measured 13x super-linear at the sf1 10x probe, and a guaranteed
+    # driver OOM at corpus scale. The checkpoint gives AQE the real size
+    # (16 rows/doc), so the self-join plans as a shuffle join with the
+    # signature stage computed exactly once.
+    bands = bands.localCheckpoint(eager=True)
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
         a.join(
