@@ -90,7 +90,12 @@ def phash_neardup_pairs(
             f"max_hamming={max_hamming} needs > {max_hamming} bands for "
             f"lossless bucketing; operator has {N_BANDS}"
         )
-    hashed = with_ahash(df, id_col, payload_col)
+    # Materialize the (id, phash) table once: it feeds BOTH sides of the
+    # band self-join, and without real size stats Catalyst broadcasts a
+    # corpus-sized build side and runs the Python hash stage twice (the
+    # minhash-LSH scale-killer, same shape). One row per image, so the
+    # checkpoint is far smaller than the payload scan it replaces.
+    hashed = with_ahash(df, id_col, payload_col).localCheckpoint(eager=True)
     bands = hashed.select(
         "row_id",
         "phash",

@@ -260,9 +260,13 @@ def sim_ann_lsh_bucketed(spark, sf_dir):
                 }
             )
 
+    # checkpoint: the banded table feeds both the query and candidate
+    # sides; without real stats the expensive signature stage runs twice
+    # (and Catalyst may broadcast the corpus-sized side — the minhash-LSH
+    # scale-killer). One tiny row per (vector, band) is cheap to pin.
     banded = e.select("vec_id", "embedding").mapInPandas(
         sig_batches, "vec_id long, band int, sig int"
-    )
+    ).localCheckpoint(eager=True)
     q = banded.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), "band", "sig"
     )
