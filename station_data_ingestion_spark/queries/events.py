@@ -645,3 +645,101 @@ def events_markov_transitions(spark, sf_dir):
         .cast("long")
         .alias("p_bp"),
     )
+
+
+@query(
+    "events_chi2_ab_test",
+    """
+WITH assign AS (
+  SELECT user_id, CAST(user_id % 2 AS INT) AS grp,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= 14 THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY user_id
+), cells AS (
+  SELECT CAST(SUM(CASE WHEN grp = 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN grp = 0 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN grp = 1 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN grp = 1 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM assign
+)
+SELECT a AS conv_a, b AS nonconv_a, c AS conv_b, d AS nonconv_b,
+       CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0 THEN NULL
+       ELSE ROUND(
+         (CAST(a + b + c + d AS DOUBLE)
+          * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+             - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+          * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+             - CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+         / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+            * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)),
+         6
+       ) END AS chi2
+FROM cells
+""",
+)
+def events_chi2_ab_test(spark, sf_dir):
+    """A/B conversion chi-square: users split by id parity, conversion =
+    any purchase event; the Pearson chi-square statistic of the 2x2
+    contingency table. The table cells are exact distributed integer
+    aggregates (one shuffle on user_id, then a 4-cell reduce); only the
+    final SCALAR statistic is float — one double expression over four
+    bigints, written identically in both engines, so no accumulation-
+    order nondeterminism exists anywhere."""
+    ev = load(spark, sf_dir, "events")["events"]
+    assign = (
+        ev.groupBy("user_id")
+        .agg(
+            F.when(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                )
+                >= 14,
+                1,
+            )
+            .otherwise(0)
+            .alias("conv")
+        )
+        .withColumn("grp", (F.col("user_id") % 2).cast("int"))
+    )
+    cells = assign.agg(
+        F.sum(F.when((F.col("grp") == 0) & (F.col("conv") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when((F.col("grp") == 0) & (F.col("conv") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when((F.col("grp") == 1) & (F.col("conv") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when((F.col("grp") == 1) & (F.col("conv") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+    ad_bc = (
+        F.col("a").cast("double") * F.col("d").cast("double")
+        - F.col("b").cast("double") * F.col("c").cast("double")
+    )
+    denom_zero = (
+        (F.col("a") + F.col("b"))
+        * (F.col("c") + F.col("d"))
+        * (F.col("a") + F.col("c"))
+        * (F.col("b") + F.col("d"))
+    ) == 0
+    chi2 = F.round(
+        ((F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+         * ad_bc * ad_bc)
+        / ((F.col("a") + F.col("b")).cast("double")
+           * (F.col("c") + F.col("d")).cast("double")
+           * (F.col("a") + F.col("c")).cast("double")
+           * (F.col("b") + F.col("d")).cast("double")),
+        6,
+    )
+    return cells.select(
+        F.col("a").alias("conv_a"),
+        F.col("b").alias("nonconv_a"),
+        F.col("c").alias("conv_b"),
+        F.col("d").alias("nonconv_b"),
+        F.when(denom_zero, F.lit(None).cast("double"))
+        .otherwise(chi2)
+        .alias("chi2"),
+    )

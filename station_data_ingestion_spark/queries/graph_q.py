@@ -178,3 +178,89 @@ def graph_triangle_count_copurchase(spark, sf_dir):
         .crossJoin(F.broadcast(tri))
         .select("n_edges", "n_triangles")
     )
+
+
+_BFS_HOPS = 3
+
+
+def _bfs_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT cust AS src, supp + {_SUPP_OFF} AS dst FROM pairs
+  UNION ALL
+  SELECT supp + {_SUPP_OFF} AS src, cust AS dst FROM pairs
+),
+seeds AS (
+  SELECT s_suppkey + {_SUPP_OFF} AS node FROM supplier WHERE s_nationkey < 4
+),
+walk(node, d) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.dst, w.d + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.d < {_BFS_HOPS}
+)
+SELECT node, CAST(MIN(d) AS BIGINT) AS hops FROM walk GROUP BY node
+"""
+
+
+@query("graph_bfs_hops", _bfs_oracle())
+def graph_bfs_hops(spark, sf_dir):
+    """Multi-source BFS over a CYCLIC graph: exact hop distance from a
+    seed set (nation 0-3 suppliers) through the bipartite who-bought-from-
+    whom graph, {_BFS_HOPS} hops max. Unlike the pointer-doubling
+    hierarchy walk (a forest), general-graph BFS needs a visited
+    frontier: each round expands the frontier one hop and anti-joins the
+    cumulative visited set, so a node is settled at its FIRST (minimal)
+    depth and cycles never loop. Rounds are a fixed constant; each is
+    one join + one anti-join shuffle on node id; per-round
+    localCheckpoint keeps the plan O(1) deep. The DuckDB oracle is the
+    same walk as a recursive CTE with UNION dedup + MIN(d).
+    """
+    t = load(spark, sf_dir, "orders", "lineitem", "supplier")
+    pairs = (
+        t["orders"]
+        .join(
+            t["lineitem"],
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + _SUPP_OFF).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+        )
+        # reused every round: materialize once, with real size stats
+        .localCheckpoint(eager=True)
+    )
+    frontier = (
+        t["supplier"]
+        .filter(F.col("s_nationkey") < 4)
+        .select((F.col("s_suppkey") + _SUPP_OFF).alias("node"))
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    visited = frontier
+    for d in range(1, _BFS_HOPS + 1):
+        nxt = (
+            edges.join(
+                frontier.select(F.col("node").alias("src")), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(d))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.select("node", F.col("hops").cast("long"))

@@ -655,3 +655,112 @@ def text_char_entropy(spark, sf_dir):
             4,
         ).alias("entropy_bits"),
     )
+
+
+@query(
+    "text_unigram_logprob",
+    """
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+), freq AS (
+  SELECT word, COUNT(*) AS f FROM tok GROUP BY word
+), tot AS (
+  SELECT SUM(f) AS n FROM freq
+), scored AS (
+  SELECT t.doc_id,
+         CAST(ROUND(log2(CAST(tt.n AS DOUBLE) / fr.f) * 1000000)
+              AS BIGINT) AS surprisal_ubits
+  FROM tok t JOIN freq fr ON fr.word = t.word CROSS JOIN tot tt
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(surprisal_ubits) AS BIGINT) AS sum_surprisal_ubits,
+       CAST(SUM(surprisal_ubits) // COUNT(*) AS BIGINT) AS avg_surprisal_ubits
+FROM scored GROUP BY doc_id
+""",
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Unigram-LM document scoring (perplexity proxy): train word
+    frequencies over the WHOLE corpus, then score each document by its
+    total and mean surprisal -log2 p(word) — the cheap first-pass
+    quality signal before an expensive model-based filter (low = dull
+    boilerplate, high = rare-token noise). Per-word surprisal is
+    rounded to integer microbits BEFORE summing, so the aggregate is
+    associative integer math — bit-identical on any partitioning or
+    engine. Plan: one vocab-sized groupBy, the token->freq join
+    broadcasts the vocabulary (bounded by distinct words, not corpus
+    size), one groupBy on doc_id."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    freq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("f"))
+    tot = freq.agg(F.sum("f").alias("n"))
+    scored = (
+        tok.join(F.broadcast(freq), "word")
+        .join(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(
+                F.log2(F.col("n").cast("double") / F.col("f")) * 1000000
+            )
+            .cast("long")
+            .alias("surprisal_ubits"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("surprisal_ubits").cast("long").alias("sum_surprisal_ubits"),
+        F.expr("sum(surprisal_ubits) div count(*)")
+        .cast("long")
+        .alias("avg_surprisal_ubits"),
+    )
+
+
+@query(
+    "text_heaps_law",
+    """
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY doc_id
+), firsts AS (
+  SELECT word, MIN(doc_id) AS first_doc FROM tok GROUP BY word
+), new_per_doc AS (
+  SELECT first_doc AS doc_id, COUNT(*) AS new_words FROM firsts GROUP BY first_doc
+)
+SELECT p.doc_id,
+       CAST(SUM(p.n_tokens) OVER (ORDER BY p.doc_id) AS BIGINT) AS cum_tokens,
+       CAST(SUM(COALESCE(n.new_words, 0)) OVER (ORDER BY p.doc_id) AS BIGINT)
+       AS cum_vocab
+FROM per_doc p LEFT JOIN new_per_doc n ON n.doc_id = p.doc_id
+""",
+)
+def text_heaps_law(spark, sf_dir):
+    """Vocabulary-growth (Heaps'-law) curve: cumulative token count vs
+    cumulative distinct vocabulary in doc_id order — the corpus
+    diagnostic for vocab saturation and dedup leverage. Distinct-so-far
+    NEVER keeps a running set: each word's first-occurrence doc comes
+    from one groupBy(word), per-doc new-word counts from a second small
+    aggregate, and both cumulatives run through the distributed
+    two-phase prefix sum (range repartition + per-partition offsets) —
+    no single-partition global window at any step."""
+    from station_data_ingestion_spark.operators.prefix_sum import (
+        ordered_prefix_sum,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    per_doc = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    new_per_doc = (
+        tok.groupBy("word")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("new_words"))
+    )
+    joined = per_doc.join(new_per_doc, "doc_id", "left").fillna(
+        0, subset=["new_words"]
+    )
+    cum1 = ordered_prefix_sum(joined, ["doc_id"], "n_tokens", "cum_tokens")
+    cum2 = ordered_prefix_sum(cum1, ["doc_id"], "new_words", "cum_vocab")
+    return cum2.select("doc_id", "cum_tokens", "cum_vocab")

@@ -274,3 +274,47 @@ def window_range_exclude_current(spark, sf_dir):
             in_frame > 1, F.sum("cents").over(w) - F.col("cents")
         ).alias("neighbor_cents"),
     )
+
+
+@query(
+    "window_count_distinct_frame",
+    """
+SELECT event_id, user_id,
+       COUNT(DISTINCT event_type)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       AS n_types_so_far
+FROM events
+""",
+)
+def window_count_distinct_frame(spark, sf_dir):
+    """Running DISTINCT count over a window frame — Spark has no
+    COUNT(DISTINCT) OVER (DuckDB does, which makes the oracle honestly
+    independent). Emulated scalably: flag each (user, event_type)'s
+    FIRST occurrence with one row_number window, then a running SUM of
+    flags over the user's timeline — two windows on the same
+    high-cardinality user_id partitioning (one shuffle, AQE reuses the
+    exchange), never a per-row set state like size(collect_set) OVER,
+    whose per-row set copies go quadratic on hot keys at scale."""
+    ev = load(spark, sf_dir, "events")["events"]
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias(
+            "first_seen"
+        ),
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.sum("first_seen").over(w_run).alias("n_types_so_far"),
+    )

@@ -37,6 +37,7 @@ CROSS_JOIN_OK = {
     "graph_triangle_count_copurchase",  # one-row triangle-count broadcast
     "events_max_concurrent_sessions",  # one-row session-count broadcast
     "dq_key_skew_profile",  # one-row top10-mass broadcast
+    "text_unigram_logprob",  # one-row corpus-token-total broadcast
     "join_bloom_prefiltered_lineitems",  # one-row bloom-words broadcast:
     # the packed filter ships as a single array value (a list literal
     # would expand to a per-row CreateArray — measured 17x slower)
