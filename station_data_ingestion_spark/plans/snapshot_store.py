@@ -42,11 +42,18 @@ from station_data_ingestion_spark.operators.maintenance import _unescape_pv
 _SNAPDIR = "_snapshots"
 _STAGING = "_staging"
 _PENDING = "_pending"
+_CHANGES = "_changes"
 _MAX_COMMIT_ATTEMPTS = 20
 
 
 class ConcurrentCommitError(RuntimeError):
     """Raised when a commit loses the publish race too many times."""
+
+
+class ChangeFeedUnavailableError(RuntimeError):
+    """Raised when read_change_feed covers a commit whose row-level
+    changes were neither recorded at write time nor derivable
+    structurally (e.g. restore, recluster without the cdf marker)."""
 
 
 def _fs(spark: SparkSession, path_str: str):
@@ -894,6 +901,7 @@ class SnapshotTable:
         cluster_by: tuple[str, ...] | None = None,
         cluster_partitions: int | None = None,
         expected_version: int | None = None,
+        cdf_none: bool = False,
     ) -> int:
         """Write df's rows, replacing exactly the partitions df contains.
 
@@ -929,7 +937,12 @@ class SnapshotTable:
         replaced = {
             tuple(sorted(e["partition"].items())) for e in new_entries
         }
-        return self._commit_entries(replaced, new_entries, expected_version)
+        # cdf_none: the caller declares this commit changes NO logical
+        # rows (recluster/compaction) so the change feed skips it
+        return self._commit_entries(
+            replaced, new_entries, expected_version,
+            extra={"cdf": "none"} if cdf_none else None,
+        )
 
     def _write_and_promote(
         self,
@@ -1050,6 +1063,7 @@ class SnapshotTable:
         replaced: set[tuple],
         new_entries: list[dict],
         expected_version: int | None = None,
+        extra: dict | None = None,
     ) -> int:
         """Publish: latest files with `replaced` partitions' entries
         swapped for `new_entries`. Declarative — no data I/O — so the
@@ -1087,6 +1101,8 @@ class SnapshotTable:
             )
             if renames:
                 manifest["renames"] = renames
+            if extra:
+                manifest.update(extra)
             if self._write_manifest_exclusive(version, manifest):
                 return version
         raise ConcurrentCommitError(
@@ -1152,7 +1168,11 @@ class SnapshotTable:
         return df
 
     def _commit_file_replacement(
-        self, replaced_paths: set[str], new_entries: list[dict], base_v: int
+        self,
+        replaced_paths: set[str],
+        new_entries: list[dict],
+        base_v: int,
+        extra: dict | None = None,
     ) -> int:
         """Publish: base version's files with `replaced_paths` swapped
         for `new_entries`. FILE-level replacement (vs _commit_entries'
@@ -1177,6 +1197,8 @@ class SnapshotTable:
         }
         if base_m.get("renames"):
             manifest["renames"] = base_m["renames"]
+        if extra:
+            manifest.update(extra)
         if not self._write_manifest_exclusive(version, manifest):
             raise ConcurrentCommitError(
                 f"lost the publish race for v{version} at {self.path}"
@@ -1206,6 +1228,9 @@ class SnapshotTable:
         return self.rewrite_where(
             condition,
             lambda df, cond: df.filter(~F.coalesce(cond, F.lit(False))),
+            changes_builder=lambda df, cond, new_df: df.filter(
+                F.coalesce(cond, F.lit(False))
+            ).withColumn("_change_type", F.lit("delete")),
         )
 
     def update_where(self, condition, assignments: dict) -> int:
@@ -1221,11 +1246,31 @@ class SnapshotTable:
                 out = out.withColumn(col, F.when(cond, expr).otherwise(F.col(col)))
             return out
 
-        return self.rewrite_where(condition, apply)
+        def changes(df, cond, new_df):
+            pre = df.filter(F.coalesce(cond, F.lit(False))).withColumn(
+                "_change_type", F.lit("update_preimage")
+            )
+            post = (
+                apply(df, cond)
+                .filter(F.coalesce(cond, F.lit(False)))
+                .withColumn("_change_type", F.lit("update_postimage"))
+            )
+            return pre.unionByName(post)
 
-    def rewrite_where(self, condition, transform) -> int:
+        return self.rewrite_where(condition, apply, changes_builder=changes)
+
+    def rewrite_where(self, condition, transform, changes_builder=None) -> int:
         """Shared DELETE/UPDATE machinery: `transform(df, condition)`
-        is applied to the files whose rows match `condition`."""
+        is applied to the files whose rows match `condition`.
+
+        ``changes_builder(df, cond, new_df)`` — when given — returns the
+        row-level CHANGE FEED frame for this commit (table columns plus
+        a ``_change_type`` string). It is written under ``_changes/``
+        BEFORE the manifest publish and referenced from the manifest, so
+        a failed publish leaves only a vacuum-reapable orphan, never a
+        dangling reference (Delta's write-time CDF design: the change
+        volume is bounded by the touched files, and readers never
+        reconstruct row diffs from full snapshots)."""
         from pyspark.sql import functions as F
 
         base_v = self.latest_version()
@@ -1277,9 +1322,83 @@ class SnapshotTable:
         stats = self._file_stats(staging, list(self.stat_cols))
         blooms = self._file_blooms(staging)
         new_entries = self._promote_staging(staging, stats, blooms)
+        extra = None
+        if changes_builder is not None:
+            chg = changes_builder(df, cond, rewritten)
+            extra = {"changes": self._write_changes(chg)}
         return self._commit_file_replacement(
-            {_entry_key(e) for e in touched}, new_entries, base_v
+            {_entry_key(e) for e in touched}, new_entries, base_v, extra=extra
         )
+
+    def _write_changes(self, changes: DataFrame) -> str:
+        """Write a change-feed frame under ``_changes/``; returns the
+        manifest-relative token. Unreferenced tokens (lost publish
+        races) are reaped by vacuum like any staged orphan."""
+        rel = uuid.uuid4().hex
+        changes.write.parquet(f"{self.path}/{_CHANGES}/{rel}")
+        return rel
+
+    def read_change_feed(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame | None:
+        """Row-level changes in the version range (from_version,
+        to_version] — Delta CHANGE DATA FEED semantics: each row carries
+        ``_change_type`` in {insert, delete, update_preimage,
+        update_postimage} and ``_commit_version``.
+
+        Sources per commit, cheapest first: a manifest marked
+        ``cdf: none`` (declared maintenance, e.g. recluster) contributes
+        nothing; a recorded ``changes`` file is read as-is (write-time
+        CDF, volume bounded by the touched files); a structurally pure
+        APPEND (previous file set preserved) synthesizes inserts by
+        scanning ONLY the added files — appends pay zero extra storage.
+        Anything else raises :class:`ChangeFeedUnavailableError`
+        (restores and untracked partition overwrites have no derivable
+        row diff — same contract as Delta before CDF is enabled).
+
+        Returns None when the range is empty. Applying the feed to the
+        from_version snapshot reproduces to_version exactly (delete the
+        delete+update_preimage rows, add insert+update_postimage)."""
+        from pyspark.sql import functions as F
+
+        v_hi = self.latest_version() if to_version is None else to_version
+        if v_hi is None or from_version > v_hi:
+            raise ValueError(
+                f"invalid change-feed range ({from_version}, {v_hi}]"
+            )
+        frames = []
+        for v in range(from_version + 1, v_hi + 1):
+            m = self._read_manifest(v)
+            if m.get("cdf") == "none":
+                continue
+            if "changes" in m:
+                df = self.spark.read.parquet(
+                    f"{self.path}/{_CHANGES}/{m['changes']}"
+                )
+            else:
+                prev = {
+                    _entry_key(e)
+                    for e in self._read_manifest(v - 1)["files"]
+                }
+                cur = {_entry_key(e): e for e in m["files"]}
+                if not prev <= set(cur):
+                    raise ChangeFeedUnavailableError(
+                        f"v{v} at {self.path} replaced files without a "
+                        "recorded change feed; re-run from a snapshot read"
+                    )
+                added = [e for k, e in cur.items() if k not in prev]
+                if not added:
+                    continue
+                df = self._read_entry_files(
+                    added, renames=m.get("renames", [])
+                ).withColumn("_change_type", F.lit("insert"))
+            frames.append(df.withColumn("_commit_version", F.lit(v)))
+        if not frames:
+            return None
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
 
     # -- maintenance -------------------------------------------------------
 
@@ -1324,7 +1443,9 @@ class SnapshotTable:
             if df is None:
                 return None
             new_v = self.commit_overwrite_partitions(
-                df, cluster_by=cluster_by, cluster_partitions=cluster_partitions
+                df, cluster_by=cluster_by,
+                cluster_partitions=cluster_partitions,
+                cdf_none=True,
             )
             base_paths = {
                 _entry_key(e) for e in self._partition_entries(base_v, partition)
@@ -1416,6 +1537,25 @@ class SnapshotTable:
             keep = name == f"v{v:012d}.json"
             if not keep and st.getModificationTime() < cutoff_ms:
                 fs.delete(st.getPath(), False)
+        # change-feed files: referenced by any SURVIVING manifest = live
+        # (readers can still resolve that version); unreferenced tokens
+        # (lost publish races, reaped manifests) age out like staging
+        chg_root = HPath(f"{self.path}/{_CHANGES}")
+        if fs.exists(chg_root):
+            live_chg = set()
+            for st in fs.listStatus(snap_root):
+                name = st.getPath().getName()
+                if name.startswith("v") and name.endswith(".json"):
+                    try:
+                        m = self._read_manifest(int(name[1:-5]))
+                    except (FileNotFoundError, ValueError):
+                        continue
+                    if "changes" in m:
+                        live_chg.add(m["changes"])
+            for st in fs.listStatus(chg_root):
+                tok = st.getPath().getName()
+                if tok not in live_chg and st.getModificationTime() < cutoff_ms:
+                    fs.delete(st.getPath(), True)
         return deleted
 
 

@@ -1629,3 +1629,91 @@ def stream_wap_audit_replay(spark, sf_dir):
             F.sum(F.round(F.col("value") * 10000).cast("long")) / 10000.0
         ).alias("total_value"),
     )
+
+
+@query(
+    "snapshot_change_feed_read",
+    """
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT 'insert' AS change_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM o WHERE o_custkey % 4 = 3
+UNION ALL
+SELECT 'update_preimage', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(cents) AS BIGINT)
+FROM o WHERE o_custkey % 100 < 5
+UNION ALL
+SELECT 'update_postimage', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(cents + 777) AS BIGINT)
+FROM o WHERE o_custkey % 100 < 5
+UNION ALL
+SELECT 'delete', CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+FROM o WHERE o_custkey % 100 >= 95
+""",
+)
+def snapshot_change_feed_read(spark, sf_dir):
+    """CHANGE DATA FEED (Delta CDF parity): insert / update_preimage /
+    update_postimage / delete rows with per-commit versions. The feed is
+    RECORDED AT WRITE TIME for predicate rewrites (volume bounded by the
+    touched files) and SYNTHESIZED from added files for pure appends
+    (zero extra storage); recluster declares cdf:none and contributes
+    nothing. The query also asserts apply-equivalence in-query: replaying
+    the feed onto the from-version snapshot must reproduce the latest
+    version exactly — a feed that drops or duplicates a row fails the
+    gate even if the aggregate happens to collide."""
+    orders = load(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_custkey") % 4).alias("bucket"),
+    )
+    t = SnapshotTable(
+        spark,
+        _tmpdir(prefix="snap_cdf_") + "/orders_cdf",
+        partition_cols=("bucket",),
+        stat_cols=("o_custkey",),
+    )
+    t.commit_overwrite_partitions(orders.filter(F.col("bucket") < 3))
+    v1 = t.latest_version()
+    # pure append: a brand-new partition -> inserts synthesized from the
+    # added files, nothing written to _changes/
+    t.commit_overwrite_partitions(orders.filter(F.col("bucket") == 3))
+    t.update_where(
+        F.col("o_custkey") % 100 < 5, {"cents": F.col("cents") + 777}
+    )
+    t.delete_where(F.col("o_custkey") % 100 >= 95)
+    v_now = t.latest_version()
+    # maintenance commit: must NOT appear in the feed
+    t.recluster_partition({"bucket": "0"}, cluster_by=("o_custkey",))
+
+    feed = t.read_change_feed(v1, to_version=v_now)
+    cols = ("o_orderkey", "o_custkey", "cents", "bucket")
+    base = t.read(version=v1).select(*cols)
+    minus = feed.filter(
+        F.col("_change_type").isin("delete", "update_preimage")
+    ).select(*cols)
+    plus = feed.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select(*cols)
+    # replay order: inserts land BEFORE the preimage/delete subtraction
+    # (the update touched appended rows too); postimages are disjoint
+    # from both subtracted sets, so the grouped form equals the
+    # per-version fold here
+    applied = base.unionByName(plus).exceptAll(minus)
+    final = t.read(version=v_now).select(*cols)
+    drift = applied.exceptAll(final).count() + final.exceptAll(applied).count()
+    if drift:
+        raise RuntimeError(
+            f"change feed does not reproduce the target version "
+            f"({drift} drifted rows)"
+        )
+    return feed.groupBy(
+        F.col("_change_type").alias("change_type")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+    )

@@ -1082,3 +1082,102 @@ def test_shallow_clone_cow_delete_and_vacuum_isolation(spark, tmp_path):
     clone.update_where(F.col("k") >= 900, {"g": F.lit(77)})
     assert clone.read().filter("g = 77").count() == 100
     assert src.read().filter("g = 77").count() == 0
+
+
+def test_change_feed_update_delete_append(spark, tmp_path):
+    """CDF: recorded update/delete changes + synthesized append inserts;
+    applying the feed to the from-version reproduces the to-version."""
+    from station_data_ingestion_spark.plans.snapshot_store import (
+        ChangeFeedUnavailableError,
+    )
+
+    t = SnapshotTable(
+        spark, str(tmp_path / "cdf_tbl"), partition_cols=("g",),
+        stat_cols=("k",),
+    )
+    t.commit_overwrite_partitions(
+        spark.createDataFrame(
+            [(i, "a", 10) for i in range(100)], "k long, g string, v long"
+        )
+    )
+    v1 = t.latest_version()
+    # append: a NEW partition only -- structurally pure append
+    t.commit_overwrite_partitions(
+        spark.createDataFrame(
+            [(i, "b", 20) for i in range(100, 150)], "k long, g string, v long"
+        )
+    )
+    t.update_where(F.col("k") < 10, {"v": F.col("v") + 5})
+    t.delete_where(F.col("k").between(90, 99))
+    v4 = t.latest_version()
+
+    feed = t.read_change_feed(v1)
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in feed.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_type == {
+        "insert": 50, "update_preimage": 10,
+        "update_postimage": 10, "delete": 10,
+    }
+    # update images carry the actual values
+    post = feed.filter("_change_type = 'update_postimage'")
+    assert post.agg(F.min("v"), F.max("v")).first() == (15, 15)
+
+    # apply-equivalence: v1 + feed == v4
+    base = t.read(version=v1).select("k", "g", "v")
+    minus = feed.filter(
+        F.col("_change_type").isin("delete", "update_preimage")
+    ).select("k", "g", "v")
+    plus = feed.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select("k", "g", "v")
+    applied = base.exceptAll(minus).unionByName(plus)
+    final = t.read(version=v4).select("k", "g", "v")
+    assert applied.exceptAll(final).count() == 0
+    assert final.exceptAll(applied).count() == 0
+
+    # recluster is declared maintenance: contributes nothing
+    t.recluster_partition({"g": "a"}, cluster_by=("k",))
+    assert t.read_change_feed(v4) is None
+
+    # restore replaces files with no recorded feed: unavailable
+    t.restore(v1)
+    try:
+        t.read_change_feed(v4)
+        raise AssertionError("expected ChangeFeedUnavailableError")
+    except ChangeFeedUnavailableError:
+        pass
+
+
+def test_change_feed_vacuum_protects_referenced_files(spark, tmp_path):
+    """Vacuum reaps only UNreferenced change files past retention."""
+    import os
+
+    t = SnapshotTable(
+        spark, str(tmp_path / "cdf_vac"), partition_cols=(), stat_cols=()
+    )
+    t.commit_overwrite_partitions(
+        spark.createDataFrame([(i, 1) for i in range(50)], "k long, v long")
+    )
+    v1 = t.latest_version()
+    t.delete_where(F.col("k") < 5)
+    chg_root = tmp_path / "cdf_vac" / "_changes"
+    tokens = set(os.listdir(chg_root))
+    assert len(tokens) == 1
+    # an orphan change dir (lost publish race simulation)
+    orphan = chg_root / "deadbeef"
+    orphan.mkdir()
+    (orphan / "part-x.parquet").write_bytes(b"junk")
+    old = 1.0
+    os.utime(orphan, (old, old))
+    for tok in tokens:
+        os.utime(chg_root / tok, (old, old))
+        for f in (chg_root / tok).iterdir():
+            os.utime(f, (old, old))
+    t.vacuum(older_than_sec=3600)
+    left = set(os.listdir(chg_root))
+    assert "deadbeef" not in left, "orphan change dir must be reaped"
+    assert tokens <= left, "referenced change dir must survive"
+    # the feed still reads after vacuum
+    assert t.read_change_feed(v1).count() == 5
