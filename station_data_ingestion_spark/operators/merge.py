@@ -183,6 +183,49 @@ def merge_plan(
     )
 
 
+def merge_changes(
+    target: DataFrame,
+    updates: DataFrame,
+    key_fields: list[str],
+    replace: bool = True,
+) -> DataFrame:
+    """CHANGE-FEED frame for the merge: the row-level deltas a
+    `merge_plan` commit applies, typed Delta-CDF style.
+
+    - 'create' rows  -> one ``insert`` row (the update image)
+    - 'replace' rows -> ``update_preimage`` (the target's old data) +
+      ``update_postimage`` (the update's new data)
+    - 'keep' rows    -> nothing (no logical change)
+
+    Both images come from the SAME full-outer join the merge itself
+    builds (``_t_data`` / ``_u_data`` side structs) — no second join
+    against the target. Feed this to
+    ``SnapshotTable.commit_overwrite_partitions(changes=...)`` so
+    ``read_change_feed`` covers merge commits too (a partition
+    overwrite has no structurally derivable row diff). Evaluating it is
+    one extra run of the merge join; persist the inputs if that
+    matters at your scale.
+    """
+    plan = merge_plan(target, updates, key_fields, replace)
+    data_cols = [c for c in plan.columns if c not in key_fields + ["_action"]]
+    pre_target = target.select(*key_fields, *data_cols)
+    created = plan.filter(F.col("_action") == "create").select(
+        *key_fields, *data_cols, F.lit("insert").alias("_change_type")
+    )
+    post = plan.filter(F.col("_action") == "replace").select(
+        *key_fields, *data_cols, F.lit("update_postimage").alias("_change_type")
+    )
+    # preimages: the target's current rows for the replaced keys — a
+    # semi-join against the (small) replaced-key set, not a second
+    # full-outer pass
+    pre = pre_target.join(
+        plan.filter(F.col("_action") == "replace").select(*key_fields),
+        key_fields,
+        "left_semi",
+    ).select(*key_fields, *data_cols, F.lit("update_preimage").alias("_change_type"))
+    return created.unionByName(post).unionByName(pre)
+
+
 def merge_observations(
     target: DataFrame,
     updates: DataFrame,

@@ -902,6 +902,7 @@ class SnapshotTable:
         cluster_partitions: int | None = None,
         expected_version: int | None = None,
         cdf_none: bool = False,
+        changes: DataFrame | None = None,
     ) -> int:
         """Write df's rows, replacing exactly the partitions df contains.
 
@@ -938,10 +939,18 @@ class SnapshotTable:
             tuple(sorted(e["partition"].items())) for e in new_entries
         }
         # cdf_none: the caller declares this commit changes NO logical
-        # rows (recluster/compaction) so the change feed skips it
+        # rows (recluster/compaction) so the change feed skips it.
+        # ``changes``: a caller-computed row-level change frame (e.g.
+        # merge_changes) recorded write-time — a partition overwrite has
+        # no structurally derivable diff, so without it the commit reads
+        # as change-feed-unavailable.
+        extra = None
+        if cdf_none:
+            extra = {"cdf": "none"}
+        elif changes is not None:
+            extra = {"changes": self._write_changes(changes)}
         return self._commit_entries(
-            replaced, new_entries, expected_version,
-            extra={"cdf": "none"} if cdf_none else None,
+            replaced, new_entries, expected_version, extra=extra
         )
 
     def _write_and_promote(

@@ -317,3 +317,82 @@ def merge_scd2_point_in_time_join(spark, sf_dir):
         F.count("*").alias("n_orders"),
         F.sum("cents").alias("cents"),
     )
+
+
+@query(
+    "merge_cdf_orders",
+    """
+WITH t AS (
+  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 2 = 0
+), u AS (
+  SELECT o_orderkey, CAST(ROUND(o_totalprice * 2 * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT 'insert' AS change_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(u.cents) AS BIGINT) AS cents
+FROM u LEFT JOIN t ON t.o_orderkey = u.o_orderkey
+WHERE t.o_orderkey IS NULL
+UNION ALL
+SELECT 'update_preimage', CAST(COUNT(*) AS BIGINT), CAST(SUM(t.cents) AS BIGINT)
+FROM u JOIN t ON t.o_orderkey = u.o_orderkey WHERE u.cents <> t.cents
+UNION ALL
+SELECT 'update_postimage', CAST(COUNT(*) AS BIGINT), CAST(SUM(u.cents) AS BIGINT)
+FROM u JOIN t ON t.o_orderkey = u.o_orderkey WHERE u.cents <> t.cents
+""",
+)
+def merge_cdf_orders(spark, sf_dir):
+    """MERGE with a recorded CHANGE DATA FEED: the upsert commits into
+    the snapshot store with the row-level deltas (insert /
+    update_preimage / update_postimage) captured from the merge's own
+    full-outer join (operators/merge.py:merge_changes) — Delta's
+    MERGE-with-CDF. A partition overwrite has no structurally derivable
+    diff, so the recorded feed is what makes downstream incremental
+    consumers possible. Apply-equivalence is asserted in-query: feed
+    replayed onto the pre-merge snapshot == post-merge snapshot."""
+    from station_data_ingestion_spark.operators.merge import merge_changes
+    from station_data_ingestion_spark.plans.snapshot_store import SnapshotTable
+    from station_data_ingestion_spark.queries.snapshot_q import _tmpdir
+
+    o = load(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    target = o.filter(F.col("o_orderkey") % 2 == 0)
+    updates = o.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "cents", F.col("cents") * 2
+    )
+    t = SnapshotTable(
+        spark,
+        _tmpdir(prefix="merge_cdf_") + "/orders_m",
+        partition_cols=(),
+        stat_cols=("o_orderkey",),
+    )
+    t.commit_overwrite_partitions(target)
+    v1 = t.latest_version()
+    stored = t.read().select("o_orderkey", "cents")
+    merged = merge_plan(stored, updates, ["o_orderkey"], replace=True).drop(
+        "_action"
+    )
+    changes = merge_changes(stored, updates, ["o_orderkey"], replace=True)
+    t.commit_overwrite_partitions(
+        merged, expected_version=v1, changes=changes
+    )
+    v2 = t.latest_version()
+
+    feed = t.read_change_feed(v1, to_version=v2)
+    cols = ("o_orderkey", "cents")
+    base = t.read(version=v1).select(*cols)
+    plus = feed.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select(*cols)
+    minus = feed.filter(F.col("_change_type") == "update_preimage").select(*cols)
+    applied = base.unionByName(plus).exceptAll(minus)
+    final = t.read(version=v2).select(*cols)
+    drift = applied.exceptAll(final).count() + final.exceptAll(applied).count()
+    if drift:
+        raise RuntimeError(f"merge change feed drifts by {drift} rows")
+    return feed.groupBy(F.col("_change_type").alias("change_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
