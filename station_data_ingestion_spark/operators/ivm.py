@@ -104,3 +104,49 @@ def apply_agg_delta(
             for name in sum_cols
         ],
     ).where(F.col(count_col) > 0)
+
+
+def change_feed_to_diff(
+    feed: DataFrame, key_cols: list[str], data_cols: list[str]
+) -> DataFrame:
+    """Adapt a snapshot-store CHANGE FEED (read_change_feed) to the
+    keyed_diff changelog shape apply_agg_delta consumes.
+
+    - ``insert``  -> ``added`` (new_data)
+    - ``delete``  -> ``removed`` (old_data)
+    - ``update_preimage`` + ``update_postimage`` of the same key within
+      the same commit pair up into one ``changed`` row (old_data,
+      new_data) — the equi-join is on (key, _commit_version), so a key
+      updated in several commits yields one changed row per commit, in
+      feed order, exactly like replaying the changelog.
+
+    Composition: SnapshotTable.read_change_feed -> change_feed_to_diff
+    -> apply_agg_delta maintains a grouped aggregate straight from the
+    store's recorded deltas — the fact table is never rescanned.
+    """
+    cols = key_cols + data_cols
+    data = F.struct(*cols)
+    ins = feed.filter(F.col("_change_type") == "insert").select(
+        F.lit("added").alias("change_type"),
+        F.lit(None).cast(
+            feed.select(data.alias("x")).schema["x"].dataType
+        ).alias("old_data"),
+        data.alias("new_data"),
+    )
+    dele = feed.filter(F.col("_change_type") == "delete").select(
+        F.lit("removed").alias("change_type"),
+        data.alias("old_data"),
+        F.lit(None).cast(
+            feed.select(data.alias("x")).schema["x"].dataType
+        ).alias("new_data"),
+    )
+    pre = feed.filter(F.col("_change_type") == "update_preimage").select(
+        *key_cols, "_commit_version", data.alias("old_data")
+    )
+    post = feed.filter(F.col("_change_type") == "update_postimage").select(
+        *key_cols, "_commit_version", data.alias("new_data")
+    )
+    chg = pre.join(post, key_cols + ["_commit_version"]).select(
+        F.lit("changed").alias("change_type"), "old_data", "new_data"
+    )
+    return ins.unionByName(dele).unionByName(chg)

@@ -1717,3 +1717,89 @@ def snapshot_change_feed_read(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("cents").cast("long").alias("cents"),
     )
+
+
+@query(
+    "rollup_change_feed_maintained_agg",
+    """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS s,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         o_custkey % 4 AS bucket
+  FROM orders
+),
+final AS (
+  SELECT s, CASE WHEN k % 5 = 0 THEN cents + 100 ELSE cents END AS cents
+  FROM base WHERE k % 7 <> 0
+)
+SELECT s, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM final GROUP BY s
+""",
+)
+def rollup_change_feed_maintained_agg(spark, sf_dir):
+    """Materialized aggregate maintained from the STORE'S OWN change
+    feed: read_change_feed -> change_feed_to_diff -> apply_agg_delta
+    rolls a grouped SUM/COUNT forward across an append, an UPDATE and a
+    DELETE commit without ever rescanning the fact table (the r5 IVM
+    query computed its changelog by diffing snapshots; this one consumes
+    the write-time recorded feed — the shape a 100 TB pipeline runs,
+    where rescan-and-diff is exactly what CDF exists to avoid). The
+    oracle recomputes the final aggregate from scratch; in-query the
+    maintained aggregate is also checked against a direct recompute of
+    the final version."""
+    from station_data_ingestion_spark.operators.ivm import (
+        apply_agg_delta,
+        change_feed_to_diff,
+    )
+
+    base = load(spark, sf_dir, "orders")["orders"].select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("s"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_custkey") % 4).alias("bucket"),
+    )
+    t = SnapshotTable(
+        spark,
+        _tmpdir(prefix="cdf_ivm_") + "/orders_ivm",
+        partition_cols=("bucket",),
+        stat_cols=("k",),
+    )
+    t.commit_overwrite_partitions(base.filter(F.col("bucket") < 3))
+    v1 = t.latest_version()
+    agg1 = (
+        t.read(version=v1)
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .localCheckpoint(eager=True)  # the materialized view
+    )
+    t.commit_overwrite_partitions(base.filter(F.col("bucket") == 3))
+    t.update_where(F.col("k") % 5 == 0, {"cents": F.col("cents") + 100})
+    t.delete_where(F.col("k") % 7 == 0)
+    v_now = t.latest_version()
+
+    feed = t.read_change_feed(v1, to_version=v_now)
+    diff = change_feed_to_diff(feed, ["k"], ["s", "cents", "bucket"])
+    maintained = apply_agg_delta(
+        agg1, diff, ["s"], {"cents": "cents"}, count_col="n_rows"
+    )
+    recomputed = (
+        t.read(version=v_now)
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
+    drift = (
+        maintained.exceptAll(recomputed).count()
+        + recomputed.exceptAll(maintained).count()
+    )
+    if drift:
+        raise RuntimeError(
+            f"feed-maintained aggregate drifts from recompute ({drift} rows)"
+        )
+    return maintained
