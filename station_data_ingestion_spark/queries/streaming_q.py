@@ -382,3 +382,48 @@ def stream_static_join_replay(spark, sf_dir):
         lambda s: static_enriched_counts(s, dim),
         "append",
     )
+
+
+@query(
+    "stream_session_dynamic_gap_replay",
+    """
+WITH iv AS (
+  SELECT user_id, ts,
+         ts + CASE WHEN event_type = 'purchase' THEN INTERVAL 60 MINUTE
+                   ELSE INTERVAL 30 MINUTE END AS e
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   > ts THEN 0 ELSE 1 END AS is_new
+  FROM iv
+),
+islands AS (
+  SELECT user_id, ts, e,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, MIN(ts) AS session_start, MAX(e) AS session_end,
+         COUNT(*) AS n_events
+  FROM islands GROUP BY user_id, sess
+),
+m AS (SELECT MAX(ts) AS mx FROM events)
+SELECT user_id,
+       strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+       n_events
+FROM sessions, m
+WHERE session_end <= mx - INTERVAL 2 HOUR
+""",
+)
+def stream_session_dynamic_gap_replay(spark, sf_dir):
+    """session_window with a DYNAMIC per-event gap (60 min for
+    purchases, 30 otherwise) through the streaming engine. Sessions are
+    the interval union of [ts, ts+gap) per user — touching-but-not-
+    overlapping windows stay separate (strict >), matching Spark's
+    merge rule. The oracle replays the union + watermark finalization
+    (session end = max event end <= final watermark)."""
+    return _replay(spark, sf_dir, W.session_windows_dynamic_gap, "append")

@@ -350,3 +350,31 @@ def static_enriched_counts(
             "total_value",
         )
     )
+
+
+def session_windows_dynamic_gap(
+    events: DataFrame,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows with a PER-EVENT gap expression: purchases hold
+    the session open 60 minutes, everything else 30 — the
+    engagement-weighted sessionization batch gaps-and-islands cannot
+    express with one constant. Each event contributes [ts, ts+gap);
+    Spark merges overlapping per-key windows, so the session is the
+    interval union and its end is max(ts + gap(event))."""
+    events = normalize_event_ts(events)
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("60 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
