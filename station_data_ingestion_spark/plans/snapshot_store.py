@@ -300,6 +300,8 @@ class SnapshotTable:
         }
         if m.get("renames"):
             manifest["renames"] = m["renames"]
+        if m.get("dropped"):
+            manifest["dropped"] = m["dropped"]
         if not dst._write_manifest_exclusive(1, manifest):
             raise ConcurrentCommitError(
                 f"lost the publish race for v1 at {dst_path}"
@@ -454,11 +456,16 @@ class SnapshotTable:
         if not entries:
             return None
         return self._read_entry_files(
-            entries, renames=manifest.get("renames", [])
+            entries,
+            renames=manifest.get("renames", []),
+            dropped=manifest.get("dropped", []),
         )
 
     def _read_entry_files(
-        self, entries: list[dict], renames: list[list[str]] | None = None
+        self,
+        entries: list[dict],
+        renames: list[list[str]] | None = None,
+        dropped: list[str] | None = None,
     ) -> DataFrame:
         """Scan manifest entries, restoring partition columns.
 
@@ -498,6 +505,9 @@ class SnapshotTable:
             out = out.unionByName(d, allowMissingColumns=True)
         if renames:
             out = self._apply_renames(out, renames)
+        for c in dropped or []:
+            if c in out.columns:
+                out = out.drop(c)
         return out
 
     def _latest_renames(self) -> list[list[str]]:
@@ -505,6 +515,12 @@ class SnapshotTable:
         if v is None:
             return []
         return self._read_manifest(v).get("renames", [])
+
+    def _latest_dropped(self) -> list[str]:
+        v = self.latest_version()
+        if v is None:
+            return []
+        return self._read_manifest(v).get("dropped", [])
 
     def rename_column(self, old: str, new: str) -> int:
         """Metadata-only column rename (Iceberg rename-column): no data
@@ -565,6 +581,40 @@ class SnapshotTable:
             )
         return version
 
+    def drop_column(self, col: str) -> int:
+        """Metadata-only DROP COLUMN (Iceberg drop-column): no data file
+        is touched — old files keep the physical values, reads exclude
+        the column from this version on, and time travel to a pre-drop
+        version still sees it. The name is RETIRED: a later commit
+        writing a column with this name raises (name-mapped store, no
+        field ids — re-adding would resurface old files' values), same
+        rule as renamed-away names. Partition columns cannot be dropped
+        (baked into layout and entry keys)."""
+        if col in self.partition_cols:
+            raise ValueError("cannot drop a partition column")
+        cur = self.read()
+        if cur is None or col not in cur.columns:
+            raise ValueError(
+                f"'{col}' does not exist in the live schema; nothing to "
+                "drop"
+            )
+        base_v = self.latest_version()
+        m = self._read_manifest(base_v)
+        version = base_v + 1
+        manifest = {
+            "version": version,
+            "partition_cols": list(self.partition_cols),
+            "files": m["files"],
+            "dropped": m.get("dropped", []) + [col],
+        }
+        if m.get("renames"):
+            manifest["renames"] = m["renames"]
+        if not self._write_manifest_exclusive(version, manifest):
+            raise ConcurrentCommitError(
+                f"lost the publish race for v{version} at {self.path}"
+            )
+        return version
+
     @staticmethod
     def _apply_renames(df: DataFrame, renames: list[list[str]]) -> DataFrame:
         """Unify a rename chain over a possibly mixed-era scan: no file
@@ -618,6 +668,9 @@ class SnapshotTable:
         cur = self._latest_renames()
         if cur:
             manifest["renames"] = cur
+        cur_dropped = self._latest_dropped()
+        if cur_dropped:
+            manifest["dropped"] = cur_dropped
         if not self._write_manifest_exclusive(new_v, manifest):
             raise ConcurrentCommitError(
                 f"lost the publish race for v{new_v} at {self.path}"
@@ -962,6 +1015,13 @@ class SnapshotTable:
         """Shared write path: cluster, enforce constraints, write to
         staging, collect stats/blooms, promote files into data/.
         Returns manifest entries — NOT yet referenced by any manifest."""
+        resurfaced = set(df.columns) & set(self._latest_dropped())
+        if resurfaced:
+            raise ValueError(
+                f"columns {sorted(resurfaced)} were DROPped and are "
+                "retired: old files' values would resurface under the "
+                "name (no field ids in a name-mapped store)"
+            )
         if cluster_by:
             # explicit cluster_partitions pins the file count (AQE would
             # otherwise coalesce small commits into one file, which is
@@ -1110,6 +1170,13 @@ class SnapshotTable:
             )
             if renames:
                 manifest["renames"] = renames
+            dropped = (
+                self._read_manifest(base_v).get("dropped", [])
+                if base_v is not None
+                else []
+            )
+            if dropped:
+                manifest["dropped"] = dropped
             if extra:
                 manifest.update(extra)
             if self._write_manifest_exclusive(version, manifest):
@@ -1206,6 +1273,8 @@ class SnapshotTable:
         }
         if base_m.get("renames"):
             manifest["renames"] = base_m["renames"]
+        if base_m.get("dropped"):
+            manifest["dropped"] = base_m["dropped"]
         if extra:
             manifest.update(extra)
         if not self._write_manifest_exclusive(version, manifest):
@@ -1323,7 +1392,9 @@ class SnapshotTable:
                 "normalization bug, refusing to rewrite"
             )
         df = self._read_entry_files(
-            touched, renames=self._read_manifest(base_v).get("renames", [])
+            touched,
+            renames=self._read_manifest(base_v).get("renames", []),
+            dropped=self._read_manifest(base_v).get("dropped", []),
         )
         rewritten = self._enforce_constraints(transform(df, cond))
         staging = f"{self.path}/{_STAGING}/{uuid.uuid4().hex}"
@@ -1399,7 +1470,9 @@ class SnapshotTable:
                 if not added:
                     continue
                 df = self._read_entry_files(
-                    added, renames=m.get("renames", [])
+                    added,
+                    renames=m.get("renames", []),
+                    dropped=m.get("dropped", []),
                 ).withColumn("_change_type", F.lit("insert"))
             frames.append(df.withColumn("_commit_version", F.lit(v)))
         if not frames:

@@ -1803,3 +1803,69 @@ def rollup_change_feed_maintained_agg(spark, sf_dir):
             f"feed-maintained aggregate drifts from recompute ({drift} rows)"
         )
     return maintained
+
+
+@query(
+    "snapshot_drop_column_read",
+    """
+WITH src AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         o_custkey % 2 AS half
+  FROM orders
+)
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM src GROUP BY o_orderstatus
+""",
+)
+def snapshot_drop_column_read(spark, sf_dir):
+    """Metadata-only DROP COLUMN: half the table is written WITH an
+    extra column, the column is dropped (no file rewritten — asserted
+    in-query by file identity), then the other half is appended WITHOUT
+    it. The mixed-era scan must unify cleanly with the dropped column
+    gone, time travel must still see it, and a writer re-introducing
+    the retired name must refuse (all asserted in-query). The oracle
+    aggregates the surviving columns over the full source."""
+    src = load(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_custkey") % 2).alias("half"),
+    )
+    t = SnapshotTable(
+        spark,
+        _tmpdir(prefix="snap_dropc_") + "/orders_dc",
+        partition_cols=("half",),
+        stat_cols=("o_orderkey",),
+    )
+    t.commit_overwrite_partitions(
+        src.filter(F.col("half") == 0).withColumn(
+            "note", F.concat(F.lit("n"), F.col("o_orderkey"))
+        )
+    )
+    v1 = t.latest_version()
+    files_before = {e["path"] for e in t._read_manifest(v1)["files"]}
+    v2 = t.drop_column("note")
+    if {e["path"] for e in t._read_manifest(v2)["files"]} != files_before:
+        raise RuntimeError("drop_column touched data files")
+    if "note" not in t.read(version=v1).columns:
+        raise RuntimeError("time travel lost the pre-drop column")
+    t.commit_overwrite_partitions(src.filter(F.col("half") == 1))
+    if "note" in t.read().columns:
+        raise RuntimeError("dropped column resurfaced in the mixed scan")
+    try:
+        t.commit_overwrite_partitions(
+            src.filter(F.col("half") == 1).withColumn("note", F.lit("x"))
+        )
+        raise RuntimeError("retired name was accepted by a writer")
+    except ValueError:
+        pass
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )

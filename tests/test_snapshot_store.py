@@ -1181,3 +1181,50 @@ def test_change_feed_vacuum_protects_referenced_files(spark, tmp_path):
     assert tokens <= left, "referenced change dir must survive"
     # the feed still reads after vacuum
     assert t.read_change_feed(v1).count() == 5
+
+
+def test_drop_column_metadata_only(spark, tmp_path):
+    """DROP COLUMN: reads exclude it, files untouched, time travel sees
+    it, the name is retired for future writers, appends still work."""
+    t = SnapshotTable(
+        spark, str(tmp_path / "dropc"), partition_cols=("g",), stat_cols=()
+    )
+    t.commit_overwrite_partitions(
+        spark.createDataFrame(
+            [(1, "a", 10, "x"), (2, "a", 20, "y")],
+            "k long, g string, v long, note string",
+        )
+    )
+    v1 = t.latest_version()
+    files_before = {e["path"] for e in t._read_manifest(v1)["files"]}
+    v2 = t.drop_column("note")
+    assert {e["path"] for e in t._read_manifest(v2)["files"]} == files_before
+    assert sorted(t.read().columns) == ["g", "k", "v"]
+    assert "note" in t.read(version=v1).columns, "time travel pre-drop"
+    # retired name: a commit carrying it raises
+    try:
+        t.commit_overwrite_partitions(
+            spark.createDataFrame(
+                [(3, "b", 30, "z")], "k long, g string, v long, note string"
+            )
+        )
+        raise AssertionError("expected retired-name ValueError")
+    except ValueError as e:
+        assert "retired" in str(e)
+    # a clean append (new partition) works and reads unified
+    t.commit_overwrite_partitions(
+        spark.createDataFrame([(3, "b", 30)], "k long, g string, v long")
+    )
+    assert t.read().count() == 3
+    # mixed-era scan: old files physically have 'note'; read drops it
+    assert "note" not in t.read().columns
+    # delete rewrite on an old file writes note-free files
+    t.delete_where(F.col("k") == 1)
+    assert t.read().count() == 2
+    # errors: partition col, missing col
+    for bad in ("g", "nope"):
+        try:
+            t.drop_column(bad)
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass
