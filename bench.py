@@ -87,6 +87,11 @@ HEADLINE = [
     "events_pattern_match_regex",
     "window_topk_two_phase",
     "text_bpe_pair_counts",
+    # r6 flagship additions
+    "dedup_semantic_clusters",
+    "sketch_kll_quantiles",
+    "snapshot_change_feed_read",
+    "events_interval_union_length",
 ]
 
 

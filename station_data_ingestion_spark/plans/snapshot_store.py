@@ -148,6 +148,7 @@ class SnapshotTable:
         bloom_bits: int = 1 << 14,
         bloom_k: int = 4,
         constraints: dict[str, str] | None = None,
+        partition_transforms: dict[str, tuple] | None = None,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
@@ -179,6 +180,19 @@ class SnapshotTable:
         # as a raise_error filter riding the write itself — zero extra
         # passes over the data.
         self.constraints = dict(constraints or {})
+        # HIDDEN PARTITIONING (Iceberg partition transforms): partition
+        # columns DERIVED from a source column at write time and hidden
+        # from reads -- users query the source column, never the layout.
+        # {pcol: ("day"|"month", src)} | {pcol: ("bucket", n, src)} |
+        # {pcol: ("truncate", n, src)}. Ranged reads on the source column
+        # prune partitions through the transform (monotone transforms:
+        # day/month/truncate); point reads prune bucket partitions too.
+        self.partition_transforms = dict(partition_transforms or {})
+        for pcol in self.partition_transforms:
+            if pcol not in self.partition_cols:
+                raise ValueError(
+                    f"transform column '{pcol}' must be in partition_cols"
+                )
 
     # -- manifest plumbing -------------------------------------------------
 
@@ -403,6 +417,61 @@ class SnapshotTable:
                 e for e in entries
                 if all(e["partition"].get(k) == v_ for k, v_ in partition.items())
             ]
+        # HIDDEN-PARTITION pruning: a range on a transform SOURCE column
+        # prunes partitions through the transform (monotone transforms);
+        # an equality point on a bucket source prunes to one bucket.
+        # Like zone maps: prune-only, files with no partition value kept.
+        if ranges and self.partition_transforms:
+            for pcol, spec in self.partition_transforms.items():
+                src = spec[-1]
+                if src not in ranges:
+                    continue
+                b = self._transform_partition_range(pcol, spec, *ranges[src])
+                if b is None:
+                    continue
+                plo, phi = b
+                kind = spec[0]
+
+                def keep(e, pcol=pcol, plo=plo, phi=phi, kind=kind):
+                    pv = e["partition"].get(pcol)
+                    if pv is None:
+                        return True
+                    if kind == "truncate":
+                        try:
+                            pv = int(pv)
+                        except (TypeError, ValueError):
+                            return True
+                    if plo is not None and pv < plo:
+                        return False
+                    if phi is not None and pv > phi:
+                        return False
+                    return True
+
+                entries = [e for e in entries if keep(e)]
+        if point and self.partition_transforms:
+            from pyspark.sql import functions as F
+
+            for pcol, spec in self.partition_transforms.items():
+                if spec[0] != "bucket" or spec[-1] not in point:
+                    continue
+                n, val = int(spec[1]), point[spec[-1]]
+                # canonical string form matches the build-time hashing
+                # whatever Python type the caller passed
+                b = str(
+                    self.spark.range(1)
+                    .select(
+                        F.pmod(
+                            F.xxhash64(F.lit(val).cast("string")), F.lit(n)
+                        )
+                    )
+                    .first()[0]
+                )
+                entries = [
+                    e
+                    for e in entries
+                    if e["partition"].get(pcol) is None
+                    or str(e["partition"].get(pcol)) == b
+                ]
         if ranges:
             # query bounds go through the same coercion as manifest stats
             # (dates -> ISO strings, Decimal -> float) so comparisons are
@@ -455,11 +524,17 @@ class SnapshotTable:
             entries = [e for e in entries if bloom_keeps(e)]
         if not entries:
             return None
-        return self._read_entry_files(
+        out = self._read_entry_files(
             entries,
             renames=manifest.get("renames", []),
             dropped=manifest.get("dropped", []),
         )
+        # transform-derived partition columns are LAYOUT, not schema:
+        # hide them (Iceberg hidden partitioning)
+        for pcol in self.partition_transforms:
+            if pcol in out.columns:
+                out = out.drop(pcol)
+        return out
 
     def _read_entry_files(
         self,
@@ -521,6 +596,71 @@ class SnapshotTable:
         if v is None:
             return []
         return self._read_manifest(v).get("dropped", [])
+
+    def _derive_transforms(self, df: DataFrame) -> DataFrame:
+        """Attach any missing transform-derived partition columns. The
+        derivation is deterministic from the source column, so rewrites
+        that re-derive always land rows back in their original
+        partition."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import NumericType
+
+        for pcol, spec in self.partition_transforms.items():
+            if pcol in df.columns:
+                continue
+            kind = spec[0]
+            if kind == "day":
+                expr = F.date_format(F.col(spec[1]), "yyyy-MM-dd")
+            elif kind == "month":
+                expr = F.date_format(F.col(spec[1]), "yyyy-MM")
+            elif kind == "bucket":
+                n, src = spec[1], spec[2]
+                # hash through a canonical STRING cast: xxhash64 is
+                # typed (int vs long literals hash differently — the
+                # bloom-probe trap), so hashing the string form makes
+                # the read-side point probe type-insensitive
+                expr = F.pmod(
+                    F.xxhash64(F.col(src).cast("string")), F.lit(int(n))
+                )
+            elif kind == "truncate":
+                n, src = spec[1], spec[2]
+                if isinstance(df.schema[src].dataType, NumericType):
+                    expr = (F.col(src) - F.pmod(F.col(src), F.lit(int(n))))
+                else:
+                    expr = F.substring(F.col(src), 1, int(n))
+            else:
+                raise ValueError(f"unknown partition transform '{kind}'")
+            df = df.withColumn(pcol, expr)
+        return df
+
+    def _transform_partition_range(
+        self, pcol: str, spec: tuple, lo, hi
+    ) -> tuple | None:
+        """Driver-side partition-value bounds implied by a SOURCE-column
+        range, for monotone transforms; None when the transform cannot
+        bound a range (bucket). Bounds compare as the partition values
+        are stored (hive path strings / ints)."""
+        kind = spec[0]
+
+        def iso(v):
+            c = _json_safe_stat(v, lo=True)
+            return c if isinstance(c, str) else None
+
+        if kind == "day":
+            l, h = iso(lo), iso(hi)
+            return (l[:10] if l else None, h[:10] if h else None)
+        if kind == "month":
+            l, h = iso(lo), iso(hi)
+            return (l[:7] if l else None, h[:7] if h else None)
+        if kind == "truncate" and isinstance(lo, (int, type(None))) and isinstance(
+            hi, (int, type(None))
+        ):
+            n = int(spec[1])
+            return (
+                lo - lo % n if lo is not None else None,
+                hi - hi % n if hi is not None else None,
+            )
+        return None
 
     def rename_column(self, old: str, new: str) -> int:
         """Metadata-only column rename (Iceberg rename-column): no data
@@ -1022,6 +1162,7 @@ class SnapshotTable:
                 "retired: old files' values would resurface under the "
                 "name (no field ids in a name-mapped store)"
             )
+        df = self._derive_transforms(df)
         if cluster_by:
             # explicit cluster_partitions pins the file count (AQE would
             # otherwise coalesce small commits into one file, which is

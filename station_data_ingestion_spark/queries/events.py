@@ -743,3 +743,77 @@ def events_chi2_ab_test(spark, sf_dir):
         .otherwise(chi2)
         .alias("chi2"),
     )
+
+
+@query(
+    "events_rfm_segmentation",
+    """
+WITH m AS (SELECT MAX(ts) AS mx FROM events
+           WHERE event_type = 'purchase'),
+per_user AS (
+  SELECT user_id,
+         CAST(date_diff('second', MAX(ts), (SELECT mx FROM m)) AS BIGINT)
+             AS recency_sec,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS monetary
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+q AS (
+  SELECT ROUND(CAST(quantile_cont(recency_sec, 0.5) AS DOUBLE), 4) AS r50,
+         ROUND(CAST(quantile_cont(frequency, 0.5) AS DOUBLE), 4) AS f50,
+         ROUND(CAST(quantile_cont(monetary, 0.5) AS DOUBLE), 4) AS m50
+  FROM per_user
+)
+SELECT user_id, recency_sec, frequency, monetary,
+       CAST(CASE WHEN recency_sec <= r50 THEN 2 ELSE 1 END AS BIGINT) AS r_score,
+       CAST(CASE WHEN frequency > f50 THEN 2 ELSE 1 END AS BIGINT) AS f_score,
+       CAST(CASE WHEN monetary > m50 THEN 2 ELSE 1 END AS BIGINT) AS m_score
+FROM per_user, q
+""",
+)
+def events_rfm_segmentation(spark, sf_dir):
+    """RFM (recency/frequency/monetary) segmentation: per-user purchase
+    recency, count and exact-cents spend, scored above/below the median
+    of each metric. The textbook formulation is NTILE over a GLOBAL
+    window — a single-partition scale-killer; here the three medians are
+    one tiny aggregate broadcast against the per-user table, so the only
+    full shuffle is the user_id groupBy. Medians are rounded identically
+    on both engines; metrics are exact integers."""
+    ev = load(spark, sf_dir, "events")["events"]
+    p = ev.filter(F.col("event_type") == "purchase")
+    mx = p.agg(F.max("ts").alias("mx"))
+    per_user = (
+        p.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            (
+                F.max(F.col("mx").cast("long")).cast("long")
+                - F.max(F.col("ts").cast("long")).cast("long")
+            ).alias("recency_sec"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("monetary"),
+        )
+    )
+    q = per_user.agg(
+        F.round(F.percentile("recency_sec", F.lit(0.5)), 4).alias("r50"),
+        F.round(F.percentile("frequency", F.lit(0.5)), 4).alias("f50"),
+        F.round(F.percentile("monetary", F.lit(0.5)), 4).alias("m50"),
+    )
+    return per_user.crossJoin(F.broadcast(q)).select(
+        "user_id",
+        "recency_sec",
+        "frequency",
+        "monetary",
+        F.when(F.col("recency_sec") <= F.col("r50"), 2)
+        .otherwise(1)
+        .cast("long")
+        .alias("r_score"),
+        F.when(F.col("frequency") > F.col("f50"), 2)
+        .otherwise(1)
+        .cast("long")
+        .alias("f_score"),
+        F.when(F.col("monetary") > F.col("m50"), 2)
+        .otherwise(1)
+        .cast("long")
+        .alias("m_score"),
+    )

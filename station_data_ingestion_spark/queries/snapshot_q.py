@@ -1869,3 +1869,54 @@ def snapshot_drop_column_read(spark, sf_dir):
             F.sum("cents").cast("long").alias("cents"),
         )
     )
+
+
+@query(
+    "snapshot_hidden_partition_read",
+    f"""
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {money_sum_sql('o_totalprice')} AS total_price
+FROM orders
+WHERE CAST(o_orderdate AS DATE)
+      BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+GROUP BY o_orderstatus
+""",
+)
+def snapshot_hidden_partition_read(spark, sf_dir):
+    """HIDDEN PARTITIONING (Iceberg partition transforms): the table is
+    laid out by p_month = month(o_orderdate), a column DERIVED at write
+    and invisible to readers — the query ranges on o_orderdate itself
+    and partition pruning happens through the transform. Asserted
+    in-query: the transform column is absent from the read schema, and
+    the ranged read scans strictly fewer files than the full table
+    (pruning actually fired). The caller still applies the real
+    predicate — transform pruning, like zone maps, only skips files."""
+    orders = load(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    t = SnapshotTable(
+        spark,
+        _tmpdir(prefix="snap_hidp_") + "/orders_hp",
+        partition_cols=("p_month",),
+        stat_cols=(),
+        partition_transforms={"p_month": ("month", "o_orderdate")},
+    )
+    t.commit_overwrite_partitions(orders)
+    full = t.read()
+    if "p_month" in full.columns:
+        raise RuntimeError("transform partition column leaked into reads")
+    pruned = t.read(ranges={"o_orderdate": ("1996-01-01", "1996-12-31")})
+    if not len(pruned.inputFiles()) < len(full.inputFiles()):
+        raise RuntimeError("hidden-partition pruning did not skip files")
+    return (
+        pruned.filter(
+            F.col("o_orderdate").cast("date").between(
+                "1996-01-01", "1996-12-31"
+            )
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            money_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )

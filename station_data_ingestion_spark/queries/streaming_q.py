@@ -427,3 +427,69 @@ def stream_session_dynamic_gap_replay(spark, sf_dir):
     merge rule. The oracle replays the union + watermark finalization
     (session end = max event end <= final watermark)."""
     return _replay(spark, sf_dir, W.session_windows_dynamic_gap, "append")
+
+
+@query(
+    "stream_interval_full_join_replay",
+    """
+WITH m AS (
+  SELECT least(
+    (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'),
+    (SELECT MAX(ts) FROM events WHERE event_type = 'click')
+  ) AS mx
+),
+p AS (SELECT event_id AS p_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS c_id, user_id, ts AS c_ts
+      FROM events WHERE event_type = 'click'),
+matched AS (
+  SELECT p.p_id, c.c_id, p.user_id AS who, p.p_ts, c.c_ts
+  FROM p JOIN c ON p.user_id = c.user_id
+   AND c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+),
+p_closed AS (
+  SELECT p.p_id, CAST(NULL AS BIGINT) AS c_id, p.user_id AS who,
+         p.p_ts, CAST(NULL AS TIMESTAMP) AS c_ts
+  FROM p, m
+  WHERE NOT EXISTS (
+    SELECT 1 FROM c WHERE c.user_id = p.user_id
+      AND c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+  )
+  AND p.p_ts <= mx - INTERVAL 2 HOUR
+),
+c_closed AS (
+  SELECT CAST(NULL AS BIGINT) AS p_id, c.c_id, c.user_id AS who,
+         CAST(NULL AS TIMESTAMP) AS p_ts, c.c_ts
+  FROM c, m
+  WHERE NOT EXISTS (
+    SELECT 1 FROM p WHERE p.user_id = c.user_id
+      AND c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+  )
+  AND c.c_ts + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
+)
+SELECT p_id, c_id, who,
+       strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+       strftime(c_ts, '%Y-%m-%d %H:%M:%S') AS c_ts
+FROM matched
+UNION ALL SELECT p_id, c_id, who, strftime(p_ts, '%Y-%m-%d %H:%M:%S'),
+       strftime(c_ts, '%Y-%m-%d %H:%M:%S') FROM p_closed
+UNION ALL SELECT p_id, c_id, who, strftime(p_ts, '%Y-%m-%d %H:%M:%S'),
+       strftime(c_ts, '%Y-%m-%d %H:%M:%S') FROM c_closed
+""",
+)
+def stream_interval_full_join_replay(spark, sf_dir):
+    """Stream-stream FULL OUTER interval join: both sides null-extend
+    under watermark finalization. The click side's state window is one
+    LOOKBACK longer than the purchase side's (a click can still match
+    purchases up to c_ts + 1h), so its null rows finalize later — the
+    oracle replays both expiry rules over the bounded replay."""
+    sink = _replay(
+        spark, sf_dir, W.stream_stream_click_purchase_full_join, "append"
+    )
+    return sink.select(
+        "p_id",
+        "c_id",
+        "who",
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("p_ts"),
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("c_ts"),
+    )

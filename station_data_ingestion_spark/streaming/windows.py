@@ -378,3 +378,49 @@ def session_windows_dynamic_gap(
             "n_events",
         )
     )
+
+
+def stream_stream_click_purchase_full_join(
+    events: DataFrame,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join: BOTH sides null-extend.
+    Matches emit as they arrive; a null-click purchase row emits when
+    the purchase's window expires (p_ts + delay below the watermark);
+    a null-purchase click row emits when the CLICK's window expires —
+    a click can match purchases up to c_ts + lookback, so its state
+    (and the null emission) finalizes one lookback later than the
+    purchase side's. State on both sides stays watermark-bounded."""
+    events = normalize_event_ts(events)
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return p.join(
+        c,
+        F.expr(
+            f"p_user = c_user AND c_ts <= p_ts AND c_ts >= p_ts - INTERVAL {lookback}"
+        ),
+        "full_outer",
+    ).select(
+        "p_id",
+        "c_id",
+        F.coalesce("p_user", "c_user").alias("who"),
+        "p_ts",
+        "c_ts",
+    )

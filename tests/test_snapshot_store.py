@@ -1228,3 +1228,56 @@ def test_drop_column_metadata_only(spark, tmp_path):
             raise AssertionError("expected ValueError")
         except ValueError:
             pass
+
+
+def test_hidden_partitioning_day_transform(spark, tmp_path):
+    """Iceberg-style hidden partitioning: p_day derived from ts at
+    write, hidden from reads, and range-pruned through the transform."""
+    t = SnapshotTable(
+        spark, str(tmp_path / "hidp"), partition_cols=("p_day",),
+        stat_cols=(), partition_transforms={"p_day": ("day", "d")},
+    )
+    rows = [(i, f"2024-01-{1 + i % 9:02d}", i * 10) for i in range(90)]
+    t.commit_overwrite_partitions(
+        spark.createDataFrame(rows, "k long, d string, v long")
+        .withColumn("d", F.to_date("d"))
+    )
+    df = t.read()
+    assert "p_day" not in df.columns, "transform column must stay hidden"
+    assert df.count() == 90
+    pruned = t.read(ranges={"d": ("2024-01-02", "2024-01-03")})
+    assert len(pruned.inputFiles()) < len(df.inputFiles())
+    got = pruned.filter(F.col("d").between("2024-01-02", "2024-01-03"))
+    assert got.count() == 20
+    # DELETE on the hidden-partitioned table re-derives the layout
+    t.delete_where(F.col("k") < 9)
+    assert t.read().count() == 81
+
+
+def test_hidden_partitioning_bucket_point_read(spark, tmp_path):
+    t = SnapshotTable(
+        spark, str(tmp_path / "hidb"), partition_cols=("p_b",),
+        stat_cols=(), partition_transforms={"p_b": ("bucket", 8, "k")},
+    )
+    t.commit_overwrite_partitions(
+        spark.createDataFrame([(i, i * 2) for i in range(400)], "k long, v long")
+    )
+    full = t.read()
+    assert "p_b" not in full.columns
+    probe = t.read(point={"k": 42})
+    assert len(probe.inputFiles()) < len(full.inputFiles())
+    assert probe.filter("k = 42").count() == 1
+
+
+def test_hidden_partitioning_truncate_range(spark, tmp_path):
+    t = SnapshotTable(
+        spark, str(tmp_path / "hidt"), partition_cols=("p_t",),
+        stat_cols=(), partition_transforms={"p_t": ("truncate", 100, "k")},
+    )
+    t.commit_overwrite_partitions(
+        spark.createDataFrame([(i, 1) for i in range(1000)], "k long, v long")
+    )
+    full = t.read()
+    pruned = t.read(ranges={"k": (150, 250)})
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert pruned.filter(F.col("k").between(150, 250)).count() == 101
