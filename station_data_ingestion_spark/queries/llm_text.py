@@ -764,3 +764,86 @@ def text_heaps_law(spark, sf_dir):
     cum1 = ordered_prefix_sum(joined, ["doc_id"], "n_tokens", "cum_tokens")
     cum2 = ordered_prefix_sum(cum1, ["doc_id"], "new_words", "cum_vocab")
     return cum2.select("doc_id", "cum_tokens", "cum_vocab")
+
+
+_WIN_K = 4  # tokens per k-gram
+_WIN_W = 5  # k-gram hashes per winnowing window
+
+
+@query(
+    "text_winnowing_dup_pairs",
+    f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+kg AS (
+  SELECT doc_id,
+         list_transform(range(1, len(w) - {_WIN_K} + 2),
+            i -> substr(md5(array_to_string(w[i : i + {_WIN_K} - 1], ' ')), 1, 8))
+         AS kh
+  FROM base WHERE len(w) >= {_WIN_K}
+),
+fp AS (
+  SELECT doc_id,
+         UNNEST(list_distinct(list_transform(range(1, len(kh) - {_WIN_W} + 2),
+            j -> list_min(kh[j : j + {_WIN_W} - 1])))) AS print
+  FROM kg WHERE len(kh) >= {_WIN_W}
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fp a JOIN fp b ON a.print = b.print AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+""",
+)
+def text_winnowing_dup_pairs(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer/MOSS): hash every
+    {_WIN_K}-token k-gram, slide a {_WIN_W}-hash window and keep each
+    window's MINIMUM — the classic local fingerprinting scheme whose
+    guarantee is that any shared run of >= w+k-1 tokens shares a
+    fingerprint, while storing only ~2/(w+1) of the hashes. Hashes are
+    md5 prefixes (the one hash both engines compute identically;
+    lexicographic min replaces numeric min, same selection). The whole
+    selection runs INSIDE array land per doc (transform + array_min —
+    JVM codegen, zero explode) and only the ~1/3-sized fingerprint set
+    is exploded into the pair self-join; ubiquitous fingerprints would
+    get a df-cap at crawl scale exactly like the stop-shingle cap in
+    the Jaccard join."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    kg = (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.expr(f"size(w) >= {_WIN_K}"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(1, size(w) - {_WIN_K} + 1),"
+                f" i -> substring(md5(cast(array_join(slice(w, i, {_WIN_K}),"
+                f" ' ') as binary)), 1, 8))"
+            ).alias("kh"),
+        )
+    )
+    fp = (
+        kg.filter(F.expr(f"size(kh) >= {_WIN_W}"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform("
+                    f"sequence(1, size(kh) - {_WIN_W} + 1),"
+                    f" j -> array_min(slice(kh, j, {_WIN_W}))))"
+                )
+            ).alias("print"),
+        )
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.print") == F.col("b.print"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
