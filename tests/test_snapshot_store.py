@@ -1281,3 +1281,52 @@ def test_hidden_partitioning_truncate_range(spark, tmp_path):
     pruned = t.read(ranges={"k": (150, 250)})
     assert len(pruned.inputFiles()) < len(full.inputFiles())
     assert pruned.filter(F.col("k").between(150, 250)).count() == 101
+
+
+def test_delete_racing_commit_raises_then_retries_clean(spark, tmp_path):
+    """Conflict matrix: a DELETE whose base version advances mid-flight
+    (a rival commit lands between its scan and its publish) must raise
+    ConcurrentCommitError — not silently revert the rival — and a retry
+    against the new base applies BOTH effects."""
+    from station_data_ingestion_spark.plans.snapshot_store import (
+        ConcurrentCommitError,
+    )
+
+    path = str(tmp_path / "conflict")
+    t = SnapshotTable(spark, path, partition_cols=("g",), stat_cols=())
+    t.commit_overwrite_partitions(
+        spark.createDataFrame(
+            [(i, "a", 1) for i in range(100)], "k long, g string, v long"
+        )
+    )
+    rival = SnapshotTable(spark, path, partition_cols=("g",), stat_cols=())
+
+    orig = t._write_manifest_exclusive
+    fired = []
+
+    def hooked(version, manifest):
+        if not fired:
+            fired.append(version)
+            rival.commit_overwrite_partitions(
+                spark.createDataFrame(
+                    [(1000, "b", 7)], "k long, g string, v long"
+                )
+            )
+        return orig(version, manifest)
+
+    t._write_manifest_exclusive = hooked
+    try:
+        t.delete_where(F.col("k") < 10)
+        raise AssertionError("expected ConcurrentCommitError")
+    except ConcurrentCommitError:
+        pass
+    finally:
+        t._write_manifest_exclusive = orig
+    assert fired, "race hook never fired"
+    # nothing from the failed delete is visible
+    assert t.read().filter("k < 10").count() == 10
+    assert t.read().filter("g = 'b'").count() == 1
+    # retry on the new base: both effects present
+    t.delete_where(F.col("k") < 10)
+    assert t.read().filter("k < 10").count() == 0
+    assert t.read().filter("g = 'b'").count() == 1
