@@ -162,3 +162,59 @@ def range_join_bucketed(
     )
     cond = lo & hi
     return lb.join(rb, on=[*on, "__bucket"]).filter(cond).drop("__bucket")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Join interval pairs that OVERLAP: on-keys equal AND
+    [left_start, left_end) intersects [right_start, right_end)
+    (half-open — touching endpoints do not overlap). The interval-
+    interval sibling of range_join_bucketed's point-in-interval.
+
+    BOTH sides explode into the epoch buckets their interval covers and
+    meet on bucket equality, so the exact overlap predicate runs only on
+    bucket-colocated pairs — never a per-key cartesian. A pair whose
+    overlap spans several buckets matches in each; the final distinct-by
+    construction de-duplicates on the exploded bucket only (dropDuplicates
+    over the original columns), so callers get each overlapping pair once.
+    Pick ``bucket_seconds`` near the typical interval length: cost is
+    sum(span)/bucket per side, and the candidate set is pairs sharing a
+    bucket — the same sizing rule as the point variant.
+    """
+    lcols, rcols = left.columns, right.columns
+    dup = [c for c in rcols if c in lcols and c not in on]
+    if dup:
+        raise ValueError(
+            f"ambiguous non-key columns on both sides: {dup}; rename first"
+        )
+
+    def buckets(df, s, e):
+        return df.withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    (F.unix_timestamp(F.col(s)) / bucket_seconds).cast("long"),
+                    (F.unix_timestamp(F.col(e)) / bucket_seconds).cast("long"),
+                )
+            ),
+        )
+
+    lb = buckets(left, left_start, left_end)
+    rb = buckets(right, right_start, right_end)
+    overlap = (F.col(left_start) < F.col(right_end)) & (
+        F.col(right_start) < F.col(left_end)
+    )
+    return (
+        lb.join(rb, on=[*on, "__bucket"])
+        .filter(overlap)
+        .drop("__bucket")
+        .dropDuplicates([*on, *[c for c in lcols + rcols if c not in on]])
+    )

@@ -387,3 +387,42 @@ def pipeline_quality_upsampling(spark, sf_dir):
         F.count_distinct("doc_id").alias("n_docs"),
         F.sum("n_tokens").alias("tokens_out"),
     ).select("tier", "n_docs", "n_rows_out", "tokens_out")
+
+
+@query(
+    "sample_exact_quota_per_source",
+    """
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 16), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 10
+""",
+)
+def sample_exact_quota_per_source(spark, sf_dir):
+    """EXACT-quota stratified sampling: exactly min(10, |stratum|) docs
+    per source, selected by deterministic hash rank — the fixed-budget
+    eval-set / holdout draw where proportional hash sampling (the
+    sibling query) can't hit quotas exactly. Runs through the two-phase
+    grouped top-k operator: per-partition Arrow partial pruning means
+    only <= partitions x strata x k contenders reach the exchange —
+    never a full per-stratum sort of the corpus. The hash rank is an
+    md5 prefix, identical in both engines."""
+    from station_data_ingestion_spark.operators.topk import grouped_topk
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    keyed = d.select(
+        "doc_id",
+        "source",
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 16
+                    ).alias("hk"),
+    )
+    picked = grouped_topk(
+        keyed, ["source"], [("hk", False), ("doc_id", False)], k=10
+    )
+    return picked.select("doc_id", "source", F.col("rk").cast("long"))

@@ -393,3 +393,63 @@ def asof_tolerance_purchase_click(spark, sf_dir):
         F.col("click_id_c").alias("click_id"),
         F.date_format("ts_c", _TS_FMT).alias("click_ts"),
     )
+
+
+@query(
+    "join_interval_overlap_sessions",
+    """
+WITH p AS (
+  SELECT user_id, event_id AS p_id, ts AS ps,
+         ts + INTERVAL 120 MINUTE AS pe
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, event_id AS c_id, ts AS cs,
+         ts + INTERVAL 60 MINUTE AS ce
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.p_id, c.c_id, p.user_id AS user_id,
+       CAST(date_diff('second',
+            GREATEST(p.ps, c.cs), LEAST(p.pe, c.ce)) AS BIGINT)
+       AS overlap_sec
+FROM p JOIN c ON p.user_id = c.user_id
+ AND p.ps < c.ce AND c.cs < p.pe
+""",
+)
+def join_interval_overlap_sessions(spark, sf_dir):
+    """Interval-interval OVERLAP join (operators/temporal.py:
+    interval_overlap_join): purchase activity windows [ts, ts+2h) x
+    click windows [ts, ts+1h) per user, emitting each overlapping pair
+    once with its exact overlap length. Both sides bucket-explode and
+    meet on bucket equality — the exact predicate only ever sees
+    bucket-colocated pairs, so a whale user costs its bucket-pair count,
+    never |P|x|C|. Touching endpoints (half-open) do not match — same
+    rule in the oracle (strict <)."""
+    from station_data_ingestion_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    ev = load(spark, sf_dir, "events")["events"]
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("ps"),
+        (F.col("ts") + F.expr("INTERVAL 120 MINUTES")).alias("pe"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("c_id"),
+        F.col("ts").alias("cs"),
+        (F.col("ts") + F.expr("INTERVAL 60 MINUTES")).alias("ce"),
+    )
+    pairs = interval_overlap_join(
+        p, c, ["user_id"], "ps", "pe", "cs", "ce", bucket_seconds=7200
+    )
+    return pairs.select(
+        "p_id",
+        "c_id",
+        "user_id",
+        (
+            F.least(F.col("pe"), F.col("ce")).cast("long")
+            - F.greatest(F.col("ps"), F.col("cs")).cast("long")
+        ).cast("long").alias("overlap_sec"),
+    )

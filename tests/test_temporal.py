@@ -191,3 +191,54 @@ def test_asof_tolerance_nulls_stale_matches(spark):
         ).collect()
     }
     assert got == {"u1": "fresh", "u2": None}
+
+
+def test_interval_overlap_join_matches_brute_force(spark):
+    """Bucketed interval-overlap join == the quadratic predicate join,
+    including half-open touching endpoints and multi-bucket spans."""
+    from pyspark.sql import functions as F
+
+    from station_data_ingestion_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    def mk(rows, pref):
+        return spark.createDataFrame(
+            [(k, i, s, e) for i, (k, s, e) in enumerate(rows)],
+            f"k long, {pref}_id long, {pref}_s string, {pref}_e string",
+        ).select(
+            "k",
+            f"{pref}_id",
+            F.to_timestamp(f"{pref}_s").alias(f"{pref}_s"),
+            F.to_timestamp(f"{pref}_e").alias(f"{pref}_e"),
+        )
+
+    left = mk(
+        [
+            (1, "2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+            (1, "2024-01-01 02:00:00", "2024-01-01 05:00:00"),  # multi-bucket
+            (2, "2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+        ],
+        "a",
+    )
+    right = mk(
+        [
+            (1, "2024-01-01 00:30:00", "2024-01-01 00:45:00"),  # inside
+            (1, "2024-01-01 01:00:00", "2024-01-01 02:00:00"),  # touches both
+            (1, "2024-01-01 04:59:00", "2024-01-01 06:00:00"),  # tail overlap
+            (2, "2024-01-01 01:00:00", "2024-01-01 02:00:00"),  # touch only
+            (3, "2024-01-01 00:00:00", "2024-01-01 01:00:00"),  # other key
+        ],
+        "b",
+    )
+    got = interval_overlap_join(
+        left, right, ["k"], "a_s", "a_e", "b_s", "b_e", bucket_seconds=600
+    )
+    brute = left.join(right, "k").filter(
+        (F.col("a_s") < F.col("b_e")) & (F.col("b_s") < F.col("a_e"))
+    )
+    pairs = {(r.a_id, r.b_id) for r in got.collect()}
+    expect = {(r.a_id, r.b_id) for r in brute.collect()}
+    assert pairs == expect == {(0, 0), (1, 2)}
+    # no duplicate emissions despite multi-bucket overlap
+    assert got.count() == len(pairs)
