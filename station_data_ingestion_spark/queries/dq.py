@@ -219,3 +219,119 @@ def dq_benford_first_digit(spark, sf_dir):
         .cast("long")
         .alias("benford_bp"),
     )
+
+
+@query(
+    "dq_schema_drift_versions",
+    """
+WITH v1 AS (
+  SELECT o_orderkey, o_orderstatus, 0 AS half,
+         CASE WHEN o_orderkey % 3 = 0 THEN NULL
+              ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS cents
+  FROM orders WHERE o_orderkey % 2 = 0
+), v2_new AS (
+  SELECT o_orderkey, o_orderstatus, 1 AS half,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderpriority AS priority
+  FROM orders WHERE o_orderkey % 2 = 1
+),
+cols(col) AS (VALUES ('o_orderkey'), ('o_orderstatus'), ('half'), ('cents'),
+               ('priority')),
+s1 AS (
+  SELECT 'o_orderkey' AS col, COUNT(*) AS n, COUNT(o_orderkey) AS nn FROM v1
+  UNION ALL SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus) FROM v1
+  UNION ALL SELECT 'half', COUNT(*), COUNT(half) FROM v1
+  UNION ALL SELECT 'cents', COUNT(*), COUNT(cents) FROM v1
+),
+s2 AS (
+  SELECT 'o_orderkey' AS col, COUNT(*) AS n, COUNT(o_orderkey) AS nn
+  FROM (SELECT * FROM v1 UNION ALL BY NAME SELECT * FROM v2_new)
+  UNION ALL SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus)
+  FROM (SELECT * FROM v1 UNION ALL BY NAME SELECT * FROM v2_new)
+  UNION ALL SELECT 'half', COUNT(*), COUNT(half)
+  FROM (SELECT * FROM v1 UNION ALL BY NAME SELECT * FROM v2_new)
+  UNION ALL SELECT 'cents', COUNT(*), COUNT(cents)
+  FROM (SELECT * FROM v1 UNION ALL BY NAME SELECT * FROM v2_new)
+  UNION ALL SELECT 'priority', COUNT(*), COUNT(priority)
+  FROM (SELECT * FROM v1 UNION ALL BY NAME SELECT * FROM v2_new)
+)
+SELECT c.col,
+       CASE WHEN s1.col IS NULL THEN 'added' ELSE 'kept' END AS status,
+       CAST(COALESCE(s1.nn * 10000 // s1.n, -1) AS BIGINT) AS nonnull_bp_v1,
+       CAST(s2.nn * 10000 // s2.n AS BIGINT) AS nonnull_bp_v2
+FROM cols c
+LEFT JOIN s1 ON s1.col = c.col
+JOIN s2 ON s2.col = c.col
+""",
+)
+def dq_schema_drift_versions(spark, sf_dir):
+    """Schema + completeness drift audit between two snapshot versions:
+    which columns appeared, and how each column's non-null rate moved —
+    the pre-flight check before retraining on a refreshed corpus
+    (silent schema evolution + creeping null rates are the classic
+    upstream regression). v1 = even orders with planted NULL cents; v2
+    appends odd orders carrying a NEW priority column via schema
+    evolution. One narrow aggregate pass per version over the REAL
+    snapshot store (time travel supplies v1); integer basis points; -1
+    marks 'column absent at v1'."""
+    from station_data_ingestion_spark.plans.snapshot_store import SnapshotTable
+    from station_data_ingestion_spark.queries.snapshot_q import _tmpdir
+
+    o = load(spark, sf_dir, "orders")["orders"]
+    v1df = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.lit(0).alias("half"),
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.lit(None).cast("long")
+        ).otherwise(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .alias("cents"),
+    )
+    v2df = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.lit(1).alias("half"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    t = SnapshotTable(
+        spark,
+        _tmpdir(prefix="dq_drift_") + "/orders_drift",
+        partition_cols=("half",),
+        stat_cols=(),
+    )
+    t.commit_overwrite_partitions(v1df)
+    v1 = t.latest_version()
+    # schema-evolution append: new column arrives in new files only
+    t.commit_overwrite_partitions(v2df)
+
+    def stats(df):
+        rows = []
+        n = F.count(F.lit(1))
+        for c in df.columns:
+            rows.append(
+                df.agg(
+                    F.lit(c).alias("col"),
+                    n.alias("n"),
+                    F.count(c).alias("nn"),
+                )
+            )
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionByName(r)
+        return out
+
+    s1 = stats(t.read(version=v1)).select(
+        "col", F.expr("nn * 10000 div n").alias("bp1")
+    )
+    s2 = stats(t.read()).select(
+        "col", F.expr("nn * 10000 div n").alias("bp2")
+    )
+    return s2.join(s1, "col", "left").select(
+        "col",
+        F.when(F.col("bp1").isNull(), F.lit("added"))
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+        F.coalesce("bp1", F.lit(-1)).cast("long").alias("nonnull_bp_v1"),
+        F.col("bp2").cast("long").alias("nonnull_bp_v2"),
+    )
