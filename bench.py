@@ -345,9 +345,15 @@ def bench_scale_probe(spark, sf_dir, timings: dict[str, float], k: int = 10) -> 
                 continue
             try:
                 marker = _max_stage_id(spark)
+                # min of two shots — same first-run/stall rationale as
+                # the ingest probe (pack read 0.63 vs 1.6 per-unit on
+                # back-to-back sessions from one-shot noise)
                 t0 = time.perf_counter()
                 materialize(QUERIES[name].fn(spark, tmp))
                 t_k = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                materialize(QUERIES[name].fn(spark, tmp))
+                t_k = min(t_k, time.perf_counter() - t0)
                 probe[name] = {
                     "t_1x": timings[name],
                     f"t_{k}x": round(t_k, 3),
@@ -375,10 +381,24 @@ def bench_scale_probe_ingest(spark, timings: dict, k: int = 10) -> dict:
     need = ("ingest_parse", "ingest_merge_create", "ingest_merge_replace")
     if not all(isinstance(timings.get(s), float) for s in need):
         return {"error": "1x ingest stages did not run"}
-    big: dict[str, float] = {}
-    bench_ingestion(
-        spark, big, n_stations=1000 * k, single_shot=True, prefix="ingest_"
-    )
+    # min of TWO single shots: the first 10x run in a session pays JIT/
+    # codegen + page-cache warmup for the wider shape (measured 14.6s ->
+    # 2.2s on back-to-back merge_create shots), and the shared box's
+    # intermittent stalls land somewhere most runs — one shot reads as a
+    # fake super-linearity. The min is the honest plan cost.
+    shots: list[dict[str, float]] = []
+    for _ in range(2):
+        big_i: dict[str, float] = {}
+        bench_ingestion(
+            spark, big_i, n_stations=1000 * k, single_shot=True,
+            prefix="ingest_",
+        )
+        shots.append(big_i)
+    big: dict[str, float] = {
+        st: min(b[st] for b in shots if isinstance(b.get(st), float))
+        for st in need
+        if any(isinstance(b.get(st), float) for b in shots)
+    }
     for s in need:
         if isinstance(big.get(s), float):
             probe[s] = {

@@ -453,3 +453,85 @@ def join_interval_overlap_sessions(spark, sf_dir):
             - F.greatest(F.col("ps"), F.col("cs")).cast("long")
         ).cast("long").alias("overlap_sec"),
     )
+
+
+@query(
+    "join_knearest_clicks_per_purchase",
+    """
+WITH p AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id AS c_id, user_id, ts AS c_ts
+  FROM events WHERE event_type = 'click'
+), cand AS (
+  SELECT p.p_id, c.c_id,
+         ABS(epoch_us(p.p_ts) - epoch_us(c.c_ts)) // 1000000 AS dist_sec,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.p_id
+           ORDER BY ABS(epoch_us(p.p_ts) - epoch_us(c.c_ts)), c.c_id
+         ) AS rk
+  FROM p JOIN c ON p.user_id = c.user_id
+   AND c.c_ts >= p.p_ts - INTERVAL 2 HOUR
+   AND c.c_ts <= p.p_ts + INTERVAL 2 HOUR
+)
+SELECT p_id, c_id, CAST(dist_sec AS BIGINT) AS dist_sec,
+       CAST(rk AS BIGINT) AS rk
+FROM cand WHERE rk <= 3
+""",
+)
+def join_knearest_clicks_per_purchase(spark, sf_dir):
+    """k-nearest temporal join: for every purchase, the 3 nearest
+    clicks by absolute time distance within a ±2h horizon — the
+    generalization of the as-of join (k=1, one direction) used for
+    context attribution. Candidates come from the bucketed range join
+    (clicks exploded into 2h buckets, purchases probe their bucket), so
+    the ranking window only ever sees horizon-bounded pairs — never a
+    per-user cartesian; ties break on click id for a total order.
+    Distances are integer microsecond math truncated to whole seconds
+    identically in both engines."""
+    from station_data_ingestion_spark.operators.temporal import (
+        range_join_bucketed,
+    )
+
+    ev = load(spark, sf_dir, "events")["events"]
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("c_id"),
+        F.col("ts").alias("c_ts"),
+        (F.col("ts") + F.expr("INTERVAL -2 HOURS")).alias("w_lo"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_hi"),
+    )
+    cand = range_join_bucketed(
+        p,
+        c,
+        ["user_id"],
+        left_ts="p_ts",
+        right_start="w_lo",
+        right_end="w_hi",
+        bucket_seconds=4 * 3600,
+        include_start=True,
+        include_end=True,
+    )
+    dist_us = F.abs(F.unix_micros("p_ts") - F.unix_micros("c_ts"))
+    w = Window.partitionBy("p_id").orderBy(dist_us, "c_id")
+    return (
+        cand.select(
+            "p_id",
+            "c_id",
+            F.expr(
+                "abs(unix_micros(p_ts) - unix_micros(c_ts)) div 1000000"
+            ).alias("dist_sec"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+        .select(
+            "p_id", "c_id", F.col("dist_sec").cast("long"),
+            F.col("rk").cast("long"),
+        )
+    )
