@@ -1597,10 +1597,14 @@ class SnapshotTable:
                     f"{self.path}/{_CHANGES}/{m['changes']}"
                 )
             else:
-                prev = {
-                    _entry_key(e)
-                    for e in self._read_manifest(v - 1)["files"]
-                }
+                if v == 1:
+                    # bootstrap commit: no v0 manifest, everything added
+                    prev: set = set()
+                else:
+                    prev = {
+                        _entry_key(e)
+                        for e in self._read_manifest(v - 1)["files"]
+                    }
                 cur = {_entry_key(e): e for e in m["files"]}
                 if not prev <= set(cur):
                     raise ChangeFeedUnavailableError(

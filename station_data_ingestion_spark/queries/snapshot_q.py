@@ -1920,3 +1920,87 @@ def snapshot_hidden_partition_read(spark, sf_dir):
             money_sum(F.col("o_totalprice")).alias("total_price"),
         )
     )
+
+
+@query(
+    "snapshot_cdf_replication",
+    """
+WITH final AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 5 = 0
+              THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) + 777
+              ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS cents
+  FROM orders WHERE o_orderkey % 7 <> 0
+)
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM final GROUP BY o_orderstatus
+""",
+)
+def snapshot_cdf_replication(spark, sf_dir):
+    """CDC REPLICATION over the change feed: an independent replica
+    table is built PURELY from the source's recorded feed — each
+    commit's rows become upsert/delete ops applied through the
+    three-branch merge, commit by commit, bootstrap included (v1's
+    inserts synthesize from its added files). After replay the replica
+    must equal the source EXACTLY (asserted in-query, both exceptAll
+    directions) — the Delta/Debezium downstream-sync pattern, and the
+    strongest end-to-end witness that the feed is complete: any lost or
+    duplicated row diverges the replica. Oracle recomputes the final
+    state from scratch."""
+    from station_data_ingestion_spark.operators.merge import merge_apply_ops
+
+    o = load(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_custkey") % 4).alias("bucket"),
+    )
+    src = SnapshotTable(
+        spark,
+        _tmpdir(prefix="cdf_repl_") + "/src",
+        partition_cols=("bucket",),
+        stat_cols=(),
+    )
+    src.commit_overwrite_partitions(o.filter(F.col("bucket") < 3))
+    src.commit_overwrite_partitions(o.filter(F.col("bucket") == 3))
+    src.update_where(F.col("o_orderkey") % 5 == 0, {"cents": F.col("cents") + 777})
+    src.delete_where(F.col("o_orderkey") % 7 == 0)
+    v_hi = src.latest_version()
+
+    feed = src.read_change_feed(0, to_version=v_hi)
+    replica = SnapshotTable(
+        spark,
+        _tmpdir(prefix="cdf_repl_") + "/replica",
+        partition_cols=("bucket",),
+        stat_cols=(),
+    )
+    keys = ["o_orderkey"]
+    cols = ["o_orderkey", "o_orderstatus", "cents", "bucket"]
+    for v in range(1, v_hi + 1):
+        batch = feed.filter(F.col("_commit_version") == v)
+        ops = batch.filter(
+            F.col("_change_type").isin("insert", "update_postimage", "delete")
+        ).select(
+            *cols,
+            F.when(F.col("_change_type") == "delete", F.lit("delete"))
+            .otherwise(F.lit("upsert"))
+            .alias("_op"),
+        )
+        cur = replica.read()
+        target = (
+            cur.select(*cols)
+            if cur is not None
+            else spark.createDataFrame([], ops.drop("_op").schema)
+        )
+        merged = merge_apply_ops(target, ops, keys)
+        replica.commit_overwrite_partitions(merged)
+
+    got, want = replica.read().select(*cols), src.read().select(*cols)
+    drift = got.exceptAll(want).count() + want.exceptAll(got).count()
+    if drift:
+        raise RuntimeError(f"replica drifted from source by {drift} rows")
+    return got.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
