@@ -1703,9 +1703,23 @@ def snapshot_change_feed_read(spark, sf_dir):
     # (the update touched appended rows too); postimages are disjoint
     # from both subtracted sets, so the grouped form equals the
     # per-version fold here
-    applied = base.unionByName(plus).exceptAll(minus)
-    final = t.read(version=v_now).select(*cols)
-    drift = applied.exceptAll(final).count() + final.exceptAll(applied).count()
+    # Bag-equality in ONE shuffle instead of two exceptAll joins:
+    # +1 for every row the replay produces (base + plus, minus subtracts),
+    # -1 for every row of the target version; all-zero sums == equal bags.
+    weighted = (
+        base.withColumn("_w", F.lit(1))
+        .unionByName(plus.withColumn("_w", F.lit(1)))
+        .unionByName(minus.withColumn("_w", F.lit(-1)))
+        .unionByName(
+            t.read(version=v_now).select(*cols).withColumn("_w", F.lit(-1))
+        )
+    )
+    drift = (
+        weighted.groupBy(*cols)
+        .agg(F.sum("_w").alias("_d"))
+        .filter(F.col("_d") != 0)
+        .count()
+    )
     if drift:
         raise RuntimeError(
             f"change feed does not reproduce the target version "
