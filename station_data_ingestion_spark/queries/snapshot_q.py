@@ -2018,3 +2018,88 @@ def snapshot_cdf_replication(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("cents").cast("long").alias("cents"),
     )
+
+
+@query(
+    "catalog_txn_multi_table_read",
+    """
+WITH f AS (
+  SELECT o_custkey % 4 AS bucket,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT)
+           + CASE WHEN o_custkey % 4 = 2 THEN 500 ELSE 0 END AS cents
+  FROM orders
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM f GROUP BY bucket
+""",
+)
+def catalog_txn_multi_table_read(spark, sf_dir):
+    """MULTI-TABLE ATOMIC TRANSACTION (Iceberg REST-catalog style): a
+    fact table and its rollup live under one versioned catalog; a
+    transaction updates BOTH (partition-overwrite of bucket 2 in the
+    fact + the matching rollup row) and publishes ONE catalog manifest
+    flipping both pins at once. The query asserts the invariant a torn
+    read would break — rollup == recompute(fact) — at BOTH the pre-txn
+    snapshot and the post-txn snapshot, then returns the live rollup.
+    A reader that could ever see new-fact/old-rollup (or the reverse)
+    fails the gate. Catalog resolution is one driver-side JSON read; no
+    data-plane cost at any scale."""
+    from station_data_ingestion_spark.plans.catalog import Catalog
+
+    orders = load(spark, sf_dir, "orders")["orders"].select(
+        (F.col("o_custkey") % 4).cast("long").alias("bucket"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+    def rollup_of(df):
+        return df.groupBy("bucket").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+
+    cat = Catalog(spark, _tmpdir(prefix="snap_catalog_") + "/cat")
+    cat.init()
+    t0 = cat.transaction()
+    t0.create_table(
+        "fact", orders, partition_cols=("bucket",), stat_cols=()
+    )
+    t0.create_table(
+        "rollup", rollup_of(orders), partition_cols=("bucket",), stat_cols=()
+    )
+    t0.commit()
+    s0 = cat.snapshot()
+
+    # the transaction: bump bucket 2 in the fact AND refresh exactly the
+    # rollup row it changes — both become visible in ONE pin flip
+    txn = cat.transaction()
+    bumped = (
+        txn.read("fact", partition={"bucket": "2"})
+        .withColumn("cents", F.col("cents") + 500)
+    )
+    txn.write("fact", bumped)
+    txn.write("rollup", rollup_of(txn.read("fact", partition={"bucket": "2"})))
+    txn.commit()
+    s1 = cat.snapshot()
+
+    def assert_consistent(snap, tag):
+        want = {
+            (r["bucket"], r["n"], r["cents"])
+            for r in rollup_of(snap.read("fact")).collect()
+        }
+        got = {
+            (r["bucket"], r["n"], r["cents"])
+            for r in snap.read("rollup").collect()
+        }
+        if got != want:
+            raise RuntimeError(
+                f"torn multi-table read at {tag}: rollup != recompute(fact)"
+            )
+
+    assert_consistent(s0, "pre-txn snapshot")
+    assert_consistent(s1, "post-txn snapshot")
+    # partition-column values survive as strings by store design
+    return s1.read("rollup").select(
+        F.col("bucket").cast("long").alias("bucket"), "n", "cents"
+    )

@@ -1,0 +1,137 @@
+"""Multi-table atomic catalog transactions (plans/catalog.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from station_data_ingestion_spark.plans.catalog import Catalog
+from station_data_ingestion_spark.plans.snapshot_store import (
+    ConcurrentCommitError,
+)
+
+
+def _fact(spark, lo, hi, price=10):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("p"),
+        F.lit(price).cast("long").alias("cents"),
+    )
+
+
+def _rollup_of(df):
+    return df.groupBy("p").agg(F.sum("cents").alias("cents"))
+
+
+def _mk(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.init()
+    txn = cat.transaction()
+    fact = _fact(spark, 0, 100)
+    txn.create_table("fact", fact, partition_cols=("p",), stat_cols=())
+    txn.create_table(
+        "rollup", _rollup_of(fact), partition_cols=(), stat_cols=()
+    )
+    txn.commit()
+    return cat
+
+
+def test_txn_commit_is_atomic_across_tables(spark, tmp_path):
+    cat = _mk(spark, tmp_path)
+    s0 = cat.snapshot()
+    txn = cat.transaction()
+    fact2 = _fact(spark, 0, 100, price=13)
+    txn.write("fact", fact2)
+    # staged but uncommitted: a fresh snapshot still sees the OLD fact
+    mid = cat.snapshot()
+    assert mid.read("fact").agg(F.sum("cents")).first()[0] == 1000
+    txn.write("rollup", _rollup_of(fact2))
+    txn.commit()
+    # old snapshot: internally consistent OLD pair
+    assert s0.read("fact").agg(F.sum("cents")).first()[0] == 1000
+    assert s0.read("rollup").agg(F.sum("cents")).first()[0] == 1000
+    # new snapshot: both flipped together
+    s1 = cat.snapshot()
+    assert s1.read("fact").agg(F.sum("cents")).first()[0] == 1300
+    assert s1.read("rollup").agg(F.sum("cents")).first()[0] == 1300
+
+
+def test_txn_read_your_writes_and_snapshot_isolation(spark, tmp_path):
+    cat = _mk(spark, tmp_path)
+    txn = cat.transaction()
+    txn.write("fact", _fact(spark, 0, 100, price=20))
+    assert txn.read("fact").agg(F.sum("cents")).first()[0] == 2000
+    assert txn.read("rollup").agg(F.sum("cents")).first()[0] == 1000
+    txn.abort()
+    assert cat.snapshot().read("fact").agg(F.sum("cents")).first()[0] == 1000
+
+
+def test_overlapping_txns_fail_fast_at_table_cas(spark, tmp_path):
+    cat = _mk(spark, tmp_path)
+    a, b = cat.transaction(), cat.transaction()
+    a.write("fact", _fact(spark, 0, 100, price=11))
+    a.commit()
+    # b read the pre-a snapshot; its fact write is a stale RMW
+    with pytest.raises(ConcurrentCommitError):
+        b.write("fact", _fact(spark, 0, 100, price=12))
+    # retry pattern: fresh txn sees a's state and lands
+    c = cat.transaction()
+    assert c.read("fact").agg(F.sum("cents")).first()[0] == 1100
+    c.write("fact", _fact(spark, 0, 100, price=12))
+    c.commit()
+    assert cat.snapshot().read("fact").agg(F.sum("cents")).first()[0] == 1200
+
+
+def test_create_create_conflict_detected_at_catalog_commit(spark, tmp_path):
+    cat = _mk(spark, tmp_path)
+    a, b = cat.transaction(), cat.transaction()
+    a.create_table(
+        "dim",
+        spark.range(3).select(F.col("id").alias("k")),
+        path=str(tmp_path / "dim_a"),
+        partition_cols=(),
+        stat_cols=(),
+    )
+    b.create_table(
+        "dim",
+        spark.range(7).select(F.col("id").alias("k")),
+        path=str(tmp_path / "dim_b"),
+        partition_cols=(),
+        stat_cols=(),
+    )
+    a.commit()
+    with pytest.raises(ConcurrentCommitError):
+        b.commit()
+    assert cat.snapshot().read("dim").count() == 3
+
+
+def test_disjoint_txns_rebase_and_both_land(spark, tmp_path):
+    cat = _mk(spark, tmp_path)
+    a, b = cat.transaction(), cat.transaction()
+    a.write("fact", _fact(spark, 0, 100, price=15))
+    b.write("rollup", _rollup_of(_fact(spark, 0, 100, price=15)))
+    a.commit()
+    b.commit()  # loses the CAS on v+1, rebases over a's pins, lands v+2
+    s = cat.snapshot()
+    assert s.read("fact").agg(F.sum("cents")).first()[0] == 1500
+    assert s.read("rollup").agg(F.sum("cents")).first()[0] == 1500
+    # both catalog versions exist; the rebased pin set kept a's fact
+    assert cat.latest_version() == 3
+
+
+def test_unpinned_table_versions_are_invisible(spark, tmp_path):
+    cat = _mk(spark, tmp_path)
+    txn = cat.transaction()
+    txn.write("fact", _fact(spark, 0, 100, price=99))
+    txn.abort()
+    s = cat.snapshot()
+    assert s.read("fact").agg(F.sum("cents")).first()[0] == 1000
+    # the staged table-level version exists on disk but is never resolved
+    t = s.table("fact")
+    assert t.latest_version() > s.pinned_version("fact")
+
+
+def test_empty_txn_commit_is_a_noop(spark, tmp_path):
+    cat = _mk(spark, tmp_path)
+    v = cat.latest_version()
+    txn = cat.transaction()
+    assert txn.commit() == v
+    assert cat.latest_version() == v
