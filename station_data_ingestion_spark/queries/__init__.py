@@ -26,6 +26,7 @@ from station_data_ingestion_spark.queries import (  # noqa: F401
     sketch_q,
     snapshot_q,
     sources_q,
+    stats_q,
     streaming_q,
     temporal_q,
     udx,
