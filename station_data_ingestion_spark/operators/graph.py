@@ -121,3 +121,71 @@ def connected_components(
             F.least(F.coalesce("nbr_min", "node"), "node").alias("rep"),
         )
     )
+
+
+def sssp(
+    edges: DataFrame,
+    seeds: DataFrame,
+    cap: int,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Multi-source WEIGHTED shortest paths (Bellman-Ford frontier
+    relaxation), distances pruned at ``cap``.
+
+    ``edges``: (src, dst, wt) with POSITIVE integer weights. ``seeds``:
+    (node,) at distance 0. Returns (node, dist) with dist < cap — every
+    node's exact minimum distance from the seed set.
+
+    Scale shape: the state is ONE row per settled node and the frontier
+    is only the nodes IMPROVED last round — each round is a join on src
+    plus a min-groupBy, both shuffling on node id; lineage is truncated
+    per round (localCheckpoint) so the plan stays O(1) deep. Positive
+    weights make distances monotone, so candidates >= cap are pruned
+    INSIDE the loop (they can never lead to a sub-cap result) and the
+    loop terminates in at most cap/min_wt rounds — the driver's only
+    per-round action is the frontier-empty check. Dijkstra's priority
+    queue does not distribute; frontier Bellman-Ford is the standard
+    bulk-synchronous form (Pregel/GraphFrames use the same shape).
+    """
+    edges = edges.select("src", "dst", "wt").localCheckpoint(eager=True)
+    dist = (
+        seeds.select("node").distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _ in range(max_rounds):
+        cand = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(
+                edges["dst"].alias("node"),
+                (frontier["dist"] + edges["wt"]).alias("dist"),
+            )
+            .filter(F.col("dist") < cap)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        improved = (
+            cand.join(
+                dist.select("node", F.col("dist").alias("cur")),
+                "node",
+                "left",
+            )
+            .filter(F.col("cur").isNull() | (F.col("dist") < F.col("cur")))
+            .select("node", "dist")
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.join(improved.select("node"), "node", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    else:
+        raise RuntimeError(
+            f"sssp did not converge in {max_rounds} rounds "
+            "(cap/min-weight bound exceeded — check weights are positive)"
+        )
+    return dist

@@ -264,3 +264,66 @@ def graph_bfs_hops(spark, sf_dir):
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited.select("node", F.col("hops").cast("long"))
+
+
+_SSSP_CAP = 25
+
+
+def _sssp_oracle() -> str:
+    return f"""
+WITH RECURSIVE nodes AS (
+  SELECT c_custkey - 1 AS i FROM customer
+),
+edges AS (
+  SELECT i AS src, (2*i + 1) % (SELECT COUNT(*) FROM customer) AS dst,
+         2 + (i % 6) AS wt FROM nodes
+  UNION ALL
+  SELECT i, (3*i + 7) % (SELECT COUNT(*) FROM customer), 3 + (i % 5)
+  FROM nodes
+),
+walk(node, d) AS (
+  SELECT i, 0 FROM nodes WHERE i < 4
+  UNION
+  SELECT e.dst, w.d + e.wt
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.d < {_SSSP_CAP}
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(MIN(d) AS BIGINT) AS dist
+FROM walk GROUP BY node HAVING MIN(d) < {_SSSP_CAP}
+"""
+
+
+@query("graph_sssp_weighted", _sssp_oracle())
+def graph_sssp_weighted(spark, sf_dir):
+    """WEIGHTED single-source (multi-seed) shortest paths by frontier
+    Bellman-Ford (operators/graph.py:sssp) over a deterministic sparse
+    cyclic graph synthesized from customer keys (out-degree 2, integer
+    weights 2..7 — derivable identically in SQL, so DuckDB can walk the
+    same graph with a real WITH RECURSIVE). Distances are capped at
+    {_SSSP_CAP}: positive weights make the cap a sound in-loop prune on
+    BOTH engines (a prefix of any sub-cap shortest path is itself
+    sub-cap), which is what keeps the recursive oracle's state space
+    polynomial. Exact integer distances — no float tolerance."""
+    n = load(spark, sf_dir, "customer")["customer"].count()
+    nodes = load(spark, sf_dir, "customer")["customer"].select(
+        (F.col("c_custkey") - 1).alias("i")
+    )
+    edges = nodes.select(
+        F.col("i").alias("src"),
+        ((2 * F.col("i") + 1) % n).alias("dst"),
+        (2 + (F.col("i") % 6)).alias("wt"),
+    ).unionByName(
+        nodes.select(
+            F.col("i").alias("src"),
+            ((3 * F.col("i") + 7) % n).alias("dst"),
+            (3 + (F.col("i") % 5)).alias("wt"),
+        )
+    )
+    seeds = nodes.filter(F.col("i") < 4).select(F.col("i").alias("node"))
+    from station_data_ingestion_spark.operators.graph import sssp
+
+    out = sssp(edges, seeds, cap=_SSSP_CAP)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("dist").cast("long").alias("dist"),
+    )
