@@ -86,3 +86,178 @@ def stats_ols_single_native(spark, sf_dir):
     )
     fit = fit_ols(d, "n_chars", ["n_words"])
     return ols_terms_df(spark, fit)
+
+
+@query(
+    "events_time_decay_topk",
+    """
+WITH ref AS (SELECT MAX(ts) AS t1 FROM events),
+d AS (
+  SELECT user_id,
+         CAST(ROUND(value * POW(0.5,
+             (epoch_us(t1) - epoch_us(ts)) / 604800000000.0) * 10000)
+           AS BIGINT) AS du
+  FROM events, ref
+),
+s AS (
+  SELECT user_id, SUM(du) AS score_e4 FROM d GROUP BY user_id
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(score_e4 AS BIGINT) AS score_e4
+FROM s ORDER BY score_e4 DESC, user_id LIMIT 20
+""",
+)
+def events_time_decay_topk(spark, sf_dir):
+    """Exponential TIME-DECAY engagement score (half-life 7 days against
+    the corpus's newest event): the recency weighting every feature
+    store / recommender maintains. One scan, one groupBy shuffle; the
+    reference instant is a single-row broadcast, never a window. Each
+    term is rounded to 1e-4 units BEFORE the sum (integer addition is
+    associative; pow agrees cross-engine to ~1 ulp, eight orders below
+    the rounding unit), then top-20 with a total order."""
+    ev = load(spark, sf_dir, "events")["events"]
+    ref = ev.agg(F.max("ts").alias("t1"))
+    scored = (
+        ev.crossJoin(F.broadcast(ref))
+        .select(
+            "user_id",
+            F.round(
+                F.col("value")
+                * F.pow(
+                    F.lit(0.5),
+                    (F.unix_micros("t1") - F.unix_micros("ts"))
+                    / 604800000000.0,
+                )
+                * 10000
+            )
+            .cast("long")
+            .alias("du"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("du").alias("score_e4"))
+    )
+    return (
+        scored.orderBy(F.col("score_e4").desc(), "user_id")
+        .limit(20)
+        .select(
+            F.col("user_id").cast("long"),
+            F.col("score_e4").cast("long"),
+        )
+    )
+
+
+@query(
+    "events_twap_daily",
+    """
+WITH e AS (
+  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         epoch_us(date_trunc('day', ts)) + 86400000000 AS day_end,
+         epoch_us(ts) AS us, event_id,
+         CAST(ROUND(value * 10000) AS BIGINT) AS v4
+  FROM events
+),
+w AS (
+  SELECT event_type, day, v4,
+         COALESCE(
+           LEAD(us) OVER (PARTITION BY event_type, day ORDER BY us, event_id),
+           day_end) - us AS dur
+  FROM e
+)
+SELECT event_type, day,
+       CAST(SUM(v4 * dur) // SUM(dur) AS BIGINT) AS twap_e4
+FROM w GROUP BY event_type, day
+""",
+)
+def events_twap_daily(spark, sf_dir):
+    """TIME-WEIGHTED average (TWAP): each observation holds until the
+    next one of its (event_type, day) series, the last until midnight —
+    the standard irregular-time-series average (finance TWAP, sensor
+    duty cycle). ENTIRELY integer-exact: weights are epoch-microsecond
+    gaps (bigint), values pre-scaled to 1e-4 units, and the final mean
+    is integer division — zero float accumulation anywhere, so the
+    result is bit-identical on any engine or partitioning. One window
+    shuffle on (event_type, day), one aggregation."""
+    ev = load(spark, sf_dir, "events")["events"]
+    from pyspark.sql import Window
+
+    e = ev.select(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        (
+            F.unix_micros(F.date_trunc("day", "ts")) + 86400000000
+        ).alias("day_end"),
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.round(F.col("value") * 10000).cast("long").alias("v4"),
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("us", "event_id")
+    dur = (
+        e.withColumn(
+            "dur",
+            F.coalesce(F.lead("us").over(w), F.col("day_end")) - F.col("us"),
+        )
+    )
+    return dur.groupBy("event_type", "day").agg(
+        F.expr("sum(v4 * dur) div sum(dur)").cast("long").alias("twap_e4")
+    )
+
+
+@query(
+    "agg_mode_mad_lineitem",
+    """
+WITH li AS (
+  SELECT l_returnflag AS grp, l_quantity AS qty,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+),
+mc AS (SELECT grp, qty, COUNT(*) AS c FROM li GROUP BY grp, qty),
+md AS (
+  SELECT grp, qty FROM (
+    SELECT grp, qty,
+           ROW_NUMBER() OVER (PARTITION BY grp ORDER BY c DESC, qty) AS rn
+    FROM mc) WHERE rn = 1
+),
+med AS (SELECT grp, median(cents) AS m FROM li GROUP BY grp),
+mad AS (
+  SELECT li.grp, median(ABS(cents - m)) AS mad
+  FROM li JOIN med ON li.grp = med.grp GROUP BY li.grp
+)
+SELECT md.grp AS grp, CAST(md.qty AS BIGINT) AS mode_qty,
+       CAST(ROUND(mad.mad) AS BIGINT) AS mad_cents
+FROM md JOIN mad ON md.grp = mad.grp
+""",
+)
+def agg_mode_mad_lineitem(spark, sf_dir):
+    """Robust statistics per group: MODE with an explicit deterministic
+    tiebreak (count desc, value asc — native mode() tiebreaks are
+    engine-unspecified, so both sides spell the argmax out) and MEDIAN
+    ABSOLUTE DEVIATION in integer cents (medians of integers are exact
+    k or k+.5 doubles; rounding them is engine-stable). Two aggregation
+    passes for the MAD (median, then median of deviations) — the
+    textbook shape; the mode is one count shuffle + a per-group top-1
+    window over the (grp, value) COUNTS, never the raw rows."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")["lineitem"].select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    mc = li.groupBy("grp", "qty").agg(F.count(F.lit(1)).alias("c"))
+    md = (
+        mc.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("grp").orderBy(F.col("c").desc(), "qty")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("grp", F.col("qty").cast("long").alias("mode_qty"))
+    )
+    med = li.groupBy("grp").agg(F.expr("percentile(cents, 0.5)").alias("m"))
+    mad = (
+        li.join(med, "grp")
+        .select("grp", F.abs(F.col("cents") - F.col("m")).alias("dev"))
+        .groupBy("grp")
+        .agg(F.round(F.expr("percentile(dev, 0.5)")).cast("long").alias("mad_cents"))
+    )
+    return md.join(mad, "grp").select("grp", "mode_qty", "mad_cents")
