@@ -261,3 +261,101 @@ def agg_mode_mad_lineitem(spark, sf_dir):
         .agg(F.round(F.expr("percentile(dev, 0.5)")).cast("long").alias("mad_cents"))
     )
     return md.join(mad, "grp").select("grp", "mode_qty", "mad_cents")
+
+
+@query(
+    "scalars_variant_roundtrip",
+    """
+SELECT o_orderstatus AS st,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents,
+       CAST(SUM(EXTRACT(day FROM o_orderdate)) AS BIGINT) AS prio_sum,
+       CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def scalars_variant_roundtrip(spark, sf_dir):
+    """Spark 4 VARIANT end-to-end: each order is serialized to nested
+    JSON (object, sub-object, array), parsed into a VARIANT column, and
+    every output value is recovered ONLY through typed variant_get path
+    extraction (object field, nested field, array index) — the oracle
+    computes the same aggregates from the base columns, so any fidelity
+    loss in the serialize->parse->extract pipeline (type coercion,
+    array ordering, null handling) fails the gate. VARIANT is the
+    engine's semi-structured answer at scale: binary-encoded once,
+    path-extracted many times, no per-query string re-parsing, all
+    JVM-side."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    j = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("id"),
+            F.struct(
+                F.col("o_orderstatus").alias("st"),
+                F.round(F.col("o_totalprice") * 100)
+                .cast("long")
+                .alias("cents"),
+            ).alias("m"),
+            F.array(
+                "o_custkey", F.dayofmonth("o_orderdate").cast("long")
+            ).alias("a"),
+        )
+    )
+    v = o.select(F.parse_json(j).alias("v"))
+    flat = v.select(
+        F.try_variant_get("v", "$.m.st", "string").alias("st"),
+        F.try_variant_get("v", "$.m.cents", "long").alias("cents"),
+        F.try_variant_get("v", "$.a[1]", "long").alias("prio"),
+        F.try_variant_get("v", "$.a[0]", "long").alias("cust"),
+    )
+    return flat.groupBy("st").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+        F.sum("prio").cast("long").alias("prio_sum"),
+        F.sum("cust").cast("long").alias("cust_sum"),
+    )
+
+
+@query(
+    "sample_weighted_es_topk",
+    """
+WITH k AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS w_cents,
+         LN((CAST(('0x' || SUBSTR(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))
+                  AS BIGINT) + 0.5) / 281474976710656.0)
+           / o_totalprice AS es_key
+  FROM orders
+)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, w_cents
+FROM k ORDER BY es_key DESC, o_orderkey LIMIT 50
+""",
+)
+def sample_weighted_es_topk(spark, sf_dir):
+    """WEIGHTED sampling without replacement (Efraimidis–Spirakis): each
+    row draws a deterministic uniform from md5(key) and ranks by
+    ln(u)/w — the top-k under that key IS an exact weighted sample, and
+    because the draw is a pure function of the row key it is
+    reproducible on any engine, partitioning, or retry (the property
+    rand() loses on task re-execution at scale). One scan + a top-k
+    (TakeOrdered — never a global sort); the log form avoids the
+    u^(1/w) near-1.0 double resolution collapse for large weights."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 12),
+            16,
+            10,
+        ).cast("long")
+        + 0.5
+    ) / F.lit(281474976710656.0)
+    k = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("w_cents"),
+        (F.log(u) / F.col("o_totalprice")).alias("es_key"),
+    )
+    return (
+        k.orderBy(F.col("es_key").desc(), "o_orderkey")
+        .limit(50)
+        .select(F.col("o_orderkey").cast("long"), "w_cents")
+    )
