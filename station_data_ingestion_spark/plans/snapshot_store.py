@@ -43,6 +43,7 @@ _SNAPDIR = "_snapshots"
 _STAGING = "_staging"
 _PENDING = "_pending"
 _CHANGES = "_changes"
+_DELETES = "_deletes"
 _MAX_COMMIT_ATTEMPTS = 20
 
 
@@ -316,6 +317,14 @@ class SnapshotTable:
             manifest["renames"] = m["renames"]
         if m.get("dropped"):
             manifest["dropped"] = m["dropped"]
+        if m.get("deletes"):
+            # the clone inherits the source's deletion vectors in place;
+            # pin each token to the root that owns it (clone-of-clone
+            # keeps the original root, like file entries' base)
+            manifest["deletes"] = [
+                {**d, "root": d.get("root") or _os.path.abspath(self.path)}
+                for d in m["deletes"]
+            ]
         if not dst._write_manifest_exclusive(1, manifest):
             raise ConcurrentCommitError(
                 f"lost the publish race for v1 at {dst_path}"
@@ -368,6 +377,7 @@ class SnapshotTable:
         version: int | None = None,
         point: dict | None = None,
         as_of: float | None = None,
+        _lineage: bool = False,
     ) -> DataFrame | None:
         """DataFrame over a snapshot's files; None if no table.
 
@@ -524,11 +534,25 @@ class SnapshotTable:
             entries = [e for e in entries if bloom_keeps(e)]
         if not entries:
             return None
+        dvs = manifest.get("deletes") or []
         out = self._read_entry_files(
             entries,
             renames=manifest.get("renames", []),
             dropped=manifest.get("dropped", []),
+            lineage=bool(dvs) or _lineage,
         )
+        if dvs:
+            # MERGE-ON-READ deletion vectors: anti-join the (file, row)
+            # coordinates recorded by delete_where_dv. The DV table is
+            # tiny (one row per deleted row, two narrow columns) so AQE
+            # broadcasts it; a snapshot with no DVs pays nothing at all.
+            out = out.join(
+                self._read_dv_frame(dvs),
+                on=["_dv_file", "_dv_row"],
+                how="left_anti",
+            )
+            if not _lineage:
+                out = out.drop("_dv_file", "_dv_row")
         # transform-derived partition columns are LAYOUT, not schema:
         # hide them (Iceberg hidden partitioning)
         for pcol in self.partition_transforms:
@@ -536,13 +560,31 @@ class SnapshotTable:
                 out = out.drop(pcol)
         return out
 
+    def _read_dv_frame(self, dvs: list[dict]) -> DataFrame:
+        """Union of the snapshot's deletion-vector files as a
+        (_dv_file, _dv_row) frame. Tokens carry an optional ``root``
+        (set when a shallow clone inherits the source's DVs)."""
+        paths = [
+            f"{d.get('root') or self.path}/{_DELETES}/{d['token']}"
+            for d in dvs
+        ]
+        return self.spark.read.parquet(*paths).select("_dv_file", "_dv_row")
+
     def _read_entry_files(
         self,
         entries: list[dict],
         renames: list[list[str]] | None = None,
         dropped: list[str] | None = None,
+        lineage: bool = False,
     ) -> DataFrame:
         """Scan manifest entries, restoring partition columns.
+
+        ``lineage=True`` additionally exposes per-row file identity as
+        ``_dv_file`` (the scan's ``_metadata.file_path`` URI) and
+        ``_dv_row`` (``_metadata.row_index``) — the (file, position)
+        coordinates deletion vectors are keyed by. Both come from the
+        parquet reader itself, so writer and reader can never disagree
+        on the encoding of the same file's identity.
 
         Entries written under DIFFERENT partition specs (see
         :meth:`evolve_partition_spec`) cannot share one hive discovery
@@ -567,12 +609,22 @@ class SnapshotTable:
         prev = self.spark.conf.get(conf_key, "true")
         self.spark.conf.set(conf_key, "false")
         try:
-            dfs = [
-                self.spark.read.option("basePath", base)
-                .option("mergeSchema", "true")
-                .parquet(*paths)
-                for (_, base), paths in sorted(groups.items())
-            ]
+            from pyspark.sql import functions as F
+
+            dfs = []
+            for (_, base), paths in sorted(groups.items()):
+                d = (
+                    self.spark.read.option("basePath", base)
+                    .option("mergeSchema", "true")
+                    .parquet(*paths)
+                )
+                if lineage:
+                    d = d.select(
+                        "*",
+                        F.col("_metadata.file_path").alias("_dv_file"),
+                        F.col("_metadata.row_index").alias("_dv_row"),
+                    )
+                dfs.append(d)
         finally:
             self.spark.conf.set(conf_key, prev)
         out = dfs[0]
@@ -841,7 +893,13 @@ class SnapshotTable:
         v = self.latest_version() if version is None else version
         if v is None:
             return None
-        entries = self._read_manifest(v)["files"]
+        m = self._read_manifest(v)
+        if m.get("deletes"):
+            # merge-on-read deletes make per-file counts stale (and DV
+            # refs can themselves be stale after rewrites) — a metadata
+            # answer would be unsound; caller falls back to a scan
+            return None
+        entries = m["files"]
         if partition:
             entries = [
                 e for e in entries
@@ -908,10 +966,23 @@ class SnapshotTable:
         hi_m = self._read_manifest(v_hi)
         hi_paths = {_entry_key(e) for e in hi_m["files"]}
         removed = old_paths - hi_paths
-        if removed and on_rewrite == "error":
+        # a DV delete changes ROWS while the file set is unchanged — as
+        # non-append as a rewrite, just cheaper; compare the DV lists
+        old_dvs = (
+            self._read_manifest(from_version).get("deletes", [])
+            if from_version is not None
+            else []
+        )
+        dv_changed = old_dvs != hi_m.get("deletes", [])
+        if (removed or dv_changed) and on_rewrite == "error":
+            what = (
+                f"{len(removed)} file(s) were rewritten/removed"
+                if removed
+                else "deletion vectors changed"
+            )
             raise RuntimeError(
                 f"non-append change between v{from_version} and v{v_hi}: "
-                f"{len(removed)} file(s) were rewritten/removed — use "
+                f"{what} — use "
                 "on_rewrite='include' (at-least-once) or keyed_diff for "
                 "row-level changes"
             )
@@ -949,7 +1020,13 @@ class SnapshotTable:
         v = self.latest_version() if version is None else version
         if v is None:
             return None
-        entries = self._read_manifest(v)["files"]
+        m = self._read_manifest(v)
+        if m.get("deletes"):
+            # a DV-deleted row may have held the recorded min/max —
+            # zone maps stay SOUND for pruning (bounds only widen) but
+            # are no longer exact answers; fall back to a scan
+            return None
+        entries = m["files"]
         if partition:
             entries = [
                 e for e in entries
@@ -1318,6 +1395,16 @@ class SnapshotTable:
             )
             if dropped:
                 manifest["dropped"] = dropped
+            # deletion vectors survive unrelated commits (an append must
+            # not resurrect DV-deleted rows); extra may override (e.g.
+            # materialize_deletes clears the list)
+            deletes = (
+                self._read_manifest(base_v).get("deletes", [])
+                if base_v is not None
+                else []
+            )
+            if deletes:
+                manifest["deletes"] = deletes
             if extra:
                 manifest.update(extra)
             if self._write_manifest_exclusive(version, manifest):
@@ -1416,6 +1503,8 @@ class SnapshotTable:
             manifest["renames"] = base_m["renames"]
         if base_m.get("dropped"):
             manifest["dropped"] = base_m["dropped"]
+        if base_m.get("deletes"):
+            manifest["deletes"] = base_m["deletes"]
         if extra:
             manifest.update(extra)
         if not self._write_manifest_exclusive(version, manifest):
@@ -1450,6 +1539,112 @@ class SnapshotTable:
             changes_builder=lambda df, cond, new_df: df.filter(
                 F.coalesce(cond, F.lit(False))
             ).withColumn("_change_type", F.lit("delete")),
+        )
+
+    def delete_where_dv(self, condition) -> int:
+        """DELETE FROM ... WHERE, MERGE-ON-READ (Delta deletion vectors
+        / Iceberg positional deletes): instead of rewriting every file
+        that contains a match, record the matches' (file, row-position)
+        coordinates in a deletion-vector file and publish a manifest
+        that references it. The write cost is O(deleted rows) — at
+        100 TB a point delete touches kilobytes, not the gigabytes of
+        copy-on-write file rewrites — and every data file keeps its
+        exact identity (time travel, incremental caches, and clone
+        sharing all stay intact). Reads pay one anti-join against the
+        (tiny, broadcast) DV set until :meth:`materialize_deletes`
+        compacts it away. NULL-predicate rows are kept, per SQL DELETE.
+
+        The change feed is recorded write-time like delete_where, so
+        CDF consumers see identical row-level deletes either way."""
+        from pyspark.sql import functions as F
+
+        base_v = self.latest_version()
+        if base_v is None:
+            raise ValueError(f"no table at {self.path}")
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        matched = self.read(version=base_v, _lineage=True).filter(
+            F.coalesce(cond, F.lit(False))
+        )
+        tok = uuid.uuid4().hex
+        dv_path = f"{self.path}/{_DELETES}/{tok}"
+        matched.select("_dv_file", "_dv_row").write.parquet(dv_path)
+        n = self.spark.read.parquet(dv_path).count()
+        if n == 0:
+            fs, p, jvm = _fs(self.spark, dv_path)
+            fs.delete(p, True)
+            return base_v
+        changes = matched.drop("_dv_file", "_dv_row").withColumn(
+            "_change_type", F.lit("delete")
+        )
+        chg_tok = self._write_changes(changes)
+        prior = self._read_manifest(base_v).get("deletes", [])
+        return self._commit_file_replacement(
+            set(),
+            [],
+            base_v,
+            extra={
+                "deletes": prior + [{"token": tok, "rows": int(n)}],
+                "changes": chg_tok,
+            },
+        )
+
+    def materialize_deletes(self) -> int:
+        """Compact MERGE-ON-READ deletes into the data files: rewrite
+        ONLY the files that have live deletion-vector rows (all others
+        keep their identity), then clear the DV list — after this,
+        reads pay zero anti-join again. The maintenance twin of
+        delete_where_dv, exactly like Delta's OPTIMIZE rewriting files
+        with DVs; declares ``cdf: none`` since no logical row changes."""
+        from pyspark.sql import functions as F
+
+        base_v = self.latest_version()
+        if base_v is None:
+            raise ValueError(f"no table at {self.path}")
+        base_m = self._read_manifest(base_v)
+        dvs = base_m.get("deletes") or []
+        if not dvs:
+            return base_v
+        # which LIVE files do the DV rows reference? (stale refs — files
+        # since rewritten/recompacted — prune out here)
+        dv_files = {
+            r["_dv_file"]
+            for r in self._read_dv_frame(dvs).select("_dv_file").distinct().collect()
+        }
+        from urllib.parse import unquote
+
+        def is_hit(e: dict) -> bool:
+            suffix = f"/{e['path']}"
+            base = e.get("base")
+            root = f"{base}/" if base else f"{self.path}/data/"
+            return any(
+                root in unquote(u) and unquote(u).endswith(suffix)
+                for u in dv_files
+            )
+
+        touched = [e for e in base_m["files"] if is_hit(e)]
+        if not touched:
+            return self._commit_file_replacement(
+                set(), [], base_v, extra={"deletes": [], "cdf": "none"}
+            )
+        df = self._read_entry_files(
+            touched,
+            renames=base_m.get("renames", []),
+            dropped=base_m.get("dropped", []),
+            lineage=True,
+        )
+        df = df.join(
+            self._read_dv_frame(dvs), on=["_dv_file", "_dv_row"], how="left_anti"
+        ).drop("_dv_file", "_dv_row")
+        staging = f"{self.path}/{_STAGING}/{uuid.uuid4().hex}"
+        df.write.partitionBy(*self.partition_cols).parquet(staging)
+        stats = self._file_stats(staging, list(self.stat_cols))
+        blooms = self._file_blooms(staging)
+        new_entries = self._promote_staging(staging, stats, blooms)
+        return self._commit_file_replacement(
+            {_entry_key(e) for e in touched},
+            new_entries,
+            base_v,
+            extra={"deletes": [], "cdf": "none"},
         )
 
     def update_where(self, condition, assignments: dict) -> int:
@@ -1496,8 +1691,12 @@ class SnapshotTable:
         if base_v is None:
             raise ValueError(f"no table at {self.path}")
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        current = self.read(version=base_v)
-        entries = self._read_manifest(base_v)["files"]
+        # lineage read: file identity comes from _metadata.file_path,
+        # which (unlike input_file_name) stays well-defined after the
+        # deletion-vector anti-join and already excludes DV-deleted rows
+        current = self.read(version=base_v, _lineage=True)
+        base_m = self._read_manifest(base_v)
+        entries = base_m["files"]
         # every data root this snapshot references (the local one plus
         # any shallow-clone sources) maps a scanned URI back to its key
         prefixes = sorted(
@@ -1520,7 +1719,7 @@ class SnapshotTable:
         hit_files = {
             uri_key(r["__f"])
             for r in current.filter(cond)
-            .groupBy(F.input_file_name().alias("__f"))
+            .groupBy(F.col("_dv_file").alias("__f"))
             .count()
             .collect()
         }
@@ -1534,9 +1733,19 @@ class SnapshotTable:
             )
         df = self._read_entry_files(
             touched,
-            renames=self._read_manifest(base_v).get("renames", []),
-            dropped=self._read_manifest(base_v).get("dropped", []),
+            renames=base_m.get("renames", []),
+            dropped=base_m.get("dropped", []),
+            lineage=True,
         )
+        if base_m.get("deletes"):
+            # rewriting a file MATERIALIZES its deletion-vector rows:
+            # the rewritten copy must not resurrect them
+            df = df.join(
+                self._read_dv_frame(base_m["deletes"]),
+                on=["_dv_file", "_dv_row"],
+                how="left_anti",
+            )
+        df = df.drop("_dv_file", "_dv_row")
         rewritten = self._enforce_constraints(transform(df, cond))
         staging = f"{self.path}/{_STAGING}/{uuid.uuid4().hex}"
         rewritten.write.partitionBy(*self.partition_cols).parquet(staging)
@@ -1782,6 +1991,29 @@ class SnapshotTable:
             for st in fs.listStatus(chg_root):
                 tok = st.getPath().getName()
                 if tok not in live_chg and st.getModificationTime() < cutoff_ms:
+                    fs.delete(st.getPath(), True)
+        # deletion-vector files: same lifecycle as change files — live
+        # while any surviving manifest references the token (local root
+        # only; a clone's root-pinned tokens belong to the source's
+        # vacuum, mirroring shallow-clone file isolation)
+        dv_root = HPath(f"{self.path}/{_DELETES}")
+        if fs.exists(dv_root):
+            live_dv = set()
+            for st in fs.listStatus(snap_root):
+                name = st.getPath().getName()
+                if name.startswith("v") and name.endswith(".json"):
+                    try:
+                        m = self._read_manifest(int(name[1:-5]))
+                    except (FileNotFoundError, ValueError):
+                        continue
+                    live_dv |= {
+                        d["token"]
+                        for d in m.get("deletes", [])
+                        if not d.get("root")
+                    }
+            for st in fs.listStatus(dv_root):
+                tok = st.getPath().getName()
+                if tok not in live_dv and st.getModificationTime() < cutoff_ms:
                     fs.delete(st.getPath(), True)
         return deleted
 

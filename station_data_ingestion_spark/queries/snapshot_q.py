@@ -2103,3 +2103,63 @@ def catalog_txn_multi_table_read(spark, sf_dir):
     return s1.read("rollup").select(
         F.col("bucket").cast("long").alias("bucket"), "n", "cents"
     )
+
+
+@query(
+    "snapshot_dv_delete_read",
+    """
+WITH o AS (
+  SELECT o_custkey % 4 AS bucket,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_custkey % 10 <> 7
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM o GROUP BY bucket
+""",
+)
+def snapshot_dv_delete_read(spark, sf_dir):
+    """MERGE-ON-READ DELETE (Delta deletion vectors / Iceberg positional
+    deletes): the delete writes only the matches' (file, row-position)
+    coordinates — O(deleted rows), kilobytes at any table size — and
+    readers anti-join the tiny DV set instead of paying file rewrites.
+    The query asserts the merge-on-read contract IN-QUERY: after the
+    delete, every data file keeps its exact pre-delete identity (a
+    rewrite sneaking in fails the gate), and time travel to the
+    pre-delete version still counts every row. Oracle: the filtered
+    aggregate over the source."""
+    orders = load(spark, sf_dir, "orders")["orders"].select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_custkey") % 4).alias("bucket"),
+    )
+    t = SnapshotTable(
+        spark,
+        _tmpdir(prefix="snap_dv_") + "/orders_dv",
+        partition_cols=("bucket",),
+        stat_cols=("o_custkey",),
+    )
+    t.commit_overwrite_partitions(orders)
+    v0 = t.latest_version()
+    pre_files = sorted(
+        e["path"] for e in t._read_manifest(v0)["files"]
+    )
+    n_total = t.read().count()
+    t.delete_where_dv(F.col("o_custkey") % 10 == 7)
+    v1 = t.latest_version()
+    post_files = sorted(e["path"] for e in t._read_manifest(v1)["files"])
+    if post_files != pre_files:
+        raise RuntimeError(
+            "DV delete rewrote data files — merge-on-read contract broken"
+        )
+    if t.read(version=v0).count() != n_total:
+        raise RuntimeError("time travel to pre-delete version lost rows")
+    return (
+        t.read()
+        .groupBy(F.col("bucket").cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
