@@ -1588,6 +1588,57 @@ class SnapshotTable:
             },
         )
 
+    def update_where_dv(self, condition, assignments: dict) -> int:
+        """UPDATE ... SET, MERGE-ON-READ: deletion-vector the matched
+        rows out of their files and append their updated copies as new
+        files — Delta's DV update decomposition. Write volume is
+        O(matched rows) (the postimage files + a tiny DV), never the
+        touched files' full contents; untouched rows' files keep their
+        identity. Matching rows may move partitions if an assignment
+        changes a partition column — the postimage lands wherever its
+        new values route it, which copy-on-write update_where cannot do
+        without rewriting both partitions."""
+        from pyspark.sql import functions as F
+
+        base_v = self.latest_version()
+        if base_v is None:
+            raise ValueError(f"no table at {self.path}")
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        matched = (
+            self.read(version=base_v, _lineage=True)
+            .filter(F.coalesce(cond, F.lit(False)))
+            .localCheckpoint(eager=True)  # one compute for DV + post + CDF
+        )
+        tok = uuid.uuid4().hex
+        dv_path = f"{self.path}/{_DELETES}/{tok}"
+        matched.select("_dv_file", "_dv_row").write.parquet(dv_path)
+        n = self.spark.read.parquet(dv_path).count()
+        if n == 0:
+            fs, p, _ = _fs(self.spark, dv_path)
+            fs.delete(p, True)
+            return base_v
+        pre = matched.drop("_dv_file", "_dv_row")
+        post = pre
+        for col, expr in assignments.items():
+            post = post.withColumn(col, expr)
+        new_entries = self._write_and_promote(post)
+        changes = pre.withColumn(
+            "_change_type", F.lit("update_preimage")
+        ).unionByName(
+            post.withColumn("_change_type", F.lit("update_postimage"))
+        )
+        chg_tok = self._write_changes(changes)
+        prior = self._read_manifest(base_v).get("deletes", [])
+        return self._commit_file_replacement(
+            set(),
+            new_entries,
+            base_v,
+            extra={
+                "deletes": prior + [{"token": tok, "rows": int(n)}],
+                "changes": chg_tok,
+            },
+        )
+
     def materialize_deletes(self) -> int:
         """Compact MERGE-ON-READ deletes into the data files: rewrite
         ONLY the files that have live deletion-vector rows (all others

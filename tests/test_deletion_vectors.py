@@ -168,3 +168,43 @@ def test_ranged_read_applies_dv(spark, tmp_path):
         (F.col("k") >= 50) & (F.col("k") <= 150)
     )
     assert got.count() == 101 - 10
+
+
+def test_mor_update_values_and_file_identity(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    before = set(_files(t))
+    v0 = t.latest_version()
+    t.update_where_dv(F.col("k") % 10 == 0, {"v": F.col("v") + 1})
+    after = set(_files(t))
+    assert before <= after  # old files all kept; postimage files added
+    rows = {r["k"]: r["v"] for r in t.read().select("k", "v").collect()}
+    assert len(rows) == 100
+    for k in range(100):
+        assert rows[k] == k * 10 + (1 if k % 10 == 0 else 0)
+    assert t.read(version=v0).count() == 100
+
+
+def test_mor_update_can_move_partitions(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    # flip partition of k=3 from p=1 to p=0
+    t.update_where_dv(F.col("k") == 3, {"p": F.lit("0")})
+    got = t.read(partition={"p": "0"}).select("k")
+    assert 3 in {r["k"] for r in got.collect()}
+    assert t.read().count() == 100
+
+
+def test_mor_update_change_feed_pre_and_post(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    v0 = t.latest_version()
+    t.update_where_dv(F.col("k") == 42, {"v": F.lit(7)})
+    feed = t.read_change_feed(v0).select("k", "v", "_change_type").collect()
+    assert {(r["v"], r["_change_type"]) for r in feed} == {
+        (420, "update_preimage"),
+        (7, "update_postimage"),
+    }
+
+
+def test_mor_update_noop_keeps_version(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    v = t.latest_version()
+    assert t.update_where_dv(F.col("k") > 10**9, {"v": F.lit(0)}) == v
