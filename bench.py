@@ -92,6 +92,10 @@ HEADLINE = [
     "sketch_kll_quantiles",
     "snapshot_change_feed_read",
     "events_interval_union_length",
+    # r6 session-3 additions: merge-on-read deletion vectors and the
+    # one-pass distributed OLS
+    "snapshot_dv_delete_read",
+    "stats_ols_two_feature",
 ]
 
 
@@ -447,6 +451,44 @@ def bench_snapshot_read_isolated(spark, sf_dir, timings: dict[str, object]) -> N
 
     timings["snapshot_ranged_read_only"] = timed_median(ranged)
     timings["snapshot_full_scan_agg"] = timed_median(full)
+
+    # -- merge-on-read vs copy-on-write DELETE write amplification -------
+    # A 0.1%-selectivity point delete: COW rewrites every touched file
+    # (with a clustered layout, matches scatter into most files -> near-
+    # full-table rewrite), merge-on-read writes O(matched rows) of DV
+    # coordinates. Each shot clones the base table (zero-copy metadata,
+    # identical cost in both variants) so delete state never accumulates.
+    import uuid as _uuid
+
+    pred = F.col("o_custkey") % 1000 == 7
+
+    def _clone():
+        return t.clone_to(
+            f"{t.path}_clone_{_uuid.uuid4().hex[:8]}"
+        )
+
+    def cow():
+        _clone().delete_where(pred)
+
+    def dv():
+        _clone().delete_where_dv(pred)
+
+    timings["snapshot_delete_cow"] = timed_median(cow, n=2)
+    timings["snapshot_delete_dv"] = timed_median(dv, n=2)
+    # read tax while DVs are open: same full-scan aggregate through the
+    # anti-join (compare with snapshot_full_scan_agg above)
+    dvt = _clone()
+    dvt.delete_where_dv(pred)
+
+    def dv_read():
+        materialize(
+            dvt.read().groupBy("o_orderstatus").agg(
+                F.count("*").alias("n"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("c"),
+            )
+        )
+
+    timings["snapshot_dv_read_tax"] = timed_median(dv_read)
 
 
 def _iter_dates(n_days):
