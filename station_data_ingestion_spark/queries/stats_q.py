@@ -359,3 +359,229 @@ def sample_weighted_es_topk(spark, sf_dir):
         .limit(50)
         .select(F.col("o_orderkey").cast("long"), "w_cents")
     )
+
+
+@query(
+    "geo_haversine_pairs_grid",
+    """
+WITH s AS (
+  SELECT s_suppkey AS k,
+         ((s_suppkey * 37) % 1100) / 10.0 - 55.0 AS lat,
+         ((s_suppkey * 91) % 3400) / 10.0 - 170.0 AS lon
+  FROM supplier
+)
+SELECT a.k AS a, b.k AS b,
+       CAST(ROUND(2 * 6371008.8 * ASIN(SQRT(
+         POW(SIN(RADIANS(b.lat - a.lat) / 2), 2)
+         + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+           * POW(SIN(RADIANS(b.lon - a.lon) / 2), 2)
+       ))) AS BIGINT) AS dist_m
+FROM s a JOIN s b ON a.k < b.k
+WHERE 2 * 6371008.8 * ASIN(SQRT(
+         POW(SIN(RADIANS(b.lat - a.lat) / 2), 2)
+         + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+           * POW(SIN(RADIANS(b.lon - a.lon) / 2), 2)
+       )) < 250000
+""",
+)
+def geo_haversine_pairs_grid(spark, sf_dir):
+    """SPATIAL distance self-join, grid-blocked: all supplier pairs
+    within 250 km (haversine), with synthetic deterministic coordinates
+    (lat in +-55 so a 5-degree cell is >= 250 km in BOTH axes at every
+    latitude in range). Candidates come from a 9-cell neighborhood
+    equi-join — each point joins its cell plus 8 neighbors — so the
+    work is O(points x local density), never the all-pairs cross join
+    the 100-row-friendly ORACLE uses. The blocking is exhaustive by
+    construction (cell size >= radius ⇒ any qualifying pair shares a
+    cell or touches adjacent ones); the gate would catch a pair the
+    grid loses."""
+    sup = load(spark, sf_dir, "supplier")["supplier"].select(
+        F.col("s_suppkey").alias("k"),
+        (((F.col("s_suppkey") * 37) % 1100) / 10.0 - 55.0).alias("lat"),
+        (((F.col("s_suppkey") * 91) % 3400) / 10.0 - 170.0).alias("lon"),
+    )
+    cell = sup.select(
+        "k", "lat", "lon",
+        F.floor(F.col("lat") / 5).cast("int").alias("cy"),
+        F.floor(F.col("lon") / 5).cast("int").alias("cx"),
+    )
+    # left side explodes to its 9-cell neighborhood; right side stays
+    # in its own cell -> every nearby pair meets in exactly one (cy,cx)
+    offs = F.array(
+        *[
+            F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ]
+    )
+    lhs = (
+        cell.withColumn("o", F.explode(offs))
+        .select(
+            F.col("k").alias("ak"),
+            F.col("lat").alias("alat"),
+            F.col("lon").alias("alon"),
+            (F.col("cy") + F.col("o.dy")).alias("cy"),
+            (F.col("cx") + F.col("o.dx")).alias("cx"),
+        )
+    )
+    rhs = cell.select(
+        F.col("k").alias("bk"),
+        F.col("lat").alias("blat"),
+        F.col("lon").alias("blon"),
+        "cy",
+        "cx",
+    )
+    cand = lhs.join(rhs, ["cy", "cx"]).filter(F.col("ak") < F.col("bk"))
+    dist = 2 * 6371008.8 * F.asin(
+        F.sqrt(
+            F.pow(F.sin(F.radians(F.col("blat") - F.col("alat")) / 2), 2)
+            + F.cos(F.radians("alat"))
+            * F.cos(F.radians("blat"))
+            * F.pow(F.sin(F.radians(F.col("blon") - F.col("alon")) / 2), 2)
+        )
+    )
+    return (
+        cand.withColumn("dist", dist)
+        .filter(F.col("dist") < 250000)
+        .select(
+            F.col("ak").cast("long").alias("a"),
+            F.col("bk").cast("long").alias("b"),
+            F.round("dist").cast("long").alias("dist_m"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "window_percentile_of_peer",
+    """
+WITH r AS (
+  SELECT o_custkey, o_orderkey,
+         PERCENT_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice)
+           AS pr,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS n
+  FROM orders
+)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       ROUND(pr, 6) AS pctl
+FROM r WHERE n >= 20 AND pr >= 0.95
+""",
+)
+def window_percentile_of_peer(spark, sf_dir):
+    """Percentile-within-peer-group: each order's PERCENT_RANK among
+    its customer's orders; returns the top-5% orders of active (>=20
+    orders) customers. percent_rank is (rank-1)/(n-1) — an exact small
+    rational, engine-stable at any rounding. One window shuffle on
+    customer."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+    r = o.select(
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("o_custkey"))
+        .alias("n"),
+    )
+    return (
+        r.filter((F.col("n") >= 20) & (F.col("pr") >= 0.95))
+        .select(
+            F.col("o_orderkey").cast("long"),
+            F.round("pr", 6).alias("pctl"),
+        )
+    )
+
+
+@query(
+    "ts_autocorr_daily_revenue",
+    """
+WITH d AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+), lagged AS (
+  SELECT rev,
+         LAG(rev, 1) OVER (ORDER BY day) AS rev_1,
+         LAG(rev, 7) OVER (ORDER BY day) AS rev_7
+  FROM d
+)
+SELECT CAST(1 AS BIGINT) AS lag, ROUND(corr(rev, rev_1), 6) AS r FROM lagged
+UNION ALL
+SELECT 7, ROUND(corr(rev, rev_7), 6) FROM lagged
+""",
+)
+def ts_autocorr_daily_revenue(spark, sf_dir):
+    """Series AUTOCORRELATION at lags 1 and 7 over the daily revenue
+    series — the seasonality screen run before any forecasting model.
+    Revenue is integer cents per day (exact, order-independent); the
+    lag alignment is a window over the day series (thousands of rows,
+    one narrow global window after an aggregation that did the real
+    data reduction — the window input is TINY, not the fact table);
+    corr is the same stable one-pass sketch both engines share."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")["orders"]
+    d = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
+    )
+    w = Window.orderBy("day")
+    lagged = d.select(
+        "rev",
+        F.lag("rev", 1).over(w).alias("rev_1"),
+        F.lag("rev", 7).over(w).alias("rev_7"),
+    )
+    one = lagged.agg(
+        F.lit(1).cast("long").alias("lag"),
+        F.round(F.corr("rev", "rev_1"), 6).alias("r"),
+    )
+    seven = lagged.agg(
+        F.lit(7).cast("long").alias("lag"),
+        F.round(F.corr("rev", "rev_7"), 6).alias("r"),
+    )
+    return one.unionByName(seven)
+
+
+@query(
+    "stats_corr_matrix_lineitem",
+    """
+SELECT 'quantity~extendedprice' AS pair,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS r FROM lineitem
+UNION ALL
+SELECT 'quantity~discount', ROUND(corr(l_quantity, l_discount), 6)
+FROM lineitem
+UNION ALL
+SELECT 'extendedprice~tax', ROUND(corr(l_extendedprice, l_tax), 6)
+FROM lineitem
+""",
+)
+def stats_corr_matrix_lineitem(spark, sf_dir):
+    """Pairwise CORRELATION matrix (the multicollinearity audit that
+    pairs with the OLS fit): all pairs in ONE aggregation pass — each
+    corr is a merge-able (n, mean, M2, co-moment) sketch, so k(k-1)/2
+    pairs ride a single scan with map-side partials, the shape that
+    matters when the scan is 100 TB."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    m = li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qe"),
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias("qd"),
+        F.round(F.corr("l_extendedprice", "l_tax"), 6).alias("et"),
+    )
+    return m.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("quantity~extendedprice").alias("pair"),
+                    F.col("qe").alias("r"),
+                ),
+                F.struct(
+                    F.lit("quantity~discount").alias("pair"),
+                    F.col("qd").alias("r"),
+                ),
+                F.struct(
+                    F.lit("extendedprice~tax").alias("pair"),
+                    F.col("et").alias("r"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.pair", "x.r")

@@ -94,7 +94,13 @@ def test_fact_scans_prune_columns(spark, name):
 #   two-phase distributed form. Every fact-table ranking in the registry
 #   is partitioned, and global running sums go through
 #   operators/prefix_sum.py instead.
-GLOBAL_WINDOW_OK = {"window_rank_dense_ntile"}
+GLOBAL_WINDOW_OK = {
+    "window_rank_dense_ntile",
+    # ts_autocorr_daily_revenue: the lag alignment is a global window by
+    # SEMANTICS (one time series), but its input is the post-aggregation
+    # daily series (thousands of rows), not the fact table
+    "ts_autocorr_daily_revenue",
+}
 
 # windowspecdefinition(<first arg is a sort order>) == empty partition
 # spec. Under-catches computed sort keys containing parens -- fine for a
