@@ -1,0 +1,158 @@
+"""Transactionally-consistent INCREMENTAL MATERIALIZED VIEWS.
+
+Composes three engine pieces into the thing they exist for:
+
+- the snapshot store's CHANGE DATA FEED supplies row-level deltas of
+  the base table (write-time recorded for rewrites, synthesized for
+  appends — the base is NEVER rescanned),
+- operators/ivm.apply_agg_delta rolls those deltas into the grouped
+  SUM/COUNT aggregate (retract old contribution, add new; group births
+  and deaths handled),
+- the CATALOG's multi-table transaction publishes the refreshed view
+  AND its refresh cursor in one atomic pin flip, so a reader resolving
+  one catalog snapshot can never see a view that disagrees with the
+  cursor it claims, and a view refreshed in the same transaction as a
+  base write is indistinguishable from synchronous maintenance.
+
+The refresh cursor lives in the view pin's ``props`` — versioned with
+the catalog, so time travel to an old catalog version reads the OLD
+view with the OLD cursor, still mutually consistent.
+
+Scale shape: refresh cost is O(changed rows) + O(view size) (the IVM
+merge join), not O(base table). A 100 TB fact with a 10k-row daily
+delta refreshes by shuffling 10k rows and joining two view-sized
+relations. Staleness is observable (``staleness()``) without touching
+any data file — two driver-side JSON reads.
+
+[reference: none — the reference has no materialized views; this is
+the Materialize/Delta Live Tables maintenance model on the engine's
+own storage primitives]
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from station_data_ingestion_spark.operators.ivm import (
+    apply_agg_delta,
+    change_feed_to_diff,
+)
+from station_data_ingestion_spark.plans.catalog import Catalog
+
+
+class MaterializedView:
+    """A grouped SUM/COUNT aggregate of a catalog table, incrementally
+    maintained from the base's change feed.
+
+    ``sum_cols`` maps view column -> base column (additive integers —
+    the registry's scaled-cents pattern — so retract/add is exact);
+    ``key_cols`` are the base's row identity for pairing update
+    pre/post images; ``group_cols`` are the view's grouping.
+    """
+
+    def __init__(
+        self,
+        catalog: Catalog,
+        name: str,
+        base: str,
+        group_cols: list[str],
+        sum_cols: dict[str, str],
+        key_cols: list[str],
+        count_col: str = "n_rows",
+    ):
+        self.catalog = catalog
+        self.name = name
+        self.base = base
+        self.group_cols = list(group_cols)
+        self.sum_cols = dict(sum_cols)
+        self.key_cols = list(key_cols)
+        self.count_col = count_col
+
+    def _compute_full(self, base_df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        return base_df.groupBy(*self.group_cols).agg(
+            F.count(F.lit(1)).cast("long").alias(self.count_col),
+            *[
+                F.sum(src).cast("long").alias(name)
+                for name, src in self.sum_cols.items()
+            ],
+        )
+
+    def create(self) -> int:
+        """Full initial compute, registered in one transaction with the
+        cursor pinned to the base version it reflects."""
+        txn = self.catalog.transaction()
+        base_v = txn.snap.pinned_version(self.base)
+        txn.create_table(
+            self.name,
+            self._compute_full(txn.read(self.base)),
+            partition_cols=(),
+            stat_cols=(),
+            props={"mv_base": self.base, "mv_cursor": base_v},
+        )
+        return txn.commit()
+
+    def staleness(self) -> int:
+        """Catalog-pinned base versions the view has not absorbed.
+        Metadata-only: no data file is opened."""
+        s = self.catalog.snapshot()
+        return s.pinned_version(self.base) - int(
+            s.props(self.name)["mv_cursor"]
+        )
+
+    def refresh(self) -> int:
+        """Incremental refresh: change feed (cursor, pinned-base] ->
+        IVM delta -> one catalog commit flipping view + cursor
+        together. Returns the new catalog version (no-op: current).
+
+        Runs in its own transaction touching ONLY the view's pin, so it
+        rebases cleanly past concurrent base writes (disjoint tables)
+        and conflicts only with a rival refresh — which is exactly the
+        pair that must serialize."""
+        txn = self.catalog.transaction()
+        cursor = int(txn.snap.props(self.name)["mv_cursor"])
+        base_v = txn.snap.pinned_version(self.base)
+        if base_v == cursor:
+            txn.abort()
+            return txn.snap.version
+        base_t = txn.snap.table(self.base)
+        # walk the PINNED version chain only: aborted transactions leave
+        # dead-branch table versions whose recorded changes must not
+        # leak into the feed (and a pinned append must diff against the
+        # previous PIN, not the numerically previous version)
+        pinned = sorted(
+            {tv for _, tv in self.catalog.pin_history(self.base)}
+        )
+        chain = [cursor] + [v for v in pinned if cursor < v <= base_v]
+        feed = base_t.read_change_feed(
+            cursor, to_version=base_v, chain=chain
+        )
+        if feed is None:
+            new_agg = txn.read(self.name)
+        else:
+            diff = change_feed_to_diff(
+                feed,
+                self.key_cols,
+                # data cols: everything the view needs from the base
+                sorted(
+                    set(self.group_cols) | set(self.sum_cols.values())
+                ),
+            )
+            new_agg = apply_agg_delta(
+                txn.read(self.name),
+                diff,
+                self.group_cols,
+                self.sum_cols,
+                count_col=self.count_col,
+            )
+        txn.write(
+            self.name,
+            new_agg,
+            props={"mv_base": self.base, "mv_cursor": base_v},
+        )
+        return txn.commit()
+
+    def read(self, snapshot=None) -> DataFrame:
+        s = snapshot or self.catalog.snapshot()
+        return s.read(self.name)

@@ -72,6 +72,10 @@ class CatalogSnapshot:
     def pinned_version(self, name: str) -> int:
         return int(self._pins[name]["version"])
 
+    def props(self, name: str) -> dict:
+        """The pin's metadata dict (empty if none was ever set)."""
+        return dict(self._pins[name].get("props", {}))
+
     def table(self, name: str) -> SnapshotTable:
         return self.catalog._table(self._pins[name])
 
@@ -166,6 +170,23 @@ class Catalog:
     def transaction(self) -> "CatalogTransaction":
         return CatalogTransaction(self, self.snapshot())
 
+    def pin_history(self, name: str) -> list[tuple[int, int]]:
+        """(catalog_version, pinned_table_version) pairs for ``name``,
+        ascending, one per catalog version that pins it. The distinct
+        table versions here are the table's PINNED history — the only
+        versions that were ever visible through the catalog (aborted
+        transactions' dead-branch versions are absent). Driver-side
+        JSON reads only."""
+        out = []
+        hi = self.latest_version()
+        if hi is None:
+            return out
+        for cv in range(hi + 1):
+            pins = self._read_cat(cv)["pins"]
+            if name in pins:
+                out.append((cv, int(pins[name]["version"])))
+        return out
+
 
 class CatalogTransaction:
     """Optimistic multi-table transaction. Usage:
@@ -201,9 +222,17 @@ class CatalogTransaction:
         return self.snap.read(name, **kw)
 
     def create_table(
-        self, name: str, df: DataFrame, path: str | None = None, **table_opts
+        self,
+        name: str,
+        df: DataFrame,
+        path: str | None = None,
+        props: dict | None = None,
+        **table_opts,
     ) -> None:
-        """Stage a brand-new table with df as its version-0 content."""
+        """Stage a brand-new table with df as its version-0 content.
+        ``props``: arbitrary JSON metadata carried on the pin (e.g. a
+        materialized view's refresh cursor) — versioned with the
+        catalog, flipped atomically with the data."""
         if name in self.snap._pins or name in self._new_pins:
             raise ValueError(f"table '{name}' already exists")
         path = path or f"{self.catalog.root}/{name}"
@@ -212,15 +241,24 @@ class CatalogTransaction:
             for k, v in table_opts.items()
         }
         ent = {"path": path, "opts": json_opts}
+        if props:
+            ent["props"] = dict(props)
         t = self.catalog._table(ent)
         ent["version"] = t.commit_overwrite_partitions(df)
         self._new_pins[name] = ent
 
-    def write(self, name: str, df: DataFrame, **commit_kw) -> int:
-        """Stage a partition-overwrite commit against ``name``. The
-        table-level CAS is pinned to the txn's snapshot version, so a
-        rival TABLE-level writer racing on the same table surfaces here
-        (fail fast) rather than at catalog commit."""
+    def write(
+        self, name: str, df: DataFrame, props: dict | None = None, **commit_kw
+    ) -> int:
+        """Stage a partition-overwrite commit against ``name``.
+
+        The staged TABLE version is just storage — invisible and
+        unnamed until the catalog pin flips. Conflicts are detected at
+        :meth:`commit` by comparing pins (catalog-level serializable,
+        the Iceberg-REST-catalog model): a table-level CAS here would
+        false-positive on unpinned versions abandoned by aborted or
+        crashed transactions, wedging the table forever. ``props``
+        replaces the pin's metadata when given (pass the full dict)."""
         if name in self._new_pins and "version" in self._new_pins[name]:
             base_ent = self._new_pins[name]
         elif name in self.snap._pins:
@@ -228,11 +266,16 @@ class CatalogTransaction:
         else:
             raise KeyError(f"table '{name}' not in catalog")
         t = self.catalog._table(base_ent)
+        # content builds on the txn's PINNED version: untouched
+        # partitions must come from what this txn read, never from a
+        # dead-branch version an aborted txn left at a higher number
         v = t.commit_overwrite_partitions(
-            df, expected_version=int(base_ent["version"]), **commit_kw
+            df, content_base=int(base_ent["version"]), **commit_kw
         )
         ent = dict(base_ent)
         ent["version"] = v
+        if props is not None:
+            ent["props"] = dict(props)
         self._new_pins[name] = ent
         return v
 

@@ -1173,8 +1173,16 @@ class SnapshotTable:
         expected_version: int | None = None,
         cdf_none: bool = False,
         changes: DataFrame | None = None,
+        content_base: int | None = None,
     ) -> int:
         """Write df's rows, replacing exactly the partitions df contains.
+
+        ``content_base``: build the kept-file list (untouched
+        partitions) from THIS manifest version instead of the table's
+        latest. Catalog transactions pass their pinned version here so
+        a staged commit can never inherit content from a dead-branch
+        version an aborted transaction left at a higher number; version
+        allocation still races upward from latest.
 
         Dynamic-partition-overwrite semantics, transactionally: partitions
         absent from df keep their current files. Returns the published
@@ -1220,7 +1228,11 @@ class SnapshotTable:
         elif changes is not None:
             extra = {"changes": self._write_changes(changes)}
         return self._commit_entries(
-            replaced, new_entries, expected_version, extra=extra
+            replaced,
+            new_entries,
+            expected_version,
+            extra=extra,
+            content_base=content_base,
         )
 
     def _write_and_promote(
@@ -1351,13 +1363,17 @@ class SnapshotTable:
         new_entries: list[dict],
         expected_version: int | None = None,
         extra: dict | None = None,
+        content_base: int | None = None,
     ) -> int:
         """Publish: latest files with `replaced` partitions' entries
         swapped for `new_entries`. Declarative — no data I/O — so the
         optimistic-retry loop is cheap. With ``expected_version`` the
         loop degenerates to CAS: any advance past it raises instead of
         rebasing (the staged files stay promoted-but-unreferenced and
-        are vacuum-reaped, same as any lost commit)."""
+        are vacuum-reaped, same as any lost commit).
+        ``content_base`` pins the manifest the kept files (and
+        renames/dropped/deletes metadata) come from — see
+        commit_overwrite_partitions."""
         for _ in range(_MAX_COMMIT_ATTEMPTS):
             base_v = self.latest_version()
             # expected_version=0 means "I read an absent table" (CAS on
@@ -1369,10 +1385,14 @@ class SnapshotTable:
                     f"v{expected_version} at {self.path}; re-read and "
                     "redo the merge"
                 )
+            src_v = content_base if content_base is not None else base_v
+            src_m = (
+                self._read_manifest(src_v) if src_v is not None else None
+            )
             kept: list[dict] = []
-            if base_v is not None:
+            if src_m is not None:
                 kept = [
-                    e for e in self._read_manifest(base_v)["files"]
+                    e for e in src_m["files"]
                     if tuple(sorted(e["partition"].items())) not in replaced
                 ]
             version = (base_v or 0) + 1
@@ -1381,28 +1401,16 @@ class SnapshotTable:
                 "partition_cols": list(self.partition_cols),
                 "files": kept + new_entries,
             }
-            renames = (
-                self._read_manifest(base_v).get("renames", [])
-                if base_v is not None
-                else []
-            )
+            renames = src_m.get("renames", []) if src_m is not None else []
             if renames:
                 manifest["renames"] = renames
-            dropped = (
-                self._read_manifest(base_v).get("dropped", [])
-                if base_v is not None
-                else []
-            )
+            dropped = src_m.get("dropped", []) if src_m is not None else []
             if dropped:
                 manifest["dropped"] = dropped
             # deletion vectors survive unrelated commits (an append must
             # not resurrect DV-deleted rows); extra may override (e.g.
             # materialize_deletes clears the list)
-            deletes = (
-                self._read_manifest(base_v).get("deletes", [])
-                if base_v is not None
-                else []
-            )
+            deletes = src_m.get("deletes", []) if src_m is not None else []
             if deletes:
                 manifest["deletes"] = deletes
             if extra:
@@ -1820,7 +1828,10 @@ class SnapshotTable:
         return rel
 
     def read_change_feed(
-        self, from_version: int, to_version: int | None = None
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        chain: list[int] | None = None,
     ) -> DataFrame | None:
         """Row-level changes in the version range (from_version,
         to_version] — Delta CHANGE DATA FEED semantics: each row carries
@@ -1839,7 +1850,16 @@ class SnapshotTable:
 
         Returns None when the range is empty. Applying the feed to the
         from_version snapshot reproduces to_version exactly (delete the
-        delete+update_preimage rows, add insert+update_postimage)."""
+        delete+update_preimage rows, add insert+update_postimage).
+
+        ``chain``: optional explicit version sequence to walk instead of
+        every integer in the range — for tables written through CATALOG
+        transactions, whose aborted stagings leave dead-branch versions
+        that are not part of the pinned history (a dead version's
+        recorded changes must not leak into the feed, and a pinned
+        append must diff against the PREVIOUS PINNED version, not the
+        numerically previous one). The chain must start at from_version
+        and end at to_version."""
         from pyspark.sql import functions as F
 
         v_hi = self.latest_version() if to_version is None else to_version
@@ -1847,8 +1867,16 @@ class SnapshotTable:
             raise ValueError(
                 f"invalid change-feed range ({from_version}, {v_hi}]"
             )
+        if chain is None:
+            chain = list(range(from_version, v_hi + 1))
+        elif chain[0] != from_version or chain[-1] != v_hi or sorted(
+            set(chain)
+        ) != list(chain):
+            raise ValueError(
+                f"chain must ascend from {from_version} to {v_hi}"
+            )
         frames = []
-        for v in range(from_version + 1, v_hi + 1):
+        for p, v in zip(chain, chain[1:]):
             m = self._read_manifest(v)
             if m.get("cdf") == "none":
                 continue
@@ -1857,13 +1885,13 @@ class SnapshotTable:
                     f"{self.path}/{_CHANGES}/{m['changes']}"
                 )
             else:
-                if v == 1:
+                if p == 0:
                     # bootstrap commit: no v0 manifest, everything added
                     prev: set = set()
                 else:
                     prev = {
                         _entry_key(e)
-                        for e in self._read_manifest(v - 1)["files"]
+                        for e in self._read_manifest(p)["files"]
                     }
                 cur = {_entry_key(e): e for e in m["files"]}
                 if not prev <= set(cur):

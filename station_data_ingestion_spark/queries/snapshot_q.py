@@ -2163,3 +2163,110 @@ def snapshot_dv_delete_read(spark, sf_dir):
             F.sum("cents").cast("long").alias("cents"),
         )
     )
+
+
+@query(
+    "matview_incremental_catalog_refresh",
+    """
+WITH f AS (
+  SELECT o_orderstatus AS st,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT)
+           + CASE WHEN o_custkey % 4 = 1 THEN 250 ELSE 0 END AS cents
+  FROM orders
+)
+SELECT st, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM f GROUP BY st
+""",
+)
+def matview_incremental_catalog_refresh(spark, sf_dir):
+    """INCREMENTAL MATERIALIZED VIEW, transactionally consistent: the
+    capstone composition of three r6 engine pieces. A per-status rollup
+    of an orders fact is created in a catalog transaction; the fact then
+    absorbs an APPEND (change feed synthesized from added files) and a
+    partition overwrite with RECORDED pre/post images (write-time CDF);
+    ``refresh()`` walks the PINNED version chain only, rolls the deltas
+    into the view with retract/add IVM — the fact is never rescanned —
+    and publishes view + refresh cursor in ONE atomic pin flip. The
+    query asserts in-query that a PRE-refresh snapshot is still
+    internally consistent (its view equals a recompute of the fact AT
+    THE CURSOR IT CARRIES — the invariant a torn refresh would break)
+    and returns the refreshed view. Oracle: straight SQL over orders
+    with the same mutation applied."""
+    from station_data_ingestion_spark.operators.matview import (
+        MaterializedView,
+    )
+    from station_data_ingestion_spark.plans.catalog import Catalog
+
+    orders = load(spark, sf_dir, "orders")["orders"].select(
+        F.col("o_orderkey").alias("k"),
+        "o_custkey",
+        F.col("o_orderstatus").alias("st"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_custkey") % 4).cast("string").alias("bucket"),
+    )
+    cat = Catalog(spark, _tmpdir(prefix="snap_mv_") + "/cat")
+    cat.init()
+    t0 = cat.transaction()
+    t0.create_table(
+        "fact",
+        orders.filter(F.col("bucket") != "3"),
+        partition_cols=("bucket",),
+        stat_cols=(),
+    )
+    t0.commit()
+    mv = MaterializedView(
+        cat, "fact_by_st", "fact",
+        group_cols=["st"], sum_cols={"cents": "cents"}, key_cols=["k"],
+    )
+    mv.create()
+
+    # mutation 1: pure append of the missing bucket (insert synthesis)
+    t1 = cat.transaction()
+    t1.write("fact", orders.filter(F.col("bucket") == "3"))
+    t1.commit()
+    # mutation 2: bump bucket 1 with recorded pre/post images
+    t2 = cat.transaction()
+    old = t2.read("fact", partition={"bucket": "1"}).select(
+        "k", "o_custkey", "st", "cents", "bucket"
+    )
+    new = old.withColumn("cents", F.col("cents") + 250)
+    changes = old.withColumn(
+        "_change_type", F.lit("update_preimage")
+    ).unionByName(new.withColumn("_change_type", F.lit("update_postimage")))
+    t2.write("fact", new, changes=changes)
+    t2.commit()
+
+    stale = cat.snapshot()
+    if mv.staleness() != 2:
+        raise RuntimeError("staleness must count both unabsorbed commits")
+    mv.refresh()
+
+    def agg_of(df):
+        return {
+            (r["st"], r["n_rows"], r["cents"])
+            for r in df.groupBy("st")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("cents"),
+            )
+            .collect()
+        }
+
+    # torn-refresh invariant at the PRE-refresh snapshot: its view must
+    # equal a recompute of the fact at the cursor it carries
+    cursor = int(stale.props("fact_by_st")["mv_cursor"])
+    want = agg_of(stale.table("fact").read(version=cursor))
+    got = {
+        (r["st"], r["n_rows"], r["cents"])
+        for r in stale.read("fact_by_st").collect()
+    }
+    if got != want:
+        raise RuntimeError("stale snapshot view/cursor torn")
+    s = cat.snapshot()
+    if agg_of(s.read("fact")) != {
+        (r["st"], r["n_rows"], r["cents"])
+        for r in s.read("fact_by_st").collect()
+    }:
+        raise RuntimeError("refreshed view drifted from recompute")
+    return s.read("fact_by_st").select("st", "n_rows", "cents")

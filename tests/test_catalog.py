@@ -64,20 +64,45 @@ def test_txn_read_your_writes_and_snapshot_isolation(spark, tmp_path):
     assert cat.snapshot().read("fact").agg(F.sum("cents")).first()[0] == 1000
 
 
-def test_overlapping_txns_fail_fast_at_table_cas(spark, tmp_path):
+def test_overlapping_txns_conflict_at_catalog_commit(spark, tmp_path):
     cat = _mk(spark, tmp_path)
     a, b = cat.transaction(), cat.transaction()
     a.write("fact", _fact(spark, 0, 100, price=11))
     a.commit()
-    # b read the pre-a snapshot; its fact write is a stale RMW
+    # b read the pre-a snapshot; its fact write is a stale RMW — the
+    # staged table version is inert, the CONFLICT surfaces at commit
+    b.write("fact", _fact(spark, 0, 100, price=12))
     with pytest.raises(ConcurrentCommitError):
-        b.write("fact", _fact(spark, 0, 100, price=12))
+        b.commit()
+    assert cat.snapshot().read("fact").agg(F.sum("cents")).first()[0] == 1100
     # retry pattern: fresh txn sees a's state and lands
     c = cat.transaction()
-    assert c.read("fact").agg(F.sum("cents")).first()[0] == 1100
     c.write("fact", _fact(spark, 0, 100, price=12))
     c.commit()
     assert cat.snapshot().read("fact").agg(F.sum("cents")).first()[0] == 1200
+
+
+def test_abort_never_wedges_later_writers(spark, tmp_path):
+    # regression: a table-level CAS pinned to the snapshot version would
+    # see the aborted txn's unpinned version as "the table advanced" and
+    # reject every later write to that table forever
+    cat = _mk(spark, tmp_path)
+    a = cat.transaction()
+    a.write("fact", _fact(spark, 0, 100, price=77))
+    a.abort()
+    b = cat.transaction()
+    b.write("fact", _fact(spark, 0, 100, price=21))
+    b.commit()
+    assert cat.snapshot().read("fact").agg(F.sum("cents")).first()[0] == 2100
+
+
+def test_pin_props_travel_with_the_commit(spark, tmp_path):
+    cat = _mk(spark, tmp_path)
+    txn = cat.transaction()
+    txn.write("rollup", _rollup_of(_fact(spark, 0, 100)), props={"cursor": 5})
+    txn.commit()
+    assert cat.snapshot().props("rollup") == {"cursor": 5}
+    assert cat.snapshot().props("fact") == {}
 
 
 def test_create_create_conflict_detected_at_catalog_commit(spark, tmp_path):
