@@ -2270,3 +2270,83 @@ def matview_incremental_catalog_refresh(spark, sf_dir):
     }:
         raise RuntimeError("refreshed view drifted from recompute")
     return s.read("fact_by_st").select("st", "n_rows", "cents")
+
+
+@query(
+    "rollup_streaming_cdf_incremental",
+    """
+WITH o AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus AS st,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT)
+           + CASE WHEN o_custkey % 100 < 5 THEN 333 ELSE 0 END AS cents
+  FROM orders
+)
+SELECT st, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM o WHERE o_custkey % 100 < 95
+GROUP BY st
+""",
+)
+def rollup_streaming_cdf_incremental(spark, sf_dir):
+    """Streaming CDF consumer: a rollup maintained from a CHANGE-FEED
+    CURSOR through commits read_appends cannot serve — a pure append
+    (insert synthesis), a copy-on-write UPDATE (recorded pre/post
+    images), and a MERGE-ON-READ DV delete — each delivery is
+    change_feed_to_diff -> apply_agg_delta; the fact table is never
+    rescanned after bootstrap. Feed-volume boundedness is asserted
+    in-query (each delivery carries at most the touched rows, never
+    the table), and the final rollup must equal the full-recompute
+    oracle — insert/update/delete arithmetic all have to land
+    exactly."""
+    from station_data_ingestion_spark.operators.ivm import (
+        apply_agg_delta,
+        change_feed_to_diff,
+    )
+
+    orders = load(spark, sf_dir, "orders")["orders"].select(
+        F.col("o_orderkey").alias("k"),
+        "o_custkey",
+        F.col("o_orderstatus").alias("st"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_custkey") % 4).cast("string").alias("bucket"),
+    )
+    t = SnapshotTable(
+        spark,
+        _tmpdir(prefix="snap_cdfstream_") + "/orders_cdfs",
+        partition_cols=("bucket",),
+        stat_cols=(),
+    )
+    n_rows = orders.count()
+
+    def deliver(cursor, agg):
+        v = t.latest_version()
+        feed = t.read_change_feed(cursor, to_version=v)
+        if feed is None:
+            return v, agg
+        if feed.count() > n_rows // 2 and cursor > 1:
+            raise RuntimeError(
+                "change delivery is table-sized — cursor rescan?"
+            )
+        diff = change_feed_to_diff(feed, ["k"], ["st", "cents"])
+        return v, apply_agg_delta(
+            agg, diff, ["st"], {"cents": "cents"}
+        ).localCheckpoint(eager=True)
+
+    # bootstrap: empty aggregate, then the v1 commit arrives as inserts
+    empty = spark.createDataFrame(
+        [], "st string, n_rows long, cents long"
+    )
+    t.commit_overwrite_partitions(orders.filter(F.col("bucket") != "3"))
+    cursor, agg = deliver(0, empty)
+    # pure append
+    t.commit_overwrite_partitions(orders.filter(F.col("bucket") == "3"))
+    cursor, agg = deliver(cursor, agg)
+    # copy-on-write UPDATE with recorded pre/post images
+    t.update_where(
+        F.col("o_custkey") % 100 < 5, {"cents": F.col("cents") + 333}
+    )
+    cursor, agg = deliver(cursor, agg)
+    # merge-on-read DV delete
+    t.delete_where_dv(F.col("o_custkey") % 100 >= 95)
+    cursor, agg = deliver(cursor, agg)
+    return agg.select("st", "n_rows", "cents")
