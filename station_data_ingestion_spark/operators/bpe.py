@@ -129,3 +129,38 @@ def bpe_train(
             "freq", _merge_fold(F.col("toks"), a, b).alias("toks")
         ).localCheckpoint()
     return merges, toks
+
+
+def bpe_encode(
+    df: DataFrame,
+    col: str,
+    merges: list[tuple],
+    out_col: str = "toks",
+    chunk: int = 8,
+) -> Column | DataFrame:
+    """ENCODE with a learned merge list: each rule applied exhaustively
+    in learned order via the same codegen'd left-to-right fold the
+    trainer uses. Rule ordering is sufficient (no per-step priority
+    scan): a rule's operands exist in the corpus state after all
+    EARLIER rules ran exhaustively, and a rule can only create tokens
+    that later rules consume — so sequential exhaustive application
+    reproduces the trainer's transformation exactly (pytest-asserted:
+    encoding the training corpus equals the trainer's own tokenized
+    output).
+
+    Purely per-row expressions — no shuffle, no Python workers; encode
+    throughput is scan-bound at any scale. Expressions chain ``chunk``
+    rules per projection to keep individual codegen units small; a
+    production 32k-merge vocabulary would move the inner loop into a
+    pandas UDF over a broadcast merge table instead (same semantics,
+    Arrow-batched) — this expression form serves the modest merge
+    counts the trainer's fixed-rounds API produces."""
+    expr = _char_tokens(F.col(col))
+    out = df
+    for i, m in enumerate(merges):
+        a, b = m[0], m[1]
+        expr = _merge_fold(expr, a, b)
+        if (i + 1) % chunk == 0:
+            out = out.withColumn(out_col, expr)
+            expr = F.col(out_col)
+    return out.withColumn(out_col, expr)

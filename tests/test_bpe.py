@@ -60,3 +60,47 @@ def test_trainer_on_real_corpus_prefix(spark):
     merges, _ = bpe_train(words, rounds=3)
     exp_merges, _ = _py_bpe(wf, 3)
     assert merges == exp_merges
+
+
+def test_encode_reproduces_trainer_tokenization(spark):
+    from station_data_ingestion_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+        corpus_words,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [("low lower lowest newest newer new",),
+         ("wide wider widest new newest",)],
+        "text string",
+    )
+    words = corpus_words(docs)
+    merges, trained = bpe_train(words, rounds=10)
+    enc = bpe_encode(words.select("word", "freq"), "word", merges)
+    got = {
+        (tuple(r["toks"]), r["freq"]) for r in enc.select("toks", "freq").collect()
+    }
+    want = {
+        (tuple(r["toks"]), r["freq"]) for r in trained.collect()
+    }
+    assert got == want and len(merges) == 10
+
+
+def test_encode_chunked_projection_equals_unchunked(spark):
+    from station_data_ingestion_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+        corpus_words,
+    )
+
+    docs = spark.createDataFrame(
+        [("aaa aab aba abab baba abba",)], "text string"
+    )
+    words = corpus_words(docs)
+    merges, _ = bpe_train(words, rounds=6)
+    a = bpe_encode(words, "word", merges, chunk=2).select("word", "toks")
+    b = bpe_encode(words, "word", merges, chunk=100).select("word", "toks")
+    assert {
+        (r["word"], tuple(r["toks"])) for r in a.collect()
+    } == {(r["word"], tuple(r["toks"])) for r in b.collect()}
