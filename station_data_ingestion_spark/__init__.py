@@ -28,6 +28,10 @@ from station_data_ingestion_spark.plans.jobspec import (  # noqa: F401
     DataItemSpec,
     JobSpec,
 )
+from station_data_ingestion_spark.operators.matview import (  # noqa: F401
+    MaterializedView,
+)
+from station_data_ingestion_spark.plans.catalog import Catalog  # noqa: F401
 from station_data_ingestion_spark.plans.runner import run_job  # noqa: F401
 from station_data_ingestion_spark.plans.snapshot_store import (  # noqa: F401
     SnapshotTable,
