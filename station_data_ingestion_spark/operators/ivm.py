@@ -106,6 +106,104 @@ def apply_agg_delta(
     ).where(F.col(count_col) > 0)
 
 
+def diff_signed(diff: DataFrame, cols: list[str]) -> DataFrame:
+    """keyed_diff changelog -> signed row multiset: each output row is
+    the row's ``cols`` plus ``_sign`` (+1 for an added/post image, -1
+    for a removed/pre image). An update contributes both rows; a
+    no-op update (pre == post on ``cols``) cancels downstream when the
+    consumer nets signs by full row."""
+    neg = diff.where(
+        F.col("change_type").isin("removed", "changed")
+    ).select(
+        *[F.col(f"old_data.{c}").alias(c) for c in cols],
+        F.lit(-1).cast("long").alias("_sign"),
+    )
+    pos = diff.where(
+        F.col("change_type").isin("added", "changed")
+    ).select(
+        *[F.col(f"new_data.{c}").alias(c) for c in cols],
+        F.lit(1).cast("long").alias("_sign"),
+    )
+    return neg.unionAll(pos)
+
+
+def apply_join_delta(
+    old_view: DataFrame,
+    a_old: DataFrame,
+    b_new: DataFrame,
+    diff_a: DataFrame | None,
+    diff_b: DataFrame | None,
+    on: list[tuple[str, str]],
+    a_cols: list[str],
+    b_cols: list[str],
+    key_cols: list[str],
+) -> DataFrame:
+    """Roll keyed changelogs of BOTH join inputs into a materialized
+    inner-join view without recomputing the join.
+
+    The bag-algebra identity (DBSP / classic delta-join maintenance):
+    with ``A_new = A_old + dA`` and ``B_new = B_old + dB``,
+
+        d(A JOIN B) = dA JOIN B_new  +  A_old JOIN dB
+
+    (the asymmetric form absorbs the ``dA JOIN dB`` cross term exactly:
+    a pair built from a retracted A row and an added B row gets -1 from
+    the first term and +1 from the second, netting to the 0 it was
+    never in the view with). Signs multiply through the join; the net
+    per full output row is +1 (insert into the view), -1 (retract), or
+    0 (discard — e.g. an update that didn't touch any view column).
+
+    ``on`` is a list of (a_col, b_col) equi-join pairs; ``a_cols`` /
+    ``b_cols`` are each side's view columns (disjoint names, join cols
+    included); ``key_cols`` is the composite row identity of the view
+    (each side's primary key), used to apply retractions by anti-join.
+
+    Scale shape: both delta terms join a FULL base against a
+    changed-row set — Catalyst/AQE broadcasts the (small) delta, and a
+    base laid out on its join key prunes by zone maps before probing,
+    so refresh cost is O(|dA| + |dB| + matched base rows + |view|),
+    never a rescan of both bases. The net step shuffles only delta
+    pairs. [reference: none — engine surface in the
+    Materialize/DBSP incremental join family]
+    """
+    view_cols = list(a_cols) + list(b_cols)
+    overlap = set(a_cols) & set(b_cols)
+    if overlap:
+        raise ValueError(
+            f"a_cols/b_cols must be disjoint, both carry {sorted(overlap)}"
+        )
+    terms = []
+    if diff_a is not None:
+        da = diff_signed(diff_a, a_cols)
+        cond = [da[ac] == b_new[bc] for ac, bc in on]
+        terms.append(
+            da.join(b_new, cond).select(*view_cols, "_sign")
+        )
+    if diff_b is not None:
+        db = diff_signed(diff_b, b_cols)
+        cond = [a_old[ac] == db[bc] for ac, bc in on]
+        terms.append(
+            a_old.join(db, cond).select(*view_cols, "_sign")
+        )
+    if not terms:
+        return old_view
+    delta = terms[0]
+    for t in terms[1:]:
+        delta = delta.unionAll(t)
+    net = (
+        delta.groupBy(*view_cols)
+        .agg(F.sum("_sign").alias("_s"))
+        .where(F.col("_s") != 0)
+    )
+    retract_keys = (
+        net.where(F.col("_s") < 0).select(*key_cols).distinct()
+    )
+    added = net.where(F.col("_s") > 0).select(*view_cols)
+    return old_view.join(
+        retract_keys, key_cols, "left_anti"
+    ).unionByName(added)
+
+
 def change_feed_to_diff(
     feed: DataFrame, key_cols: list[str], data_cols: list[str]
 ) -> DataFrame:

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 
 from station_data_ingestion_spark.operators.ivm import (
     apply_agg_delta,
+    apply_join_delta,
     change_feed_to_diff,
 )
 from station_data_ingestion_spark.plans.catalog import Catalog
@@ -151,6 +152,143 @@ class MaterializedView:
             new_agg,
             props={"mv_base": self.base, "mv_cursor": base_v},
         )
+        return txn.commit()
+
+    def read(self, snapshot=None) -> DataFrame:
+        s = snapshot or self.catalog.snapshot()
+        return s.read(self.name)
+
+
+class MaterializedJoinView:
+    """A materialized INNER JOIN of two catalog tables, incrementally
+    maintained from BOTH bases' change feeds by delta-join algebra
+    (operators/ivm.apply_join_delta) — the Materialize/DBSP incremental
+    join on the engine's own storage.
+
+    ``on`` is the equi-join as (a_col, b_col) pairs; ``a_cols`` /
+    ``b_cols`` are each side's view columns (names must be disjoint,
+    join columns included); ``a_key`` / ``b_key`` are each base's row
+    identity (their union identifies a view row — key-preserving inner
+    join). TWO refresh cursors (one per base) live in the view pin's
+    props and flip atomically with the view content, so any catalog
+    snapshot shows a view that exactly equals
+    ``A(cursor_a) JOIN B(cursor_b)`` — the two-base torn-refresh
+    invariant.
+
+    Scale shape: a refresh joins each base against the OTHER base's
+    changed rows (broadcast delta, zone-map-prunable base probe), nets
+    signs over delta pairs only, and applies the net to the view with
+    one anti-join — O(deltas + matched rows + view), never a rejoin of
+    the bases.
+    """
+
+    def __init__(
+        self,
+        catalog: Catalog,
+        name: str,
+        base_a: str,
+        base_b: str,
+        on: list[tuple[str, str]],
+        a_cols: list[str],
+        b_cols: list[str],
+        a_key: list[str],
+        b_key: list[str],
+    ):
+        self.catalog = catalog
+        self.name = name
+        self.base_a = base_a
+        self.base_b = base_b
+        self.on = list(on)
+        self.a_cols = list(a_cols)
+        self.b_cols = list(b_cols)
+        self.a_key = list(a_key)
+        self.b_key = list(b_key)
+
+    def _props(self, va: int, vb: int) -> dict:
+        return {
+            "mv_join_a": self.base_a,
+            "mv_join_b": self.base_b,
+            "mv_cursor_a": va,
+            "mv_cursor_b": vb,
+        }
+
+    def _compute_full(self, a: DataFrame, b: DataFrame) -> DataFrame:
+        cond = [a[ac] == b[bc] for ac, bc in self.on]
+        return a.join(b, cond).select(*self.a_cols, *self.b_cols)
+
+    def create(self) -> int:
+        txn = self.catalog.transaction()
+        va = txn.snap.pinned_version(self.base_a)
+        vb = txn.snap.pinned_version(self.base_b)
+        txn.create_table(
+            self.name,
+            self._compute_full(
+                txn.read(self.base_a).select(*self.a_cols),
+                txn.read(self.base_b).select(*self.b_cols),
+            ),
+            partition_cols=(),
+            stat_cols=(),
+            props=self._props(va, vb),
+        )
+        return txn.commit()
+
+    def staleness(self) -> int:
+        """Unabsorbed pinned base commits across BOTH bases —
+        metadata-only."""
+        s = self.catalog.snapshot()
+        p = s.props(self.name)
+        return (
+            s.pinned_version(self.base_a) - int(p["mv_cursor_a"])
+        ) + (s.pinned_version(self.base_b) - int(p["mv_cursor_b"]))
+
+    def _feed_diff(self, txn, base: str, cursor: int, to_v: int, cols):
+        """Pinned-chain change feed of one base as a keyed_diff
+        changelog; None when the base didn't move."""
+        if to_v == cursor:
+            return None
+        t = txn.snap.table(base)
+        pinned = sorted({tv for _, tv in self.catalog.pin_history(base)})
+        chain = [cursor] + [v for v in pinned if cursor < v <= to_v]
+        feed = t.read_change_feed(cursor, to_version=to_v, chain=chain)
+        if feed is None:
+            return None
+        key = self.a_key if base == self.base_a else self.b_key
+        return change_feed_to_diff(
+            feed, key, sorted(set(cols) - set(key))
+        )
+
+    def refresh(self) -> int:
+        """Absorb both bases' pinned change feeds in one delta-join
+        pass and publish view + both cursors in ONE atomic pin flip."""
+        txn = self.catalog.transaction()
+        p = txn.snap.props(self.name)
+        ca, cb = int(p["mv_cursor_a"]), int(p["mv_cursor_b"])
+        va = txn.snap.pinned_version(self.base_a)
+        vb = txn.snap.pinned_version(self.base_b)
+        if va == ca and vb == cb:
+            txn.abort()
+            return txn.snap.version
+        diff_a = self._feed_diff(txn, self.base_a, ca, va, self.a_cols)
+        diff_b = self._feed_diff(txn, self.base_b, cb, vb, self.b_cols)
+        # the identity needs A at the OLD cursor and B at the NEW pin
+        a_old = txn.snap.table(self.base_a).read(version=ca).select(
+            *self.a_cols
+        )
+        b_new = txn.snap.table(self.base_b).read(version=vb).select(
+            *self.b_cols
+        )
+        new_view = apply_join_delta(
+            txn.read(self.name),
+            a_old,
+            b_new,
+            diff_a,
+            diff_b,
+            self.on,
+            self.a_cols,
+            self.b_cols,
+            self.a_key + self.b_key,
+        )
+        txn.write(self.name, new_view, props=self._props(va, vb))
         return txn.commit()
 
     def read(self, snapshot=None) -> DataFrame:

@@ -40,6 +40,8 @@ from pyspark.sql import DataFrame, SparkSession
 from station_data_ingestion_spark.operators.maintenance import _unescape_pv
 
 _SNAPDIR = "_snapshots"
+_REFS = "_refs"
+_BRANCHES = "_branches"
 _STAGING = "_staging"
 _PENDING = "_pending"
 _CHANGES = "_changes"
@@ -331,6 +333,236 @@ class SnapshotTable:
             )
         return dst
 
+    # -- refs: tags and branches (Iceberg references) ------------------------
+
+    def _ref_path(self, name: str) -> str:
+        if "/" in name or name.startswith("."):
+            raise ValueError(f"invalid ref name {name!r}")
+        return f"{self.path}/{_REFS}/{name}.json"
+
+    def _read_ref(self, name: str) -> dict | None:
+        fs, p, jvm = _fs(self.spark, self._ref_path(name))
+        if not fs.exists(p):
+            return None
+        stream = fs.open(p)
+        try:
+            text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        return json.loads(text)
+
+    def _write_ref_exclusive(self, name: str, doc: dict) -> bool:
+        fs, dest, jvm = _fs(self.spark, self._ref_path(name))
+        fs.mkdirs(dest.getParent())
+        if fs.exists(dest):
+            return False
+        tmp = jvm.org.apache.hadoop.fs.Path(
+            f"{self.path}/{_REFS}/.tmp-{uuid.uuid4().hex}.json"
+        )
+        out = fs.create(tmp, False)
+        try:
+            out.write(json.dumps(doc, indent=1).encode("utf-8"))
+        finally:
+            out.close()
+        ok = fs.rename(tmp, dest)
+        if not ok:
+            fs.delete(tmp, False)
+        return bool(ok)
+
+    def _refs(self) -> dict[str, dict]:
+        fs, root, _ = _fs(self.spark, f"{self.path}/{_REFS}")
+        if not fs.exists(root):
+            return {}
+        out = {}
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if name.endswith(".json") and not name.startswith("."):
+                doc = self._read_ref(name[:-5])
+                if doc is not None:
+                    out[name[:-5]] = doc
+        return out
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Named immutable reference to a snapshot version (Iceberg
+        tag): ``read(ref=name)`` resolves it forever, and ``vacuum``
+        keeps the tagged manifest AND its data/DV/change files live
+        regardless of retention — an audit pin that survives any amount
+        of table churn. Tags are create-once (delete then re-tag to
+        move); the exclusive ref write makes racing taggers safe."""
+        v = self.latest_version() if version is None else int(version)
+        if v is None:
+            raise ValueError(f"no table at {self.path}")
+        fs, mpath, _ = _fs(self.spark, self._snap_path(v))
+        if not fs.exists(mpath):
+            raise FileNotFoundError(f"version {v} does not exist")
+        if not self._write_ref_exclusive(name, {"type": "tag", "version": v}):
+            raise ValueError(f"ref {name!r} already exists")
+        return v
+
+    def tags(self) -> dict[str, int]:
+        return {
+            n: int(d["version"])
+            for n, d in self._refs().items()
+            if d.get("type") == "tag"
+        }
+
+    def delete_tag(self, name: str) -> None:
+        doc = self._read_ref(name)
+        if doc is None or doc.get("type") != "tag":
+            raise ValueError(f"no tag {name!r} at {self.path}")
+        fs, p, _ = _fs(self.spark, self._ref_path(name))
+        fs.delete(p, False)
+
+    def resolve_ref(self, name: str) -> int:
+        """Version a tag (or a branch's FORK POINT) resolves to."""
+        doc = self._read_ref(name)
+        if doc is None:
+            raise ValueError(f"no ref {name!r} at {self.path}")
+        return int(
+            doc["version"] if doc["type"] == "tag" else doc["fork_version"]
+        )
+
+    def _branch_path(self, name: str) -> str:
+        self._ref_path(name)  # name validation
+        return f"{self.path}/{_BRANCHES}/{name}"
+
+    def create_branch(self, name: str) -> "SnapshotTable":
+        """Iceberg-style BRANCH: a zero-copy shallow clone of the
+        current version living under the table's own tree
+        (``_branches/<name>``), plus a ref recording the fork point.
+        Branch commits are ordinary SnapshotTable commits on the clone —
+        fully isolated from main readers — and ``fast_forward`` later
+        publishes the branch head back as main's next version
+        (metadata + file renames, no data copy). Main's ``vacuum``
+        treats files referenced by live branch heads as live, so a
+        branch can outlive main's retention window (unlike a detached
+        ``clone_to``)."""
+        src_v = self.latest_version()
+        if src_v is None:
+            raise ValueError(f"no table at {self.path}")
+        if not self._write_ref_exclusive(
+            name, {"type": "branch", "fork_version": src_v}
+        ):
+            raise ValueError(f"ref {name!r} already exists")
+        return self.clone_to(self._branch_path(name))
+
+    def branch(self, name: str) -> "SnapshotTable":
+        """The branch's table handle (commit/read it like any table)."""
+        doc = self._read_ref(name)
+        if doc is None or doc.get("type") != "branch":
+            raise ValueError(f"no branch {name!r} at {self.path}")
+        return SnapshotTable(
+            self.spark,
+            self._branch_path(name),
+            self.partition_cols,
+            self.stat_cols,
+            bloom_cols=self.bloom_cols,
+            constraints=self.constraints,
+        )
+
+    def branches(self) -> dict[str, int]:
+        """Live branches -> fork version."""
+        return {
+            n: int(d["fork_version"])
+            for n, d in self._refs().items()
+            if d.get("type") == "branch"
+        }
+
+    def delete_branch(self, name: str) -> None:
+        """Abandon a branch: drop its ref and its whole tree (branch-
+        local files only — shared main files are never under it)."""
+        doc = self._read_ref(name)
+        if doc is None or doc.get("type") != "branch":
+            raise ValueError(f"no branch {name!r} at {self.path}")
+        fs, p, jvm = _fs(self.spark, self._ref_path(name))
+        fs.delete(p, False)
+        HPath = jvm.org.apache.hadoop.fs.Path
+        fs.delete(HPath(self._branch_path(name)), True)
+
+    def fast_forward(self, name: str) -> int:
+        """Publish branch head as main's next version and consume the
+        branch (Iceberg fast-forward + drop). Requires main to be
+        UNCHANGED since the fork point — a diverged main raises
+        ConcurrentCommitError (rebase by re-branching). Branch-local
+        files (appends, COW rewrites) are RENAMED into main's data tree
+        — a metadata move, no bytes copied; entries that still point at
+        main's own files become plain local entries again. Branch-local
+        deletion vectors move the same way. Change feeds: a pure-append
+        branch synthesizes inserts naturally on main; a branch that
+        rewrote files leaves main's feed underivable across this commit
+        (ChangeFeedUnavailableError — the Delta restore contract)."""
+        import os as _os
+
+        doc = self._read_ref(name)
+        if doc is None or doc.get("type") != "branch":
+            raise ValueError(f"no branch {name!r} at {self.path}")
+        fork_v = int(doc["fork_version"])
+        cur = self.latest_version()
+        if cur != fork_v:
+            raise ConcurrentCommitError(
+                f"main advanced v{fork_v} -> v{cur} since branch "
+                f"{name!r} forked; fast-forward requires an unchanged "
+                "main (re-branch and replay)"
+            )
+        br = self.branch(name)
+        bv = br.latest_version()
+        bm = br._read_manifest(bv)
+        fs, _, jvm = _fs(self.spark, self.path)
+        HPath = jvm.org.apache.hadoop.fs.Path
+        main_data = f"{_os.path.abspath(self.path)}/data"
+        br_abs = _os.path.abspath(br.path)
+        entries = []
+        for e in bm["files"]:
+            e = dict(e)
+            base = e.get("base")
+            if base is None:
+                # branch-local file: rehome into main's data tree
+                src = HPath(f"{br.path}/data/{e['path']}")
+                dst = HPath(f"{self.path}/data/{e['path']}")
+                fs.mkdirs(dst.getParent())
+                if not fs.rename(src, dst):
+                    raise RuntimeError(
+                        f"could not move {e['path']} from branch {name!r}"
+                    )
+            elif base == main_data:
+                del e["base"]  # main's own file, shared since the fork
+            # else: clone-of-clone external root — keep as-is
+            entries.append(e)
+        deletes = []
+        for d in bm.get("deletes", []):
+            d = dict(d)
+            root = d.get("root")
+            if root is None or _os.path.abspath(root) == br_abs:
+                src = HPath(f"{br.path}/{_DELETES}/{d['token']}")
+                if fs.exists(src):
+                    dst = HPath(f"{self.path}/{_DELETES}/{d['token']}")
+                    fs.mkdirs(dst.getParent())
+                    if not fs.rename(src, dst):
+                        raise RuntimeError(
+                            f"could not move DV {d['token']} from branch"
+                        )
+                d.pop("root", None)
+            elif _os.path.abspath(root) == _os.path.abspath(self.path):
+                d.pop("root", None)
+            deletes.append(d)
+        manifest = {
+            "version": fork_v + 1,
+            "partition_cols": list(self.partition_cols),
+            "files": entries,
+        }
+        if bm.get("renames"):
+            manifest["renames"] = bm["renames"]
+        if bm.get("dropped"):
+            manifest["dropped"] = bm["dropped"]
+        if deletes:
+            manifest["deletes"] = deletes
+        if not self._write_manifest_exclusive(fork_v + 1, manifest):
+            raise ConcurrentCommitError(
+                f"lost the fast-forward publish race for v{fork_v + 1}"
+            )
+        self.delete_branch(name)
+        return fork_v + 1
+
     def _read_manifest(self, version: int) -> dict:
         fs, path, jvm = _fs(self.spark, self._snap_path(version))
         stream = fs.open(path)
@@ -377,9 +609,13 @@ class SnapshotTable:
         version: int | None = None,
         point: dict | None = None,
         as_of: float | None = None,
+        ref: str | None = None,
         _lineage: bool = False,
     ) -> DataFrame | None:
         """DataFrame over a snapshot's files; None if no table.
+
+        ``ref``: read at a named TAG (``tag()``) — resolves to its
+        pinned version; mutually exclusive with version/as_of.
 
         ``version``: time travel — read snapshot v{version} instead of
         the latest (manifests are immutable and data files are never
@@ -406,6 +642,10 @@ class SnapshotTable:
         Spark literal type (see __init__ note). Files without a bloom
         for the column are always kept.
         """
+        if ref is not None:
+            if version is not None or as_of is not None:
+                raise ValueError("pass only one of ref/version/as_of")
+            version = self.resolve_ref(ref)
         if as_of is not None:
             if version is not None:
                 raise ValueError("pass either version or as_of, not both")
@@ -2005,6 +2245,47 @@ class SnapshotTable:
             for e in self._read_manifest(v)["files"]
             if not e.get("base")
         }
+        # refs pin liveness beyond retention: a TAG keeps its manifest
+        # and that manifest's local files/tokens forever; a live BRANCH
+        # keeps every main-rooted file (and DV token) its head still
+        # references, so main churn can't reap from under a branch
+        import os as _os
+
+        keep_manifests: set[int] = set()
+        ref_dv_tokens: set[str] = set()
+        main_data_abs = f"{_os.path.abspath(self.path)}/data"
+        self_abs = _os.path.abspath(self.path)
+        for _rname, _rdoc in self._refs().items():
+            if _rdoc.get("type") == "tag":
+                tv = int(_rdoc["version"])
+                keep_manifests.add(tv)
+                try:
+                    tm = self._read_manifest(tv)
+                except FileNotFoundError:
+                    continue
+                live |= {
+                    e["path"] for e in tm["files"] if not e.get("base")
+                }
+            elif _rdoc.get("type") == "branch":
+                try:
+                    br = self.branch(_rname)
+                    bv = br.latest_version()
+                    if bv is None:
+                        continue
+                    bm = br._read_manifest(bv)
+                except (FileNotFoundError, ValueError):
+                    continue
+                live |= {
+                    e["path"]
+                    for e in bm["files"]
+                    if e.get("base") == main_data_abs
+                }
+                ref_dv_tokens |= {
+                    d["token"]
+                    for d in bm.get("deletes", [])
+                    if d.get("root")
+                    and _os.path.abspath(d["root"]) == self_abs
+                }
         cutoff_ms = (_time.time() - older_than_sec) * 1000.0
         fs, _, jvm = _fs(self.spark, self.path)
         HPath = jvm.org.apache.hadoop.fs.Path
@@ -2049,7 +2330,9 @@ class SnapshotTable:
         snap_root = HPath(f"{self.path}/{_SNAPDIR}")
         for st in fs.listStatus(snap_root):
             name = st.getPath().getName()
-            keep = name == f"v{v:012d}.json"
+            keep = name == f"v{v:012d}.json" or name in {
+                f"v{tv:012d}.json" for tv in keep_manifests
+            }
             if not keep and st.getModificationTime() < cutoff_ms:
                 fs.delete(st.getPath(), False)
         # change-feed files: referenced by any SURVIVING manifest = live
@@ -2077,7 +2360,7 @@ class SnapshotTable:
         # vacuum, mirroring shallow-clone file isolation)
         dv_root = HPath(f"{self.path}/{_DELETES}")
         if fs.exists(dv_root):
-            live_dv = set()
+            live_dv = set(ref_dv_tokens)
             for st in fs.listStatus(snap_root):
                 name = st.getPath().getName()
                 if name.startswith("v") and name.endswith(".json"):

@@ -2350,3 +2350,220 @@ def rollup_streaming_cdf_incremental(spark, sf_dir):
     t.delete_where_dv(F.col("o_custkey") % 100 >= 95)
     cursor, agg = deliver(cursor, agg)
     return agg.select("st", "n_rows", "cents")
+
+
+@query(
+    "matview_join_delta_refresh",
+    """
+WITH f AS (
+  SELECT o_orderkey AS k, o_custkey AS ck,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  WHERE NOT (o_orderkey % 13 = 0 AND o_custkey % 4 = 1)
+),
+d AS (
+  SELECT c_custkey AS ck2,
+         CASE WHEN c_custkey % 10 = 2 THEN 'PROMO'
+              ELSE c_mktsegment END AS seg
+  FROM customer
+)
+SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM f JOIN d ON f.ck = d.ck2
+GROUP BY seg
+""",
+)
+def matview_join_delta_refresh(spark, sf_dir):
+    """Materialized JOIN view maintained by DELTA-JOIN algebra (the
+    Materialize/DBSP incremental join): V = fact JOIN dim is created in
+    a catalog transaction, then the fact absorbs an APPEND and a
+    recorded DELETE while the dim absorbs a recorded segment UPDATE —
+    and one ``refresh()`` rolls all three through
+    d(A JOIN B) = dA JOIN B_new + A_old JOIN dB (signs multiply, the
+    cross term cancels exactly), publishing the view and BOTH base
+    cursors in one atomic pin flip. Neither base is ever rejoined. The
+    query asserts in-query (via distributed row-hash signatures, no
+    collect) that the PRE-refresh snapshot still satisfies the two-base
+    torn-refresh invariant — its view equals A(cursor_a) JOIN
+    B(cursor_b) — and that the refreshed view equals a full rejoin.
+    Oracle: plain SQL join of the mutated sources."""
+    from station_data_ingestion_spark.operators.matview import (
+        MaterializedJoinView,
+    )
+    from station_data_ingestion_spark.plans.catalog import Catalog
+
+    orders = load(spark, sf_dir, "orders")["orders"].select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("ck"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_custkey") % 4).cast("string").alias("bucket"),
+    )
+    cust = load(spark, sf_dir, "customer")["customer"].select(
+        F.col("c_custkey").alias("ck2"),
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("c_custkey") % 2).cast("string").alias("dp"),
+    )
+    cat = Catalog(spark, _tmpdir(prefix="snap_jmv_") + "/cat")
+    cat.init()
+    t0 = cat.transaction()
+    t0.create_table(
+        "fact",
+        orders.filter(F.col("bucket") != "3"),
+        partition_cols=("bucket",),
+        stat_cols=(),
+    )
+    t0.create_table("dim", cust, partition_cols=("dp",), stat_cols=())
+    t0.commit()
+    jv = MaterializedJoinView(
+        cat, "fact_dim", "fact", "dim",
+        on=[("ck", "ck2")],
+        a_cols=["k", "ck", "cents"],
+        b_cols=["ck2", "seg"],
+        a_key=["k"], b_key=["ck2"],
+    )
+    jv.create()
+
+    # mutation 1: fact append (insert synthesis from added files)
+    t1 = cat.transaction()
+    t1.write("fact", orders.filter(F.col("bucket") == "3"))
+    t1.commit()
+    # mutation 2: dim segment update, recorded pre/post (dp="0" only)
+    t2 = cat.transaction()
+    d_old = t2.read("dim", partition={"dp": "0"}).select(
+        "ck2", "seg", "dp"
+    )
+    d_new = d_old.withColumn(
+        "seg",
+        F.when(F.col("ck2") % 10 == 2, F.lit("PROMO")).otherwise(
+            F.col("seg")
+        ),
+    )
+    d_changes = d_old.withColumn(
+        "_change_type", F.lit("update_preimage")
+    ).unionByName(
+        d_new.withColumn("_change_type", F.lit("update_postimage"))
+    )
+    t2.write("dim", d_new, changes=d_changes)
+    t2.commit()
+    # mutation 3: fact recorded delete inside bucket "1"
+    t3 = cat.transaction()
+    f_old = t3.read("fact", partition={"bucket": "1"}).select(
+        "k", "ck", "cents", "bucket"
+    )
+    keep = f_old.filter(F.col("k") % 13 != 0)
+    f_changes = f_old.filter(F.col("k") % 13 == 0).withColumn(
+        "_change_type", F.lit("delete")
+    )
+    t3.write("fact", keep, changes=f_changes)
+    t3.commit()
+
+    stale = cat.snapshot()
+    if jv.staleness() != 3:
+        raise RuntimeError("staleness must count all unabsorbed commits")
+    jv.refresh()
+    if jv.staleness() != 0:
+        raise RuntimeError("refresh did not advance both cursors")
+
+    view_cols = ["k", "ck", "cents", "ck2", "seg"]
+
+    def sig(df):
+        row = (
+            df.select(
+                F.xxhash64(*view_cols).cast("decimal(38,0)").alias("h")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("h").alias("s"),
+            )
+            .collect()[0]
+        )
+        return (row["n"], row["s"])
+
+    def rejoin(f, d):
+        return f.join(d, f["ck"] == d["ck2"]).select(*view_cols)
+
+    # two-base torn-refresh invariant at the PRE-refresh snapshot
+    p = stale.props("fact_dim")
+    ca, cb = int(p["mv_cursor_a"]), int(p["mv_cursor_b"])
+    want = sig(
+        rejoin(
+            stale.table("fact").read(version=ca),
+            stale.table("dim").read(version=cb),
+        )
+    )
+    if sig(stale.read("fact_dim").select(*view_cols)) != want:
+        raise RuntimeError("stale snapshot view/cursors torn")
+    s = cat.snapshot()
+    if sig(s.read("fact_dim").select(*view_cols)) != sig(
+        rejoin(s.read("fact"), s.read("dim"))
+    ):
+        raise RuntimeError("refreshed view drifted from full rejoin")
+    return (
+        s.read("fact_dim")
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
+
+
+@query(
+    "snapshot_branch_fast_forward_read",
+    """
+WITH o AS (
+  SELECT o_custkey % 4 AS bucket,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 11 <> 0
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM o GROUP BY bucket
+""",
+)
+def snapshot_branch_fast_forward_read(spark, sf_dir):
+    """BRANCHES AND TAGS (Iceberg refs): an ETL branch forks the table
+    (zero-copy shallow clone under the table's own tree), absorbs an
+    append AND a copy-on-write delete in full isolation — main readers
+    see nothing — then FAST-FORWARD publishes the branch head as main's
+    next version by renaming branch-local files into main's data tree
+    (metadata moves, no bytes copied) and consumes the branch. A TAG
+    pinned before the fork keeps the original version readable through
+    a zero-retention vacuum (ref-pinned liveness). The query asserts
+    isolation, divergence-free publish, tag survival, and post-vacuum
+    integrity in-query; the oracle is plain SQL with the branch's
+    mutations applied."""
+    orders = load(spark, sf_dir, "orders")["orders"].select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_custkey") % 4).cast("string").alias("bucket"),
+    )
+    t = SnapshotTable(
+        spark,
+        _tmpdir(prefix="snap_branch_") + "/orders_br",
+        partition_cols=("bucket",),
+        stat_cols=("k",),
+    )
+    t.commit_overwrite_partitions(orders.filter(F.col("bucket") != "3"))
+    n_initial = t.read().count()
+    t.tag("base")
+    br = t.create_branch("etl")
+    br.commit_overwrite_partitions(orders.filter(F.col("bucket") == "3"))
+    br.delete_where(F.col("k") % 11 == 0)
+    if t.latest_version() != 1 or t.read().count() != n_initial:
+        raise RuntimeError("branch writes leaked into main")
+    t.fast_forward("etl")
+    if t.branches():
+        raise RuntimeError("fast-forward must consume the branch")
+    t.vacuum(older_than_sec=0.0)
+    if t.read(ref="base").count() != n_initial:
+        raise RuntimeError("tagged version lost rows after vacuum")
+    return (
+        t.read()
+        .groupBy(F.col("bucket").cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )

@@ -1,0 +1,139 @@
+"""Tags and branches (Iceberg refs) on the snapshot store: isolated
+branch writes, metadata-only fast-forward publish, divergence
+detection, and ref-pinned vacuum protection."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from station_data_ingestion_spark.plans.snapshot_store import (
+    ConcurrentCommitError,
+    SnapshotTable,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("p"),
+        (F.col("id") * 10).cast("long").alias("v"),
+    )
+
+
+def _mk(spark, tmp_path, name="tbl"):
+    t = SnapshotTable(
+        spark, str(tmp_path / name), partition_cols=("p",), stat_cols=("k",)
+    )
+    t.commit_overwrite_partitions(_df(spark, 0, 60))
+    return t
+
+
+def _rows(df):
+    return {(r["k"], r["v"]) for r in df.select("k", "v").collect()}
+
+
+def test_branch_isolated_until_fast_forward(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    main_before = _rows(t.read())
+    br = t.create_branch("exp")
+    assert t.branches() == {"exp": 1}
+    # branch: append new rows AND rewrite a partition (COW delete)
+    br.commit_overwrite_partitions(
+        _df(spark, 60, 90).withColumn("p", F.lit("9"))
+    )
+    br.delete_where(F.col("k") % 4 == 1)
+    want = _rows(br.read())
+    # main readers saw nothing
+    assert _rows(t.read()) == main_before
+    assert t.latest_version() == 1
+    v = t.fast_forward("exp")
+    assert v == 2
+    assert _rows(t.read()) == want
+    # branch consumed: ref and tree are gone
+    assert t.branches() == {}
+    assert not os.path.exists(str(tmp_path / "tbl" / "_branches" / "exp"))
+    # published files are main-local: vacuum + re-read stays whole
+    t.vacuum(older_than_sec=0.0)
+    assert _rows(t.read()) == want
+
+
+def test_fast_forward_on_diverged_main_raises(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    br = t.create_branch("exp")
+    br.commit_overwrite_partitions(
+        _df(spark, 60, 70).withColumn("p", F.lit("9"))
+    )
+    # main moves after the fork
+    t.commit_overwrite_partitions(
+        _df(spark, 100, 110).withColumn("p", F.lit("8"))
+    )
+    with pytest.raises(ConcurrentCommitError, match="advanced"):
+        t.fast_forward("exp")
+    # abandon cleanly; main unaffected
+    t.delete_branch("exp")
+    assert t.branches() == {}
+    assert t.read().count() == 70
+
+
+def test_tag_survives_churn_and_vacuum(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    want_v1 = _rows(t.read())
+    t.tag("rel1")
+    assert t.tags() == {"rel1": 1}
+    # churn: rewrite every partition twice, then vacuum with zero
+    # retention — without the tag pin, v1's manifest and files die
+    t.delete_where(F.col("k") % 2 == 0)
+    t.commit_overwrite_partitions(_df(spark, 200, 260))
+    t.vacuum(older_than_sec=0.0)
+    assert _rows(t.read(ref="rel1")) == want_v1
+    assert t.resolve_ref("rel1") == 1
+    # untagged intermediate version IS reaped
+    with pytest.raises(FileNotFoundError):
+        t.read(version=2).collect()
+    # tags are create-once; moving requires delete + re-tag
+    with pytest.raises(ValueError, match="already exists"):
+        t.tag("rel1")
+    t.delete_tag("rel1")
+    assert t.tags() == {}
+
+
+def test_live_branch_protects_shared_files_from_main_vacuum(
+    spark, tmp_path
+):
+    t = _mk(spark, tmp_path)
+    br = t.create_branch("exp")
+    want = _rows(br.read())
+    # main rewrites partitions the branch still references via the fork
+    t.delete_where(F.col("k") % 2 == 0)
+    t.commit_overwrite_partitions(_df(spark, 300, 360))
+    t.vacuum(older_than_sec=0.0)
+    # the branch head still reads every fork-version row
+    assert _rows(t.branch("exp").read()) == want
+    # deleting the branch releases the pins; next vacuum reaps
+    t.delete_branch("exp")
+    assert t.vacuum(older_than_sec=0.0)
+
+
+def test_branch_dv_moves_across_fast_forward(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    br = t.create_branch("exp")
+    br.delete_where_dv(F.col("k") % 5 == 0)
+    want = _rows(br.read())
+    t.fast_forward("exp")
+    assert _rows(t.read()) == want
+    # the DV token now lives under MAIN and survives main's vacuum
+    t.vacuum(older_than_sec=0.0)
+    assert _rows(t.read()) == want
+    assert t.read().count() == 48
+
+
+def test_ref_name_validation_and_read_param_exclusivity(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.tag("ok")
+    with pytest.raises(ValueError):
+        t.tag("../escape")
+    with pytest.raises(ValueError):
+        t.read(ref="ok", version=1)
+    with pytest.raises(ValueError):
+        t.resolve_ref("missing")

@@ -3,7 +3,10 @@
 import pytest
 from pyspark.sql import functions as F
 
-from station_data_ingestion_spark.operators.matview import MaterializedView
+from station_data_ingestion_spark.operators.matview import (
+    MaterializedJoinView,
+    MaterializedView,
+)
 from station_data_ingestion_spark.plans.catalog import Catalog
 from station_data_ingestion_spark.plans.snapshot_store import (
     ConcurrentCommitError,
@@ -163,3 +166,201 @@ def test_concurrent_refreshes_serialize(spark, tmp_path):
     a.commit()
     with pytest.raises(ConcurrentCommitError):
         b.commit()
+
+
+# -- materialized JOIN views (delta-join IVM) ---------------------------
+
+
+def _dim(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("ck"),
+        (F.col("id") % 2).cast("string").alias("dp"),
+        F.concat(F.lit("seg"), (F.col("id") % 3)).alias("seg"),
+        F.concat(F.lit("note"), F.col("id")).alias("note"),
+    )
+
+
+def _fact(spark, lo, hi, nd=30):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("fp"),
+        (F.col("id") * 7 % nd).alias("fk"),
+        ((F.col("id") % 5 + 1) * 100).cast("long").alias("cents"),
+    )
+
+
+def _mk_join(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "jcat"))
+    cat.init()
+    txn = cat.transaction()
+    txn.create_table(
+        "fact", _fact(spark, 0, 120), partition_cols=("fp",), stat_cols=()
+    )
+    txn.create_table(
+        "dim", _dim(spark, 0, 30), partition_cols=("dp",), stat_cols=()
+    )
+    txn.commit()
+    jv = MaterializedJoinView(
+        cat, "fact_dim", "fact", "dim",
+        on=[("fk", "ck")],
+        a_cols=["k", "fk", "cents"],
+        b_cols=["ck", "seg"],
+        a_key=["k"], b_key=["ck"],
+    )
+    jv.create()
+    return cat, jv
+
+
+def _join_recompute(snap):
+    f, d = snap.read("fact"), snap.read("dim")
+    return {
+        tuple(r)
+        for r in f.join(d, f["fk"] == d["ck"])
+        .select("k", "fk", "cents", "ck", "seg")
+        .collect()
+    }
+
+
+def _join_view(snap, jv):
+    return {
+        tuple(r)
+        for r in snap.read(jv.name)
+        .select("k", "fk", "cents", "ck", "seg")
+        .collect()
+    }
+
+
+def test_join_view_create_matches_recompute(spark, tmp_path):
+    cat, jv = _mk_join(spark, tmp_path)
+    s = cat.snapshot()
+    assert _join_view(s, jv) == _join_recompute(s)
+    assert jv.staleness() == 0
+
+
+def test_join_view_absorbs_both_sides_in_one_refresh(spark, tmp_path):
+    cat, jv = _mk_join(spark, tmp_path)
+    # fact append (insert synthesis) + fact delete (recorded) + dim
+    # update touching a view column (recorded pre/post), all unabsorbed
+    t1 = cat.transaction()
+    t1.write("fact", _fact(spark, 120, 150).withColumn("fp", F.lit("9")))
+    t1.commit()
+    t2 = cat.transaction()
+    old = t2.read("fact", partition={"fp": "1"}).select(
+        "k", "fp", "fk", "cents"
+    )
+    keep = old.filter(F.col("k") % 4 != 1)
+    changes = old.filter(F.col("k") % 4 == 1).withColumn(
+        "_change_type", F.lit("delete")
+    )
+    t2.write("fact", keep, changes=changes)
+    t2.commit()
+    t3 = cat.transaction()
+    d_old = t3.read("dim", partition={"dp": "0"}).select(
+        "ck", "dp", "seg", "note"
+    )
+    d_new = d_old.withColumn("seg", F.concat(F.col("seg"), F.lit("X")))
+    d_changes = d_old.withColumn(
+        "_change_type", F.lit("update_preimage")
+    ).unionByName(
+        d_new.withColumn("_change_type", F.lit("update_postimage"))
+    )
+    t3.write("dim", d_new, changes=d_changes)
+    t3.commit()
+    assert jv.staleness() == 3
+    jv.refresh()
+    s = cat.snapshot()
+    assert jv.staleness() == 0
+    assert _join_view(s, jv) == _join_recompute(s)
+
+
+def test_join_view_join_key_change_moves_row(spark, tmp_path):
+    cat, jv = _mk_join(spark, tmp_path)
+    # rewrite some fact rows' JOIN KEY: the view pair must move to the
+    # new dim partner (retract old pair, add new pair)
+    txn = cat.transaction()
+    old = txn.read("fact", partition={"fp": "2"}).select(
+        "k", "fp", "fk", "cents"
+    )
+    new = old.withColumn(
+        "fk",
+        F.when(F.col("k") % 6 == 2, (F.col("fk") + 11) % 30).otherwise(
+            F.col("fk")
+        ),
+    )
+    changes = old.withColumn(
+        "_change_type", F.lit("update_preimage")
+    ).unionByName(new.withColumn("_change_type", F.lit("update_postimage")))
+    txn.write("fact", new, changes=changes)
+    txn.commit()
+    jv.refresh()
+    s = cat.snapshot()
+    assert _join_view(s, jv) == _join_recompute(s)
+
+
+def test_join_view_non_view_column_update_is_noop(spark, tmp_path):
+    cat, jv = _mk_join(spark, tmp_path)
+    before = _join_view(cat.snapshot(), jv)
+    # dim 'note' is NOT a view column: the recorded update must net to
+    # zero pairs and leave the view contents identical
+    txn = cat.transaction()
+    d_old = txn.read("dim", partition={"dp": "1"}).select(
+        "ck", "dp", "seg", "note"
+    )
+    d_new = d_old.withColumn("note", F.concat(F.col("note"), F.lit("!")))
+    d_changes = d_old.withColumn(
+        "_change_type", F.lit("update_preimage")
+    ).unionByName(
+        d_new.withColumn("_change_type", F.lit("update_postimage"))
+    )
+    txn.write("dim", d_new, changes=d_changes)
+    txn.commit()
+    assert jv.staleness() == 1
+    jv.refresh()
+    s = cat.snapshot()
+    assert jv.staleness() == 0
+    assert _join_view(s, jv) == before == _join_recompute(s)
+
+
+def test_join_view_two_base_torn_refresh_invariant(spark, tmp_path):
+    cat, jv = _mk_join(spark, tmp_path)
+    t1 = cat.transaction()
+    t1.write("fact", _fact(spark, 200, 230).withColumn("fp", F.lit("8")))
+    t1.commit()
+    t2 = cat.transaction()
+    t2.write("dim", _dim(spark, 30, 40).withColumn("dp", F.lit("7")))
+    t2.commit()
+    s_stale = cat.snapshot()
+    jv.refresh()
+    # the stale snapshot's view must equal A(cursor_a) JOIN B(cursor_b)
+    p = s_stale.props(jv.name)
+    ca, cb = int(p["mv_cursor_a"]), int(p["mv_cursor_b"])
+    f = s_stale.table("fact").read(version=ca)
+    d = s_stale.table("dim").read(version=cb)
+    want = {
+        tuple(r)
+        for r in f.join(d, f["fk"] == d["ck"])
+        .select("k", "fk", "cents", "ck", "seg")
+        .collect()
+    }
+    assert _join_view(s_stale, jv) == want
+    s = cat.snapshot()
+    assert _join_view(s, jv) == _join_recompute(s)
+
+
+def test_join_view_dim_insert_matches_new_fact_rows(spark, tmp_path):
+    cat, jv = _mk_join(spark, tmp_path)
+    # widen the dim (new ck range) AND add fact rows pointing at both
+    # old and new dim keys in the SAME refresh window: the dA x dB
+    # cross term must appear exactly once
+    t1 = cat.transaction()
+    t1.write("dim", _dim(spark, 30, 60).withColumn("dp", F.lit("7")))
+    t1.commit()
+    t2 = cat.transaction()
+    t2.write(
+        "fact",
+        _fact(spark, 300, 360, nd=60).withColumn("fp", F.lit("9")),
+    )
+    t2.commit()
+    jv.refresh()
+    s = cat.snapshot()
+    assert _join_view(s, jv) == _join_recompute(s)
