@@ -1153,6 +1153,98 @@ class SnapshotTable:
             total += int(n)
         return total
 
+    def read_appends_bounded(
+        self,
+        cursor,
+        max_files: int,
+        on_rewrite: str = "error",
+    ):
+        """Rate-limited streaming-source read — Delta's
+        ``maxFilesPerTrigger``: at most ``max_files`` newly-added files
+        per call, walking the commit log version by version and
+        splitting WITHIN a commit when it added more files than the
+        budget. This is what makes a 100 TB backfill consumable: the
+        first micro-batch of a fresh cursor is bounded by the budget,
+        not by the table's whole history, so executor memory and batch
+        latency stay flat while the cursor catches up.
+
+        ``cursor``: None (from the beginning), an int (a fully-consumed
+        version — interchangeable with :meth:`read_appends` cursors), or
+        the dict this method returned when it stopped mid-commit
+        ({"version": consumed-through, "offset": files consumed of the
+        next commit's path-sorted additions}). Returns ``(df, cursor)``;
+        ``df`` is None when nothing new landed. Unlike
+        :meth:`read_appends`, the walk opens each intermediate manifest
+        (it must attribute files to commits), so the cursor cannot jump
+        a vacuumed gap — same restart contract as a vacuumed cursor.
+
+        Non-append steps follow ``on_rewrite`` exactly like
+        :meth:`read_appends`; 'include' delivers surviving rewritten
+        files once per rewrite (at-least-once)."""
+        if max_files <= 0:
+            raise ValueError(f"max_files must be positive, got {max_files}")
+        if on_rewrite not in ("error", "include"):
+            raise ValueError(
+                f"on_rewrite must be error|include, got {on_rewrite}"
+            )
+        v_hi = self.latest_version()
+        if v_hi is None:
+            return None, cursor
+        if cursor is None:
+            p, off = 0, 0
+        elif isinstance(cursor, dict):
+            p, off = int(cursor["version"]), int(cursor["offset"])
+        else:
+            p, off = int(cursor), 0
+        if p > v_hi:
+            raise ValueError(
+                f"inverted bounded-appends cursor: v{p} past v{v_hi}"
+            )
+        out_entries: list[dict] = []
+        top_m = None
+        while p < v_hi and len(out_entries) < max_files:
+            if p == 0:
+                prev_keys: set = set()
+                prev_dvs: list = []
+            else:
+                pm = self._read_manifest(p)
+                prev_keys = {_entry_key(e) for e in pm["files"]}
+                prev_dvs = pm.get("deletes", [])
+            top_m = self._read_manifest(p + 1)
+            cur = {_entry_key(e): e for e in top_m["files"]}
+            removed = prev_keys - set(cur)
+            dv_changed = prev_dvs != top_m.get("deletes", [])
+            if (removed or dv_changed) and on_rewrite == "error":
+                what = (
+                    f"{len(removed)} file(s) rewritten/removed"
+                    if removed
+                    else "deletion vectors changed"
+                )
+                raise RuntimeError(
+                    f"non-append change at v{p + 1}: {what} — use "
+                    "on_rewrite='include' or keyed_diff"
+                )
+            added = sorted(
+                (e for k, e in cur.items() if k not in prev_keys),
+                key=lambda e: e["path"],
+            )
+            take = added[off : off + (max_files - len(out_entries))]
+            out_entries.extend(take)
+            if off + len(take) >= len(added):
+                p, off = p + 1, 0
+            else:
+                off += len(take)
+                break
+        new_cursor = p if off == 0 else {"version": p, "offset": off}
+        if not out_entries:
+            return None, new_cursor
+        return (
+            self._read_entry_files(
+                out_entries, renames=top_m.get("renames", [])
+            ),
+            new_cursor,
+        )
+
     def read_appends(
         self,
         from_version: int | None,

@@ -2567,3 +2567,73 @@ def snapshot_branch_fast_forward_read(spark, sf_dir):
             F.sum("cents").cast("long").alias("cents"),
         )
     )
+
+
+@query(
+    "snapshot_stream_rate_limited_appends",
+    """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def snapshot_stream_rate_limited_appends(spark, sf_dir):
+    """RATE-LIMITED streaming source (Delta maxFilesPerTrigger): three
+    multi-file append commits are consumed through the bounded cursor
+    with a 3-file budget — the walk splits WITHIN commits (a dict
+    cursor with a file offset is asserted to appear) and every batch is
+    asserted to scan at most the budget's file count, which is what
+    keeps the first micro-batch of a 100 TB backfill bounded by the
+    budget instead of the table's history. The union of all bounded
+    batches must equal the full table (oracle: plain aggregate)."""
+    base = load(spark, sf_dir, "orders")["orders"].select(
+        F.col("o_orderkey").alias("k"),
+        "o_orderstatus",
+        "o_totalprice",
+        (F.col("o_orderkey") % 3).cast("string").alias("batch"),
+    )
+    t = SnapshotTable(
+        spark,
+        _tmpdir(prefix="snap_rate_") + "/orders_rate",
+        partition_cols=("batch",),
+        stat_cols=(),
+    )
+    for b in ("0", "1", "2"):
+        t.commit_overwrite_partitions(
+            base.filter(F.col("batch") == b).repartition(4)
+        )
+    out = None
+    cursor = None
+    batches = 0
+    saw_mid_commit_cursor = False
+    while True:
+        df, cursor = t.read_appends_bounded(cursor, max_files=3)
+        if df is None:
+            break
+        batches += 1
+        saw_mid_commit_cursor |= isinstance(cursor, dict)
+        n_files = (
+            df.select(F.col("_metadata.file_path")).distinct().count()
+        )
+        if n_files > 3:
+            raise RuntimeError(
+                f"batch scanned {n_files} files past the 3-file budget"
+            )
+        out = df if out is None else out.unionByName(df)
+    if cursor != t.latest_version():
+        raise RuntimeError("drained cursor must rest at the latest version")
+    if not saw_mid_commit_cursor:
+        raise RuntimeError(
+            "the budget never split a commit — mid-commit cursor untested"
+        )
+    if batches <= 3:
+        raise RuntimeError(
+            "12 files under a 3-file budget must take >3 batches"
+        )
+    return out.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        ),
+    )
