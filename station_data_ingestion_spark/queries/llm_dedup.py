@@ -902,3 +902,125 @@ def text_ngram_containment(spark, sf_dir):
     return both.filter(F.col("containment_bp") >= 5000).select(
         "src_id", "dst_id", F.col("containment_bp").cast("long")
     )
+
+
+# --- tier 2c: WEIGHTED (tf-idf cosine) all-pairs similarity join -------------
+
+_TFIDF_COS_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, t AS token
+  FROM documents,
+       UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE t <> ''
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.token,
+         tf.tf * ROUND(LN(n.n_docs * 1.0 / dfq.df), 6) AS w
+  FROM tf JOIN dfq USING (token) CROSS JOIN n
+),
+nrm AS (SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM w GROUP BY doc_id),
+u AS (
+  SELECT w.doc_id, w.token, w.w / nrm.nrm AS u
+  FROM w JOIN nrm USING (doc_id)
+),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, SUM(a.u * b.u) AS dot
+  FROM u a JOIN u b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id, b_id, ROUND(dot, 4) AS cosine
+FROM pairs WHERE ROUND(dot, 4) >= 0.9
+"""
+
+
+def _tfidf_unit_weights(d: DataFrame) -> DataFrame:
+    """Per-(doc, token) UNIT-NORMALIZED tf-idf weight plus the token's
+    document frequency (the weighted join's global ordering key). idf
+    is rounded to 6 dp so Spark and the SQL oracle agree bit-for-bit on
+    the weight definition (libm ln can differ in the last ulp)."""
+    n_docs = d.count()
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = tf.join(df_tbl, "token").withColumn(
+        "w",
+        F.col("tf")
+        * F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    return (
+        w.join(nrm, "doc_id")
+        .withColumn("u", F.col("w") / F.col("nrm"))
+        .select("doc_id", "token", "df", "u")
+    )
+
+
+def _weighted_prefix_pairs(u: DataFrame, threshold: float) -> DataFrame:
+    """Candidate pairs via the WEIGHTED prefix filter (Bayardo et al.,
+    Scaling Up All Pairs Similarity Search): under a global feature
+    order (ascending df, rarest first), a doc's prefix is the head of
+    its unit vector until the remaining suffix norm drops below t —
+    if two unit vectors have dot >= t, their FIRST common feature in
+    that order must lie in BOTH prefixes (were it outside x's prefix,
+    every common feature would sit in x's suffix and
+    dot <= ||x_suffix|| < t). So joining prefixes on shared tokens
+    loses no true pair. Rarest-first ordering makes the prefix tokens
+    exactly the low-fan-out ones, which is what keeps the self-join
+    alive on boilerplate-heavy corpora. One window cumsum, one
+    equi-join — all JVM."""
+    win = Window.partitionBy("doc_id").orderBy("df", "token")
+    cum = u.withColumn(
+        "cum", F.sum(F.col("u") * F.col("u")).over(win)
+    )
+    # keep token i while the suffix INCLUDING i still has norm >= t:
+    # 1 - cum_{i-1} >= t^2 (1e-12 guards float noise on the keep side)
+    prefix = cum.filter(
+        F.lit(1.0) - (F.col("cum") - F.col("u") * F.col("u"))
+        >= F.lit(threshold * threshold) - F.lit(1e-12)
+    )
+    a = prefix.select(F.col("doc_id").alias("a_id"), "token")
+    b = prefix.select(F.col("doc_id").alias("b_id"), "token")
+    return (
+        a.join(b, "token")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+@query("sim_tfidf_cosine_pairs", _TFIDF_COS_ORACLE)
+def sim_tfidf_cosine_pairs(spark, sf_dir):
+    """WEIGHTED set-similarity self-join: tf-idf cosine >= 0.9 document
+    pairs, the weighted counterpart of dedup_jaccard_prefix_filtered.
+    Candidates come only from shared tokens inside each vector's
+    suffix-norm prefix (see _weighted_prefix_pairs); the exact dot is
+    then reranked over the candidates' FULL vectors, so the output
+    equals the oracle's all-pairs computation while the join volume is
+    bounded by rare-token co-occurrence — never |docs|^2. All stages
+    are JVM (explode/window/joins); floats stay engine-identical via
+    6-dp idf rounding and a 4-dp final round."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    t = 0.9
+    u = _tfidf_unit_weights(d)
+    cands = _weighted_prefix_pairs(u, t)
+    ua = u.select(
+        F.col("doc_id").alias("a_id"), "token", F.col("u").alias("ua")
+    )
+    ub = u.select(
+        F.col("doc_id").alias("b_id"), "token", F.col("u").alias("ub")
+    )
+    dot = (
+        cands.join(ua, "a_id")
+        .join(ub, ["b_id", "token"])
+        .groupBy("a_id", "b_id")
+        .agg(F.round(F.sum(F.col("ua") * F.col("ub")), 4).alias("cosine"))
+    )
+    return dot.filter(F.col("cosine") >= t)

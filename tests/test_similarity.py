@@ -80,3 +80,63 @@ def test_neardup_finds_planted_pairs(spark, tmp_path):
     for k in exp:
         assert abs(got[k] - exp[k]) < 2e-6, (k, got[k], exp[k])
     assert (40, 101) not in got, "cross-label pair must be outside blocks"
+
+
+# --- weighted (tf-idf cosine) prefix-filtered all-pairs join -----------------
+
+
+def test_weighted_prefix_join_equals_brute_force(spark):
+    from pyspark.sql import functions as F
+
+    from station_data_ingestion_spark.queries.llm_dedup import (
+        _tfidf_unit_weights,
+        _weighted_prefix_pairs,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "a completely different document about spark engines"),
+        (4, "the quick brown fox jumps over the lazy dog"),
+        (5, "spark engines process completely different documents"),
+        (6, "lorem ipsum dolor sit amet consectetur"),
+        (7, "lorem ipsum dolor sit amet consectetur adipiscing"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    t = 0.5
+    u = _tfidf_unit_weights(d)
+    # brute force: every co-token pair, exact dot
+    ua = u.select(F.col("doc_id").alias("a_id"), "token", F.col("u").alias("ua"))
+    ub = u.select(F.col("doc_id").alias("b_id"), "token", F.col("u").alias("ub"))
+    brute = (
+        ua.join(ub, "token")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.round(F.sum(F.col("ua") * F.col("ub")), 4).alias("c"))
+        .filter(F.col("c") >= t)
+    )
+    want = {(r["a_id"], r["b_id"], r["c"]) for r in brute.collect()}
+    cands = _weighted_prefix_pairs(u, t)
+    got_df = (
+        cands.join(ua, "a_id")
+        .join(ub, ["b_id", "token"])
+        .groupBy("a_id", "b_id")
+        .agg(F.round(F.sum(F.col("ua") * F.col("ub")), 4).alias("c"))
+        .filter(F.col("c") >= t)
+    )
+    got = {(r["a_id"], r["b_id"], r["c"]) for r in got_df.collect()}
+    assert got == want
+    assert (1, 4) in {(a, b) for a, b, _ in want}  # exact dup pair present
+    # the prefix filter prunes the JOIN INPUT: prefix rows < vector rows
+    # (pair-level pruning needs a bigger corpus; row-level always holds
+    # once any vector's suffix norm dips below t)
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy("doc_id").orderBy("df", "token")
+    kept = u.withColumn(
+        "cum", F.sum(F.col("u") * F.col("u")).over(win)
+    ).filter(
+        F.lit(1.0) - (F.col("cum") - F.col("u") * F.col("u"))
+        >= F.lit(t * t) - F.lit(1e-12)
+    )
+    assert kept.count() < u.count()
