@@ -1024,3 +1024,116 @@ def sim_tfidf_cosine_pairs(spark, sf_dir):
         .agg(F.round(F.sum(F.col("ua") * F.col("ub")), 4).alias("cosine"))
     )
     return dot.filter(F.col("cosine") >= t)
+
+
+# --- tier 3: entity resolution -> golden record ------------------------------
+
+_ER_GOLDEN_ORACLE = """
+WITH RECURSIVE pairs AS (
+  SELECT a.s_suppkey AS a_id, b.s_suppkey AS b_id
+  FROM supplier a JOIN supplier b
+    ON a.s_suppkey < b.s_suppkey AND a.s_nationkey = b.s_nationkey
+  WHERE levenshtein(a.s_name, b.s_name) <= 1
+),
+edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+          UNION SELECT b_id, a_id FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+labels AS (SELECT u AS sk, LEAST(u, MIN(v)) AS rep FROM reach GROUP BY u),
+memb AS (
+  SELECT s.s_suppkey AS sk, COALESCE(l.rep, s.s_suppkey) AS rep,
+         s.s_name AS nm,
+         CAST(ROUND(s.s_acctbal * 100) AS BIGINT) AS cents
+  FROM supplier s LEFT JOIN labels l ON s.s_suppkey = l.sk
+),
+golden AS (
+  SELECT rep AS entity_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(MAX(cents) AS BIGINT) AS best_cents,
+         CAST(SUM(cents) AS BIGINT) AS total_cents
+  FROM memb GROUP BY rep
+),
+ph AS (
+  SELECT rep AS entity_id, nm,
+         ROW_NUMBER() OVER (PARTITION BY rep
+                            ORDER BY cents DESC, sk) AS rk
+  FROM memb
+)
+SELECT g.entity_id, g.n_members, g.best_cents, g.total_cents,
+       p.nm AS golden_name
+FROM golden g JOIN ph p ON g.entity_id = p.entity_id AND p.rk = 1
+"""
+
+
+@query("er_golden_record_suppliers", _ER_GOLDEN_ORACLE)
+def er_golden_record_suppliers(spark, sf_dir, checkpoint_dir=None):
+    """ENTITY RESOLUTION capstone — the full survivorship pipeline a
+    master-data/training-corpus system runs, composed from certified
+    engine pieces: (1) BLOCKING: SymSpell deletion-variant fuzzy join
+    (operators/fuzzy.py) finds edit-distance<=1 name pairs without the
+    quadratic join; (2) MATCH RULE: keep pairs agreeing on nationkey
+    (structured-field corroboration); (3) CLUSTERING: iterative min-
+    label connected components (operators/graph.py, O(log^2 n) rounds);
+    (4) SURVIVORSHIP: one golden record per cluster — min key as entity
+    id, member count, best/total balance (exact cents), and the name
+    of the highest-balance member (deterministic tiebreak by key).
+    Singletons survive as their own golden records via the left join.
+    Oracle: quadratic levenshtein join + recursive reachability — the
+    gate certifies the pruned pipeline end-to-end."""
+    from station_data_ingestion_spark.operators.fuzzy import fuzzy_join_ed1
+    from station_data_ingestion_spark.operators.graph import (
+        connected_components,
+    )
+
+    s = load(spark, sf_dir, "supplier")["supplier"].select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("cents"),
+    )
+    pairs = fuzzy_join_ed1(
+        s.select("s_suppkey", "s_name"), "s_suppkey", "s_name"
+    ).select(F.col("a_id").cast("long"), F.col("b_id").cast("long"))
+    nat = s.select(
+        F.col("s_suppkey").alias("a_id"),
+        F.col("s_nationkey").alias("a_nat"),
+    )
+    nat_b = s.select(
+        F.col("s_suppkey").alias("b_id"),
+        F.col("s_nationkey").alias("b_nat"),
+    )
+    edges = (
+        pairs.join(nat, "a_id")
+        .join(nat_b, "b_id")
+        .filter(F.col("a_nat") == F.col("b_nat"))
+        .select("a_id", "b_id")
+    )
+    labels = connected_components(edges, checkpoint_dir=checkpoint_dir)
+    memb = s.join(
+        labels.select(
+            F.col("node").alias("s_suppkey"), F.col("rep")
+        ),
+        "s_suppkey",
+        "left",
+    ).select(
+        F.col("s_suppkey").alias("sk"),
+        F.coalesce("rep", "s_suppkey").alias("entity_id"),
+        F.col("s_name").alias("nm"),
+        "cents",
+    )
+    golden = memb.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max("cents").alias("best_cents"),
+        F.sum("cents").alias("total_cents"),
+    )
+    w = Window.partitionBy("entity_id").orderBy(
+        F.col("cents").desc(), F.col("sk")
+    )
+    best_phone = (
+        memb.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("entity_id", F.col("nm").alias("golden_name"))
+    )
+    return golden.join(best_phone, "entity_id")
