@@ -78,6 +78,22 @@ def apply_agg_delta(
             *[F.sum(name).alias(name) for name in sum_cols],
         )
     )
+    return merge_agg_delta(
+        old_agg, delta, group_cols, list(sum_cols), count_col
+    )
+
+
+def merge_agg_delta(
+    old_agg: DataFrame,
+    delta: DataFrame,
+    group_cols: list[str],
+    sum_names: list[str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Full-outer merge of a grouped SUM/COUNT aggregate with a
+    per-group delta frame (``group_cols`` + ``_dn`` + ``sum_names``):
+    group births arrive through the outer join, deaths fall out when
+    the count reaches zero. One join of two aggregate-sized relations."""
     merged = old_agg.alias("a").join(
         delta.alias("d"),
         [
@@ -101,9 +117,52 @@ def apply_agg_delta(
                 F.coalesce(F.col(f"a.{name}"), zero)
                 + F.coalesce(F.col(f"d.{name}"), zero)
             ).alias(name)
-            for name in sum_cols
+            for name in sum_names
         ],
     ).where(F.col(count_col) > 0)
+
+
+def join_agg_delta(
+    a_old: DataFrame,
+    b_new: DataFrame,
+    diff_a: DataFrame | None,
+    diff_b: DataFrame | None,
+    on: list[tuple[str, str]],
+    group_cols: list[str],
+    sum_cols: dict[str, str],
+) -> DataFrame | None:
+    """Per-group delta of a grouped SUM/COUNT over an INNER JOIN,
+    WITHOUT materializing the join: the signed pair deltas of
+    d(A JOIN B) = dA JOIN B_new + A_old JOIN dB (see apply_join_delta)
+    are aggregated straight to (group_cols, _dn, sums) — the join view
+    itself never exists, only its aggregate-sized delta. SUM/COUNT are
+    self-maintainable under signed deltas, which is exactly why this
+    composes; the result feeds :func:`merge_agg_delta`. Returns None
+    when neither base changed. Scale: the only joins are
+    (tiny delta) x (base), and the shuffle is |delta pairs| rows on the
+    group key."""
+    need = sorted(set(group_cols) | set(sum_cols.values()))
+    terms = []
+    if diff_a is not None:
+        da = diff_signed(diff_a, [c for c in diff_a.select("new_data.*").columns])
+        cond = [da[ac] == b_new[bc] for ac, bc in on]
+        terms.append(da.join(b_new, cond).select(*need, "_sign"))
+    if diff_b is not None:
+        db = diff_signed(diff_b, [c for c in diff_b.select("new_data.*").columns])
+        cond = [a_old[ac] == db[bc] for ac, bc in on]
+        terms.append(a_old.join(db, cond).select(*need, "_sign"))
+    if not terms:
+        return None
+    pairs = terms[0]
+    for t in terms[1:]:
+        pairs = pairs.unionAll(t)
+    return pairs.groupBy(*group_cols).agg(
+        F.sum("_sign").cast("long").alias("_dn"),
+        *[
+            F.sum(F.col(src) * F.col("_sign")).cast("long").alias(name)
+            for name, src in sum_cols.items()
+        ],
+    )
 
 
 def diff_signed(diff: DataFrame, cols: list[str]) -> DataFrame:

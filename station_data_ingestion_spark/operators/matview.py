@@ -37,6 +37,8 @@ from station_data_ingestion_spark.operators.ivm import (
     apply_agg_delta,
     apply_join_delta,
     change_feed_to_diff,
+    join_agg_delta,
+    merge_agg_delta,
 )
 from station_data_ingestion_spark.plans.catalog import Catalog
 
@@ -294,3 +296,100 @@ class MaterializedJoinView:
     def read(self, snapshot=None) -> DataFrame:
         s = snapshot or self.catalog.snapshot()
         return s.read(self.name)
+
+
+class MaterializedJoinAggView(MaterializedJoinView):
+    """A grouped SUM/COUNT aggregate OVER an inner join, incrementally
+    maintained WITHOUT ever materializing the join — the Materialize
+    core composition: signed pair deltas from the delta-join identity
+    are aggregated straight to a per-group delta (operators/ivm.
+    join_agg_delta), then merged into the (aggregate-sized) view.
+
+    State is O(groups), refresh is O(deltas x matched base rows) — a
+    100 TB fact joined to a dimension with a 10k-row daily delta
+    refreshes a revenue-by-segment view by shuffling delta pairs only;
+    the join view that a naive maintenance plan would store (as large
+    as the fact) never exists anywhere.
+
+    ``group_cols``/``sum_cols`` may draw from EITHER side's columns
+    (names disjoint across sides); sums must be additive integers.
+    Inherits the two-cursor atomic publish and staleness metadata from
+    MaterializedJoinView.
+    """
+
+    def __init__(
+        self,
+        catalog: Catalog,
+        name: str,
+        base_a: str,
+        base_b: str,
+        on: list[tuple[str, str]],
+        a_cols: list[str],
+        b_cols: list[str],
+        a_key: list[str],
+        b_key: list[str],
+        group_cols: list[str],
+        sum_cols: dict[str, str],
+        count_col: str = "n_rows",
+    ):
+        super().__init__(
+            catalog, name, base_a, base_b, on, a_cols, b_cols, a_key, b_key
+        )
+        self.group_cols = list(group_cols)
+        self.sum_cols = dict(sum_cols)
+        self.count_col = count_col
+
+    def _compute_full(self, a: DataFrame, b: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        cond = [a[ac] == b[bc] for ac, bc in self.on]
+        return (
+            a.join(b, cond)
+            .groupBy(*self.group_cols)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias(self.count_col),
+                *[
+                    F.sum(src).cast("long").alias(name)
+                    for name, src in self.sum_cols.items()
+                ],
+            )
+        )
+
+    def refresh(self) -> int:
+        txn = self.catalog.transaction()
+        p = txn.snap.props(self.name)
+        ca, cb = int(p["mv_cursor_a"]), int(p["mv_cursor_b"])
+        va = txn.snap.pinned_version(self.base_a)
+        vb = txn.snap.pinned_version(self.base_b)
+        if va == ca and vb == cb:
+            txn.abort()
+            return txn.snap.version
+        diff_a = self._feed_diff(txn, self.base_a, ca, va, self.a_cols)
+        diff_b = self._feed_diff(txn, self.base_b, cb, vb, self.b_cols)
+        a_old = txn.snap.table(self.base_a).read(version=ca).select(
+            *self.a_cols
+        )
+        b_new = txn.snap.table(self.base_b).read(version=vb).select(
+            *self.b_cols
+        )
+        delta = join_agg_delta(
+            a_old,
+            b_new,
+            diff_a,
+            diff_b,
+            self.on,
+            self.group_cols,
+            self.sum_cols,
+        )
+        if delta is None:
+            new_agg = txn.read(self.name)
+        else:
+            new_agg = merge_agg_delta(
+                txn.read(self.name),
+                delta,
+                self.group_cols,
+                list(self.sum_cols),
+                self.count_col,
+            )
+        txn.write(self.name, new_agg, props=self._props(va, vb))
+        return txn.commit()

@@ -2637,3 +2637,131 @@ def snapshot_stream_rate_limited_appends(spark, sf_dir):
             "cents"
         ),
     )
+
+
+@query(
+    "matview_join_agg_incremental",
+    """
+WITH f AS (
+  SELECT o_orderkey AS k, o_custkey AS ck,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  WHERE NOT (o_orderkey % 13 = 0 AND o_custkey % 4 = 1)
+),
+d AS (
+  SELECT c_custkey AS ck2,
+         CASE WHEN c_custkey % 10 = 2 THEN 'PROMO'
+              ELSE c_mktsegment END AS seg
+  FROM customer
+)
+SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM f JOIN d ON f.ck = d.ck2
+GROUP BY seg
+""",
+)
+def matview_join_agg_incremental(spark, sf_dir):
+    """AGGREGATE-OVER-JOIN IVM — the Materialize composition: a
+    revenue-by-segment view over fact JOIN dim is maintained from both
+    bases' change feeds while the JOIN ITSELF IS NEVER MATERIALIZED —
+    signed delta pairs aggregate straight to a per-group delta
+    (operators/ivm.join_agg_delta) that merges into the group-sized
+    view. State is O(segments); the same three mutations as
+    matview_join_delta_refresh (fact append, dim recorded update, fact
+    recorded delete) are absorbed by one refresh, and the refreshed
+    view is asserted in-query to equal a full rejoin-and-aggregate.
+    Oracle: identical SQL to the join-view variant — two maintenance
+    strategies, one certified answer."""
+    from station_data_ingestion_spark.operators.matview import (
+        MaterializedJoinAggView,
+    )
+    from station_data_ingestion_spark.plans.catalog import Catalog
+
+    orders = load(spark, sf_dir, "orders")["orders"].select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("ck"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_custkey") % 4).cast("string").alias("bucket"),
+    )
+    cust = load(spark, sf_dir, "customer")["customer"].select(
+        F.col("c_custkey").alias("ck2"),
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("c_custkey") % 2).cast("string").alias("dp"),
+    )
+    cat = Catalog(spark, _tmpdir(prefix="snap_jamv_") + "/cat")
+    cat.init()
+    t0 = cat.transaction()
+    t0.create_table(
+        "fact",
+        orders.filter(F.col("bucket") != "3"),
+        partition_cols=("bucket",),
+        stat_cols=(),
+    )
+    t0.create_table("dim", cust, partition_cols=("dp",), stat_cols=())
+    t0.commit()
+    jv = MaterializedJoinAggView(
+        cat, "rev_by_seg", "fact", "dim",
+        on=[("ck", "ck2")],
+        a_cols=["k", "ck", "cents"],
+        b_cols=["ck2", "seg"],
+        a_key=["k"], b_key=["ck2"],
+        group_cols=["seg"], sum_cols={"cents": "cents"},
+    )
+    jv.create()
+
+    t1 = cat.transaction()
+    t1.write("fact", orders.filter(F.col("bucket") == "3"))
+    t1.commit()
+    t2 = cat.transaction()
+    d_old = t2.read("dim", partition={"dp": "0"}).select("ck2", "seg", "dp")
+    d_new = d_old.withColumn(
+        "seg",
+        F.when(F.col("ck2") % 10 == 2, F.lit("PROMO")).otherwise(
+            F.col("seg")
+        ),
+    )
+    d_changes = d_old.withColumn(
+        "_change_type", F.lit("update_preimage")
+    ).unionByName(
+        d_new.withColumn("_change_type", F.lit("update_postimage"))
+    )
+    t2.write("dim", d_new, changes=d_changes)
+    t2.commit()
+    t3 = cat.transaction()
+    f_old = t3.read("fact", partition={"bucket": "1"}).select(
+        "k", "ck", "cents", "bucket"
+    )
+    keep = f_old.filter(F.col("k") % 13 != 0)
+    f_changes = f_old.filter(F.col("k") % 13 == 0).withColumn(
+        "_change_type", F.lit("delete")
+    )
+    t3.write("fact", keep, changes=f_changes)
+    t3.commit()
+
+    if jv.staleness() != 3:
+        raise RuntimeError("staleness must count all unabsorbed commits")
+    jv.refresh()
+    if jv.staleness() != 0:
+        raise RuntimeError("refresh did not advance both cursors")
+
+    s = cat.snapshot()
+    f, d = s.read("fact"), s.read("dim")
+    want = {
+        (r["seg"], r["n_rows"], r["cents"])
+        for r in f.join(d, f["ck"] == d["ck2"])
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .collect()
+    }
+    got = {
+        (r["seg"], r["n_rows"], r["cents"])
+        for r in s.read("rev_by_seg").select(
+            "seg", "n_rows", "cents"
+        ).collect()
+    }
+    if got != want:
+        raise RuntimeError("agg-over-join view drifted from recompute")
+    return s.read("rev_by_seg").select("seg", "n_rows", "cents")

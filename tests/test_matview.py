@@ -364,3 +364,118 @@ def test_join_view_dim_insert_matches_new_fact_rows(spark, tmp_path):
     jv.refresh()
     s = cat.snapshot()
     assert _join_view(s, jv) == _join_recompute(s)
+
+
+# -- aggregate-over-join IVM (join never materialized) -------------------
+
+
+def _mk_join_agg(spark, tmp_path):
+    from station_data_ingestion_spark.operators.matview import (
+        MaterializedJoinAggView,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "jacat"))
+    cat.init()
+    txn = cat.transaction()
+    txn.create_table(
+        "fact", _fact(spark, 0, 120), partition_cols=("fp",), stat_cols=()
+    )
+    txn.create_table(
+        "dim", _dim(spark, 0, 30), partition_cols=("dp",), stat_cols=()
+    )
+    txn.commit()
+    jv = MaterializedJoinAggView(
+        cat, "cents_by_seg", "fact", "dim",
+        on=[("fk", "ck")],
+        a_cols=["k", "fk", "cents"],
+        b_cols=["ck", "seg"],
+        a_key=["k"], b_key=["ck"],
+        group_cols=["seg"], sum_cols={"cents": "cents"},
+    )
+    jv.create()
+    return cat, jv
+
+
+def _agg_recompute(snap):
+    f, d = snap.read("fact"), snap.read("dim")
+    return {
+        (r["seg"], r["n_rows"], r["cents"])
+        for r in f.join(d, f["fk"] == d["ck"])
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .collect()
+    }
+
+
+def _agg_view(snap, jv):
+    return {
+        (r["seg"], r["n_rows"], r["cents"])
+        for r in snap.read(jv.name).select("seg", "n_rows", "cents").collect()
+    }
+
+
+def test_join_agg_create_matches_recompute(spark, tmp_path):
+    cat, jv = _mk_join_agg(spark, tmp_path)
+    s = cat.snapshot()
+    assert _agg_view(s, jv) == _agg_recompute(s)
+
+
+def test_join_agg_absorbs_both_sides(spark, tmp_path):
+    cat, jv = _mk_join_agg(spark, tmp_path)
+    # fact append + fact recorded delete + dim update that MOVES rows
+    # between groups (seg is the group key)
+    t1 = cat.transaction()
+    t1.write("fact", _fact(spark, 120, 150).withColumn("fp", F.lit("9")))
+    t1.commit()
+    t2 = cat.transaction()
+    old = t2.read("fact", partition={"fp": "1"}).select(
+        "k", "fp", "fk", "cents"
+    )
+    keep = old.filter(F.col("k") % 4 != 1)
+    changes = old.filter(F.col("k") % 4 == 1).withColumn(
+        "_change_type", F.lit("delete")
+    )
+    t2.write("fact", keep, changes=changes)
+    t2.commit()
+    t3 = cat.transaction()
+    d_old = t3.read("dim", partition={"dp": "0"}).select(
+        "ck", "dp", "seg", "note"
+    )
+    d_new = d_old.withColumn(
+        "seg",
+        F.when(F.col("ck") % 6 == 0, F.lit("segX")).otherwise(F.col("seg")),
+    )
+    d_changes = d_old.withColumn(
+        "_change_type", F.lit("update_preimage")
+    ).unionByName(
+        d_new.withColumn("_change_type", F.lit("update_postimage"))
+    )
+    t3.write("dim", d_new, changes=d_changes)
+    t3.commit()
+    assert jv.staleness() == 3
+    jv.refresh()
+    s = cat.snapshot()
+    assert jv.staleness() == 0
+    assert _agg_view(s, jv) == _agg_recompute(s)
+    # group birth: segX exists now
+    assert any(g == "segX" for g, _, _ in _agg_view(s, jv))
+
+
+def test_join_agg_group_death_eliminates_row(spark, tmp_path):
+    cat, jv = _mk_join_agg(spark, tmp_path)
+    # delete EVERY dim row of seg2 -> the group must vanish from the view
+    txn = cat.transaction()
+    full = txn.read("dim").select("ck", "dp", "seg", "note")
+    keep = full.filter(F.col("seg") != "seg2")
+    changes = full.filter(F.col("seg") == "seg2").withColumn(
+        "_change_type", F.lit("delete")
+    )
+    txn.write("dim", keep, changes=changes)
+    txn.commit()
+    jv.refresh()
+    s = cat.snapshot()
+    assert _agg_view(s, jv) == _agg_recompute(s)
+    assert all(g != "seg2" for g, _, _ in _agg_view(s, jv))
