@@ -1689,6 +1689,56 @@ class SnapshotTable:
         fs.delete(p, False)
         return removed
 
+    def drop_partitions(
+        self, partition: dict, record_changes: bool = False
+    ) -> int:
+        """Metadata-only DROP PARTITION (Hive drop-partition / the
+        retention archival primitive): unreference every file whose
+        partition matches the (possibly partial) ``partition`` dict in
+        ONE manifest commit — zero data bytes move, so expiring a day
+        from a 100 TB table costs one JSON write; vacuum reclaims the
+        bytes after retention, and time travel to the pre-drop version
+        still sees everything.
+
+        Change feed: by default the drop is recorded as an untracked
+        removal — ``read_change_feed`` across it raises
+        ChangeFeedUnavailableError (the honest Delta-restore contract),
+        because deriving row-level deletes would require scanning the
+        dropped files. ``record_changes=True`` pays exactly that scan
+        and records the dropped rows as delete images for CDF
+        consumers. Returns the new version (current one if nothing
+        matched)."""
+        base_v = self.latest_version()
+        if base_v is None:
+            raise ValueError(f"no table at {self.path}")
+        for k in partition:
+            if k not in self.partition_cols:
+                raise ValueError(
+                    f"'{k}' is not a partition column {self.partition_cols}"
+                )
+        m = self._read_manifest(base_v)
+        dropped = [
+            e
+            for e in m["files"]
+            if all(e["partition"].get(k) == v for k, v in partition.items())
+        ]
+        if not dropped:
+            return base_v
+        replaced = {tuple(sorted(e["partition"].items())) for e in dropped}
+        extra = None
+        if record_changes:
+            rows = self._read_entry_files(
+                dropped, renames=m.get("renames", [])
+            )
+            from pyspark.sql import functions as F
+
+            extra = {
+                "changes": self._write_changes(
+                    rows.withColumn("_change_type", F.lit("delete"))
+                )
+            }
+        return self._commit_entries(replaced, [], extra=extra)
+
     def _commit_entries(
         self,
         replaced: set[tuple],

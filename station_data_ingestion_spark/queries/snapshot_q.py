@@ -2765,3 +2765,80 @@ def matview_join_agg_incremental(spark, sf_dir):
     if got != want:
         raise RuntimeError("agg-over-join view drifted from recompute")
     return s.read("rev_by_seg").select("seg", "n_rows", "cents")
+
+
+@query(
+    "snapshot_drop_partition_retention",
+    """
+WITH o AS (
+  SELECT o_custkey % 4 AS bucket,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_custkey % 4 <> 2
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM o GROUP BY bucket
+""",
+)
+def snapshot_drop_partition_retention(spark, sf_dir):
+    """METADATA-ONLY DROP PARTITION — the retention/archival primitive:
+    expiring partition bucket=2 unreferences its files in one manifest
+    commit. Asserted in-query: the data directory's parquet population
+    is BYTE-IDENTICAL before and after (zero data I/O — at 100 TB the
+    drop costs one JSON write), time travel to the pre-drop version
+    still counts every row, and the change feed across the drop
+    honestly refuses (row-level deletes underivable without scanning —
+    the Delta restore contract; record_changes=True buys them). Oracle:
+    the filtered aggregate."""
+    import os
+
+    from station_data_ingestion_spark.plans.snapshot_store import (
+        ChangeFeedUnavailableError,
+    )
+
+    orders = load(spark, sf_dir, "orders")["orders"].select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_custkey") % 4).cast("string").alias("bucket"),
+    )
+    root = _tmpdir(prefix="snap_droppart_") + "/orders_ret"
+    t = SnapshotTable(
+        spark, root, partition_cols=("bucket",), stat_cols=()
+    )
+    t.commit_overwrite_partitions(orders)
+    n_total = t.read().count()
+
+    def data_files():
+        out = []
+        for dirpath, _dirs, names in os.walk(f"{root}/data"):
+            out.extend(
+                os.path.join(dirpath, n)
+                for n in names
+                if n.endswith(".parquet")
+            )
+        return sorted(out)
+
+    before = data_files()
+    v1 = t.latest_version()
+    t.drop_partitions({"bucket": "2"})
+    if data_files() != before:
+        raise RuntimeError("drop_partitions touched data files")
+    if t.read(version=v1).count() != n_total:
+        raise RuntimeError("time travel to pre-drop version lost rows")
+    try:
+        t.read_change_feed(v1)
+    except ChangeFeedUnavailableError:
+        pass
+    else:
+        raise RuntimeError(
+            "change feed across an unrecorded drop must refuse"
+        )
+    return (
+        t.read()
+        .groupBy(F.col("bucket").cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )

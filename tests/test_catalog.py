@@ -160,3 +160,49 @@ def test_empty_txn_commit_is_a_noop(spark, tmp_path):
     txn = cat.transaction()
     assert txn.commit() == v
     assert cat.latest_version() == v
+
+
+def test_cross_table_erasure_is_atomic(spark, tmp_path):
+    """GDPR-style erasure: one subject's rows leave BOTH tables in ONE
+    catalog commit — any snapshot sees the subject in both or neither."""
+    cat = Catalog(spark, str(tmp_path / "gdpr"))
+    cat.init()
+    users = spark.range(0, 20).select(
+        F.col("id").alias("uid"),
+        (F.col("id") % 2).cast("string").alias("p"),
+    )
+    events = spark.range(0, 200).select(
+        F.col("id").alias("eid"),
+        (F.col("id") % 20).alias("uid"),
+        (F.col("id") % 2).cast("string").alias("p"),
+    )
+    t0 = cat.transaction()
+    t0.create_table("users", users, partition_cols=("p",), stat_cols=())
+    t0.create_table("events", events, partition_cols=("p",), stat_cols=())
+    t0.commit()
+
+    subject = 7
+    pre = cat.snapshot()
+    txn = cat.transaction()
+    for name, key in (("users", "uid"), ("events", "uid")):
+        full = txn.read(name)
+        keep = full.filter(F.col(key) != subject)
+        changes = full.filter(F.col(key) == subject).withColumn(
+            "_change_type", F.lit("delete")
+        )
+        txn.write(name, keep, changes=changes)
+    txn.commit()
+
+    # pre-commit snapshot still whole (snapshot isolation)
+    assert pre.read("users").filter(F.col("uid") == subject).count() == 1
+    assert pre.read("events").filter(F.col("uid") == subject).count() == 10
+    # post-commit: gone from both
+    s = cat.snapshot()
+    assert s.read("users").filter(F.col("uid") == subject).count() == 0
+    assert s.read("events").filter(F.col("uid") == subject).count() == 0
+    # both tables' change feeds record the erasure rows
+    for name, n in (("users", 1), ("events", 10)):
+        tbl = s.table(name)
+        feed = tbl.read_change_feed(tbl.latest_version() - 1)
+        dels = feed.filter(F.col("_change_type") == "delete")
+        assert dels.filter(F.col("uid") == subject).count() == n

@@ -208,3 +208,43 @@ def test_mor_update_noop_keeps_version(spark, tmp_path):
     t = _mk(spark, tmp_path)
     v = t.latest_version()
     assert t.update_where_dv(F.col("k") > 10**9, {"v": F.lit(0)}) == v
+
+
+def test_concurrent_dv_deletes_never_lose_an_update(spark, tmp_path):
+    """Two racing merge-on-read deletes: either they serialize (both
+    DVs in the final manifest) or the loser raises ConcurrentCommitError
+    — a committed delete is NEVER silently dropped by a rival's commit."""
+    import threading
+
+    from station_data_ingestion_spark.plans.snapshot_store import (
+        ConcurrentCommitError,
+    )
+
+    t = SnapshotTable(
+        spark, str(tmp_path / "race"), partition_cols=("p",), stat_cols=()
+    )
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("p"),
+    )
+    t.commit_overwrite_partitions(df)
+    results = {}
+
+    def run(name, pred):
+        try:
+            results[name] = ("ok", t.delete_where_dv(pred))
+        except ConcurrentCommitError as e:
+            results[name] = ("conflict", str(e))
+
+    a = threading.Thread(target=run, args=("a", F.col("k") % 10 == 0))
+    b = threading.Thread(target=run, args=("b", F.col("k") % 10 == 1))
+    a.start(); b.start(); a.join(); b.join()
+    survivors = {r["k"] for r in t.read().select("k").collect()}
+    for name, pred_mod in (("a", 0), ("b", 1)):
+        status = results[name][0]
+        hit = {k for k in range(200) if k % 10 == pred_mod}
+        if status == "ok":
+            assert not (survivors & hit), f"{name} committed but rows survive"
+        else:
+            assert hit <= survivors, f"{name} conflicted but rows vanished"
+    assert any(s == "ok" for s, _ in results.values())

@@ -2,6 +2,8 @@
 
 import json
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from station_data_ingestion_spark.plans.snapshot_store import (
@@ -1330,3 +1332,54 @@ def test_delete_racing_commit_raises_then_retries_clean(spark, tmp_path):
     t.delete_where(F.col("k") < 10)
     assert t.read().filter("k < 10").count() == 0
     assert t.read().filter("g = 'b'").count() == 1
+
+
+def test_drop_partitions_metadata_only_and_vacuum_reclaims(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(
+        spark, str(tmp_path / "ret"), partition_cols=("p",), stat_cols=()
+    )
+    df = spark.range(0, 60).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("p"),
+        (F.col("id") * 2).alias("v"),
+    )
+    t.commit_overwrite_partitions(df)
+    v1 = t.latest_version()
+    # partial dict naming a non-partition column raises
+    with pytest.raises(ValueError, match="not a partition column"):
+        t.drop_partitions({"v": "1"})
+    # no match -> same version, no new commit
+    assert t.drop_partitions({"p": "9"}) == v1
+    v2 = t.drop_partitions({"p": "1"})
+    assert v2 == v1 + 1
+    assert t.read().filter(F.col("p") == "1").count() == 0
+    assert t.read().count() == 40
+    assert t.read(version=v1).count() == 60  # time travel intact
+    # vacuum past retention reclaims exactly the dropped partition
+    deleted = t.vacuum(older_than_sec=0.0)
+    assert deleted and all("p=1" in d for d in deleted)
+    assert t.read().count() == 40
+
+
+def test_drop_partitions_recorded_changes_feed(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(
+        spark, str(tmp_path / "retc"), partition_cols=("p",), stat_cols=()
+    )
+    df = spark.range(0, 30).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("p"),
+        (F.col("id") * 2).alias("v"),
+    )
+    t.commit_overwrite_partitions(df)
+    v1 = t.latest_version()
+    t.drop_partitions({"p": "0"}, record_changes=True)
+    feed = t.read_change_feed(v1)
+    rows = feed.select("k", "_change_type").collect()
+    assert {r["_change_type"] for r in rows} == {"delete"}
+    assert {r["k"] for r in rows} == {r["k"] for r in df.filter(
+        F.col("p") == "0"
+    ).select("k").collect()}
