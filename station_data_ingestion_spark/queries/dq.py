@@ -335,3 +335,71 @@ def dq_schema_drift_versions(spark, sf_dir):
         F.coalesce("bp1", F.lit(-1)).cast("long").alias("nonnull_bp_v1"),
         F.col("bp2").cast("long").alias("nonnull_bp_v2"),
     )
+
+
+@query(
+    "dq_psi_price_drift",
+    """
+WITH base AS (
+  SELECT o_orderstatus AS st,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) // 2500000 AS b
+  FROM orders WHERE o_orderstatus IN ('F', 'O')
+),
+rc AS (SELECT b, COUNT(*) AS n_ref FROM base WHERE st = 'F' GROUP BY b),
+cc AS (SELECT b, COUNT(*) AS n_cur FROM base WHERE st = 'O' GROUP BY b),
+tot AS (
+  SELECT (SELECT SUM(n_ref) FROM rc) AS tr,
+         (SELECT SUM(n_cur) FROM cc) AS tc
+)
+SELECT rc.b AS bucket, CAST(rc.n_ref AS BIGINT) AS n_ref,
+       CAST(cc.n_cur AS BIGINT) AS n_cur,
+       ROUND((rc.n_ref * 1.0 / tot.tr - cc.n_cur * 1.0 / tot.tc)
+             * LN((rc.n_ref * 1.0 / tot.tr) / (cc.n_cur * 1.0 / tot.tc)),
+             6) AS psi_term
+FROM rc JOIN cc ON rc.b = cc.b CROSS JOIN tot
+""",
+)
+def dq_psi_price_drift(spark, sf_dir):
+    """POPULATION STABILITY INDEX audit — the standard drift monitor a
+    training pipeline runs between a reference and a current slice
+    (here: order prices of finished vs open orders): fixed-width
+    25k-cent buckets (deterministic — no cross-engine percentile-edge
+    ambiguity), per-bucket reference/current shares, and the PSI term
+    (p - q) * ln(p / q) rounded to 6 dp. Buckets present in only one
+    population are excluded (the standard epsilon-free convention; the
+    inner join makes it explicit). One scan, two grouped counts, a
+    broadcast of the two totals — no percentile pass at all, so the
+    plan is a pair of partial aggregates at any scale."""
+    o = load(spark, sf_dir, "orders")["orders"].filter(
+        F.col("o_orderstatus").isin("F", "O")
+    ).select(
+        "o_orderstatus",
+        F.expr(
+            "CAST(ROUND(o_totalprice * 100) AS BIGINT) div 2500000"
+        ).alias("b"),
+    )
+    rc = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ref"))
+    )
+    cc = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cur"))
+    )
+    tot = rc.agg(F.sum("n_ref").alias("tr")).crossJoin(
+        cc.agg(F.sum("n_cur").alias("tc"))
+    )
+    p = F.col("n_ref") / F.col("tr")
+    q = F.col("n_cur") / F.col("tc")
+    return (
+        rc.join(cc, "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("b").alias("bucket"),
+            "n_ref",
+            "n_cur",
+            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+        )
+    )
