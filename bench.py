@@ -96,6 +96,16 @@ HEADLINE = [
     # one-pass distributed OLS
     "snapshot_dv_delete_read",
     "stats_ols_two_feature",
+    # r6 session-4 addition: branch fast-forward publish (zero-copy
+    # lakehouse refs: isolated branch writes + metadata-only publish +
+    # tag-pinned vacuum). The other session-4 queries stay gate-only —
+    # they are multi-commit/multi-action storage workloads (13-23s of
+    # commit-and-verify machinery at sf0.1, out of family with
+    # per-stage medians) or corpus-dependent by design (unigram tf-idf
+    # prefix filtering, see sim_tfidf_cosine_pairs' docstring; the
+    # shingled Jaccard prefix join remains the headline similarity
+    # representative).
+    "snapshot_branch_fast_forward_read",
 ]
 
 
