@@ -426,3 +426,65 @@ def sample_exact_quota_per_source(spark, sf_dir):
         keyed, ["source"], [("hk", False), ("doc_id", False)], k=10
     )
     return picked.select("doc_id", "source", F.col("rk").cast("long"))
+
+
+@query(
+    "mixture_token_budget_cap",
+    """
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT)
+           AS n_tok,
+         md5(CAST(doc_id AS VARCHAR)) AS rk
+  FROM documents
+),
+c AS (
+  SELECT source, doc_id, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY rk, doc_id) AS cum
+  FROM toks
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS tokens
+FROM c WHERE cum <= 20000
+GROUP BY source
+""",
+)
+def mixture_token_budget_cap(spark, sf_dir):
+    """TOKEN-BUDGET domain mixing — the knob a pretraining recipe
+    actually turns ("20k tokens of each source this epoch"): docs are
+    ordered per source by a deterministic md5 shuffle (reproducible on
+    any partitioning or retry, unlike rand()) and kept while the
+    running token total stays within budget. The prefix sum runs
+    per-source (partitioned window — each source's series is
+    independent, so no global single-partition window exists anywhere;
+    a skew-heavy source would use the two-phase distributed prefix sum
+    in operators/prefix_sum.py, same semantics). Whitespace token
+    counts stay INTEGER end to end."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    toks = d.select(
+        "doc_id",
+        "source",
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", " ", ""))
+            + 1
+        )
+        .cast("long")
+        .alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("rk"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("rk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = toks.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        c.filter(F.col("cum") <= 20000)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("tokens"),
+        )
+    )

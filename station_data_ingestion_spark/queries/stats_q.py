@@ -585,3 +585,92 @@ def stats_corr_matrix_lineitem(spark, sf_dir):
             )
         ).alias("x")
     ).select("x.pair", "x.r")
+
+
+@query(
+    "stats_cuped_variance_reduction",
+    """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                  THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                  THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(x * y) AS HUGEINT) AS sxy,
+         CAST(SUM(x * x) AS HUGEINT) AS sxx,
+         CAST(SUM(y * y) AS HUGEINT) AS syy
+  FROM per_user
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6)
+         AS theta,
+       ROUND((n * syy - sy * sy) * 1.0 / (n * (n - 1)), 2) AS var_y,
+       ROUND(((n * syy - sy * sy) * 1.0
+              - (n * sxy - sx * sy) * 1.0 * (n * sxy - sx * sy)
+                / (n * sxx - sx * sx))
+             / (n * (n - 1)), 2) AS var_adj,
+       ROUND(((n * sxy - sx * sy) * 1.0 * (n * sxy - sx * sy)
+              / (n * sxx - sx * sx)) / (n * syy - sy * sy), 6)
+         AS reduction
+FROM m
+""",
+)
+def stats_cuped_variance_reduction(spark, sf_dir):
+    """CUPED (controlled-experiment variance reduction): per-user
+    pre-period spend x (first half of the event window) adjusts the
+    experiment metric y (second half) by theta = cov(x,y)/var(x);
+    analytically var(y_adj) = var(y) - cov^2/var(x), so ONE pass over
+    integer-cents moments (n, Sx, Sy, Sxy, Sxx, Syy — all exact
+    BIGINTs) yields theta, both variances, and the relative reduction.
+    Every division happens once, on exact integer numerators and
+    denominators, so the doubles are bit-identical cross-engine before
+    rounding. The same one-pass moment sketch the OLS operator uses —
+    at any scale this is a map-side partial aggregate and a one-row
+    reduce."""
+    e = load(spark, sf_dir, "events")["events"]
+    cents = F.round(F.col("value") * 100).cast("long")
+    pivot = F.lit("2024-01-16").cast("timestamp")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < pivot, cents).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("ts") >= pivot, cents).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("y"),
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    # decimal(38,0) moments: the cross products (n*sxx etc.) overflow
+    # BIGINT past ~sf0.5; decimals keep them exact (oracle: HUGEINT)
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    n, sx, sy = dec("n"), dec("sx"), dec("sy")
+    sxy, sxx, syy = dec("sxy"), dec("sxx"), dec("syy")
+    cov_num = n * sxy - sx * sy
+    varx_num = n * sxx - sx * sx
+    vary_num = n * syy - sy * sy
+    denom = n * (n - 1)
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(cov_num * 1.0 / varx_num, 6).alias("theta"),
+        F.round(vary_num * 1.0 / denom, 2).alias("var_y"),
+        F.round(
+            (vary_num * 1.0 - cov_num * 1.0 * cov_num / varx_num) / denom,
+            2,
+        ).alias("var_adj"),
+        F.round(
+            (cov_num * 1.0 * cov_num / varx_num) / vary_num, 6
+        ).alias("reduction"),
+    )

@@ -535,3 +535,63 @@ def join_knearest_clicks_per_purchase(spark, sf_dir):
             F.col("rk").cast("long"),
         )
     )
+
+
+@query(
+    "ts_seasonal_naive_backtest",
+    """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+fc AS (
+  SELECT d, cents,
+         LAG(cents, 7) OVER (ORDER BY d) AS fcst
+  FROM daily
+)
+SELECT CAST(d AS VARCHAR) AS day, cents AS actual,
+       CAST(fcst AS BIGINT) AS fcst,
+       CAST(ABS(cents - fcst) * 10000 // cents AS BIGINT) AS ape_bp
+FROM fc
+WHERE fcst IS NOT NULL AND d >= DATE '1998-01-01'
+                       AND d < DATE '1998-02-01'
+""",
+)
+def ts_seasonal_naive_backtest(spark, sf_dir):
+    """SEASONAL-NAIVE FORECAST BACKTEST — the baseline every real
+    forecaster is judged against: predict each day's revenue with the
+    value seven days earlier and report the absolute percentage error
+    in integer BASIS POINTS (|a - f| * 10000 div a — exact integer
+    arithmetic end to end, so the backtest is bit-identical on any
+    engine or partitioning). The lag window runs over the
+    POST-AGGREGATION daily series (a few thousand rows at any fact
+    scale), never the fact table; one month is returned to keep the
+    gate result bounded."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    w = Window.orderBy("d")
+    fc = daily.withColumn("fcst", F.lag("cents", 7).over(w))
+    return (
+        fc.filter(
+            F.col("fcst").isNotNull()
+            & (F.col("d") >= F.lit("1998-01-01").cast("date"))
+            & (F.col("d") < F.lit("1998-02-01").cast("date"))
+        )
+        .select(
+            F.col("d").cast("string").alias("day"),
+            F.col("cents").alias("actual"),
+            F.col("fcst").cast("long").alias("fcst"),
+            F.expr(
+                "CAST(ABS(cents - fcst) * 10000 DIV cents AS BIGINT)"
+            ).alias("ape_bp"),
+        )
+    )

@@ -40,6 +40,7 @@ CROSS_JOIN_OK = {
     "text_unigram_logprob",  # one-row corpus-token-total broadcast
     "events_rfm_segmentation",  # one-row max-ts + one-row medians broadcasts
     "events_time_decay_topk",  # one-row max-ts reference-instant broadcast
+    "dq_psi_price_drift",  # one-row (ref_total, cur_total) broadcast
     "join_bloom_prefiltered_lineitems",  # one-row bloom-words broadcast:
     # the packed filter ships as a single array value (a list literal
     # would expand to a per-row CreateArray — measured 17x slower)
