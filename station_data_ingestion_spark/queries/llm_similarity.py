@@ -587,3 +587,116 @@ def sim_hybrid_rrf_fusion(spark, sf_dir):
         .filter(F.col("rk") <= 10)
         .select("q_id", "c_id", "rrf", "rk")
     )
+
+
+_BM25_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, t AS term
+  FROM documents,
+       UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE t <> ''
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, COUNT(*) AS len FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT AVG(len) FROM dl) AS avgdl
+),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+qterms AS (
+  SELECT DISTINCT doc_id AS q_id, term FROM tf WHERE doc_id < 3
+),
+scored AS (
+  SELECT q.q_id, tf.doc_id AS c_id,
+         SUM(LN((stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.len / stats.avgdl)))
+           AS score
+  FROM qterms q
+  JOIN tf ON tf.term = q.term AND tf.doc_id <> q.q_id
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfq ON dfq.term = q.term
+  CROSS JOIN stats
+  GROUP BY q.q_id, tf.doc_id
+),
+ranked AS (
+  SELECT q_id, c_id, ROUND(score, 4) AS score,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY ROUND(score, 4) DESC, c_id) AS rk
+  FROM scored
+)
+SELECT q_id, c_id, score, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 10
+"""
+
+
+@query("sim_bm25_topk", _BM25_ORACLE)
+def sim_bm25_topk(spark, sf_dir):
+    """BM25 LEXICAL RETRIEVAL (Okapi, k1=1.2, b=0.75) — the sparse half
+    every hybrid-retrieval stack pairs with dense vectors: three probe
+    documents' term sets score the corpus through the inverted
+    term-frequency table (an equi-join on term — never a scan per
+    query), with the one-row (N, avgdl) statistics broadcast. Ranks are
+    computed on the 4-dp-rounded score with c_id tiebreak AFTER
+    rounding (the registry's cross-engine float-ranking pattern), self
+    matches excluded, top-10 per query. Scale shape: the score join's
+    volume is bounded by posting-list co-occurrence (|q_terms| x df),
+    the classic inverted-index cost, and the top-k is a bounded
+    per-query window."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    stats = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    ).crossJoin(dl.agg(F.avg("len").alias("avgdl")))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = (
+        tf.filter(F.col("doc_id") < 3)
+        .select(F.col("doc_id").alias("q_id"), "term")
+        .distinct()
+    )
+    scored = (
+        qterms.join(
+            tf.select(F.col("doc_id").alias("c_id"), "term", "tf"),
+            "term",
+        )
+        .filter(F.col("c_id") != F.col("q_id"))
+        .join(dl.select(F.col("doc_id").alias("c_id"), "len"), "c_id")
+        .join(dfq, "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("q_id", "c_id")
+        .agg(
+            F.sum(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1
+                )
+                * F.col("tf")
+                * 2.2
+                / (
+                    F.col("tf")
+                    + 1.2 * (0.25 + 0.75 * F.col("len") / F.col("avgdl"))
+                )
+            ).alias("score")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.round("score", 4).desc(), F.col("c_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select(
+            "q_id",
+            "c_id",
+            F.round("score", 4).alias("score"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )

@@ -41,6 +41,7 @@ CROSS_JOIN_OK = {
     "events_rfm_segmentation",  # one-row max-ts + one-row medians broadcasts
     "events_time_decay_topk",  # one-row max-ts reference-instant broadcast
     "dq_psi_price_drift",  # one-row (ref_total, cur_total) broadcast
+    "sim_bm25_topk",  # one-row (N, avgdl) corpus-statistics broadcast
     "join_bloom_prefiltered_lineitems",  # one-row bloom-words broadcast:
     # the packed filter ships as a single array value (a list literal
     # would expand to a per-row CreateArray — measured 17x slower)
