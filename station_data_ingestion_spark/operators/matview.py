@@ -261,7 +261,12 @@ class MaterializedJoinView:
 
     def refresh(self) -> int:
         """Absorb both bases' pinned change feeds in one delta-join
-        pass and publish view + both cursors in ONE atomic pin flip."""
+        pass and publish view + both cursors in ONE atomic pin flip.
+
+        Template shared with MaterializedJoinAggView: the two-cursor
+        bookkeeping (no-op abort, pinned-chain feeds, A-at-old-cursor /
+        B-at-new-pin reads, atomic props flip) lives HERE once;
+        subclasses override only :meth:`_apply_delta`."""
         txn = self.catalog.transaction()
         p = txn.snap.props(self.name)
         ca, cb = int(p["mv_cursor_a"]), int(p["mv_cursor_b"])
@@ -279,8 +284,15 @@ class MaterializedJoinView:
         b_new = txn.snap.table(self.base_b).read(version=vb).select(
             *self.b_cols
         )
-        new_view = apply_join_delta(
-            txn.read(self.name),
+        new_view = self._apply_delta(
+            txn.read(self.name), a_old, b_new, diff_a, diff_b
+        )
+        txn.write(self.name, new_view, props=self._props(va, vb))
+        return txn.commit()
+
+    def _apply_delta(self, old, a_old, b_new, diff_a, diff_b):
+        return apply_join_delta(
+            old,
             a_old,
             b_new,
             diff_a,
@@ -290,8 +302,6 @@ class MaterializedJoinView:
             self.b_cols,
             self.a_key + self.b_key,
         )
-        txn.write(self.name, new_view, props=self._props(va, vb))
-        return txn.commit()
 
     def read(self, snapshot=None) -> DataFrame:
         s = snapshot or self.catalog.snapshot()
@@ -355,23 +365,7 @@ class MaterializedJoinAggView(MaterializedJoinView):
             )
         )
 
-    def refresh(self) -> int:
-        txn = self.catalog.transaction()
-        p = txn.snap.props(self.name)
-        ca, cb = int(p["mv_cursor_a"]), int(p["mv_cursor_b"])
-        va = txn.snap.pinned_version(self.base_a)
-        vb = txn.snap.pinned_version(self.base_b)
-        if va == ca and vb == cb:
-            txn.abort()
-            return txn.snap.version
-        diff_a = self._feed_diff(txn, self.base_a, ca, va, self.a_cols)
-        diff_b = self._feed_diff(txn, self.base_b, cb, vb, self.b_cols)
-        a_old = txn.snap.table(self.base_a).read(version=ca).select(
-            *self.a_cols
-        )
-        b_new = txn.snap.table(self.base_b).read(version=vb).select(
-            *self.b_cols
-        )
+    def _apply_delta(self, old, a_old, b_new, diff_a, diff_b):
         delta = join_agg_delta(
             a_old,
             b_new,
@@ -382,14 +376,11 @@ class MaterializedJoinAggView(MaterializedJoinView):
             self.sum_cols,
         )
         if delta is None:
-            new_agg = txn.read(self.name)
-        else:
-            new_agg = merge_agg_delta(
-                txn.read(self.name),
-                delta,
-                self.group_cols,
-                list(self.sum_cols),
-                self.count_col,
-            )
-        txn.write(self.name, new_agg, props=self._props(va, vb))
-        return txn.commit()
+            return old
+        return merge_agg_delta(
+            old,
+            delta,
+            self.group_cols,
+            list(self.sum_cols),
+            self.count_col,
+        )

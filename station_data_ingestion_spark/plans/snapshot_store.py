@@ -276,9 +276,14 @@ class SnapshotTable:
             )
         return best
 
-    def clone_to(self, dst_path: str) -> "SnapshotTable":
+    def clone_to(
+        self, dst_path: str, version: int | None = None
+    ) -> "SnapshotTable":
         """Zero-copy shallow clone (Delta SHALLOW CLONE): the clone's v1
-        manifest references this table's CURRENT data files in place —
+        manifest references this table's CURRENT data files (or the
+        given ``version``'s — callers that recorded a fork point must
+        clone exactly it, not whatever is latest by the time the clone
+        runs) in place —
         no data is copied, and from then on the two tables diverge
         independently. Clone-side appends/merges write into the clone's
         own tree; DELETE/UPDATE copy-on-write rewrites land locally
@@ -290,7 +295,7 @@ class SnapshotTable:
         or pair them with source retention."""
         import os as _os
 
-        src_v = self.latest_version()
+        src_v = self.latest_version() if version is None else int(version)
         if src_v is None:
             raise ValueError(f"no table to clone at {self.path}")
         dst = SnapshotTable(
@@ -444,7 +449,10 @@ class SnapshotTable:
             name, {"type": "branch", "fork_version": src_v}
         ):
             raise ValueError(f"ref {name!r} already exists")
-        return self.clone_to(self._branch_path(name))
+        # clone EXACTLY the recorded fork version: a rival commit
+        # landing between the ref write and the clone must not make the
+        # branch content disagree with its fork point
+        return self.clone_to(self._branch_path(name), version=src_v)
 
     def branch(self, name: str) -> "SnapshotTable":
         """The branch's table handle (commit/read it like any table)."""
@@ -512,6 +520,7 @@ class SnapshotTable:
         main_data = f"{_os.path.abspath(self.path)}/data"
         br_abs = _os.path.abspath(br.path)
         entries = []
+        moved: list[tuple] = []  # (src, dst) pairs for race rollback
         for e in bm["files"]:
             e = dict(e)
             base = e.get("base")
@@ -524,6 +533,7 @@ class SnapshotTable:
                     raise RuntimeError(
                         f"could not move {e['path']} from branch {name!r}"
                     )
+                moved.append((src, dst))
             elif base == main_data:
                 del e["base"]  # main's own file, shared since the fork
             # else: clone-of-clone external root — keep as-is
@@ -541,6 +551,7 @@ class SnapshotTable:
                         raise RuntimeError(
                             f"could not move DV {d['token']} from branch"
                         )
+                    moved.append((src, dst))
                 d.pop("root", None)
             elif _os.path.abspath(root) == _os.path.abspath(self.path):
                 d.pop("root", None)
@@ -557,8 +568,17 @@ class SnapshotTable:
         if deletes:
             manifest["deletes"] = deletes
         if not self._write_manifest_exclusive(fork_v + 1, manifest):
+            # a rival claimed the version between the fork check and the
+            # CAS: move every rehomed file BACK so the branch stays
+            # whole and retryable — without this the advertised
+            # 're-branch and replay' is impossible (branch manifests
+            # would point at files that left its tree)
+            for src, dst in moved:
+                fs.mkdirs(src.getParent())
+                fs.rename(dst, src)
             raise ConcurrentCommitError(
-                f"lost the fast-forward publish race for v{fork_v + 1}"
+                f"lost the fast-forward publish race for v{fork_v + 1}; "
+                f"branch {name!r} left intact — re-branch and replay"
             )
         self.delete_branch(name)
         return fork_v + 1
@@ -1203,6 +1223,21 @@ class SnapshotTable:
         out_entries: list[dict] = []
         top_m = None
         while p < v_hi and len(out_entries) < max_files:
+            for need in ((p,) if p > 0 else ()) + (p + 1,):
+                nfs, npath, _ = _fs(self.spark, self._snap_path(need))
+                if not nfs.exists(npath):
+                    # the bounded walk must attribute files to commits,
+                    # so unlike read_appends it cannot jump a vacuumed
+                    # gap — fail with the restart contract instead of an
+                    # opaque JVM error (cursor=None on a vacuumed-history
+                    # table hits this too: bootstrap via read() and an
+                    # int cursor at latest_version())
+                    raise FileNotFoundError(
+                        f"manifest v{need} of {self.path} was vacuumed "
+                        "past retention — bounded cursors cannot cross "
+                        "the gap; restart from a full read() with "
+                        "cursor=latest_version()"
+                    )
             if p == 0:
                 prev_keys: set = set()
                 prev_dvs: list = []
@@ -1727,9 +1762,11 @@ class SnapshotTable:
         replaced = {tuple(sorted(e["partition"].items())) for e in dropped}
         extra = None
         if record_changes:
-            rows = self._read_entry_files(
-                dropped, renames=m.get("renames", [])
-            )
+            # go through read(): deletion vectors, renames and hidden
+            # partition columns all apply — a raw entry read would
+            # re-record rows a DV already deleted (double retraction
+            # for IVM consumers)
+            rows = self.read(version=base_v, partition=dict(partition))
             from pyspark.sql import functions as F
 
             extra = {
@@ -1737,7 +1774,13 @@ class SnapshotTable:
                     rows.withColumn("_change_type", F.lit("delete"))
                 )
             }
-        return self._commit_entries(replaced, [], extra=extra)
+        # CAS on the manifest this drop was computed from: a rival
+        # commit landing in between could add files to a matched
+        # partition, and a rebase would unreference them with no delete
+        # image recorded — raise instead
+        return self._commit_entries(
+            replaced, [], expected_version=base_v, extra=extra
+        )
 
     def _commit_entries(
         self,
@@ -2270,16 +2313,27 @@ class SnapshotTable:
                 if p == 0:
                     # bootstrap commit: no v0 manifest, everything added
                     prev: set = set()
+                    prev_dvs: list = []
                 else:
-                    prev = {
-                        _entry_key(e)
-                        for e in self._read_manifest(p)["files"]
-                    }
+                    pm = self._read_manifest(p)
+                    prev = {_entry_key(e) for e in pm["files"]}
+                    prev_dvs = pm.get("deletes", [])
                 cur = {_entry_key(e): e for e in m["files"]}
                 if not prev <= set(cur):
                     raise ChangeFeedUnavailableError(
                         f"v{v} at {self.path} replaced files without a "
                         "recorded change feed; re-run from a snapshot read"
+                    )
+                if prev_dvs != m.get("deletes", []):
+                    # rows changed while the FILE set is append-only: a
+                    # DV landed without recorded images (e.g. a branch
+                    # fast-forward carrying branch-side DVs) — as
+                    # underivable as a rewrite, so refuse loudly instead
+                    # of silently reporting no changes
+                    raise ChangeFeedUnavailableError(
+                        f"v{v} at {self.path} changed deletion vectors "
+                        "without a recorded change feed; re-run from a "
+                        "snapshot read"
                     )
                 added = [e for k, e in cur.items() if k not in prev]
                 if not added:
@@ -2401,14 +2455,29 @@ class SnapshotTable:
             if _rdoc.get("type") == "tag":
                 tv = int(_rdoc["version"])
                 keep_manifests.add(tv)
-                try:
-                    tm = self._read_manifest(tv)
-                except FileNotFoundError:
+                # exists-guard: a dangling tag (manifest already gone)
+                # must be skipped, and _read_manifest raises a raw JVM
+                # error, not FileNotFoundError, on a missing path
+                tfs, tpath, _ = _fs(self.spark, self._snap_path(tv))
+                if not tfs.exists(tpath):
                     continue
+                tm = self._read_manifest(tv)
                 live |= {
                     e["path"] for e in tm["files"] if not e.get("base")
                 }
             elif _rdoc.get("type") == "branch":
+                # the fork point is resolvable via read(ref=...) as long
+                # as the branch lives — an implicit tag: keep its
+                # manifest AND its local files
+                fv = int(_rdoc["fork_version"])
+                keep_manifests.add(fv)
+                ffs, fpath, _ = _fs(self.spark, self._snap_path(fv))
+                if ffs.exists(fpath):
+                    live |= {
+                        e["path"]
+                        for e in self._read_manifest(fv)["files"]
+                        if not e.get("base")
+                    }
                 try:
                     br = self.branch(_rname)
                     bv = br.latest_version()

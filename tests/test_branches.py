@@ -137,3 +137,78 @@ def test_ref_name_validation_and_read_param_exclusivity(spark, tmp_path):
         t.read(ref="ok", version=1)
     with pytest.raises(ValueError):
         t.resolve_ref("missing")
+
+
+def test_change_feed_refuses_across_dv_fast_forward(spark, tmp_path):
+    """A fast-forward carrying branch-side DVs changes rows while the
+    file set stays append-only: the change feed must REFUSE (no images
+    recorded), never silently report no changes."""
+    from station_data_ingestion_spark.plans.snapshot_store import (
+        ChangeFeedUnavailableError,
+    )
+
+    t = _mk(spark, tmp_path)
+    v1 = t.latest_version()
+    br = t.create_branch("exp")
+    br.delete_where_dv(F.col("k") % 5 == 0)
+    t.fast_forward("exp")
+    with pytest.raises(ChangeFeedUnavailableError, match="deletion vectors"):
+        t.read_change_feed(v1)
+
+
+def test_fast_forward_lost_race_leaves_branch_intact(spark, tmp_path):
+    """Losing the publish CAS must move every rehomed file BACK: the
+    branch stays readable and retryable, nothing orphans in main."""
+    from station_data_ingestion_spark.plans.snapshot_store import (
+        ConcurrentCommitError,
+    )
+
+    t = _mk(spark, tmp_path)
+    br = t.create_branch("exp")
+    br.commit_overwrite_partitions(
+        _df(spark, 60, 90).withColumn("p", F.lit("9"))
+    )
+    want = _rows(br.read())
+    real_cas = t._write_manifest_exclusive
+    t._write_manifest_exclusive = lambda v, m: False  # rival wins
+    try:
+        with pytest.raises(ConcurrentCommitError, match="left intact"):
+            t.fast_forward("exp")
+    finally:
+        t._write_manifest_exclusive = real_cas
+    # branch still whole and still registered
+    assert t.branches() == {"exp": 1}
+    assert _rows(t.branch("exp").read()) == want
+    # and a later, un-raced fast-forward succeeds
+    t.fast_forward("exp")
+    assert _rows(t.read()) == want
+
+
+def test_clone_to_pinned_version(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    v1_rows = _rows(t.read())
+    t.commit_overwrite_partitions(
+        _df(spark, 100, 120).withColumn("p", F.lit("8"))
+    )
+    c = t.clone_to(str(tmp_path / "c1"), version=1)
+    assert _rows(c.read()) == v1_rows
+
+
+def test_branch_fork_readable_after_main_churn_and_vacuum(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    fork_rows = _rows(t.read())
+    t.create_branch("exp")
+    t.delete_where(F.col("k") % 2 == 0)
+    t.commit_overwrite_partitions(
+        _df(spark, 300, 330).withColumn("p", F.lit("7"))
+    )
+    t.vacuum(older_than_sec=0.0)
+    # the fork point is an implicit tag while the branch lives
+    assert _rows(t.read(ref="exp")) == fork_rows
+
+
+def test_vacuum_skips_dangling_tag_ref(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t._write_ref_exclusive("ghost", {"type": "tag", "version": 99})
+    t.vacuum(older_than_sec=0.0)  # must not crash
+    assert _rows(t.read())  # table unharmed

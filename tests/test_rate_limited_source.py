@@ -86,3 +86,10 @@ def test_bad_cursor_and_budget_raise(spark, tmp_path):
         t.read_appends_bounded(None, max_files=0)
     with pytest.raises(ValueError, match="inverted"):
         t.read_appends_bounded(99, max_files=1)
+
+
+def test_bounded_cursor_refuses_vacuumed_gap(spark, tmp_path):
+    t = _mk(spark, tmp_path, files_per_commit=1, commits=3)
+    t.vacuum(older_than_sec=0.0)  # reaps all but the latest manifest
+    with pytest.raises(FileNotFoundError, match="bounded cursors"):
+        t.read_appends_bounded(None, max_files=2)

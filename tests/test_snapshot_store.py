@@ -1383,3 +1383,32 @@ def test_drop_partitions_recorded_changes_feed(spark, tmp_path):
     assert {r["k"] for r in rows} == {r["k"] for r in df.filter(
         F.col("p") == "0"
     ).select("k").collect()}
+
+
+def test_drop_partitions_change_images_respect_dvs(spark, tmp_path):
+    """record_changes must go through the DV-aware read: rows a
+    deletion vector already removed must NOT be re-recorded as deletes
+    (an IVM consumer would retract them twice)."""
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(
+        spark, str(tmp_path / "dvdrop"), partition_cols=("p",), stat_cols=()
+    )
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("p"),
+    )
+    t.commit_overwrite_partitions(df)
+    t.delete_where_dv((F.col("k") % 4 == 0) & (F.col("p") == "0"))
+    v_pre = t.latest_version()
+    t.drop_partitions({"p": "0"}, record_changes=True)
+    feed = t.read_change_feed(v_pre)
+    dropped_ks = {
+        r["k"]
+        for r in feed.filter(F.col("_change_type") == "delete")
+        .select("k")
+        .collect()
+    }
+    # p=0 holds evens 0..38; k%4==0 were already DV-deleted before the
+    # drop — only the survivors (k%4==2) may appear as delete images
+    assert dropped_ks == {k for k in range(0, 40, 2) if k % 4 == 2}
