@@ -817,3 +817,79 @@ def events_rfm_segmentation(spark, sf_dir):
         .cast("long")
         .alias("m_score"),
     )
+
+
+_BASKET_ORACLE = """
+WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+n AS (SELECT COUNT(DISTINCT o) AS n_baskets FROM b),
+items AS (SELECT p, COUNT(*) AS cnt FROM b GROUP BY p HAVING COUNT(*) >= 3),
+fb AS (SELECT b.o, b.p FROM b JOIN items ON b.p = items.p),
+pairs AS (
+  SELECT a.p AS pa, b2.p AS pb, COUNT(*) AS pair_n
+  FROM fb a JOIN fb b2 ON a.o = b2.o AND a.p < b2.p
+  GROUP BY a.p, b2.p
+  HAVING COUNT(*) >= 3
+)
+SELECT pairs.pa, pairs.pb, CAST(pairs.pair_n AS BIGINT) AS pair_n,
+       CAST(ia.cnt AS BIGINT) AS na, CAST(ib.cnt AS BIGINT) AS nb,
+       ROUND(pairs.pair_n * 1.0 / ia.cnt, 6) AS conf_ab,
+       ROUND(pairs.pair_n * 1.0 / ib.cnt, 6) AS conf_ba,
+       ROUND(pairs.pair_n * 1.0 * n.n_baskets / (ia.cnt * ib.cnt), 6)
+         AS lift
+FROM pairs
+JOIN items ia ON ia.p = pairs.pa
+JOIN items ib ON ib.p = pairs.pb
+CROSS JOIN n
+"""
+
+
+@query("basket_association_rules", _BASKET_ORACLE)
+def basket_association_rules(spark, sf_dir):
+    """MARKET-BASKET ASSOCIATION RULES (support / confidence / lift)
+    with the Apriori prune: items below min-support are dropped BEFORE
+    the pair self-join — sound, because a pair's support can't exceed
+    either item's — which is what keeps the self-join alive on a 100 TB
+    basket table (join volume is frequent-item co-occurrence, not all
+    pairs). Counts are integers; confidence and lift are single
+    divisions of exact integers rounded to 6 dp (cross-engine stable);
+    the basket total is a one-row broadcast."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    b = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n = b.agg(F.countDistinct("o").alias("n_baskets"))
+    items = (
+        b.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 3)
+    )
+    fb = b.join(items.select("p"), "p")
+    a = fb.select(F.col("o"), F.col("p").alias("pa"))
+    b2 = fb.select(F.col("o"), F.col("p").alias("pb"))
+    pairs = (
+        a.join(b2, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= 3)
+    )
+    ia = items.select(F.col("p").alias("pa"), F.col("cnt").alias("na"))
+    ib = items.select(F.col("p").alias("pb"), F.col("cnt").alias("nb"))
+    return (
+        pairs.join(ia, "pa")
+        .join(ib, "pb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pa",
+            "pb",
+            F.col("pair_n").cast("long").alias("pair_n"),
+            F.col("na").cast("long").alias("na"),
+            F.col("nb").cast("long").alias("nb"),
+            F.round(F.col("pair_n") / F.col("na"), 6).alias("conf_ab"),
+            F.round(F.col("pair_n") / F.col("nb"), 6).alias("conf_ba"),
+            F.round(
+                F.col("pair_n") * F.col("n_baskets") / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+    )

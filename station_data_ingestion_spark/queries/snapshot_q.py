@@ -2842,3 +2842,83 @@ def snapshot_drop_partition_retention(spark, sf_dir):
             F.sum("cents").cast("long").alias("cents"),
         )
     )
+
+
+@query(
+    "stream_branch_publish_replay",
+    """
+SELECT event_type, COUNT(*) AS n_events,
+       SUM(CAST(ROUND(value * 10000) AS BIGINT)) / 10000.0 AS total_value
+FROM events GROUP BY event_type
+""",
+)
+def stream_branch_publish_replay(spark, sf_dir):
+    """BRANCH-PUBLISH streaming ingestion (streaming/branch_stream.py)
+    — the branch generalization of WAP: the replay source interleaves
+    clean events with poisoned rows (negated values, re-keyed ids) IN
+    THE SAME FILES, so batch-level abort would throw away good rows.
+    Each micro-batch forks a branch, lands there, gets its bad rows
+    DELETED on the branch (row-level correction, copy-on-write), and
+    fast-forward publishes append+cleanse as ONE atomic metadata flip.
+    The final table must equal the clean source (same oracle as the
+    WAP replay — two quality-gate strategies, one certified answer),
+    and the in-query asserts require every batch to have published and
+    the cleanse to have removed rows."""
+    import time as _time
+
+    from station_data_ingestion_spark.queries.registry import (
+        ensure_session_confs,
+    )
+    from station_data_ingestion_spark.streaming.branch_stream import (
+        run_branch_publish_stream,
+    )
+
+    ensure_session_confs(spark)
+    events = load(spark, sf_dir, "events")["events"]
+    tmp = _tmpdir(prefix="snap_brstream_")
+    poisoned = events.select(
+        (F.col("event_id") + 1000000000).alias("event_id"),
+        "ts",
+        "user_id",
+        "event_type",
+        (F.col("value") * -1 - 1).alias("value"),
+        "props",
+    ).select(*events.columns)
+    # poison INTERLEAVED with clean rows (one union, same files): a
+    # whole-batch abort would lose the clean rows too — only row-level
+    # correction passes this source
+    events.unionByName(poisoned).repartition(8).write.parquet(
+        f"{tmp}/src"
+    )
+    _time.sleep(0.2)
+    t = SnapshotTable(
+        spark, f"{tmp}/tbl", partition_cols=("batch_id",), stat_cols=()
+    )
+    t.commit_overwrite_partitions(
+        events.limit(0).withColumn("batch_id", F.lit("bootstrap"))
+    )
+    stats: dict = {}
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 3)
+        .parquet(f"{tmp}/src")
+    )
+    q = run_branch_publish_stream(
+        stream, t, f"{tmp}/ckpt", F.col("value") < 0, stats=stats
+    )
+    q.awaitTermination()
+    if stats.get("published", 0) < 2:
+        raise RuntimeError("replay must publish multiple batches")
+    if stats.get("cleansed_rows", 0) == 0:
+        raise RuntimeError("the cleanse must have removed poisoned rows")
+    if t.branches():
+        raise RuntimeError("every batch branch must be consumed")
+    out = t.read()
+    if out.filter(F.col("value") < 0).count() != 0:
+        raise RuntimeError("a poisoned row reached the published table")
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        (
+            F.sum(F.round(F.col("value") * 10000).cast("long")) / 10000.0
+        ).alias("total_value"),
+    )

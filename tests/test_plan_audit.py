@@ -42,6 +42,7 @@ CROSS_JOIN_OK = {
     "events_time_decay_topk",  # one-row max-ts reference-instant broadcast
     "dq_psi_price_drift",  # one-row (ref_total, cur_total) broadcast
     "sim_bm25_topk",  # one-row (N, avgdl) corpus-statistics broadcast
+    "basket_association_rules",  # one-row basket-total broadcast
     "join_bloom_prefiltered_lineitems",  # one-row bloom-words broadcast:
     # the packed filter ships as a single array value (a list literal
     # would expand to a per-row CreateArray — measured 17x slower)
@@ -102,6 +103,9 @@ GLOBAL_WINDOW_OK = {
     # SEMANTICS (one time series), but its input is the post-aggregation
     # daily series (thousands of rows), not the fact table
     "ts_autocorr_daily_revenue",
+    # ts_seasonal_naive_backtest: same shape — lag-7 over the
+    # post-aggregation daily series, never the fact table
+    "ts_seasonal_naive_backtest",
 }
 
 # windowspecdefinition(<first arg is a sort order>) == empty partition
