@@ -700,3 +700,34 @@ def sim_bm25_topk(spark, sf_dir):
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+@query("sim_pca_label_projection")
+def sim_pca_label_projection(spark, sf_dir):
+    """PCA embedding projection (operators/pca.py): one Arrow pass
+    computes mergeable (n, sum, X^T X) partials, the driver eigensolves
+    the 64x64 covariance with a deterministic sign convention, and the
+    top-2 components broadcast back for JVM zip_with dot-product
+    scores. Rows-only by design (eigenvectors are not SQL-expressible;
+    tests/test_pca.py holds the exact numpy-replica oracle) — the
+    registry view aggregates per-label PC means/stds, stable under any
+    partitioning because the covariance reduce is exact float64 in a
+    fixed order and scores round to 4 dp."""
+    from station_data_ingestion_spark.operators.pca import (
+        fit_pca,
+        project_pca,
+    )
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    comps, _var, mean = fit_pca(e, "embedding", k=2)
+    scored = project_pca(e, comps, mean)
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("pc1"), 4).alias("pc1_mean"),
+            F.round(F.avg("pc2"), 4).alias("pc2_mean"),
+            F.round(F.stddev_samp("pc1"), 4).alias("pc1_std"),
+        )
+        .orderBy("label")
+    )
