@@ -595,3 +595,83 @@ def ts_seasonal_naive_backtest(spark, sf_dir):
             ).alias("ape_bp"),
         )
     )
+
+
+@query(
+    "ts_dow_deseasonalized_anomalies",
+    """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders
+  WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
+  GROUP BY 1
+),
+dow AS (
+  SELECT *, dayofweek(d) AS dw FROM daily
+),
+seas AS (
+  SELECT dw, CAST(SUM(cents) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM dow GROUP BY dw
+),
+resid AS (
+  SELECT dow.d, dow.cents, dow.dw,
+         dow.cents - seas.s // seas.c AS r
+  FROM dow JOIN seas ON dow.dw = seas.dw
+),
+stats AS (
+  SELECT AVG(r * 1.0) AS mu, STDDEV_SAMP(r * 1.0) AS sd FROM resid
+)
+SELECT CAST(resid.d AS VARCHAR) AS day, resid.cents,
+       CAST(resid.r AS BIGINT) AS residual,
+       ROUND((resid.r - stats.mu) / stats.sd, 4) AS z
+FROM resid CROSS JOIN stats
+WHERE ABS((resid.r - stats.mu) / stats.sd) >= 2.0
+""",
+)
+def ts_dow_deseasonalized_anomalies(spark, sf_dir):
+    """SEASONAL-DECOMPOSITION anomaly detection (STL-lite): the weekly
+    seasonal component is removed by subtracting each day-of-week's
+    integer-division mean (exact BIGINT arithmetic — no float
+    accumulation), and residual z-scores >= 2 flag the anomalous days.
+    The z itself is the only float: one division of exact integer
+    moments, rounded to 4 dp. All windows/aggregations run over the
+    post-aggregation daily series; the fact scan is one grouped sum
+    with the year filter pushed down. The threshold filter compares the
+    UNROUNDED z in both engines, so boundary behavior matches."""
+    o = load(spark, sf_dir, "orders")["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    )
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        )
+    )
+    dow = daily.withColumn("dw", F.dayofweek("d"))
+    seas = dow.groupBy("dw").agg(
+        F.sum("cents").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    resid = dow.join(seas, "dw").withColumn(
+        "r", F.col("cents") - F.expr("s div c")
+    )
+    stats = resid.agg(
+        F.avg(F.col("r") * 1.0).alias("mu"),
+        F.stddev_samp(F.col("r") * 1.0).alias("sd"),
+    )
+    z = (F.col("r") - F.col("mu")) / F.col("sd")
+    return (
+        resid.crossJoin(F.broadcast(stats))
+        .filter(F.abs(z) >= 2.0)
+        .select(
+            F.col("d").cast("string").alias("day"),
+            "cents",
+            F.col("r").cast("long").alias("residual"),
+            F.round(z, 4).alias("z"),
+        )
+    )

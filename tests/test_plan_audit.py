@@ -44,6 +44,7 @@ CROSS_JOIN_OK = {
     "sim_bm25_topk",  # one-row (N, avgdl) corpus-statistics broadcast
     "basket_association_rules",  # one-row basket-total broadcast
     "sim_pca_label_projection",  # one-row broadcast of the k components
+    "ts_dow_deseasonalized_anomalies",  # one-row (mu, sd) moment broadcast
     "join_bloom_prefiltered_lineitems",  # one-row bloom-words broadcast:
     # the packed filter ships as a single array value (a list literal
     # would expand to a per-row CreateArray — measured 17x slower)
