@@ -255,6 +255,7 @@ class SnapshotTable:
                     "n_partitions": len(
                         {tuple(sorted(e["partition"].items())) for e in files}
                     ),
+                    "op": m.get("op"),
                     "has_renames": bool(m.get("renames")),
                     "n_external_files": sum(1 for e in files if e.get("base")),
                 }
@@ -319,6 +320,7 @@ class SnapshotTable:
             "version": 1,
             "partition_cols": list(self.partition_cols),
             "files": files,
+            "op": "clone",
         }
         if m.get("renames"):
             manifest["renames"] = m["renames"]
@@ -560,6 +562,7 @@ class SnapshotTable:
             "version": fork_v + 1,
             "partition_cols": list(self.partition_cols),
             "files": entries,
+            "op": "fast-forward",
         }
         if bm.get("renames"):
             manifest["renames"] = bm["renames"]
@@ -1026,6 +1029,7 @@ class SnapshotTable:
             "partition_cols": list(self.partition_cols),
             "renames": renames + [[old, new]],
             "files": m["files"],
+            "op": "rename-column",
         }
         if not self._write_manifest_exclusive(version, manifest):
             raise ConcurrentCommitError(
@@ -1058,6 +1062,7 @@ class SnapshotTable:
             "partition_cols": list(self.partition_cols),
             "files": m["files"],
             "dropped": m.get("dropped", []) + [col],
+            "op": "drop-column",
         }
         if m.get("renames"):
             manifest["renames"] = m["renames"]
@@ -1114,6 +1119,7 @@ class SnapshotTable:
             ),
             "files": target["files"],
             "restored_from": version,
+            "op": "restore",
         }
         # schema metadata stays CURRENT: restore rolls back data, not
         # renames (a rename after the restored version still applies)
@@ -1541,8 +1547,10 @@ class SnapshotTable:
         cdf_none: bool = False,
         changes: DataFrame | None = None,
         content_base: int | None = None,
+        op: str | None = None,
     ) -> int:
         """Write df's rows, replacing exactly the partitions df contains.
+        ``op`` labels the commit for history() (DESCRIBE HISTORY).
 
         ``content_base``: build the kept-file list (untouched
         partitions) from THIS manifest version instead of the table's
@@ -1589,11 +1597,11 @@ class SnapshotTable:
         # merge_changes) recorded write-time — a partition overwrite has
         # no structurally derivable diff, so without it the commit reads
         # as change-feed-unavailable.
-        extra = None
+        extra = {"op": op or "overwrite-partitions"}
         if cdf_none:
-            extra = {"cdf": "none"}
+            extra["cdf"] = "none"
         elif changes is not None:
-            extra = {"changes": self._write_changes(changes)}
+            extra["changes"] = self._write_changes(changes)
         return self._commit_entries(
             replaced,
             new_entries,
@@ -1706,7 +1714,9 @@ class SnapshotTable:
         pending = self._read_pending(token)
         entries = pending["files"]
         replaced = {tuple(sorted(e["partition"].items())) for e in entries}
-        version = self._commit_entries(replaced, entries)
+        version = self._commit_entries(
+            replaced, entries, extra={"op": "wap-publish"}
+        )
         fs, p, _ = _fs(self.spark, self._pending_path(token))
         fs.delete(p, False)
         return version
@@ -1760,7 +1770,7 @@ class SnapshotTable:
         if not dropped:
             return base_v
         replaced = {tuple(sorted(e["partition"].items())) for e in dropped}
-        extra = None
+        extra = {"op": "drop-partitions"}
         if record_changes:
             # go through read(): deletion vectors, renames and hidden
             # partition columns all apply — a raw entry read would
@@ -1769,11 +1779,9 @@ class SnapshotTable:
             rows = self.read(version=base_v, partition=dict(partition))
             from pyspark.sql import functions as F
 
-            extra = {
-                "changes": self._write_changes(
-                    rows.withColumn("_change_type", F.lit("delete"))
-                )
-            }
+            extra["changes"] = self._write_changes(
+                rows.withColumn("_change_type", F.lit("delete"))
+            )
         # CAS on the manifest this drop was computed from: a rival
         # commit landing in between could add files to a matched
         # partition, and a rebase would unreference them with no delete
@@ -1972,6 +1980,7 @@ class SnapshotTable:
             changes_builder=lambda df, cond, new_df: df.filter(
                 F.coalesce(cond, F.lit(False))
             ).withColumn("_change_type", F.lit("delete")),
+            op="delete",
         )
 
     def delete_where_dv(self, condition) -> int:
@@ -2016,6 +2025,7 @@ class SnapshotTable:
             [],
             base_v,
             extra={
+                "op": "delete-dv",
                 "deletes": prior + [{"token": tok, "rows": int(n)}],
                 "changes": chg_tok,
             },
@@ -2067,6 +2077,7 @@ class SnapshotTable:
             new_entries,
             base_v,
             extra={
+                "op": "update-dv",
                 "deletes": prior + [{"token": tok, "rows": int(n)}],
                 "changes": chg_tok,
             },
@@ -2108,7 +2119,7 @@ class SnapshotTable:
         touched = [e for e in base_m["files"] if is_hit(e)]
         if not touched:
             return self._commit_file_replacement(
-                set(), [], base_v, extra={"deletes": [], "cdf": "none"}
+                set(), [], base_v, extra={"op": "materialize-deletes", "deletes": [], "cdf": "none"}
             )
         df = self._read_entry_files(
             touched,
@@ -2128,7 +2139,7 @@ class SnapshotTable:
             {_entry_key(e) for e in touched},
             new_entries,
             base_v,
-            extra={"deletes": [], "cdf": "none"},
+            extra={"op": "materialize-deletes", "deletes": [], "cdf": "none"},
         )
 
     def update_where(self, condition, assignments: dict) -> int:
@@ -2155,9 +2166,13 @@ class SnapshotTable:
             )
             return pre.unionByName(post)
 
-        return self.rewrite_where(condition, apply, changes_builder=changes)
+        return self.rewrite_where(
+            condition, apply, changes_builder=changes, op="update"
+        )
 
-    def rewrite_where(self, condition, transform, changes_builder=None) -> int:
+    def rewrite_where(
+        self, condition, transform, changes_builder=None, op: str | None = None
+    ) -> int:
         """Shared DELETE/UPDATE machinery: `transform(df, condition)`
         is applied to the files whose rows match `condition`.
 
@@ -2236,10 +2251,10 @@ class SnapshotTable:
         stats = self._file_stats(staging, list(self.stat_cols))
         blooms = self._file_blooms(staging)
         new_entries = self._promote_staging(staging, stats, blooms)
-        extra = None
+        extra = {"op": op or "rewrite"}
         if changes_builder is not None:
             chg = changes_builder(df, cond, rewritten)
-            extra = {"changes": self._write_changes(chg)}
+            extra["changes"] = self._write_changes(chg)
         return self._commit_file_replacement(
             {_entry_key(e) for e in touched}, new_entries, base_v, extra=extra
         )

@@ -403,3 +403,69 @@ def dq_psi_price_drift(spark, sf_dir):
             F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
         )
     )
+
+
+@query(
+    "dq_k_anonymity_audit",
+    """
+WITH fine AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+  FROM customer GROUP BY 1, 2
+),
+coarse AS (
+  SELECT n.n_regionkey, c.c_mktsegment, COUNT(*) AS n
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT 'nation_segment' AS level,
+       CAST(COUNT(*) FILTER (WHERE n < 10) AS BIGINT) AS violating_groups,
+       CAST(COALESCE(SUM(n) FILTER (WHERE n < 10), 0) AS BIGINT)
+         AS rows_at_risk,
+       CAST(MIN(n) AS BIGINT) AS min_group
+FROM fine
+UNION ALL
+SELECT 'region_segment',
+       CAST(COUNT(*) FILTER (WHERE n < 10) AS BIGINT),
+       CAST(COALESCE(SUM(n) FILTER (WHERE n < 10), 0) AS BIGINT),
+       CAST(MIN(n) AS BIGINT)
+FROM coarse
+""",
+)
+def dq_k_anonymity_audit(spark, sf_dir):
+    """K-ANONYMITY privacy audit (k=10): a released row is
+    re-identifiable when its quasi-identifier combination matches
+    fewer than k individuals. The audit counts violating groups, the
+    rows at risk, and the worst group size at TWO generalization
+    levels — (nation, segment) and the coarsened (region, segment) —
+    quantifying how much the standard remedy (attribute generalization
+    up the nation->region hierarchy) buys. Pure integer grouped
+    counts: two partial aggregates and a broadcast dimension join, no
+    floats anywhere."""
+    t = load(spark, sf_dir, "customer", "nation")
+    c, n = t["customer"], t["nation"]
+
+    def audit(df, keys, level):
+        g = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+        return g.agg(
+            F.lit(level).alias("level"),
+            F.count(F.when(F.col("n") < 10, 1))
+            .cast("long")
+            .alias("violating_groups"),
+            F.coalesce(
+                F.sum(F.when(F.col("n") < 10, F.col("n"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("rows_at_risk"),
+            F.min("n").cast("long").alias("min_group"),
+        )
+
+    fine = audit(c, ["c_nationkey", "c_mktsegment"], "nation_segment")
+    coarse = audit(
+        c.join(
+            F.broadcast(n.select("n_nationkey", "n_regionkey")),
+            c["c_nationkey"] == F.col("n_nationkey"),
+        ),
+        ["n_regionkey", "c_mktsegment"],
+        "region_segment",
+    )
+    return fine.unionByName(coarse)

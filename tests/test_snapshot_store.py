@@ -1412,3 +1412,29 @@ def test_drop_partitions_change_images_respect_dvs(spark, tmp_path):
     # p=0 holds evens 0..38; k%4==0 were already DV-deleted before the
     # drop — only the survivors (k%4==2) may appear as delete images
     assert dropped_ks == {k for k in range(0, 40, 2) if k % 4 == 2}
+
+
+def test_history_records_operation_labels(spark, tmp_path):
+    """DESCRIBE HISTORY parity: every commit carries its operation."""
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(
+        spark, str(tmp_path / "hist"), partition_cols=("p",), stat_cols=()
+    )
+    df = spark.range(0, 30).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("p"),
+    )
+    t.commit_overwrite_partitions(df)
+    t.delete_where(F.col("k") % 5 == 0)
+    t.delete_where_dv(F.col("k") % 7 == 1)
+    t.drop_partitions({"p": "1"})
+    t.restore(1)
+    ops = [h["op"] for h in t.history()]
+    assert ops == [
+        "overwrite-partitions",
+        "delete",
+        "delete-dv",
+        "drop-partitions",
+        "restore",
+    ]
