@@ -353,6 +353,10 @@ def bench_scale_probe(spark, sf_dir, timings: dict[str, float], k: int = 10) -> 
             "text_benchmark_contamination",
             "pack_sequential_token_bins",
             "events_funnel_signup_click_purchase",
+            # storage path at scale: branch fork -> append + COW delete
+            # on the branch -> metadata fast-forward -> vacuum; write
+            # volume scales with the orders fact, publish is metadata
+            "snapshot_branch_fast_forward_read",
         ):
             if not isinstance(timings.get(name), float):
                 probe[name] = {"error": "headline stage did not run"}
