@@ -137,9 +137,12 @@ class MaterializedView:
             diff = change_feed_to_diff(
                 feed,
                 self.key_cols,
-                # data cols: everything the view needs from the base
+                # data cols: everything the view needs from the base,
+                # MINUS the keys (already in the struct — a group col
+                # that is also a key would duplicate the field)
                 sorted(
-                    set(self.group_cols) | set(self.sum_cols.values())
+                    (set(self.group_cols) | set(self.sum_cols.values()))
+                    - set(self.key_cols)
                 ),
             )
             new_agg = apply_agg_delta(

@@ -396,3 +396,98 @@ def merge_cdf_orders(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("cents").cast("long").alias("cents"),
     )
+
+
+_CDC_LATEST_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+ops AS (
+  SELECT k, 1 AS seq, 'upsert' AS op, cents + 111 AS cents
+  FROM base WHERE k % 7 = 0
+  UNION ALL
+  SELECT k, 2, 'delete', NULL FROM base WHERE k % 7 = 0
+  UNION ALL
+  SELECT k, 1, 'delete', NULL
+  FROM base WHERE k % 11 = 3 AND k % 7 <> 0
+  UNION ALL
+  SELECT k, 2, 'upsert', cents + 555
+  FROM base WHERE k % 11 = 3 AND k % 7 <> 0
+  UNION ALL
+  SELECT k + 1000000000, 1, 'upsert', cents + 9
+  FROM base WHERE k % 13 = 5
+),
+latest AS (
+  SELECT k, op, cents FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+    FROM ops
+  ) WHERE rn = 1
+),
+merged AS (
+  SELECT b.k, b.cents FROM base b LEFT JOIN latest l ON b.k = l.k
+  WHERE l.k IS NULL
+  UNION ALL
+  SELECT k, cents FROM latest WHERE op = 'upsert'
+)
+SELECT CAST(k % 4 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM merged GROUP BY 1
+"""
+
+
+@query("merge_cdc_latest_wins", _CDC_LATEST_ORACLE)
+def merge_cdc_latest_wins(spark, sf_dir):
+    """OUT-OF-ORDER CDC APPLY (the Debezium-batch shape): a change
+    batch carries SEVERAL versions of the same key (upsert then delete,
+    delete then upsert, brand-new keys) with a sequence number. The
+    apply collapses each key to its LATEST version first — one
+    row_number window over the (small) batch, never the target — then
+    runs the engine's three-branch merge (operators/merge.py:
+    merge_apply_ops: anti-join deletes + changed-only upserts). At
+    100 TB the target is touched exactly once, by the merge's single
+    key-join; ordering work is confined to the batch. Oracle: the same
+    latest-wins collapse + merge semantics in plain SQL."""
+    from station_data_ingestion_spark.operators.merge import (
+        merge_apply_ops,
+    )
+
+    base = load(spark, sf_dir, "orders")["orders"].select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    mk = lambda df, seq, op, cents: df.select(  # noqa: E731
+        "k",
+        F.lit(seq).alias("seq"),
+        F.lit(op).alias("_op"),
+        cents.alias("cents") if cents is not None else F.lit(None).cast("long").alias("cents"),
+    )
+    b7 = base.filter(F.col("k") % 7 == 0)
+    b11 = base.filter((F.col("k") % 11 == 3) & (F.col("k") % 7 != 0))
+    b13 = base.filter(F.col("k") % 13 == 5).select(
+        (F.col("k") + 1000000000).alias("k"), "cents"
+    )
+    ops = (
+        mk(b7, 1, "upsert", F.col("cents") + 111)
+        .unionByName(mk(b7, 2, "delete", None))
+        .unionByName(mk(b11, 1, "delete", None))
+        .unionByName(mk(b11, 2, "upsert", F.col("cents") + 555))
+        .unionByName(mk(b13, 1, "upsert", F.col("cents") + 9))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy(F.col("seq").desc())
+    latest = (
+        ops.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("k", "_op", "cents")
+    )
+    merged = merge_apply_ops(base, latest, ["k"])
+    return merged.groupBy(
+        (F.col("k") % 4).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+    )

@@ -42,6 +42,7 @@ CROSS_JOIN_OK = {
     "events_time_decay_topk",  # one-row max-ts reference-instant broadcast
     "dq_psi_price_drift",  # one-row (ref_total, cur_total) broadcast
     "sim_bm25_topk",  # one-row (N, avgdl) corpus-statistics broadcast
+    "sim_bm25_incremental_index",  # same one-row stats broadcast, from the MV
     "basket_association_rules",  # one-row basket-total broadcast
     "sim_pca_label_projection",  # one-row broadcast of the k components
     "ts_dow_deseasonalized_anomalies",  # one-row (mu, sd) moment broadcast
