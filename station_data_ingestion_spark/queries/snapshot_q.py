@@ -2922,3 +2922,90 @@ def stream_branch_publish_replay(spark, sf_dir):
             F.sum(F.round(F.col("value") * 10000).cast("long")) / 10000.0
         ).alias("total_value"),
     )
+
+
+@query(
+    "snapshot_tpch_refresh_functions",
+    """
+WITH o AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st
+  FROM orders WHERE o_orderkey % 17 <> 0
+  UNION ALL
+  SELECT o_orderkey + 2000000000, o_orderstatus
+  FROM orders WHERE o_orderkey % 19 = 0
+),
+l AS (
+  SELECT l_orderkey AS k,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+           AS rev
+  FROM lineitem WHERE l_orderkey % 17 <> 0
+  UNION ALL
+  SELECT l_orderkey + 2000000000,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+  FROM lineitem WHERE l_orderkey % 19 = 0
+)
+SELECT o.st, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(l.rev) AS BIGINT) AS revenue
+FROM o JOIN l ON o.k = l.k
+GROUP BY o.st
+""",
+)
+def snapshot_tpch_refresh_functions(spark, sf_dir):
+    """TPC-H REFRESH FUNCTIONS (RF1 insert / RF2 delete) through the
+    transactional store — the benchmark's own maintenance workload, the
+    part single-shot query engines skip: RF1 appends a new-sales batch
+    (re-keyed orders + their lineitems) to BOTH tables; RF2 deletes an
+    old-sales key range from both with write-time-recorded change
+    images. The revenue-by-status join over the maintained tables must
+    equal plain SQL with the same mutations — cascade consistency
+    across two tables certified, and both deletes ride the engine's
+    file-bounded copy-on-write path (only partitions holding matches
+    rewrite). [reference: TPC-H spec section 2.5 RF1/RF2 — absent from
+    the reference implementation]"""
+    t = load(spark, sf_dir, "orders", "lineitem")
+    orders = t["orders"].select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        (F.col("o_orderkey") % 8).cast("string").alias("b"),
+    )
+    items = t["lineitem"].select(
+        F.col("l_orderkey").alias("k"),
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+        )
+        .cast("long")
+        .alias("rev"),
+        (F.col("l_orderkey") % 8).cast("string").alias("b"),
+    )
+    base = _tmpdir(prefix="snap_rf_")
+    to = SnapshotTable(
+        spark, f"{base}/orders", partition_cols=("b",), stat_cols=()
+    )
+    tl = SnapshotTable(
+        spark, f"{base}/lineitem", partition_cols=("b",), stat_cols=()
+    )
+    to.commit_overwrite_partitions(orders)
+    tl.commit_overwrite_partitions(items)
+    # RF1: new-sales batch lands under its own partition (pure append)
+    rf1_o = orders.filter(F.col("k") % 19 == 0).select(
+        (F.col("k") + 2000000000).alias("k"), "st", F.lit("new").alias("b")
+    )
+    rf1_l = items.filter(F.col("k") % 19 == 0).select(
+        (F.col("k") + 2000000000).alias("k"), "rev", F.lit("new").alias("b")
+    )
+    to.commit_overwrite_partitions(rf1_o)
+    tl.commit_overwrite_partitions(rf1_l)
+    # RF2: old-sales delete cascades across both tables (scoped to the
+    # original key range — new-sales keys live above 2e9)
+    rf2 = (F.col("k") % 17 == 0) & (F.col("k") < 2000000000)
+    to.delete_where(rf2)
+    tl.delete_where(rf2)
+    ops = [h["op"] for h in to.history()]
+    if ops != ["overwrite-partitions", "overwrite-partitions", "delete"]:
+        raise RuntimeError(f"unexpected maintenance history: {ops}")
+    o = to.read().select("k", "st")
+    l = tl.read().select("k", "rev")
+    return o.join(l, "k").groupBy("st").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("rev").cast("long").alias("revenue"),
+    )
