@@ -42,6 +42,10 @@ def _moment_partials(d: int):
             if len(pdf) == 0:
                 continue
             x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            if x.shape[1] != d:
+                raise ValueError(
+                    f"ragged embeddings: expected dim {d}, got {x.shape[1]}"
+                )
             yield pd.DataFrame(
                 {
                     "n": [float(len(x))],

@@ -522,42 +522,65 @@ class SnapshotTable:
         main_data = f"{_os.path.abspath(self.path)}/data"
         br_abs = _os.path.abspath(br.path)
         entries = []
-        moved: list[tuple] = []  # (src, dst) pairs for race rollback
-        for e in bm["files"]:
-            e = dict(e)
-            base = e.get("base")
-            if base is None:
-                # branch-local file: rehome into main's data tree
-                src = HPath(f"{br.path}/data/{e['path']}")
-                dst = HPath(f"{self.path}/data/{e['path']}")
-                fs.mkdirs(dst.getParent())
-                if not fs.rename(src, dst):
+        moved: list[tuple] = []  # (src, dst) pairs for rollback
+
+        def _rollback_moves():
+            # restore the branch exactly; a failed un-rename is loud
+            for src_p, dst_p in moved:
+                fs.mkdirs(src_p.getParent())
+                if not fs.rename(dst_p, src_p):
                     raise RuntimeError(
-                        f"could not move {e['path']} from branch {name!r}"
+                        f"fast-forward rollback could not return "
+                        f"{dst_p} to branch {name!r} — manual repair "
+                        "needed"
                     )
-                moved.append((src, dst))
-            elif base == main_data:
-                del e["base"]  # main's own file, shared since the fork
-            # else: clone-of-clone external root — keep as-is
-            entries.append(e)
-        deletes = []
-        for d in bm.get("deletes", []):
-            d = dict(d)
-            root = d.get("root")
-            if root is None or _os.path.abspath(root) == br_abs:
-                src = HPath(f"{br.path}/{_DELETES}/{d['token']}")
-                if fs.exists(src):
-                    dst = HPath(f"{self.path}/{_DELETES}/{d['token']}")
+
+        try:
+            for e in bm["files"]:
+                e = dict(e)
+                base = e.get("base")
+                if base is None:
+                    # branch-local file: rehome into main's data tree
+                    src = HPath(f"{br.path}/data/{e['path']}")
+                    dst = HPath(f"{self.path}/data/{e['path']}")
                     fs.mkdirs(dst.getParent())
                     if not fs.rename(src, dst):
                         raise RuntimeError(
-                            f"could not move DV {d['token']} from branch"
+                            f"could not move {e['path']} from branch "
+                            f"{name!r}"
                         )
                     moved.append((src, dst))
-                d.pop("root", None)
-            elif _os.path.abspath(root) == _os.path.abspath(self.path):
-                d.pop("root", None)
-            deletes.append(d)
+                elif base == main_data:
+                    del e["base"]  # main's own file, shared since fork
+                # else: clone-of-clone external root — keep as-is
+                entries.append(e)
+            deletes = []
+            for d in bm.get("deletes", []):
+                d = dict(d)
+                root = d.get("root")
+                if root is None or _os.path.abspath(root) == br_abs:
+                    src = HPath(f"{br.path}/{_DELETES}/{d['token']}")
+                    if fs.exists(src):
+                        dst = HPath(
+                            f"{self.path}/{_DELETES}/{d['token']}"
+                        )
+                        fs.mkdirs(dst.getParent())
+                        if not fs.rename(src, dst):
+                            raise RuntimeError(
+                                f"could not move DV {d['token']} from "
+                                "branch"
+                            )
+                        moved.append((src, dst))
+                    d.pop("root", None)
+                elif _os.path.abspath(root) == _os.path.abspath(self.path):
+                    d.pop("root", None)
+                deletes.append(d)
+        except BaseException:
+            # a mid-move failure must not strand already-rehomed files
+            # as vacuum-bait orphans while the branch manifest still
+            # references them
+            _rollback_moves()
+            raise
         manifest = {
             "version": fork_v + 1,
             "partition_cols": list(self.partition_cols),
@@ -576,9 +599,7 @@ class SnapshotTable:
             # whole and retryable — without this the advertised
             # 're-branch and replay' is impossible (branch manifests
             # would point at files that left its tree)
-            for src, dst in moved:
-                fs.mkdirs(src.getParent())
-                fs.rename(dst, src)
+            _rollback_moves()
             raise ConcurrentCommitError(
                 f"lost the fast-forward publish race for v{fork_v + 1}; "
                 f"branch {name!r} left intact — re-branch and replay"
@@ -1121,6 +1142,11 @@ class SnapshotTable:
             "restored_from": version,
             "op": "restore",
         }
+        if target.get("deletes"):
+            # the restored STATE includes the target's deletion vectors
+            # — dropping them would resurrect DV-deleted rows and make
+            # metadata COUNT/MIN-MAX serve stale per-file stats as exact
+            manifest["deletes"] = target["deletes"]
         # schema metadata stays CURRENT: restore rolls back data, not
         # renames (a rename after the restored version still applies)
         cur = self._latest_renames()
@@ -1228,8 +1254,17 @@ class SnapshotTable:
             )
         out_entries: list[dict] = []
         top_m = None
+        first_step = True
         while p < v_hi and len(out_entries) < max_files:
-            for need in ((p,) if p > 0 else ()) + (p + 1,):
+            # p was verified as last iteration's p+1 — only the first
+            # step needs both ends checked
+            need_versions = (
+                ((p,) if p > 0 else ()) + (p + 1,)
+                if first_step
+                else (p + 1,)
+            )
+            first_step = False
+            for need in need_versions:
                 nfs, npath, _ = _fs(self.spark, self._snap_path(need))
                 if not nfs.exists(npath):
                     # the bounded walk must attribute files to commits,

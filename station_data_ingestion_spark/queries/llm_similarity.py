@@ -748,12 +748,11 @@ def sim_bm25_incremental_index(spark, sf_dir):
     incremental index == full rebuild, certified. At 100 TB the update
     cost is O(new docs' postings) + O(touched terms), the inverted
     index's whole reason to exist."""
-    import tempfile
-
     from station_data_ingestion_spark.operators.matview import (
         MaterializedView,
     )
     from station_data_ingestion_spark.plans.catalog import Catalog
+    from station_data_ingestion_spark.queries.snapshot_q import _tmpdir
 
     d = load(spark, sf_dir, "documents")["documents"]
 
@@ -767,19 +766,33 @@ def sim_bm25_incremental_index(spark, sf_dir):
         postings = tok.groupBy("doc_id", "term").agg(
             F.count(F.lit(1)).alias("tf")
         ).withColumn("batch", F.lit(batch))
-        doclen = tok.groupBy("doc_id").agg(
+        # doclen covers EVERY doc (len 0 for token-free text): BM25's
+        # N counts documents, not tokenized documents — the oracle's
+        # COUNT(*) FROM documents must match; avgdl divides by the
+        # tokenized count only (has_tok sum), matching AVG(len) over
+        # the oracle's dl table
+        counts = tok.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("len")
-        ).select(
-            "doc_id", "len",
-            F.lit("all").alias("scope"), F.lit(batch).alias("batch"),
+        )
+        doclen = (
+            docs.select("doc_id")
+            .join(counts, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("len", F.lit(0)).cast("long").alias("len"),
+                F.when(F.col("len").isNotNull(), F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("has_tok"),
+                F.lit("all").alias("scope"),
+                F.lit(batch).alias("batch"),
+            )
         )
         return postings, doclen
 
     init_docs = d.filter(F.col("doc_id") % 3 != 0)
     delta_docs = d.filter(F.col("doc_id") % 3 == 0)
-    cat = Catalog(
-        spark, tempfile.mkdtemp(prefix="bm25_idx_") + "/cat"
-    )
+    cat = Catalog(spark, _tmpdir(prefix="bm25_idx_") + "/cat")
     cat.init()
     p0, l0 = tokenize(init_docs, "0")
     t0 = cat.transaction()
@@ -794,7 +807,8 @@ def sim_bm25_incremental_index(spark, sf_dir):
     termstats.create()
     corpus = MaterializedView(
         cat, "corpus", "doclen",
-        group_cols=["scope"], sum_cols={"total_len": "len"},
+        group_cols=["scope"],
+        sum_cols={"total_len": "len", "n_tokenized": "has_tok"},
         key_cols=["doc_id"], count_col="n_docs",
     )
     corpus.create()
@@ -816,7 +830,7 @@ def sim_bm25_incremental_index(spark, sf_dir):
     dfq = s.read("termstats").select("term", "df")
     stats = s.read("corpus").select(
         F.col("n_docs").cast("long").alias("n_docs"),
-        (F.col("total_len") / F.col("n_docs")).alias("avgdl"),
+        (F.col("total_len") / F.col("n_tokenized")).alias("avgdl"),
     )
     qterms = (
         tf.filter(F.col("doc_id") < 3)

@@ -49,10 +49,15 @@ def branch_publish_commit(
             if isinstance(bad_row_pred, str)
             else bad_row_pred
         )
-        removed = 0
-        before = br.read().count()
-        br.delete_where(pred)
-        removed = before - br.read().count()
+        # everything batch-scoped: the branch references ALL of main's
+        # published data as external entries, so unscoped reads/deletes
+        # would pay O(table) per micro-batch. The cleanse predicate is
+        # pinned to this batch's partition (published rows were already
+        # cleansed by their own batches) and the counts read only it.
+        scope = F.col("batch_id") == name
+        before = br.read(partition={"batch_id": name}).count()
+        br.delete_where(scope & pred)
+        removed = before - br.read(partition={"batch_id": name}).count()
         table.fast_forward(name)
         if stats is not None:
             stats["published"] = stats.get("published", 0) + 1

@@ -248,3 +248,29 @@ def test_concurrent_dv_deletes_never_lose_an_update(spark, tmp_path):
         else:
             assert hit <= survivors, f"{name} conflicted but rows vanished"
     assert any(s == "ok" for s, _ in results.values())
+
+
+def test_restore_preserves_deletion_vectors(spark, tmp_path):
+    """RESTORE to a DV-bearing version must carry the DVs: dropping
+    them resurrects deleted rows and un-guards metadata stats."""
+    t = SnapshotTable(
+        spark, str(tmp_path / "rdv"), partition_cols=("p",), stat_cols=()
+    )
+    df = spark.range(0, 50).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("p"),
+    )
+    t.commit_overwrite_partitions(df)
+    t.delete_where_dv(F.col("k") % 5 == 0)
+    v_dv = t.latest_version()
+    n_after_dv = t.read().count()
+    t.commit_overwrite_partitions(
+        spark.range(100, 120).select(
+            F.col("id").alias("k"), F.lit("9").alias("p")
+        )
+    )
+    t.restore(v_dv)
+    assert t.read().count() == n_after_dv  # 40, not 50
+    assert {r["k"] for r in t.read().select("k").collect()} == {
+        k for k in range(50) if k % 5 != 0
+    }
