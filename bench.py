@@ -134,6 +134,9 @@ def bench_ingestion(
     n_stations: int = 1000,
     single_shot: bool = False,
     prefix: str = "ingest_",
+    n_days: int = 731,
+    dump_plan_to: str | None = None,
+    read_back: bool = False,
 ) -> None:
     """Ingestion-pipeline stage taxonomy (BASELINE.md): parse (scan +
     unpivot + filter + cast), merge-create, merge-probe + replace.
@@ -144,7 +147,10 @@ def bench_ingestion(
     (probe + replace-only-changed).
 
     ``n_stations``/``single_shot``/``prefix`` parameterize the 10x scale
-    probe (a 10x-wider station matrix, each stage timed once).
+    probe (a 10x-wider station matrix, each stage timed once);
+    ``n_days`` additionally stretches the matrix for the e2e taxonomy
+    run. ``dump_plan_to`` writes the replace-merge physical plan (the
+    operator under 10x scrutiny, VERDICT r6 #1) to a file.
     """
     import shutil
     import tempfile
@@ -154,8 +160,6 @@ def bench_ingestion(
     from station_data_ingestion_spark.operators.merge import merge_observed
     from station_data_ingestion_spark.plans.jobspec import DataItemSpec
     from station_data_ingestion_spark.sources.wide_csv import ingest_wide_csv
-
-    n_days = 731
     median = (lambda fn, n=1: timed_median(fn, n=1)) if single_shot else timed_median
     rng = np.random.default_rng(42)
     values = np.round(rng.uniform(0, 40, size=(n_stations, n_days)), 2)
@@ -171,9 +175,12 @@ def bench_ingestion(
 
     tmp = tempfile.mkdtemp(prefix="bench_ingest_")
     try:
+        from datetime import date, timedelta
+
+        end = date(2022, 1, 1) + timedelta(days=n_days - 1)
         spec = DataItemSpec(
             files=[], datatype="temperature", period="day", fill="raw",
-            start_date="2022-01-01", end_date="2023-12-31",
+            start_date="2022-01-01", end_date=end.isoformat(),
         )
         write_csv(f"{tmp}/a.csv", values)
         timings[f"{prefix}parse"] = median(
@@ -216,8 +223,33 @@ def bench_ingestion(
             stats2 = finish2()
             assert stats2.created == 0 and stats2.replaced > 0
 
+        if dump_plan_to:
+            merged2, _ = merge_observed(
+                spark.read.parquet(f"{tmp}/target"), obs2, spec.key_fields
+            )
+            with open(dump_plan_to, "w", encoding="utf-8") as pf:
+                pf.write(
+                    merged2._jdf.queryExecution().explainString(
+                        spark._jvm.org.apache.spark.sql.execution
+                        .ExplainMode.fromString("formatted")
+                    )
+                )
         timings[f"{prefix}merge_replace"] = median(replace_run, n=5)
         obs2.unpersist()
+        if read_back:
+            # the taxonomy's read stage: scan the merged observation
+            # store and aggregate per station (the reference's
+            # query-after-ingest shape)
+            from pyspark.sql import functions as F
+
+            def read_run():
+                materialize(
+                    spark.read.parquet(f"{tmp}/target")
+                    .groupBy("station_id")
+                    .agg(F.count("*"), F.avg("value"))
+                )
+
+            timings[f"{prefix}read_back"] = median(read_run)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -290,6 +322,50 @@ def _heaviest_stage_skew(spark, after_stage_id: int) -> dict | None:
         return None
 
 
+def _scale_embeddings(spark, sf_dir, tmp: str, k: int) -> None:
+    """k-replicate the embeddings table so vector workloads scale
+    LINEARLY: each replica gets a deterministic per-replica DIMENSION
+    PERMUTATION (an orthogonal transform — within-replica cosines are
+    preserved EXACTLY, so each replica reproduces the original corpus's
+    near-dup structure) while cross-replica similarities scramble, so
+    pair cardinality grows ~k, not k². vec_id moves to high bits
+    (id + replica*10M) so id-arithmetic constructions inside queries
+    (twin planting at id+1, id+100000) stay within one replica and
+    never collide across replicas."""
+    import numpy as np
+
+    def permute(batches):
+        import pandas as pd
+
+        perms = [
+            np.random.default_rng(1234 + r).permutation(64) if r else
+            np.arange(64)
+            for r in range(k)
+        ]
+        for pdf in batches:
+            out = []
+            for r in range(k):
+                emb = [
+                    np.asarray(e, dtype=np.float32)[perms[r]].tolist()
+                    for e in pdf["embedding"]
+                ]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"] + r * 10_000_000,
+                            "embedding": emb,
+                            "label": pdf["label"],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df.mapInPandas(
+        permute, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{tmp}/embeddings.parquet")
+
+
 def bench_scale_probe(spark, sf_dir, timings: dict[str, float], k: int = 10) -> dict:
     """10x scale probe over the most expensive stages.
 
@@ -334,8 +410,7 @@ def bench_scale_probe(spark, sf_dir, timings: dict[str, float], k: int = 10) -> 
 
         # queries().load() registers every table; unscaled ones are
         # symlinked (zero copy) -- only the scaled facts are rewritten.
-        for t in ("region", "nation", "customer", "supplier", "part",
-                  "embeddings"):
+        for t in ("region", "nation", "customer", "supplier", "part"):
             os.symlink(os.path.abspath(f"{sf_dir}/{t}.parquet"),
                        f"{tmp}/{t}.parquet")
         scaled("orders", ["o_orderkey"])
@@ -345,6 +420,7 @@ def bench_scale_probe(spark, sf_dir, timings: dict[str, float], k: int = 10) -> 
         # original per-user event sequence (funnel/asof semantics scale
         # linearly instead of merging replicas into one mega-user)
         scaled("events", ["event_id", "user_id"])
+        _scale_embeddings(spark, sf_dir, tmp, k)
 
         for name in (
             "q5_local_supplier_revenue",
@@ -357,10 +433,30 @@ def bench_scale_probe(spark, sf_dir, timings: dict[str, float], k: int = 10) -> 
             # on the branch -> metadata fast-forward -> vacuum; write
             # volume scales with the orders fact, publish is metadata
             "snapshot_branch_fast_forward_read",
+            # r6 heavy families (r6 verdict #2): the probe-at-largest-SF
+            # rule is what caught the minhash broadcast trap. The two
+            # non-headline stages get their 1x timed here (min of 2).
+            "dedup_semantic_clusters",
+            "snapshot_change_feed_read",
+            "matview_join_delta_refresh",
+            "sim_bm25_incremental_index",
         ):
             if not isinstance(timings.get(name), float):
-                probe[name] = {"error": "headline stage did not run"}
-                continue
+                if name not in QUERIES:
+                    probe[name] = {"error": "not a registered query"}
+                    continue
+                try:  # non-headline probe stage: establish its own 1x
+                    t1 = []
+                    for _ in range(2):
+                        t0 = time.perf_counter()
+                        materialize(QUERIES[name].fn(spark, sf_dir))
+                        t1.append(time.perf_counter() - t0)
+                    timings_1x = round(min(t1), 3)
+                except Exception as e:  # noqa: BLE001
+                    probe[name] = {"error": f"{type(e).__name__}: {e}"[:500]}
+                    continue
+            else:
+                timings_1x = timings[name]
             try:
                 marker = _max_stage_id(spark)
                 # min of two shots — same first-run/stall rationale as
@@ -373,13 +469,25 @@ def bench_scale_probe(spark, sf_dir, timings: dict[str, float], k: int = 10) -> 
                 materialize(QUERIES[name].fn(spark, tmp))
                 t_k = min(t_k, time.perf_counter() - t0)
                 probe[name] = {
-                    "t_1x": timings[name],
+                    "t_1x": timings_1x,
                     f"t_{k}x": round(t_k, 3),
-                    "per_unit_ratio": round(t_k / (k * timings[name]), 2),
+                    "per_unit_ratio": round(t_k / (k * timings_1x), 2),
                 }
                 skew = _heaviest_stage_skew(spark, marker)
                 if skew:
                     probe[name]["skew"] = skew
+                if name == "dedup_semantic_clusters":
+                    from station_data_ingestion_spark.queries.llm_dedup import (
+                        LAST_SEMANTIC_REPLICATION_STATS,
+                    )
+
+                    if LAST_SEMANTIC_REPLICATION_STATS:
+                        st = dict(LAST_SEMANTIC_REPLICATION_STATS)
+                        rows = sorted(st.pop("block_rows", {}).values())
+                        st["block_rows_p50"] = (
+                            rows[len(rows) // 2] if rows else 0
+                        )
+                        probe[name]["replication"] = st
             except Exception as e:  # noqa: BLE001
                 probe[name] = {"error": f"{type(e).__name__}: {e}"[:500]}
     finally:
@@ -399,31 +507,40 @@ def bench_scale_probe_ingest(spark, timings: dict, k: int = 10) -> dict:
     need = ("ingest_parse", "ingest_merge_create", "ingest_merge_replace")
     if not all(isinstance(timings.get(s), float) for s in need):
         return {"error": "1x ingest stages did not run"}
-    # min of TWO single shots: the first 10x run in a session pays JIT/
-    # codegen + page-cache warmup for the wider shape (measured 14.6s ->
-    # 2.2s on back-to-back merge_create shots), and the shared box's
-    # intermittent stalls land somewhere most runs — one shot reads as a
-    # fake super-linearity. The min is the honest plan cost.
+    # THREE single shots (r6 verdict: a single-/double-shot probe could
+    # not adjudicate merge_replace's 1.54-vs-0.37 spread). The first 10x
+    # run in a session pays JIT/codegen + page-cache warmup for the
+    # wider shape (measured 14.6s -> 2.2s on back-to-back merge_create
+    # shots) and the shared box stalls land somewhere most runs, so the
+    # headline per-unit uses the MEDIAN with all shots recorded; the min
+    # remains the honest pure-plan cost.
+    here = os.path.dirname(os.path.abspath(__file__))
+    plan_path = os.path.join(
+        here, ".benchmarks", f"ingest_replace_{k}x_plan.txt"
+    )
+    os.makedirs(os.path.dirname(plan_path), exist_ok=True)
     shots: list[dict[str, float]] = []
-    for _ in range(2):
+    for i in range(3):
         big_i: dict[str, float] = {}
         bench_ingestion(
             spark, big_i, n_stations=1000 * k, single_shot=True,
-            prefix="ingest_",
+            prefix="ingest_", dump_plan_to=plan_path if i == 0 else None,
         )
         shots.append(big_i)
-    big: dict[str, float] = {
-        st: min(b[st] for b in shots if isinstance(b.get(st), float))
-        for st in need
-        if any(isinstance(b.get(st), float) for b in shots)
-    }
     for s in need:
-        if isinstance(big.get(s), float):
-            probe[s] = {
-                "t_1x": timings[s],
-                f"t_{k}x": big[s],
-                "per_unit_ratio": round(big[s] / (k * timings[s]), 2),
-            }
+        vals = sorted(
+            b[s] for b in shots if isinstance(b.get(s), float)
+        )
+        if not vals:
+            continue
+        med = vals[len(vals) // 2]
+        probe[s] = {
+            "t_1x": timings[s],
+            f"t_{k}x": med,
+            "per_unit_ratio": round(med / (k * timings[s]), 2),
+            "shots": vals,
+            "per_unit_min": round(vals[0] / (k * timings[s]), 2),
+        }
     return probe
 
 
@@ -580,16 +697,65 @@ def main() -> None:
             out["scale_probe_ingest"] = bench_scale_probe_ingest(spark, timings)
         except Exception as e:  # noqa: BLE001
             out["scale_probe_ingest"] = {"error": f"{type(e).__name__}: {e}"[:500]}
+    # Whole-pipeline stage taxonomy at 10x-wider AND 10x-taller (r6
+    # verdict #6): opt-in — ~73M cells of CSV generation is a local-
+    # artifact exercise, not a per-round driver cost.
+    if os.environ.get("SPARK_GRAFT_PIPELINE_E2E", "0") == "1":
+        try:
+            e2e: dict[str, float] = {}
+            bench_ingestion(
+                spark, e2e, n_stations=10_000, n_days=7310,
+                single_shot=True, prefix="", read_back=True,
+            )
+            out["pipeline_e2e"] = {
+                "n_stations": 10_000, "n_days": 7310, "cells": 73_100_000,
+                "stages": e2e,
+            }
+        except Exception as e:  # noqa: BLE001
+            out["pipeline_e2e"] = {"error": f"{type(e).__name__}: {e}"[:500]}
     out["history_delta"] = _record_history(out)
     # Full artifact to a deterministic path: the driver's BENCH_r{N}.json
-    # keeps only the stdout tail, which progress-bar \r fragments can
-    # corrupt past parsing (BENCH_r05.json stored parsed: null). The file
-    # is the authoritative copy; the stdout line (leading newline detaches
-    # it from any glued fragment) stays for tail-captures that do parse.
+    # keeps only a 2000-char stdout TAIL, which cannot hold the full
+    # per-query JSON (r5/r6 artifacts stored parsed: null). The file is
+    # the authoritative copy; stdout carries the full line for humans
+    # AND, LAST, a compact summary line sized to fit the driver's tail
+    # capture so BENCH_r{N}.json finally parses.
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_LAST.json"), "w", encoding="utf-8") as f:
         json.dump(out, f, indent=1)
     sys.stdout.write("\n" + json.dumps(out) + "\n")
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": out["sf"],
+        "n_stages": sum(1 for v in timings.values() if isinstance(v, float)),
+        "n_errors": len(errors),
+        "queries_in": "BENCH_LAST.json",
+    }
+    if errors:
+        compact["errors"] = {k: v[:60] for k, v in list(errors.items())[:5]}
+    for probe_key, short in (("scale_probe", "probe_10x"),
+                             ("scale_probe_ingest", "probe_ingest_10x")):
+        p = out.get(probe_key)
+        if isinstance(p, dict):
+            compact[short] = {
+                n: d.get("per_unit_ratio", "err")
+                for n, d in p.items()
+                if isinstance(d, dict)
+            }
+    hd = out.get("history_delta")
+    if isinstance(hd, dict):
+        compact["history_ratio"] = hd.get("ratio")
+        compact["regressed_2x"] = hd.get("regressed_2x")
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # stay inside the driver's 2000-char tail
+        for trim in ("errors", "probe_10x", "regressed_2x"):
+            compact.pop(trim, None)
+            line = json.dumps(compact, separators=(",", ":"))
+            if len(line) <= 1900:
+                break
+    sys.stdout.write("\n" + line + "\n")
     sys.stdout.flush()
 
 

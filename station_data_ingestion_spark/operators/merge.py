@@ -188,6 +188,7 @@ def merge_changes(
     updates: DataFrame,
     key_fields: list[str],
     replace: bool = True,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """CHANGE-FEED frame for the merge: the row-level deltas a
     `merge_plan` commit applies, typed Delta-CDF style.
@@ -206,9 +207,20 @@ def merge_changes(
     one extra run of the merge join; persist the inputs if that
     matters at your scale.
     """
-    plan = merge_plan(target, updates, key_fields, replace)
+    plan = merge_plan(target, updates, key_fields, replace, evolve_schema)
     data_cols = [c for c in plan.columns if c not in key_fields + ["_action"]]
-    pre_target = target.select(*key_fields, *data_cols)
+    # the plan's columns are the UNION of both schemas (merge_plan
+    # handles schema-evolving updates); a column the target never had
+    # null-fills in the preimage, typed from the plan — without this
+    # the select below raises on exactly the merges merge_plan accepts
+    plan_types = {f.name: f.dataType for f in plan.schema.fields}
+    pre_target = target
+    for c in data_cols:
+        if c not in pre_target.columns:
+            pre_target = pre_target.withColumn(
+                c, F.lit(None).cast(plan_types[c])
+            )
+    pre_target = pre_target.select(*key_fields, *data_cols)
     created = plan.filter(F.col("_action") == "create").select(
         *key_fields, *data_cols, F.lit("insert").alias("_change_type")
     )

@@ -79,46 +79,80 @@ def _replicate_batches(centroids: np.ndarray, margin: float):
     return run
 
 
-def _block_pairs(tau: float):
+def _block_pairs(tau: float, max_block_rows: int, chunk_bytes: int = 256 << 20):
     """All a<b pairs inside one block with UNROUNDED cosine >= tau.
     Cosine is dot/(|a||b|) on the raw float64 vectors — the same
-    formula as the SQL oracle, so the surviving set matches exactly."""
+    formula as the SQL oracle, so the surviving set matches exactly.
+
+    Memory: the sims matrix is computed in ROW CHUNKS (≤ ~256 MB per
+    chunk), never n×n at once. Compute: per-block work is still
+    O(n²·dim) — a hot block (skewed cluster, k too small for the
+    corpus) would silently burn quadratic CPU, so blocks beyond
+    ``max_block_rows`` raise loudly instead."""
 
     def run(pdf):
         import pandas as pd
 
+        n_rows = len(pdf)
+        if n_rows > max_block_rows:
+            block = int(pdf["block"].iloc[0]) if "block" in pdf else -1
+            raise ValueError(
+                f"semantic-dedup block {block} holds {n_rows} vectors "
+                f"(cap {max_block_rows}): the per-block rerank is "
+                "O(n^2) — raise k toward sqrt(n_vectors) (see auto_k), "
+                "or raise max_block_rows if the quadratic cost is "
+                "intended. replication_stats() reports the realized "
+                "block-size distribution."
+            )
         x = np.array(list(pdf["embedding"]), dtype=np.float64)
         ids = pdf["vec_id"].to_numpy()
-        n = np.linalg.norm(x, axis=1)
-        sims = (x @ x.T) / np.outer(n, n)
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = sims[iu, ju] >= tau
+        norms = np.linalg.norm(x, axis=1)
+        out_a, out_b, out_s = [], [], []
+        # chunk×n float64 sims slab ≤ chunk_bytes; n×n never materializes
+        chunk = max(1, chunk_bytes // (8 * max(n_rows, 1)))
+        for lo in range(0, n_rows, chunk):
+            hi = min(lo + chunk, n_rows)
+            sims = (x[lo:hi] @ x.T) / np.outer(norms[lo:hi], norms)
+            # strict upper triangle of the full matrix, chunk-local rows
+            ci, cj = np.nonzero(sims >= tau)
+            keep = ci + lo < cj
+            ci, cj = ci[keep], cj[keep]
+            gi = ci + lo
+            out_a.append(np.minimum(ids[gi], ids[cj]))
+            out_b.append(np.maximum(ids[gi], ids[cj]))
+            out_s.append(np.round(sims[ci, cj], 6))
+        if not out_a:
+            return pd.DataFrame({"a_id": [], "b_id": [], "sim": []})
         return pd.DataFrame(
             {
-                "a_id": np.minimum(ids[iu], ids[ju])[keep],
-                "b_id": np.maximum(ids[iu], ids[ju])[keep],
-                "sim": np.round(sims[iu, ju][keep], 6),
+                "a_id": np.concatenate(out_a),
+                "b_id": np.concatenate(out_b),
+                "sim": np.concatenate(out_s),
             }
         )
 
     return run
 
 
-def semantic_near_pairs(
+def auto_k(n_vectors: int) -> int:
+    """Block-count guidance: k ≈ sqrt(n) keeps expected block size
+    ≈ sqrt(n) too, so per-block O(n_block²) work stays ~linear in the
+    corpus overall. Clamped to [8, 4096] — below 8 the blocking buys
+    nothing, above 4096 the driver-side centroid matrix and the
+    per-vector centroid scan start to cost more than they save."""
+    return max(8, min(4096, int(math.isqrt(max(n_vectors, 0)))))
+
+
+def _replicated_blocks(
     df: DataFrame,
     tau: float,
-    k: int = 8,
-    n_iter: int = 3,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    k: int,
+    n_iter: int,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """EXACT set of (a_id < b_id, sim) pairs with cosine >= tau, found
-    via cluster-bounded candidate generation (see module docstring).
-
-    Deterministic: kmeans_fit is seed-free (first-k init by id), the
-    margin guarantee makes the pair set independent of the clustering,
-    and sims are rounded to 6 decimals.
-    """
+    """The margin-replicated (block, vec_id, embedding) frame shared by
+    pair generation and replication_stats."""
     if not 0.0 < tau < 1.0:
         raise ValueError(f"tau must be in (0, 1), got {tau}")
     r = math.sqrt(2.0 - 2.0 * tau)
@@ -140,12 +174,143 @@ def semantic_near_pairs(
         F.transform("embedding", lambda v: v / F.col("_n")).alias("embedding"),
     )
     centroids = kmeans_fit(normed, k=k, n_iter=n_iter)
-    replicated = vecs.mapInPandas(
+    return vecs.mapInPandas(
         _replicate_batches(centroids, margin=r),
         "block int, vec_id long, embedding array<double>",
     )
+
+
+def replication_stats(
+    df: DataFrame,
+    tau: float,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Realized replication shape of the margin blocking — the alarm a
+    100 TB pipeline checks BEFORE paying for the pair generation. On
+    clusterable corpora the factor sits near 1; pathologically uniform
+    vectors (or k far too small) drive it toward k, which means the
+    'cluster-bounded' candidate set is quietly going quadratic.
+
+    One aggregation over the replicated frame (k grouped rows — never a
+    collect of the vectors). Returns::
+
+        {"n_vectors", "replicated_rows", "replication_factor",
+         "n_blocks", "max_block_rows", "candidate_pairs",
+         "block_rows": {block: rows}}
+    """
+    rep = _replicated_blocks(df, tau, k, n_iter, id_col, vec_col)
+    return _stats_from(rep, df.count())
+
+
+def _stats_from(replicated: DataFrame, n: int) -> dict:
+    per_block = (
+        replicated.groupBy("block").agg(F.count("*").alias("rows")).collect()
+    )
+    block_rows = {int(r["block"]): int(r["rows"]) for r in per_block}
+    replicated_rows = sum(block_rows.values())
+    return {
+        "n_vectors": n,
+        "replicated_rows": replicated_rows,
+        "replication_factor": round(replicated_rows / n, 3) if n else 0.0,
+        "n_blocks": len(block_rows),
+        "max_block_rows": max(block_rows.values(), default=0),
+        "candidate_pairs": sum(m * (m - 1) // 2 for m in block_rows.values()),
+        "block_rows": block_rows,
+    }
+
+
+def semantic_near_pairs_auto(
+    df: DataFrame,
+    tau: float,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_block_rows: int = 100_000,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """:func:`semantic_near_pairs` with MEASURED k selection — the
+    replication alarm wired to act instead of just report.
+
+    Starts at ``auto_k(n)`` and checks :func:`replication_stats`:
+    margin blocking only pays when the candidate-pair count beats plain
+    all-pairs, and on a corpus with no cluster structure at the margin
+    scale (every centroid within dmin+r of every vector) the factor
+    degenerates toward k — k-fold DUPLICATED brute force. While the
+    measured candidate pairs are not clearly better than brute force
+    (< half), k divides by 4, down to k=1 (one exact all-pairs block —
+    the honest plan for an unclusterable corpus that fits a block).
+    A corpus that is BOTH unclusterable and bigger than
+    ``max_block_rows`` raises loudly: no k helps, and silently burning
+    a quadratic is the one thing a 100 TB pipeline must not do.
+
+    Each ladder step costs one k-means fit + one replication pass
+    (linear, Arrow-batched) — measured before the quadratic is paid.
+    ``stats_out`` receives the accepted step's stats plus ``chosen_k``.
+    """
+    n = df.count()
+    k = auto_k(n)
+    brute = n * (n - 1) // 2
+    while True:
+        stats = replication_stats(df, tau, k, n_iter, id_col, vec_col)
+        if k == 1 or stats["candidate_pairs"] < brute // 2:
+            break
+        k = max(1, k // 4)
+    if stats["max_block_rows"] > max_block_rows:
+        raise ValueError(
+            f"semantic-dedup blocking degenerated: at k={k} the largest "
+            f"block holds {stats['max_block_rows']} vectors "
+            f"(cap {max_block_rows}, replication factor "
+            f"{stats['replication_factor']}). The corpus has no cluster "
+            "structure at the margin scale sqrt(2-2*tau) — raise tau, "
+            "shard the corpus, or raise max_block_rows if the quadratic "
+            "cost is intended."
+        )
+    stats["chosen_k"] = k
+    if stats_out is not None:
+        stats_out.update(stats)
+    return semantic_near_pairs(
+        df,
+        tau,
+        k=k,
+        n_iter=n_iter,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_block_rows=max_block_rows,
+    )
+
+
+def semantic_near_pairs(
+    df: DataFrame,
+    tau: float,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_block_rows: int = 100_000,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """EXACT set of (a_id < b_id, sim) pairs with cosine >= tau, found
+    via cluster-bounded candidate generation (see module docstring).
+
+    Deterministic: kmeans_fit is seed-free (first-k init by id), the
+    margin guarantee makes the pair set independent of the clustering,
+    and sims are rounded to 6 decimals. Pick ``k`` with :func:`auto_k`
+    (≈ sqrt(n)); a block exceeding ``max_block_rows`` raises loudly
+    instead of silently burning O(n²) on a hot cluster — check
+    :func:`replication_stats` to see the realized distribution.
+
+    Pass ``stats_out={}`` to get the replication-shape numbers filled
+    in eagerly (same fields as :func:`replication_stats`, sharing this
+    call's k-means fit — one extra replication pass, no second fit).
+    """
+    replicated = _replicated_blocks(df, tau, k, n_iter, id_col, vec_col)
+    if stats_out is not None:
+        stats_out.update(_stats_from(replicated, df.count()))
     pairs = replicated.groupBy("block").applyInPandas(
-        _block_pairs(tau), "a_id long, b_id long, sim double"
+        _block_pairs(tau, max_block_rows), "a_id long, b_id long, sim double"
     )
     # a pair co-occurring in several blocks scores identically (same
     # float64 formula on the same vectors); min is a deterministic pick

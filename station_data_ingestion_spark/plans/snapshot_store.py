@@ -65,6 +65,35 @@ def _fs(spark: SparkSession, path_str: str):
     return path.getFileSystem(spark._jsc.hadoopConfiguration()), path, jvm
 
 
+_ROOT_KEYS: dict[str, str] = {}
+
+
+def _root_key(spark: SparkSession, path_str: str) -> str:
+    """Identity key for data-root comparisons (clone bases, DV roots).
+
+    Hadoop's makeQualified resolves scheme + authority (file:/x,
+    s3a://bucket/x) and absolutizes bare local paths against the
+    filesystem's working directory, so equality works for object-store
+    URIs and does not depend on the Python process CWD —
+    ``os.path.abspath`` would join an s3:// URI onto the CWD and break
+    both properties. Memoized: root sets are tiny but the comparisons
+    run once per manifest entry."""
+    key = _ROOT_KEYS.get(path_str)
+    if key is None:
+        fs, path, _ = _fs(spark, path_str)
+        key = fs.makeQualified(path).toString().rstrip("/")
+        _ROOT_KEYS[path_str] = key
+    return key
+
+
+def _path_part(spark: SparkSession, path_str: str) -> str:
+    """Scheme-stripped absolute path of a root — the substring a parquet
+    scan's ``_metadata.file_path`` URI contains regardless of how the
+    reader renders the scheme (``file:/x`` vs ``file:///x``)."""
+    fs, path, _ = _fs(spark, path_str)
+    return fs.makeQualified(path).toUri().getPath().rstrip("/")
+
+
 def _list_parquet_rel(spark: SparkSession, root: str) -> list[str]:
     """Recursively list parquet files under root, as root-relative paths."""
     fs, path, _ = _fs(spark, root)
@@ -312,7 +341,7 @@ class SnapshotTable:
         m = self._read_manifest(src_v)
         # entries that are themselves clone references keep their
         # original root (clone-of-clone still points at the real file)
-        src_root = f"{_os.path.abspath(self.path)}/data"
+        src_root = f"{_root_key(self.spark, self.path)}/data"
         files = [
             {**e, "base": e.get("base") or src_root} for e in m["files"]
         ]
@@ -331,7 +360,7 @@ class SnapshotTable:
             # pin each token to the root that owns it (clone-of-clone
             # keeps the original root, like file entries' base)
             manifest["deletes"] = [
-                {**d, "root": d.get("root") or _os.path.abspath(self.path)}
+                {**d, "root": d.get("root") or _root_key(self.spark, self.path)}
                 for d in m["deletes"]
             ]
         if not dst._write_manifest_exclusive(1, manifest):
@@ -497,12 +526,12 @@ class SnapshotTable:
         files (appends, COW rewrites) are RENAMED into main's data tree
         — a metadata move, no bytes copied; entries that still point at
         main's own files become plain local entries again. Branch-local
-        deletion vectors move the same way. Change feeds: a pure-append
+        deletion vectors are REWRITTEN into main with their file URIs
+        remapped (a renamed data file invalidates branch-rooted DV
+        coordinates). Change feeds: a pure-append
         branch synthesizes inserts naturally on main; a branch that
         rewrote files leaves main's feed underivable across this commit
         (ChangeFeedUnavailableError — the Delta restore contract)."""
-        import os as _os
-
         doc = self._read_ref(name)
         if doc is None or doc.get("type") != "branch":
             raise ValueError(f"no branch {name!r} at {self.path}")
@@ -519,13 +548,17 @@ class SnapshotTable:
         bm = br._read_manifest(bv)
         fs, _, jvm = _fs(self.spark, self.path)
         HPath = jvm.org.apache.hadoop.fs.Path
-        main_data = f"{_os.path.abspath(self.path)}/data"
-        br_abs = _os.path.abspath(br.path)
+        main_data_key = _root_key(self.spark, f"{self.path}/data")
+        br_key = _root_key(self.spark, br.path)
+        self_key = _root_key(self.spark, self.path)
         entries = []
         moved: list[tuple] = []  # (src, dst) pairs for rollback
+        created: list = []  # main-side DV rewrites to delete on rollback
 
         def _rollback_moves():
             # restore the branch exactly; a failed un-rename is loud
+            for dv_p in created:
+                fs.delete(dv_p, True)
             for src_p, dst_p in moved:
                 fs.mkdirs(src_p.getParent())
                 if not fs.rename(dst_p, src_p):
@@ -550,29 +583,48 @@ class SnapshotTable:
                             f"{name!r}"
                         )
                     moved.append((src, dst))
-                elif base == main_data:
+                elif _root_key(self.spark, base) == main_data_key:
                     del e["base"]  # main's own file, shared since fork
                 # else: clone-of-clone external root — keep as-is
                 entries.append(e)
             deletes = []
+            # Branch-local DVs can reference branch-local data files by
+            # their PRE-MOVE URIs; renaming those files into main's data
+            # tree (above) invalidates the coordinates and the read-path
+            # anti-join would silently resurrect the deleted rows. So a
+            # moved DV is REWRITTEN (read -> remap URI prefix -> write
+            # under main), not renamed: `_dv_file` values under the
+            # branch data root get the prefix swapped for main's. The
+            # scheme-stripped path fragment matches however the scan
+            # rendered the scheme (file:/x vs file:///x); coordinates on
+            # main's own files contain no branch fragment and pass
+            # through unchanged. The branch's own DV file stays in place
+            # so a lost publish race leaves the branch whole.
+            br_frag = f"{_path_part(self.spark, br.path)}/data/"
+            main_frag = f"{_path_part(self.spark, self.path)}/data/"
             for d in bm.get("deletes", []):
                 d = dict(d)
                 root = d.get("root")
-                if root is None or _os.path.abspath(root) == br_abs:
+                if root is None or _root_key(self.spark, root) == br_key:
                     src = HPath(f"{br.path}/{_DELETES}/{d['token']}")
                     if fs.exists(src):
+                        from pyspark.sql import functions as F
+
                         dst = HPath(
                             f"{self.path}/{_DELETES}/{d['token']}"
                         )
-                        fs.mkdirs(dst.getParent())
-                        if not fs.rename(src, dst):
-                            raise RuntimeError(
-                                f"could not move DV {d['token']} from "
-                                "branch"
-                            )
-                        moved.append((src, dst))
+                        dv = self.spark.read.parquet(str(src)).select(
+                            F.replace(
+                                "_dv_file",
+                                F.lit(br_frag),
+                                F.lit(main_frag),
+                            ).alias("_dv_file"),
+                            "_dv_row",
+                        )
+                        dv.write.mode("overwrite").parquet(str(dst))
+                        created.append(dst)
                     d.pop("root", None)
-                elif _os.path.abspath(root) == _os.path.abspath(self.path):
+                elif _root_key(self.spark, root) == self_key:
                     d.pop("root", None)
                 deletes.append(d)
         except BaseException:
@@ -2495,12 +2547,10 @@ class SnapshotTable:
         # and that manifest's local files/tokens forever; a live BRANCH
         # keeps every main-rooted file (and DV token) its head still
         # references, so main churn can't reap from under a branch
-        import os as _os
-
         keep_manifests: set[int] = set()
         ref_dv_tokens: set[str] = set()
-        main_data_abs = f"{_os.path.abspath(self.path)}/data"
-        self_abs = _os.path.abspath(self.path)
+        main_data_key = _root_key(self.spark, f"{self.path}/data")
+        self_key = _root_key(self.spark, self.path)
         for _rname, _rdoc in self._refs().items():
             if _rdoc.get("type") == "tag":
                 tv = int(_rdoc["version"])
@@ -2539,13 +2589,14 @@ class SnapshotTable:
                 live |= {
                     e["path"]
                     for e in bm["files"]
-                    if e.get("base") == main_data_abs
+                    if e.get("base")
+                    and _root_key(self.spark, e["base"]) == main_data_key
                 }
                 ref_dv_tokens |= {
                     d["token"]
                     for d in bm.get("deletes", [])
                     if d.get("root")
-                    and _os.path.abspath(d["root"]) == self_abs
+                    and _root_key(self.spark, d["root"]) == self_key
                 }
         cutoff_ms = (_time.time() - older_than_sec) * 1000.0
         fs, _, jvm = _fs(self.spark, self.path)

@@ -32,6 +32,11 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from station_data_ingestion_spark.queries.registry import load, query
 
+# Filled by dedup_semantic_clusters on each run (cleared first): the
+# realized replication shape of the margin blocking, so bench's scale
+# probe can publish the block-size distribution next to the timing.
+LAST_SEMANTIC_REPLICATION_STATS: dict = {}
+
 # --- tier 1: exact -----------------------------------------------------------
 
 
@@ -824,7 +829,7 @@ def dedup_semantic_clusters(spark, sf_dir):
     says the cluster-bounded plan must match exactly."""
     from station_data_ingestion_spark.operators.semantic_dedup import (
         semantic_dedup_prune,
-        semantic_near_pairs,
+        semantic_near_pairs_auto,
     )
 
     e = load(spark, sf_dir, "embeddings")["embeddings"]
@@ -842,7 +847,30 @@ def dedup_semantic_clusters(spark, sf_dir):
         )
     )
     corpus = base.unionByName(twins)
-    pairs = semantic_near_pairs(corpus, tau=0.95, k=8, n_iter=3, vec_col="v")
+    # MEASURED k: this synthetic corpus is unclusterable by
+    # construction (base vectors mutually far — every k-means centroid
+    # lands within the margin of every vector, replication factor -> k,
+    # i.e. k-fold duplicated brute force). semantic_near_pairs_auto
+    # detects that from replication_stats and walks k down — here to
+    # k=1, the honest exact plan for a corpus this shape and size — and
+    # RAISES instead of burning a silent quadratic when an unclusterable
+    # corpus exceeds the block cap. The exactness guarantee makes the
+    # ANSWER independent of the chosen k, so the oracle stays valid.
+    rep_stats = LAST_SEMANTIC_REPLICATION_STATS
+    rep_stats.clear()
+    pairs = semantic_near_pairs_auto(
+        corpus, tau=0.95, n_iter=3, vec_col="v", stats_out=rep_stats
+    )
+    # alarm invariants: the measured plan never exceeds brute force,
+    # and the per-block accounting is self-consistent
+    n = rep_stats["n_vectors"]
+    if rep_stats["candidate_pairs"] > n * (n - 1) // 2:
+        raise RuntimeError(
+            f"semantic-dedup accepted a plan WORSE than brute force: "
+            f"{rep_stats}"
+        )
+    if sum(rep_stats["block_rows"].values()) != rep_stats["replicated_rows"]:
+        raise RuntimeError(f"replication accounting broken: {rep_stats}")
     return semantic_dedup_prune(corpus, pairs)
 
 

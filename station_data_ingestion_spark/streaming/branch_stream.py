@@ -32,10 +32,29 @@ def branch_publish_commit(
     run_token: str = "run",
     stats: dict | None = None,
 ):
-    """foreachBatch callback: fork -> append -> cleanse -> publish."""
+    """foreachBatch callback: fork -> append -> cleanse -> publish.
+
+    Requires ``batch_id`` in the table's partition columns — the
+    cleanse/count scope and exactly-once replay both key on the batch
+    partition, so a mispartitioned table would silently pay O(table)
+    per micro-batch and break replay idempotence."""
+    if "batch_id" not in table.partition_cols:
+        raise ValueError(
+            "branch_publish_commit requires 'batch_id' in the table's "
+            f"partition_cols (got {tuple(table.partition_cols)}): batch "
+            "scoping and replay idempotence key on it"
+        )
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
         name = f"{run_token}-{int(batch_id)}"
+        if batch_df.isEmpty():
+            # an empty micro-batch publishes 0 rows: forking a branch
+            # would stage no files and the scoped read below returns
+            # None — skip the fork/cleanse entirely (replay of an empty
+            # batch is trivially idempotent)
+            if stats is not None:
+                stats["published"] = stats.get("published", 0) + 1
+            return
         if name in table.branches():
             # crash between a half-built branch and its publish: the
             # replayed batch rebuilds from scratch
@@ -57,7 +76,11 @@ def branch_publish_commit(
         scope = F.col("batch_id") == name
         before = br.read(partition={"batch_id": name}).count()
         br.delete_where(scope & pred)
-        removed = before - br.read(partition={"batch_id": name}).count()
+        # a fully-bad batch deletes every row of its partition; the
+        # scoped read then returns None (no surviving files) — that is
+        # a legitimate publish of 0 rows, not a crash
+        after_df = br.read(partition={"batch_id": name})
+        removed = before - (0 if after_df is None else after_df.count())
         table.fast_forward(name)
         if stats is not None:
             stats["published"] = stats.get("published", 0) + 1

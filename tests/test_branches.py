@@ -128,6 +128,55 @@ def test_branch_dv_moves_across_fast_forward(spark, tmp_path):
     assert t.read().count() == 48
 
 
+def test_branch_dv_over_branch_local_files_fast_forward(spark, tmp_path):
+    """DVs recorded against BRANCH-LOCAL data files reference the files'
+    pre-move URIs; fast-forward renames those files into main's data
+    tree, so the DV must be rewritten with remapped coordinates or the
+    read-path anti-join silently resurrects the deleted rows."""
+    t = _mk(spark, tmp_path)
+    br = t.create_branch("exp")
+    # append NEW rows on the branch (branch-local files)...
+    br.commit_overwrite_partitions(
+        _df(spark, 60, 120).withColumn("p", F.lit("9"))
+    )
+    # ...then DV-delete a slice of exactly those appended rows
+    br.delete_where_dv((F.col("k") >= 60) & (F.col("k") % 5 == 0))
+    want = _rows(br.read())
+    assert len(want) == 60 + 60 - 12
+    t.fast_forward("exp")
+    got = _rows(t.read())
+    assert got == want  # no resurrected k % 5 == 0 rows
+    # the rewritten DV lives under main: survives vacuum, and a further
+    # COW delete on main composes with it
+    t.vacuum(older_than_sec=0.0)
+    assert _rows(t.read()) == want
+
+
+def test_fast_forward_lost_race_with_branch_local_dv(spark, tmp_path):
+    """A lost publish CAS must also remove the rewritten main-side DV
+    copies; the branch keeps its own DV file and stays retryable."""
+    t = _mk(spark, tmp_path)
+    br = t.create_branch("exp")
+    br.commit_overwrite_partitions(
+        _df(spark, 60, 90).withColumn("p", F.lit("9"))
+    )
+    br.delete_where_dv(F.col("k") == 66)
+    want = _rows(br.read())
+    real_cas = t._write_manifest_exclusive
+    t._write_manifest_exclusive = lambda v, m: False
+    try:
+        with pytest.raises(ConcurrentCommitError, match="left intact"):
+            t.fast_forward("exp")
+    finally:
+        t._write_manifest_exclusive = real_cas
+    main_dv_dir = str(tmp_path / "tbl" / "_deletes")
+    assert not os.path.exists(main_dv_dir) or os.listdir(main_dv_dir) == []
+    assert _rows(t.branch("exp").read()) == want
+    t.fast_forward("exp")
+    assert _rows(t.read()) == want
+    assert (66, 660) not in _rows(t.read())
+
+
 def test_ref_name_validation_and_read_param_exclusivity(spark, tmp_path):
     t = _mk(spark, tmp_path)
     t.tag("ok")

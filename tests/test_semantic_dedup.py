@@ -72,3 +72,135 @@ def test_tau_validation(spark):
     df, _ = _corpus(spark)
     with pytest.raises(ValueError, match="tau"):
         semantic_near_pairs(df, tau=1.5)
+
+
+def test_replication_stats_alarm_on_uniform_vectors(spark):
+    """Pathologically uniform (mutually near-identical) vectors make
+    every centroid fall within the margin of every vector: the realized
+    replication factor approaches k — exactly the condition a pipeline
+    must alarm on before paying for quadratic pair generation. A
+    clusterable corpus stays near 1."""
+    from station_data_ingestion_spark.operators.semantic_dedup import (
+        replication_stats,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=16)
+    base /= np.linalg.norm(base)
+    uniform = [
+        (i, [float(v) for v in base + rng.normal(scale=1e-3, size=16)])
+        for i in range(80)
+    ]
+    udf_ = spark.createDataFrame(
+        uniform, "vec_id long, embedding array<double>"
+    )
+    hot = replication_stats(udf_, tau=0.95, k=4, n_iter=2)
+    assert hot["n_vectors"] == 80
+    assert hot["replication_factor"] >= 3.5  # ~k: every block holds all
+    assert hot["max_block_rows"] >= 75
+    assert sum(hot["block_rows"].values()) == hot["replicated_rows"]
+
+    # the loosely-clustered fixture (2/3 of members carry 0.6-scale
+    # noise) replicates more than a production SemDeDup corpus would,
+    # but must still sit clearly below the uniform pathological case
+    clustered, _ = _corpus(spark)
+    cool = replication_stats(clustered, tau=0.95, k=4, n_iter=2)
+    assert cool["replication_factor"] < hot["replication_factor"] - 1.0
+    assert cool["candidate_pairs"] < hot["candidate_pairs"]
+
+
+def test_stats_out_matches_standalone_and_auto_k(spark):
+    from station_data_ingestion_spark.operators.semantic_dedup import (
+        auto_k,
+        replication_stats,
+    )
+
+    df, _ = _corpus(spark)
+    inline: dict = {}
+    semantic_near_pairs(
+        df, tau=0.95, k=4, n_iter=2, stats_out=inline
+    ).collect()
+    standalone = replication_stats(df, tau=0.95, k=4, n_iter=2)
+    assert inline == standalone
+    assert auto_k(0) == 8 and auto_k(100) == 10
+    assert auto_k(1_000_000) == 1000 and auto_k(10**9) == 4096
+
+
+def test_block_size_cap_overflows_loudly(spark):
+    """A hot block past max_block_rows must raise with actionable
+    guidance, not silently OOM/burn O(n^2)."""
+    df, _ = _corpus(spark)
+    with pytest.raises(Exception, match="max_block_rows"):
+        semantic_near_pairs(
+            df, tau=0.95, k=2, n_iter=1, max_block_rows=10
+        ).collect()
+
+
+@pytest.mark.parametrize("chunk_bytes", [1, 8 * 3 * 120, 256 << 20])
+def test_chunked_rerank_equals_single_matmul(spark, chunk_bytes):
+    """The rerank computes sims in row chunks; chunk size (forced down
+    to 1 row here) must not change the exact pair set."""
+    import pandas as pd
+
+    from station_data_ingestion_spark.operators.semantic_dedup import (
+        _block_pairs,
+    )
+
+    _, rows = _corpus(spark)
+    x = pd.DataFrame(
+        {
+            "block": [0] * len(rows),
+            "vec_id": [r[0] for r in rows],
+            "embedding": [r[1] for r in rows],
+        }
+    )
+    full = _block_pairs(0.95, 100_000, chunk_bytes=chunk_bytes)(x)
+    got = {(int(a), int(b)) for a, b in zip(full["a_id"], full["b_id"])}
+    assert got == _brute_pairs(rows, 0.95)
+
+
+def test_auto_falls_back_to_single_block_on_uniform_corpus(spark):
+    """The measured ladder: an unclusterable corpus degenerates the
+    margin blocking (factor -> k), so auto must walk k down to 1 (one
+    exact all-pairs block) and still produce the exact pair set —
+    instead of paying k-fold duplicated brute force."""
+    from station_data_ingestion_spark.operators.semantic_dedup import (
+        semantic_near_pairs_auto,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=16)
+    rows = [
+        (i, [float(v) for v in base + rng.normal(scale=5e-4, size=16)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    stats: dict = {}
+    got = {
+        (r.a_id, r.b_id)
+        for r in semantic_near_pairs_auto(
+            df, tau=0.95, n_iter=2, stats_out=stats
+        ).collect()
+    }
+    assert stats["chosen_k"] == 1
+    assert got == _brute_pairs(rows, 0.95)  # all pairs: near-identical
+
+
+def test_auto_exact_on_clustered_corpus_and_cap_raises(spark):
+    from station_data_ingestion_spark.operators.semantic_dedup import (
+        semantic_near_pairs_auto,
+    )
+
+    df, rows = _corpus(spark)
+    stats: dict = {}
+    got = {
+        (r.a_id, r.b_id)
+        for r in semantic_near_pairs_auto(
+            df, tau=0.95, n_iter=2, stats_out=stats
+        ).collect()
+    }
+    assert got == _brute_pairs(rows, 0.95)
+    assert stats["chosen_k"] >= 1 and stats["n_vectors"] == len(rows)
+    # unclusterable AND over the cap: no k helps — must raise, loudly
+    with pytest.raises(ValueError, match="degenerated"):
+        semantic_near_pairs_auto(df, tau=0.95, n_iter=2, max_block_rows=20)

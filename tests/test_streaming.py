@@ -548,3 +548,67 @@ def test_bloom_save_race_fails_batch_before_commit(spark, tmp_path):
     finally:
         bd._load_bloom = orig_load
     assert not table.exists(), "losing the bloom race must not commit"
+
+
+def test_branch_publish_commit_empty_and_all_bad_batches(spark, tmp_path):
+    """Edge batches must not crash the stream: an EMPTY micro-batch
+    publishes 0 rows without forking a branch, an ALL-BAD batch (every
+    row cleansed) publishes its empty partition, and a table whose
+    partition spec lacks batch_id is rejected up front."""
+    from station_data_ingestion_spark.plans.snapshot_store import (
+        SnapshotTable,
+    )
+    from station_data_ingestion_spark.streaming.branch_stream import (
+        branch_publish_commit,
+    )
+
+    t = SnapshotTable(
+        spark, str(tmp_path / "tbl"), partition_cols=("batch_id",)
+    )
+    base = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") - 5).alias("v")
+    )
+    t.commit_overwrite_partitions(
+        base.limit(0).withColumn("batch_id", F.lit("bootstrap"))
+    )
+    stats: dict = {}
+    commit = branch_publish_commit(t, F.col("v") < 0, stats=stats)
+    # normal batch: 5 of 10 rows cleansed
+    commit(base, 0)
+    assert stats == {"published": 1, "cleansed_rows": 5}
+    # empty batch: no fork, still counted as published
+    commit(base.limit(0), 1)
+    assert stats["published"] == 2
+    assert t.branches() == {}
+    # all-bad batch: every row deleted on the branch, publish succeeds
+    commit(base.filter(F.col("v") < -100 + 100), 2)  # v<0 rows only
+    commit(base.filter(F.col("v") < 0), 3)
+    assert stats["cleansed_rows"] == 15
+    assert t.read().filter(F.col("v") < 0).count() == 0
+    assert t.read().count() == 5
+    # wrong partition spec refuses at construction, not mid-stream
+    t2 = SnapshotTable(spark, str(tmp_path / "tbl2"), partition_cols=("k",))
+    with pytest.raises(ValueError, match="batch_id"):
+        branch_publish_commit(t2, F.col("v") < 0)
+
+
+def test_merge_changes_schema_evolving_updates(spark):
+    """merge_changes on a schema-evolving merge: the preimage must
+    null-fill columns the target never had instead of raising."""
+    from station_data_ingestion_spark.operators.merge import merge_changes
+
+    target = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    updates = spark.createDataFrame(
+        [(2, 21, "x"), (3, 30, "y")], "k long, v long, note string"
+    )
+    rows = {
+        (r["k"], r["_change_type"]): (r["v"], r["note"])
+        for r in merge_changes(
+            target, updates, ["k"], evolve_schema=True
+        ).collect()
+    }
+    assert rows == {
+        (3, "insert"): (30, "y"),
+        (2, "update_preimage"): (20, None),  # target never had note
+        (2, "update_postimage"): (21, "x"),
+    }
