@@ -189,3 +189,67 @@ def sssp(
             "(cap/min-weight bound exceeded — check weights are positive)"
         )
     return dist
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 30,
+) -> DataFrame:
+    """k-core decomposition membership: the maximal subgraph where every
+    node keeps degree >= k, by iterative peeling (remove all nodes below
+    k, recompute degrees, repeat to fixpoint).
+
+    ``edges`` is an undirected simple graph given as BOTH directions
+    (src, dst), no self-loops, no duplicates. Returns (node, deg) with
+    deg = the node's degree INSIDE the core.
+
+    Scale shape: each round is one join of the (shrinking) alive set
+    against the edge list + one degree groupBy — shuffles on node id
+    only, never materializing anything super-linear; localCheckpoint
+    truncates the iterative lineage. Peeling converges in at most the
+    degeneracy-ordering depth (a handful of rounds on real graphs);
+    exceeding ``max_rounds`` raises instead of silently returning a
+    non-fixpoint (oracles unroll exactly max_rounds, so the raise keeps
+    the two engines honest with each other).
+
+    [reference: none — the reference has no graph surface; engine
+    breadth row, same family as connected_components/sssp]
+    """
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    alive = (
+        deg.filter(F.col("deg") >= k)
+        .select(F.col("src").alias("node"))
+        .localCheckpoint(eager=True)
+    )
+    n_alive = alive.count()
+    for _ in range(max_rounds):
+        deg = (
+            edges.join(alive.select(F.col("node").alias("src")), "src")
+            .join(alive.select(F.col("node").alias("dst")), "dst")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        nxt = (
+            deg.filter(F.col("deg") >= k)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = nxt.count()
+        if n_nxt == n_alive:
+            alive = nxt
+            break
+        alive, n_alive = nxt, n_nxt
+        if n_alive == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"kcore did not converge in {max_rounds} peeling rounds"
+        )
+    # final in-core degrees for the surviving set
+    return (
+        edges.join(alive.select(F.col("node").alias("src")), "src")
+        .join(alive.select(F.col("node").alias("dst")), "dst")
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )

@@ -222,6 +222,50 @@ def _stats_from(replicated: DataFrame, n: int) -> dict:
     }
 
 
+def _eval_prefix_blockings(centroids: np.ndarray, margin: float, sizes):
+    """One Arrow pass measuring EVERY candidate blocking at once.
+
+    The margin-replication guarantee holds for ANY centroid set, so
+    prefixes of one fitted centroid matrix are all valid blockings —
+    distances to the k0 centroids are computed once per vector and the
+    per-prefix nearest/within-margin counts fall out of cumulative
+    minima, making the k sweep O(n·k0) total instead of one k-means fit
+    per ladder step. Emits (s, block, cnt) partial rows."""
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = np.array(list(pdf["embedding"]), dtype=np.float64)
+            norms = np.linalg.norm(x, axis=1)
+            xn = x / norms[:, None]
+            d2 = (
+                (xn * xn).sum(axis=1)[:, None]
+                - 2.0 * (xn @ centroids.T)
+                + (centroids * centroids).sum(axis=1)[None, :]
+            )
+            d = np.sqrt(np.maximum(d2, 0.0))
+            out_s, out_b, out_c = [], [], []
+            for s in sizes:
+                ds = d[:, :s]
+                cutoff = ds.min(axis=1)[:, None] + margin
+                hit = ds <= cutoff
+                rows, cols = np.nonzero(hit)
+                blocks, cnts = np.unique(cols, return_counts=True)
+                out_s.append(np.full(len(blocks), s, dtype=np.int32))
+                out_b.append(blocks.astype(np.int32))
+                out_c.append(cnts.astype(np.int64))
+            yield pd.DataFrame(
+                {
+                    "s": np.concatenate(out_s),
+                    "block": np.concatenate(out_b),
+                    "cnt": np.concatenate(out_c),
+                }
+            )
+
+    return run
+
+
 def semantic_near_pairs_auto(
     df: DataFrame,
     tau: float,
@@ -234,52 +278,109 @@ def semantic_near_pairs_auto(
     """:func:`semantic_near_pairs` with MEASURED k selection — the
     replication alarm wired to act instead of just report.
 
-    Starts at ``auto_k(n)`` and checks :func:`replication_stats`:
-    margin blocking only pays when the candidate-pair count beats plain
-    all-pairs, and on a corpus with no cluster structure at the margin
-    scale (every centroid within dmin+r of every vector) the factor
-    degenerates toward k — k-fold DUPLICATED brute force. While the
-    measured candidate pairs are not clearly better than brute force
-    (< half), k divides by 4, down to k=1 (one exact all-pairs block —
-    the honest plan for an unclusterable corpus that fits a block).
-    A corpus that is BOTH unclusterable and bigger than
-    ``max_block_rows`` raises loudly: no k helps, and silently burning
-    a quadratic is the one thing a 100 TB pipeline must not do.
+    Margin blocking only pays when the measured candidate-pair count
+    beats plain all-pairs: on a corpus with no cluster structure at the
+    margin scale (every centroid within dmin+r of every vector) the
+    replication factor degenerates toward k — k-fold DUPLICATED brute
+    force — while an over-fine k on a clusterable corpus multiplies
+    within-cluster work. So: ONE k-means fit at ``auto_k(n)``, then one
+    Arrow pass evaluates the geometric ladder of centroid PREFIXES
+    (k0, k0/4, …, 1 — the exactness guarantee holds for any centroid
+    set, so prefixes are valid blockings) and the k with the fewest
+    candidate pairs wins, subject to ``max_block_rows``. k=1 (a single
+    exact all-pairs block) is the honest floor for an unclusterable
+    corpus that fits a block; a corpus that is unclusterable at EVERY
+    ladder size AND over the cap raises loudly — silently burning a
+    quadratic is the one thing a 100 TB pipeline must not do.
 
-    Each ladder step costs one k-means fit + one replication pass
-    (linear, Arrow-batched) — measured before the quadratic is paid.
-    ``stats_out`` receives the accepted step's stats plus ``chosen_k``.
-    """
+    Total measurement cost: one k-means fit + one linear evaluation
+    pass, regardless of how many k values are compared.
+    ``stats_out`` receives the winner's stats plus ``chosen_k`` and
+    the per-size candidate counts (``ladder``)."""
+    if not 0.0 < tau < 1.0:
+        raise ValueError(f"tau must be in (0, 1), got {tau}")
     n = df.count()
-    k = auto_k(n)
-    brute = n * (n - 1) // 2
-    while True:
-        stats = replication_stats(df, tau, k, n_iter, id_col, vec_col)
-        if k == 1 or stats["candidate_pairs"] < brute // 2:
-            break
-        k = max(1, k // 4)
-    if stats["max_block_rows"] > max_block_rows:
+    k0 = auto_k(n)
+    sizes = []
+    s = k0
+    while s > 1:
+        sizes.append(s)
+        s //= 4
+    sizes.append(1)
+    r = math.sqrt(2.0 - 2.0 * tau)
+    vecs = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    normed = vecs.withColumn(
+        "_n",
+        F.sqrt(
+            F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x * x)
+        ),
+    ).select(
+        "vec_id",
+        F.transform("embedding", lambda v: v / F.col("_n")).alias(
+            "embedding"
+        ),
+    )
+    centroids = kmeans_fit(normed, k=k0, n_iter=n_iter)
+    per_block = (
+        vecs.mapInPandas(
+            _eval_prefix_blockings(centroids, r, sizes),
+            "s int, block int, cnt long",
+        )
+        .groupBy("s", "block")
+        .agg(F.sum("cnt").alias("rows"))
+        .collect()
+    )
+    by_size: dict[int, dict[int, int]] = {s: {} for s in sizes}
+    for row in per_block:
+        by_size[int(row["s"])][int(row["block"])] = int(row["rows"])
+    ladder = {
+        s: sum(m * (m - 1) // 2 for m in blocks.values())
+        for s, blocks in by_size.items()
+    }
+    feasible = [
+        s
+        for s in sizes
+        if max(by_size[s].values(), default=0) <= max_block_rows
+    ]
+    if not feasible:
+        worst = min(sizes, key=lambda s: max(by_size[s].values(), default=0))
         raise ValueError(
-            f"semantic-dedup blocking degenerated: at k={k} the largest "
-            f"block holds {stats['max_block_rows']} vectors "
-            f"(cap {max_block_rows}, replication factor "
-            f"{stats['replication_factor']}). The corpus has no cluster "
+            "semantic-dedup blocking degenerated at every ladder size "
+            f"{sizes}: smallest max-block is "
+            f"{max(by_size[worst].values(), default=0)} rows "
+            f"(cap {max_block_rows}). The corpus has no cluster "
             "structure at the margin scale sqrt(2-2*tau) — raise tau, "
             "shard the corpus, or raise max_block_rows if the quadratic "
             "cost is intended."
         )
-    stats["chosen_k"] = k
+    chosen = min(feasible, key=lambda s: (ladder[s], s))
+    blocks = by_size[chosen]
+    replicated_rows = sum(blocks.values())
     if stats_out is not None:
-        stats_out.update(stats)
-    return semantic_near_pairs(
-        df,
-        tau,
-        k=k,
-        n_iter=n_iter,
-        id_col=id_col,
-        vec_col=vec_col,
-        max_block_rows=max_block_rows,
+        stats_out.update(
+            n_vectors=n,
+            replicated_rows=replicated_rows,
+            replication_factor=round(replicated_rows / n, 3) if n else 0.0,
+            n_blocks=len(blocks),
+            max_block_rows=max(blocks.values(), default=0),
+            candidate_pairs=ladder[chosen],
+            block_rows=blocks,
+            chosen_k=chosen,
+            ladder=ladder,
+        )
+    replicated = vecs.mapInPandas(
+        _replicate_batches(centroids[:chosen], margin=r),
+        "block int, vec_id long, embedding array<double>",
     )
+    pairs = replicated.groupBy("block").applyInPandas(
+        _block_pairs(tau, max_block_rows), "a_id long, b_id long, sim double"
+    )
+    return pairs.groupBy("a_id", "b_id").agg(F.min("sim").alias("sim"))
 
 
 def semantic_near_pairs(

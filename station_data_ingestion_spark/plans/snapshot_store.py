@@ -937,7 +937,13 @@ class SnapshotTable:
         groups: dict[tuple, list[str]] = {}
         for e in entries:
             base = e.get("base") or f"{self.path}/data"
-            spec = (tuple(sorted(e["partition"].keys())), base)
+            # the fill signature (initial column defaults, add_column)
+            # joins the group key: files predating an ADD COLUMN WITH
+            # DEFAULT read the default, files written after read their
+            # physical values — indistinguishable after mergeSchema's
+            # null-fill, so they cannot share one scan
+            fill = json.dumps(e.get("fill") or {}, sort_keys=True)
+            spec = (tuple(sorted(e["partition"].keys())), base, fill)
             groups.setdefault(spec, []).append(f"{base}/{e['path']}")
         # numeric-looking partition values (datatype='850') must read back
         # as strings, or a merge would rewrite them as a new '850.0' slice
@@ -948,12 +954,22 @@ class SnapshotTable:
             from pyspark.sql import functions as F
 
             dfs = []
-            for (_, base), paths in sorted(groups.items()):
+            for (_, base, fill), paths in sorted(groups.items()):
                 d = (
                     self.spark.read.option("basePath", base)
                     .option("mergeSchema", "true")
                     .parquet(*paths)
                 )
+                for col, spec_ in json.loads(fill).items():
+                    filled = F.lit(spec_["v"]).cast(spec_["t"])
+                    if col in d.columns:
+                        # defensive: a fill-tagged file should lack the
+                        # column entirely; coalesce keeps physical values
+                        d = d.withColumn(
+                            col, F.coalesce(F.col(col), filled)
+                        )
+                    else:
+                        d = d.withColumn(col, filled)
                 if lineage:
                     d = d.select(
                         "*",
@@ -1104,6 +1120,12 @@ class SnapshotTable:
             "files": m["files"],
             "op": "rename-column",
         }
+        if m.get("dropped"):
+            manifest["dropped"] = m["dropped"]
+        if m.get("deletes"):
+            # DVs survive unrelated metadata commits — omitting them
+            # here would resurrect every DV-deleted row at this version
+            manifest["deletes"] = m["deletes"]
         if not self._write_manifest_exclusive(version, manifest):
             raise ConcurrentCommitError(
                 f"lost the publish race for v{version} at {self.path}"
@@ -1139,6 +1161,61 @@ class SnapshotTable:
         }
         if m.get("renames"):
             manifest["renames"] = m["renames"]
+        if m.get("deletes"):
+            # same carry-forward as every data commit: a metadata-only
+            # evolution must not resurrect DV-deleted rows
+            manifest["deletes"] = m["deletes"]
+        if not self._write_manifest_exclusive(version, manifest):
+            raise ConcurrentCommitError(
+                f"lost the publish race for v{version} at {self.path}"
+            )
+        return version
+
+    def add_column(self, col: str, dtype: str, default=None) -> int:
+        """Metadata-only ADD COLUMN with an INITIAL DEFAULT (Delta
+        defaults / Iceberg initial-default): no data file is touched.
+        Every file already in the table is tagged with a per-entry fill
+        — those rows read back ``default`` — while files written after
+        this commit carry physical values (their genuine NULLs stay
+        NULL, which plain mergeSchema cannot distinguish). Time travel
+        to a pre-add version does not see the column. The name must not
+        collide with the live schema or a retired (dropped/renamed-away)
+        name — same name-mapping rule as drop/rename."""
+        cur = self.read()
+        if cur is None:
+            raise ValueError(f"no table at {self.path}")
+        if col in cur.columns:
+            raise ValueError(f"column {col!r} already exists")
+        base_v = self.latest_version()
+        m = self._read_manifest(base_v)
+        retired = set(m.get("dropped", [])) | {
+            old for old, _ in m.get("renames", [])
+        }
+        if col in retired:
+            raise ValueError(
+                f"column name {col!r} is retired (dropped or renamed "
+                "away); re-adding would resurface old files' values"
+            )
+        entries = [
+            {
+                **e,
+                "fill": {
+                    **(e.get("fill") or {}),
+                    col: {"v": default, "t": dtype},
+                },
+            }
+            for e in m["files"]
+        ]
+        version = base_v + 1
+        manifest = {
+            "version": version,
+            "partition_cols": list(self.partition_cols),
+            "files": entries,
+            "op": "add-column",
+        }
+        for carry in ("renames", "dropped", "deletes"):
+            if m.get(carry):
+                manifest[carry] = m[carry]
         if not self._write_manifest_exclusive(version, manifest):
             raise ConcurrentCommitError(
                 f"lost the publish race for v{version} at {self.path}"
@@ -2169,6 +2246,91 @@ class SnapshotTable:
                 "changes": chg_tok,
             },
         )
+
+    def merge_dv(self, updates: DataFrame, key_fields: list[str]) -> dict:
+        """MERGE, MERGE-ON-READ: upsert ``updates`` by key with write
+        volume O(affected rows) — matched-and-changed target rows are
+        deletion-vectored out of their files and the update images (plus
+        brand-new keys) land as appended files, all in ONE atomic
+        commit. No touched file is rewritten (copy-on-write MERGE pays
+        the full contents of every file holding a matched row; with a
+        clustered layout that approaches a table rewrite for scattered
+        keys). This is Iceberg's merge-on-read MERGE / Delta's DV
+        update decomposition applied to the reference's core upsert
+        [reference: src/modules/ingestion_handler.py:205-254 — same
+        semantics as merge_observations: create + replace-only-changed].
+
+        Action classification reuses operators/merge.merge_plan (ONE
+        distributed full-outer probe; multi-match and conflicting-
+        duplicate guards included); unchanged matches cost nothing.
+        Returns {"version", "created", "replaced"}. The change feed
+        records insert + update pre/post images, so CDF consumers see a
+        merge-dv commit exactly like a copy-on-write merge."""
+        from pyspark.sql import functions as F
+
+        from station_data_ingestion_spark.operators.merge import merge_plan
+
+        base_v = self.latest_version()
+        if base_v is None:
+            raise ValueError(f"no table at {self.path}")
+        target = self.read(version=base_v)
+        plan = merge_plan(target, updates, key_fields, replace=True)
+        plan = plan.localCheckpoint(eager=True)  # classify ONCE
+        counts = {
+            r["_action"]: r["n"]
+            for r in plan.groupBy("_action")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        created = int(counts.get("create", 0))
+        replaced = int(counts.get("replace", 0))
+        if created == 0 and replaced == 0:
+            return {"version": base_v, "created": 0, "replaced": 0}
+        data_cols = [c for c in plan.columns if c != "_action"]
+        new_rows = plan.filter(
+            F.col("_action").isin("create", "replace")
+        ).select(*data_cols)
+        extra = {"op": "merge-dv"}
+        n_dv = 0
+        tok = None
+        if replaced:
+            replaced_keys = plan.filter(
+                F.col("_action") == "replace"
+            ).select(*key_fields)
+            matched = (
+                self.read(version=base_v, _lineage=True)
+                .join(replaced_keys, key_fields, "left_semi")
+                .localCheckpoint(eager=True)  # one compute: DV + CDF
+            )
+            tok = uuid.uuid4().hex
+            dv_path = f"{self.path}/{_DELETES}/{tok}"
+            matched.select("_dv_file", "_dv_row").write.parquet(dv_path)
+            n_dv = self.spark.read.parquet(dv_path).count()
+            pre = matched.drop("_dv_file", "_dv_row").withColumn(
+                "_change_type", F.lit("update_preimage")
+            )
+            post = plan.filter(F.col("_action") == "replace").select(
+                *data_cols
+            ).withColumn("_change_type", F.lit("update_postimage"))
+            changes = pre.unionByName(post)
+        else:
+            changes = self.spark.createDataFrame(
+                [], new_rows.withColumn("_change_type", F.lit("")).schema
+            )
+        inserts = plan.filter(F.col("_action") == "create").select(
+            *data_cols
+        ).withColumn("_change_type", F.lit("insert"))
+        extra["changes"] = self._write_changes(
+            changes.unionByName(inserts)
+        )
+        if tok is not None and n_dv > 0:
+            prior = self._read_manifest(base_v).get("deletes", [])
+            extra["deletes"] = prior + [{"token": tok, "rows": int(n_dv)}]
+        new_entries = self._write_and_promote(new_rows)
+        v = self._commit_file_replacement(
+            set(), new_entries, base_v, extra=extra
+        )
+        return {"version": v, "created": created, "replaced": replaced}
 
     def materialize_deletes(self) -> int:
         """Compact MERGE-ON-READ deletes into the data files: rewrite

@@ -469,3 +469,74 @@ def dq_k_anonymity_audit(spark, sf_dir):
         "region_segment",
     )
     return fine.unionByName(coarse)
+
+
+@query(
+    "dq_outlier_iqr_fences",
+    """
+WITH x AS (
+  SELECT l_returnflag AS grp,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+), fences AS (
+  SELECT grp,
+         quantile_cont(cents, 0.25) AS q1,
+         quantile_cont(cents, 0.75) AS q3
+  FROM x GROUP BY grp
+)
+SELECT x.grp,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(f.q3 - f.q1, 1) AS iqr_cents,
+       CAST(SUM(CASE WHEN x.cents < f.q1 - 1.5 * (f.q3 - f.q1)
+                       OR x.cents > f.q3 + 1.5 * (f.q3 - f.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(MAX(CASE WHEN x.cents > f.q3 + 1.5 * (f.q3 - f.q1)
+                     THEN x.cents END) AS BIGINT) AS max_outlier_cents
+FROM x JOIN fences f ON f.grp = x.grp
+GROUP BY x.grp, f.q1, f.q3
+""",
+)
+def dq_outlier_iqr_fences(spark, sf_dir):
+    """Tukey IQR outlier audit per return flag: exact quartiles on
+    integer cents (both engines share the percentile_cont
+    interpolation definition; fences 1.5×IQR stay exact binary
+    fractions), then one broadcast of the 3-row fence table back over
+    the fact scan to count fence-breakers. The classic pre-training
+    data-quality gate for numeric columns — at 100 TB the fences would
+    come from approx_percentile and this exact twin is the oracle
+    anchor (same contract as agg_exact_percentiles)."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    x = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    fences = x.groupBy("grp").agg(
+        F.expr("percentile(cents, 0.25)").alias("q1"),
+        F.expr("percentile(cents, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo, hi = F.col("q1") - 1.5 * iqr, F.col("q3") + 1.5 * iqr
+    return (
+        x.join(F.broadcast(fences), "grp")
+        .groupBy("grp", "q1", "q3")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("cents") < lo) | (F.col("cents") > hi), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.max(F.when(F.col("cents") > hi, F.col("cents")))
+            .cast("long")
+            .alias("max_outlier_cents"),
+        )
+        .select(
+            "grp",
+            "n",
+            F.round(iqr, 1).alias("iqr_cents"),
+            "n_outliers",
+            "max_outlier_cents",
+        )
+    )

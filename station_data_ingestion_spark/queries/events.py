@@ -893,3 +893,85 @@ def basket_association_rules(spark, sf_dir):
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "events_session_path_topk",
+    """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN date_diff('second',
+                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                 ts) > 1800
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL
+              THEN 1 ELSE 0 END AS is_new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(SUM(is_new_session)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM ordered
+), stepped AS (
+  SELECT user_id, session_seq, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+                            ORDER BY ts, event_id) AS rn
+  FROM numbered
+), paths AS (
+  SELECT user_id, session_seq,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM stepped WHERE rn <= 3
+  GROUP BY user_id, session_seq
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 10
+""",
+)
+def events_session_path_topk(spark, sf_dir):
+    """Top session-opening paths: 30-minute-gap sessionization (the
+    gaps-and-islands program events_sessionization certifies), then
+    each session's first THREE event types joined into a path string
+    and the 10 most common paths reported — the product-analytics
+    'what do users do first' query. Per-user/per-session windows only
+    (never global); the path assembly sorts a ≤3-element struct array
+    inside each group, and the final top-10 is a total order
+    (count desc, path asc) through TakeOrderedAndProject, not a
+    window."""
+    e = load(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    gap_sec = F.col("ts").cast("long") - prev_ts.cast("long")
+    is_new = F.when(prev_ts.isNull() | (gap_sec > 1800), 1).otherwise(0)
+    numbered = e.select(
+        "user_id", "ts", "event_id", "event_type",
+        is_new.alias("is_new_session"),
+    ).withColumn(
+        "session_seq",
+        F.sum("is_new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    sw = Window.partitionBy("user_id", "session_seq").orderBy(
+        "ts", "event_id"
+    )
+    stepped = numbered.withColumn("rn", F.row_number().over(sw)).filter(
+        F.col("rn") <= 3
+    )
+    paths = stepped.groupBy("user_id", "session_seq").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(10)
+    )

@@ -327,3 +327,87 @@ def graph_sssp_weighted(spark, sf_dir):
         F.col("node").cast("long").alias("node"),
         F.col("dist").cast("long").alias("dist"),
     )
+
+
+_KCORE_K = 14
+_KCORE_ROUNDS = 30
+
+
+def _kcore_oracle() -> str:
+    return f"""
+WITH RECURSIVE li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+  WHERE l_partkey % 5 = 0
+),
+e0 AS (
+  SELECT DISTINCT a.p AS a, b.p AS b
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+),
+e AS (
+  SELECT a AS src, b AS dst FROM e0
+  UNION ALL SELECT b AS src, a AS dst FROM e0
+),
+peel(r, node) AS (
+  SELECT 0, src FROM e GROUP BY src
+  UNION ALL
+  SELECT p.r + 1, d.src
+  FROM (
+    SELECT MAX(r) AS r FROM peel
+  ) p,
+  LATERAL (
+    SELECT e.src, COUNT(*) AS deg
+    FROM e
+    JOIN peel pa ON pa.node = e.src
+    JOIN peel pb ON pb.node = e.dst
+    GROUP BY e.src
+  ) d
+  WHERE d.deg >= {_KCORE_K} AND p.r < {_KCORE_ROUNDS}
+),
+core AS (
+  SELECT node FROM peel WHERE r = {_KCORE_ROUNDS}
+)
+SELECT e.src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+FROM e
+JOIN core ca ON ca.node = e.src
+JOIN core cb ON cb.node = e.dst
+GROUP BY e.src
+"""
+
+
+@query("graph_kcore_membership", _kcore_oracle())
+def graph_kcore_membership(spark, sf_dir):
+    """k-core decomposition (k={_KCORE_K}) of the co-purchase graph —
+    the standard graph-density filter (drop everything that cannot sit
+    inside a subgraph of minimum degree k) used for community seeding
+    and spam pruning. Iterative peeling via operators/graph.py:kcore —
+    each round joins the shrinking alive set to the edge list and
+    recomputes degrees (node-id shuffles only), localCheckpoint
+    truncates the lineage, and non-convergence within the shared round
+    cap RAISES rather than returning a non-fixpoint. The DuckDB oracle
+    peels the same graph through a recursive CTE whose working table is
+    the previous round's alive set, unrolled to the same cap — after
+    convergence the set reproduces itself, so round {_KCORE_ROUNDS}
+    IS the fixpoint both engines certify."""
+    from station_data_ingestion_spark.operators.graph import kcore
+
+    li = (
+        load(spark, sf_dir, "lineitem")["lineitem"]
+        .filter(F.col("l_partkey") % 5 == 0)
+        .select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    e0 = (
+        li.alias("a")
+        .join(li.alias("b"), F.col("a.o") == F.col("b.o"))
+        .filter(F.col("a.p") < F.col("b.p"))
+        .select(F.col("a.p").alias("a"), F.col("b.p").alias("b"))
+        .distinct()
+    )
+    edges = e0.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(
+        e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).localCheckpoint(eager=True)
+    return kcore(edges, k=_KCORE_K, max_rounds=_KCORE_ROUNDS)

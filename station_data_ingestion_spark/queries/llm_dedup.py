@@ -1174,3 +1174,124 @@ def er_golden_record_suppliers(spark, sf_dir, checkpoint_dir=None):
         .select("entity_id", F.col("nm").alias("golden_name"))
     )
     return golden.join(best_phone, "entity_id")
+
+
+@query(
+    "text_dup_ngram_span_fraction",
+    """
+WITH arr AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 8
+),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i+1:i+8], ' ') AS gram
+  FROM arr, LATERAL (SELECT UNNEST(range(0, len(w) - 7)) AS i) t
+),
+dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2
+),
+iv AS (
+  SELECT g.doc_id, g.pos AS s, g.pos + 7 AS e
+  FROM grams g JOIN dup USING (gram)
+),
+flagged AS (
+  SELECT doc_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) >= s
+              THEN 0 ELSE 1 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT doc_id, s, e,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS island
+  FROM flagged
+),
+per_island AS (
+  SELECT doc_id, island, MAX(e) - MIN(s) + 1 AS len
+  FROM islands GROUP BY doc_id, island
+),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(len) AS BIGINT) AS dup_tokens
+  FROM per_island GROUP BY doc_id
+)
+SELECT a.doc_id, CAST(len(a.w) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(COALESCE(p.dup_tokens, 0) * 10000 // len(a.w) AS BIGINT)
+         AS dup_fraction_bp
+FROM arr a LEFT JOIN per_doc p ON p.doc_id = a.doc_id
+""",
+)
+def text_dup_ngram_span_fraction(spark, sf_dir):
+    """Duplicated-substring coverage per document — the Lee et al.
+    ("Deduplicating Training Data Makes Language Models Better")
+    ExactSubstr signal approximated at 8-token granularity: every
+    8-gram occurring ≥2 times anywhere in the corpus marks its token
+    span [pos, pos+7] duplicated, and the fraction of each document
+    covered by the UNION of its duplicated spans is the
+    train-data-quality score (high = boilerplate/copy). Plan: grams
+    come from pure array ops on the split text (slice inside
+    transform — no window, no self-join); the occurrence count is one
+    shuffle on the gram string (at 100 TB you would shuffle an
+    xxhash64 of the gram instead — same plan, narrower rows); span
+    union is the per-doc gaps-and-islands program (partitioned
+    windows only), identical to events_interval_union_length."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    arr = d.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 8
+    )
+    grams = arr.select(
+        "doc_id",
+        F.expr(
+            "explode(transform(sequence(0, size(w) - 8),"
+            " i -> struct(i AS pos,"
+            " array_join(slice(w, i + 1, 8), ' ') AS gram)))"
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    dup = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") >= 2
+    )
+    iv = grams.join(dup.select("gram"), "gram", "left_semi").select(
+        "doc_id", F.col("pos").alias("s"), (F.col("pos") + 7).alias("e")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(F.max("e").over(w_prev) >= F.col("s"), 0).otherwise(1),
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(w_run))
+    per_doc = (
+        islands.groupBy("doc_id", "island")
+        .agg((F.max("e") - F.min("s") + 1).alias("len"))
+        .groupBy("doc_id")
+        .agg(F.sum("len").cast("long").alias("dup_tokens"))
+    )
+    return (
+        arr.select("doc_id", F.size("w").cast("long").alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("dup_tokens"), F.lit(0))
+            .cast("long")
+            .alias("dup_tokens"),
+            (
+                F.coalesce(F.col("dup_tokens"), F.lit(0))
+                * 10000
+                / F.col("n_tokens")
+            )
+            .cast("long")
+            .alias("dup_fraction_bp"),
+        )
+    )

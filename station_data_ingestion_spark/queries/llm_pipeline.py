@@ -488,3 +488,90 @@ def mixture_token_budget_cap(spark, sf_dir):
             F.sum("n_tok").cast("long").alias("tokens"),
         )
     )
+
+
+@query(
+    "mixture_dsir_importance",
+    """
+WITH tok AS (
+  SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS word
+  FROM documents
+), vocab AS (
+  SELECT word,
+         CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+           AS ct,
+         CAST(SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+           AS cs
+  FROM tok GROUP BY word
+), tot AS (
+  SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cs) AS BIGINT) AS ts_,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM vocab
+), w AS (
+  SELECT word,
+         CAST(ROUND(log2(((ct + 1) * 1.0 / (tt + v))
+                         / ((cs + 1) * 1.0 / (ts_ + v))) * 1000000)
+              AS BIGINT) AS ubits
+  FROM vocab CROSS JOIN tot
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(w.ubits) AS BIGINT) AS dsir_ubits
+FROM tok t JOIN w USING (word)
+WHERE t.source <> 'src0'
+GROUP BY t.doc_id
+""",
+)
+def mixture_dsir_importance(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every candidate
+    document by how target-like its unigram distribution is —
+    sum over tokens of log(p_target/p_raw) with add-1 smoothing, here
+    with src0 as the target domain and the rest as the raw pool. The
+    published pipeline then Gumbel-resamples by these weights; the
+    deterministic, oracle-checkable part is the weight computation
+    itself. Per-word log-ratios are rounded to integer MICROBITS before
+    the per-doc sum (the text_unigram_logprob contract), so the
+    aggregate is associative integer math — bit-identical on any
+    partitioning. Plan: one vocab groupBy, the token→weight join
+    broadcasts the vocabulary, one doc groupBy — at 100 TB the
+    vocabulary table is the only state, exactly DSIR's hashed-ngram
+    design point."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    tok = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    vocab = tok.groupBy("word").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+        .cast("long")
+        .alias("ct"),
+        F.sum(F.when(F.col("source") != "src0", 1).otherwise(0))
+        .cast("long")
+        .alias("cs"),
+    )
+    tot = vocab.agg(
+        F.sum("ct").cast("long").alias("tt"),
+        F.sum("cs").cast("long").alias("ts_"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    w = vocab.join(F.broadcast(tot)).select(
+        "word",
+        F.round(
+            F.log2(
+                ((F.col("ct") + 1) * 1.0 / (F.col("tt") + F.col("v")))
+                / ((F.col("cs") + 1) * 1.0 / (F.col("ts_") + F.col("v")))
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("ubits"),
+    )
+    return (
+        tok.filter(F.col("source") != "src0")
+        .join(F.broadcast(w), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("ubits").cast("long").alias("dsir_ubits"),
+        )
+    )

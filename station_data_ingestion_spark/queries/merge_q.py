@@ -491,3 +491,76 @@ def merge_cdc_latest_wins(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("cents").cast("long").alias("cents"),
     )
+
+
+@query(
+    "merge_dv_merge_on_read",
+    """
+WITH target AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(o_orderkey % 4 AS VARCHAR) AS bucket
+  FROM orders WHERE o_orderkey % 2 = 0
+), updates AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) * 2 AS cents,
+         CAST(o_orderkey % 4 AS VARCHAR) AS bucket
+  FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT COALESCE(t.o_orderkey, u.o_orderkey) AS o_orderkey,
+       CASE WHEN u.o_orderkey IS NOT NULL THEN u.cents
+            ELSE t.cents END AS cents,
+       COALESCE(t.bucket, u.bucket) AS bucket
+FROM target t FULL OUTER JOIN updates u ON t.o_orderkey = u.o_orderkey
+""",
+)
+def merge_dv_merge_on_read(spark, sf_dir):
+    """MERGE-ON-READ MERGE (Iceberg MOR / Delta DV-update applied to
+    the reference's core upsert): matched-and-changed rows are
+    deletion-vectored out of their files and the update images land as
+    appended files — ONE atomic commit, write volume O(affected rows),
+    ZERO data files rewritten. The in-query asserts make the
+    merge-on-read claim falsifiable: every pre-merge file must survive
+    with its identity intact (a rewrite fails the gate), the commit
+    must carry a DV, and the stats must show both creates and
+    replaces. Same oracle semantics as merge_upsert_orders — two
+    physical merge strategies (COW partition overwrite vs MOR
+    DV+append), one certified answer."""
+    from station_data_ingestion_spark.plans.snapshot_store import SnapshotTable
+    from station_data_ingestion_spark.queries.snapshot_q import _tmpdir
+
+    o = load(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 4).cast("string").alias("bucket"),
+    )
+    target = o.filter(F.col("o_orderkey") % 2 == 0)
+    updates = o.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "cents", F.col("cents") * 2
+    )
+    t = SnapshotTable(
+        spark,
+        _tmpdir(prefix="merge_mor_") + "/orders_mor",
+        partition_cols=("bucket",),
+        stat_cols=("o_orderkey",),
+    )
+    t.commit_overwrite_partitions(target)
+    v1 = t.latest_version()
+    files_before = {
+        e["path"] for e in t._read_manifest(v1)["files"]
+    }
+    res = t.merge_dv(updates, ["o_orderkey"])
+    m2 = t._read_manifest(res["version"])
+    files_after = {e["path"] for e in m2["files"]}
+    if not files_before <= files_after:
+        raise RuntimeError(
+            "merge-on-read rewrote data files: "
+            f"{sorted(files_before - files_after)[:3]}"
+        )
+    if not m2.get("deletes"):
+        raise RuntimeError("merge-on-read commit carries no deletion vector")
+    if res["created"] == 0 or res["replaced"] == 0:
+        raise RuntimeError(f"scenario must create AND replace: {res}")
+    if res["version"] != v1 + 1:
+        raise RuntimeError("merge-on-read must be ONE atomic commit")
+    return t.read().select("o_orderkey", "cents", "bucket")

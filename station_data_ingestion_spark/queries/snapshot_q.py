@@ -3009,3 +3009,83 @@ def snapshot_tpch_refresh_functions(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_items"),
         F.sum("rev").cast("long").alias("revenue"),
     )
+
+
+@query(
+    "snapshot_add_column_default_read",
+    """
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(o_orderkey % 4 AS VARCHAR) AS bucket
+  FROM orders WHERE o_orderkey % 2 = 0
+), incoming AS (
+  SELECT o_orderkey + 1000000000 AS o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         'n' || CAST(o_orderkey % 4 AS VARCHAR) AS bucket,
+         CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE 'web' END AS channel
+  FROM orders WHERE o_orderkey % 5 = 0
+), unioned AS (
+  SELECT o_orderkey, cents, bucket, 'store' AS channel FROM base
+  UNION ALL
+  SELECT o_orderkey, cents, bucket, channel FROM incoming
+)
+SELECT COALESCE(channel, '<null>') AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM unioned GROUP BY 1
+""",
+)
+def snapshot_add_column_default_read(spark, sf_dir):
+    """Metadata-only ADD COLUMN WITH INITIAL DEFAULT (Delta column
+    defaults / Iceberg initial-default): files already in the table
+    read the default through a per-entry fill tag — NO data file is
+    rewritten — while rows appended after the add keep their physical
+    values, INCLUDING genuine NULLs (the case plain mergeSchema
+    null-fill cannot represent: here '<null>' rows must stay distinct
+    from 'store' defaults or the gate fails). In-query asserts: the
+    add commit leaves the file set untouched, and time travel to the
+    pre-add version does not see the column."""
+    o = load(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 4).cast("string").alias("bucket"),
+    )
+    base = o.filter(F.col("o_orderkey") % 2 == 0)
+    incoming = (
+        o.filter(F.col("o_orderkey") % 5 == 0)
+        .select(
+            (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+            "cents",
+            F.concat(F.lit("n"), F.col("bucket")).alias("bucket"),
+            F.when(F.col("o_orderkey") % 3 == 0, F.lit(None)).otherwise(
+                F.lit("web")
+            ).cast("string").alias("channel"),
+        )
+    )
+    t = SnapshotTable(
+        spark,
+        _tmpdir(prefix="snap_addcol_") + "/orders_addcol",
+        partition_cols=("bucket",),
+        stat_cols=("o_orderkey",),
+    )
+    t.commit_overwrite_partitions(base)
+    v1 = t.latest_version()
+    files_v1 = {e["path"] for e in t._read_manifest(v1)["files"]}
+    v2 = t.add_column("channel", "string", default="store")
+    files_v2 = {e["path"] for e in t._read_manifest(v2)["files"]}
+    if files_v1 != files_v2:
+        raise RuntimeError("ADD COLUMN must be metadata-only")
+    if "channel" in t.read(version=v1).columns:
+        raise RuntimeError("pre-add version must not see the column")
+    t.commit_overwrite_partitions(incoming)
+    return (
+        t.read()
+        .groupBy(
+            F.coalesce(F.col("channel"), F.lit("<null>")).alias("channel")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )

@@ -674,3 +674,341 @@ def stats_cuped_variance_reduction(spark, sf_dir):
             (cov_num * 1.0 * cov_num / varx_num) / vary_num, 6
         ).alias("reduction"),
     )
+
+
+@query(
+    "stats_mann_whitney_u",
+    """
+WITH g AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is1
+  FROM lineitem WHERE l_returnflag IN ('R', 'N')
+), pv AS (
+  SELECT v, CAST(SUM(is1) AS BIGINT) AS c1, COUNT(*) AS c
+  FROM g GROUP BY v
+), pc AS (
+  SELECT v, c1, c, SUM(c) OVER (ORDER BY v) - c AS cum_less FROM pv
+), s AS (
+  SELECT CAST(SUM(c1 * (2 * cum_less + c + 1)) AS HUGEINT) AS r1x2,
+         CAST(SUM(c1) AS HUGEINT) AS n1,
+         CAST(SUM(c - c1) AS HUGEINT) AS n2,
+         CAST(SUM(c * c * c - c) AS HUGEINT) AS tie
+  FROM pc
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       ROUND((r1x2 - n1 * (n1 + 1)) / 2.0, 1) AS u1,
+       ROUND(((r1x2 - n1 * (n1 + 1)) / 2.0 - n1 * n2 / 2.0)
+             / sqrt((n1 * n2 / 12.0)
+                    * ((n1 + n2 + 1)
+                       - tie * 1.0 / ((n1 + n2) * (n1 + n2 - 1)))),
+             6) AS z
+FROM s
+""",
+)
+def stats_mann_whitney_u(spark, sf_dir):
+    """Mann-Whitney U rank-sum test (returned vs non-returned line
+    items' quantities) with full tie correction — the nonparametric
+    A/B test a heavy-tailed metric needs when the t-test's normality
+    assumption fails. Rank statistics are the textbook global-window
+    trap; here the joint ranking collapses to the DISTINCT-VALUE frame
+    (quantity has a bounded domain) and the exclusive cumulative count
+    runs through ordered_prefix_sum (range-partitioned two-phase scan,
+    operators/prefix_sum.py) — no single-partition window at any
+    corpus size. Doubled average ranks (2*cum_less + c + 1) keep every
+    rank an exact INTEGER, so R1, U and the tie term are associative
+    integer aggregates; the only doubles are the final two divisions
+    and one sqrt (correctly-rounded IEEE on exact inputs =
+    bit-identical cross-engine)."""
+    from station_data_ingestion_spark.operators.prefix_sum import (
+        ordered_prefix_sum,
+    )
+
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    g = li.filter(F.col("l_returnflag").isin("R", "N")).select(
+        F.col("l_quantity").cast("bigint").alias("v"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("is1"),
+    )
+    pv = g.groupBy("v").agg(
+        F.sum("is1").cast("long").alias("c1"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    pc = ordered_prefix_sum(pv, ["v"], "c", out_col="cumc").withColumn(
+        "cum_less", F.col("cumc") - F.col("c")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = pc.agg(
+        F.sum(
+            dec(F.col("c1"))
+            * (2 * dec(F.col("cum_less")) + dec(F.col("c")) + 1)
+        ).alias("r1x2"),
+        dec(F.sum("c1")).alias("n1"),
+        dec(F.sum(F.col("c") - F.col("c1"))).alias("n2"),
+        F.sum(
+            dec(F.col("c")) * dec(F.col("c")) * dec(F.col("c"))
+            - dec(F.col("c"))
+        ).alias("tie"),
+    )
+    n1, n2, r1x2, tie = (
+        F.col("n1"),
+        F.col("n2"),
+        F.col("r1x2"),
+        F.col("tie"),
+    )
+    u1 = (r1x2 - n1 * (n1 + 1)) / 2.0
+    mean_u = n1 * n2 / 2.0
+    var_u = (n1 * n2 / 12.0) * (
+        (n1 + n2 + 1) - tie * 1.0 / ((n1 + n2) * (n1 + n2 - 1))
+    )
+    return s.select(
+        n1.cast("long").alias("n1"),
+        n2.cast("long").alias("n2"),
+        F.round(u1, 1).alias("u1"),
+        F.round((u1 - mean_u) / F.sqrt(var_u), 6).alias("z"),
+    )
+
+
+@query(
+    "stats_anova_oneway_f",
+    """
+WITH x AS (
+  SELECT o_orderpriority AS grp,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), per_g AS (
+  SELECT grp, CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(cents) AS HUGEINT) AS s,
+         CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS ss
+  FROM x GROUP BY grp
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS HUGEINT) AS n_tot,
+         CAST(SUM(s) AS HUGEINT) AS s_tot,
+         CAST(SUM(ss) AS HUGEINT) AS ss_tot,
+         SUM(s * 1.0 * s / n) AS sum_s2_over_n
+  FROM per_g
+)
+SELECT k, CAST(n_tot AS BIGINT) AS n,
+       ROUND((sum_s2_over_n - s_tot * 1.0 * s_tot / n_tot)
+             / (k - 1)
+             / ((ss_tot - sum_s2_over_n) / (n_tot - k)), 6) AS f_stat
+FROM tot
+""",
+)
+def stats_anova_oneway_f(spark, sf_dir):
+    """One-way ANOVA F statistic: does order priority move the order
+    total? SSB/SSW from one pass of per-group exact integer moments
+    (n, Σx, Σx²) — the same mergeable-moment shape as OLS/CUPED, so at
+    any scale this is a map-side partial aggregate into k rows and a
+    one-row reduce. Doubles appear only in the final fixed expression
+    over exact decimal moments (identical operation order in both
+    engines — deterministic IEEE)."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_g = o.select(
+        F.col("o_orderpriority").alias("grp"), cents.alias("cents")
+    ).groupBy("grp").agg(
+        dec(F.count(F.lit(1))).alias("n"),
+        dec(F.sum("cents")).alias("s"),
+        F.sum(dec(F.col("cents")) * F.col("cents")).alias("ss"),
+    )
+    tot = per_g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").alias("n_tot"),
+        F.sum("s").alias("s_tot"),
+        F.sum("ss").alias("ss_tot"),
+        F.sum(F.col("s") * 1.0 * F.col("s") / F.col("n")).alias(
+            "sum_s2_over_n"
+        ),
+    )
+    ssb = F.col("sum_s2_over_n") - F.col("s_tot") * 1.0 * F.col(
+        "s_tot"
+    ) / F.col("n_tot")
+    ssw = F.col("ss_tot") - F.col("sum_s2_over_n")
+    return tot.select(
+        "k",
+        F.col("n_tot").cast("long").alias("n"),
+        F.round(
+            ssb / (F.col("k") - 1) / (ssw / (F.col("n_tot") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+@query(
+    "stats_welch_ttest",
+    """
+WITH x AS (
+  SELECT event_type AS grp,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('click', 'purchase')
+), m AS (
+  SELECT grp, CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(cents) AS HUGEINT) AS s,
+         CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS ss
+  FROM x GROUP BY grp
+), w AS (
+  SELECT MAX(CASE WHEN grp = 'click' THEN n END) AS n1,
+         MAX(CASE WHEN grp = 'click' THEN s END) AS s1,
+         MAX(CASE WHEN grp = 'click' THEN ss END) AS ss1,
+         MAX(CASE WHEN grp = 'purchase' THEN n END) AS n2,
+         MAX(CASE WHEN grp = 'purchase' THEN s END) AS s2,
+         MAX(CASE WHEN grp = 'purchase' THEN ss END) AS ss2
+  FROM m
+), v AS (
+  SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+         s1 * 1.0 / n1 AS m1, s2 * 1.0 / n2 AS m2,
+         (ss1 - s1 * 1.0 * s1 / n1) / (n1 - 1) / n1 AS se1,
+         (ss2 - s2 * 1.0 * s2 / n2) / (n2 - 1) / n2 AS se2
+  FROM w
+)
+SELECT n1, n2,
+       ROUND((m1 - m2) / sqrt(se1 + se2), 6) AS t_stat,
+       ROUND((se1 + se2) * (se1 + se2)
+             / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 2) AS df
+FROM v
+""",
+)
+def stats_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance t-test (click vs purchase event values)
+    with the Welch–Satterthwaite degrees of freedom — the default
+    two-sample test when group variances differ. Exact integer moments
+    per group (two rows), then one fixed double expression; the
+    conditional pivot keeps it a single aggregation pass."""
+    e = load(spark, sf_dir, "events")["events"]
+    cents = F.round(F.col("value") * 100).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .select(F.col("event_type").alias("grp"), cents.alias("cents"))
+        .groupBy("grp")
+        .agg(
+            dec(F.count(F.lit(1))).alias("n"),
+            dec(F.sum("cents")).alias("s"),
+            F.sum(dec(F.col("cents")) * F.col("cents")).alias("ss"),
+        )
+    )
+    pick = lambda g, c: F.max(F.when(F.col("grp") == g, F.col(c)))  # noqa: E731
+    w = m.agg(
+        pick("click", "n").alias("n1"),
+        pick("click", "s").alias("s1"),
+        pick("click", "ss").alias("ss1"),
+        pick("purchase", "n").alias("n2"),
+        pick("purchase", "s").alias("s2"),
+        pick("purchase", "ss").alias("ss2"),
+    )
+    m1 = F.col("s1") * 1.0 / F.col("n1")
+    m2 = F.col("s2") * 1.0 / F.col("n2")
+    se1 = (
+        (F.col("ss1") - F.col("s1") * 1.0 * F.col("s1") / F.col("n1"))
+        / (F.col("n1") - 1)
+        / F.col("n1")
+    )
+    se2 = (
+        (F.col("ss2") - F.col("s2") * 1.0 * F.col("s2") / F.col("n2"))
+        / (F.col("n2") - 1)
+        / F.col("n2")
+    )
+    return w.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round((m1 - m2) / F.sqrt(se1 + se2), 6).alias("t_stat"),
+        F.round(
+            (se1 + se2)
+            * (se1 + se2)
+            / (
+                se1 * se1 / (F.col("n1") - 1)
+                + se2 * se2 / (F.col("n2") - 1)
+            ),
+            2,
+        ).alias("df"),
+    )
+
+
+@query(
+    "stats_spearman_daily_rank_corr",
+    """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS xc,
+         CAST(COUNT(*) AS BIGINT) AS yc
+  FROM orders GROUP BY o_orderdate
+), ranked AS (
+  SELECT d,
+         2 * (RANK() OVER (ORDER BY xc))
+           + (COUNT(*) OVER (PARTITION BY xc)) - 1 AS rx2,
+         2 * (RANK() OVER (ORDER BY yc))
+           + (COUNT(*) OVER (PARTITION BY yc)) - 1 AS ry2
+  FROM daily
+), m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(rx2) AS HUGEINT) AS sx,
+         CAST(SUM(ry2) AS HUGEINT) AS sy,
+         CAST(SUM(rx2 * ry2) AS HUGEINT) AS sxy,
+         CAST(SUM(rx2 * rx2) AS HUGEINT) AS sxx,
+         CAST(SUM(ry2 * ry2) AS HUGEINT) AS syy
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       ROUND((n * sxy - sx * sy) * 1.0
+             / sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)),
+             6) AS rho
+FROM m
+""",
+)
+def stats_spearman_daily_rank_corr(spark, sf_dir):
+    """Spearman rank correlation between daily revenue and daily order
+    count — the monotone-association measure that survives outliers and
+    nonlinear scales. Tie-aware: Pearson on AVERAGE ranks (the general
+    definition; the 6Σd² shortcut is wrong under ties), with doubled
+    ranks (2*cum_less + cnt + 1) keeping every rank an exact integer.
+    Both rank transforms run through ordered_prefix_sum over the
+    distinct-value frames — the textbook RANK() OVER (ORDER BY …)
+    global window never appears, so the same plan ranks a billion-row
+    series. Final rho is one IEEE expression over exact decimal
+    moments."""
+    from station_data_ingestion_spark.operators.prefix_sum import (
+        ordered_prefix_sum,
+    )
+
+    o = load(spark, sf_dir, "orders")["orders"]
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(cents).cast("long").alias("xc"),
+        F.count(F.lit(1)).cast("long").alias("yc"),
+    )
+
+    def rank2(df, col, out):
+        """join back doubled average ranks for `col` (exact ints)."""
+        pv = df.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        pc = ordered_prefix_sum(pv, [col], "c", out_col="cumc")
+        pc = pc.select(
+            col,
+            (2 * (F.col("cumc") - F.col("c")) + F.col("c") + 1).alias(out),
+        )
+        # distinct-value frames are bounded by the series cardinality;
+        # broadcast keeps the rank attach shuffle-free
+        return df.join(F.broadcast(pc), col)
+
+    ranked = rank2(rank2(daily, "xc", "rx2"), "yc", "ry2")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx2").alias("sx"),
+        F.sum("ry2").alias("sy"),
+        F.sum(F.col("rx2") * F.col("ry2")).alias("sxy"),
+        F.sum(F.col("rx2") * F.col("rx2")).alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).alias("syy"),
+    )
+    n, sx, sy = dec("n"), dec("sx"), dec("sy")
+    sxy, sxx, syy = dec("sxy"), dec("sxx"), dec("syy")
+    return m.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(
+            (n * sxy - sx * sy)
+            * 1.0
+            / F.sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)),
+            6,
+        ).alias("rho"),
+    )

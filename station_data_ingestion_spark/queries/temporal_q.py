@@ -675,3 +675,72 @@ def ts_dow_deseasonalized_anomalies(spark, sf_dir):
             F.round(z, 4).alias("z"),
         )
     )
+
+
+@query(
+    "ts_ewma_bounded_horizon",
+    """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           AS dn,
+         strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS xc
+  FROM orders GROUP BY 1, 2
+)
+SELECT a.d,
+       CAST(COUNT(*) AS BIGINT) AS n_src,
+       ROUND(SUM(b.xc * (CAST(1 AS BIGINT) << (13 - (a.dn - b.dn))))
+             * 1.0
+             / SUM(CAST(1 AS BIGINT) << (13 - (a.dn - b.dn))), 4)
+         AS ewma_cents
+FROM daily a JOIN daily b ON b.dn BETWEEN a.dn - 13 AND a.dn
+GROUP BY a.d
+""",
+)
+def ts_ewma_bounded_horizon(spark, sf_dir):
+    """Exponentially-weighted moving average of daily revenue with
+    alpha = 1/2 over a bounded 14-day horizon. Two scale decisions:
+    the horizon bound makes EWMA expressible as a BOUNDED-FAN-OUT
+    aggregation — each day contributes to at most 14 targets via an
+    offset EXPLODE + equi-join (the rolling-WAU trick), so there is no
+    global ordered window and no unbounded recursive state; and
+    alpha = 1/2 makes every weight an exact power of two, so numerator
+    and denominator are exact int64 sums and the single final division
+    is deterministic IEEE — bit-identical cross-engine with no
+    tolerance. Ragged series heads normalize by the weights actually
+    present (n_src < 14 on the first days)."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    daily = o.groupBy(
+        F.unix_date(F.to_date("o_orderdate")).alias("dn"),
+        F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("xc")
+    )
+    contrib = daily.select(
+        "dn",
+        "xc",
+        F.explode(F.sequence(F.lit(0), F.lit(13))).alias("l"),
+    ).select(
+        (F.col("dn") + F.col("l")).alias("tgt_dn"),
+        # shiftleft's python wrapper takes a literal bit count; the SQL
+        # form accepts a column expression
+        F.expr("xc * shiftleft(CAST(1 AS BIGINT), 13 - l)").alias(
+            "num_part"
+        ),
+        F.expr("shiftleft(CAST(1 AS BIGINT), 13 - l)").alias("den_part"),
+    )
+    # only days that exist in the series are emitted (inner join)
+    return (
+        daily.select(F.col("dn").alias("tgt_dn"), "d")
+        .join(contrib, "tgt_dn")
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_src"),
+            F.round(
+                F.sum("num_part") * 1.0 / F.sum("den_part"), 4
+            ).alias("ewma_cents"),
+        )
+    )

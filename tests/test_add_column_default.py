@@ -1,0 +1,67 @@
+"""ADD COLUMN with initial default: metadata-only, per-file fill."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from station_data_ingestion_spark.plans.snapshot_store import SnapshotTable
+
+
+def _mk(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), partition_cols=("p",))
+    t.commit_overwrite_partitions(
+        spark.range(0, 20).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).cast("string").alias("p"),
+            (F.col("id") * 10).alias("v"),
+        )
+    )
+    return t
+
+
+def test_old_files_read_default_new_files_keep_nulls(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    v1 = t.latest_version()
+    files1 = {e["path"] for e in t._read_manifest(v1)["files"]}
+    t.add_column("tag", "string", default="legacy")
+    assert {e["path"] for e in t._read_manifest(t.latest_version())["files"]} == files1
+    # pre-add rows all read the default
+    assert t.read().filter(F.col("tag") == "legacy").count() == 20
+    # new partition write: real values INCLUDING genuine nulls
+    t.commit_overwrite_partitions(
+        spark.range(100, 110).select(
+            F.col("id").alias("k"),
+            F.lit("9").alias("p"),
+            (F.col("id") * 10).alias("v"),
+            F.when(F.col("id") % 2 == 0, F.lit("new")).alias("tag"),
+        )
+    )
+    got = {r["k"]: r["tag"] for r in t.read().collect()}
+    assert sum(1 for v in got.values() if v == "legacy") == 20
+    assert sum(1 for v in got.values() if v == "new") == 5
+    assert sum(1 for v in got.values() if v is None) == 5  # nulls survive
+    # time travel: pre-add version has no such column
+    assert "tag" not in t.read(version=1).columns
+
+
+def test_add_column_typed_default_and_validation(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.add_column("score", "bigint", default=7)
+    assert dict(t.read().select("score").dtypes)["score"] == "bigint"
+    assert t.read().filter(F.col("score") == 7).count() == 20
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("v", "bigint")
+    t.drop_column("score")
+    with pytest.raises(ValueError, match="retired"):
+        t.add_column("score", "bigint")
+
+
+def test_add_column_composes_with_dv_and_cow(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.add_column("tag", "string", default="legacy")
+    t.delete_where_dv(F.col("k") % 5 == 0)  # DV over fill-tagged files
+    assert t.read().count() == 16
+    assert t.read().filter(F.col("tag") == "legacy").count() == 16
+    # COW rewrite materializes the default into the rewritten file
+    t.delete_where(F.col("k") == 1)
+    assert t.read().count() == 15
+    assert t.read().filter(F.col("tag") == "legacy").count() == 15

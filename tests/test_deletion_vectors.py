@@ -274,3 +274,31 @@ def test_restore_preserves_deletion_vectors(spark, tmp_path):
     assert {r["k"] for r in t.read().select("k").collect()} == {
         k for k in range(50) if k % 5 != 0
     }
+
+
+def test_dv_survives_rename_and_drop_column(spark, tmp_path):
+    """Metadata-only column evolution must carry deletion vectors
+    forward: before the fix, rename_column/drop_column wrote manifests
+    without the deletes list and resurrected every DV-deleted row."""
+    from pyspark.sql import functions as F
+
+    from station_data_ingestion_spark.plans.snapshot_store import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), partition_cols=())
+    t.commit_overwrite_partitions(
+        spark.range(0, 40).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2).alias("v"),
+            F.lit("x").alias("aux"),
+        )
+    )
+    t.delete_where_dv(F.col("k") % 4 == 0)
+    assert t.read().count() == 30
+    t.rename_column("v", "val")
+    assert t.read().count() == 30  # rename must not resurrect
+    assert "val" in t.read().columns
+    t.drop_column("aux")
+    assert t.read().count() == 30  # drop must not resurrect
+    assert "aux" not in t.read().columns

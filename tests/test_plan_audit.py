@@ -49,6 +49,8 @@ CROSS_JOIN_OK = {
     "join_bloom_prefiltered_lineitems",  # one-row bloom-words broadcast:
     # the packed filter ships as a single array value (a list literal
     # would expand to a per-row CreateArray — measured 17x slower)
+    "mixture_dsir_importance",  # one-row (Tt, Ts, V) smoothing-constants
+    # broadcast against the vocabulary table
 }
 
 # Iterative/stateful queries that execute eagerly during plan
