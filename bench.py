@@ -106,6 +106,13 @@ HEADLINE = [
     # shingled Jaccard prefix join remains the headline similarity
     # representative).
     "snapshot_branch_fast_forward_read",
+    # r7 flagship additions: merge-on-read MERGE (DV + append, zero
+    # rewrites), the tie-corrected rank-sum test (distributed ranking
+    # with no global window), and the ExactSubstr-proxy duplicated-span
+    # coverage (gram shuffle + per-doc interval union)
+    "merge_dv_merge_on_read",
+    "stats_mann_whitney_u",
+    "text_dup_ngram_span_fraction",
 ]
 
 
@@ -324,14 +331,20 @@ def _heaviest_stage_skew(spark, after_stage_id: int) -> dict | None:
 
 def _scale_embeddings(spark, sf_dir, tmp: str, k: int) -> None:
     """k-replicate the embeddings table so vector workloads scale
-    LINEARLY: each replica gets a deterministic per-replica DIMENSION
-    PERMUTATION (an orthogonal transform — within-replica cosines are
-    preserved EXACTLY, so each replica reproduces the original corpus's
-    near-dup structure) while cross-replica similarities scramble, so
-    pair cardinality grows ~k, not k². vec_id moves to high bits
-    (id + replica*10M) so id-arithmetic constructions inside queries
-    (twin planting at id+1, id+100000) stay within one replica and
-    never collide across replicas."""
+    LINEARLY: each replica gets a deterministic per-replica SIGNED
+    DIMENSION PERMUTATION (±1 diagonal × permutation — orthogonal, so
+    within-replica cosines are preserved EXACTLY and each replica
+    reproduces the original corpus's near-dup structure) while
+    cross-replica similarities scramble, so pair cardinality grows ~k,
+    not k². The sign flips matter: embeddings with a non-centered mean
+    component stay mutually similar under a bare permutation (measured:
+    the 10x corpus collapsed into one unclusterable blob and the
+    adaptive blocker correctly fell back to quadratic k=1); flipping
+    signs cancels the shared mean, so replicas become separable
+    clusters and the probe measures the blocking's scale path. vec_id
+    moves to high bits (id + replica*10M) so id-arithmetic
+    constructions inside queries (twin planting at id+1, id+100000)
+    stay within one replica and never collide across replicas."""
     import numpy as np
 
     def permute(batches):
@@ -342,11 +355,24 @@ def _scale_embeddings(spark, sf_dir, tmp: str, k: int) -> None:
             np.arange(64)
             for r in range(k)
         ]
+        signs = [
+            (
+                np.random.default_rng(5678 + r)
+                .integers(0, 2, size=64)
+                .astype(np.float32)
+                * 2.0
+                - 1.0
+            )
+            if r
+            else np.ones(64, dtype=np.float32)
+            for r in range(k)
+        ]
         for pdf in batches:
             out = []
             for r in range(k):
                 emb = [
-                    np.asarray(e, dtype=np.float32)[perms[r]].tolist()
+                    (np.asarray(e, dtype=np.float32)[perms[r]] * signs[r])
+                    .tolist()
                     for e in pdf["embedding"]
                 ]
                 out.append(

@@ -46,6 +46,16 @@ _STAGING = "_staging"
 _PENDING = "_pending"
 _CHANGES = "_changes"
 _DELETES = "_deletes"
+
+# Lossless numeric type widenings (Delta type-widening table):
+# metadata-only promotion, existing files cast after scan.
+_WIDENINGS = {
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("smallint", "int"), ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+    ("tinyint", "double"), ("smallint", "double"), ("int", "double"),
+}
 _MAX_COMMIT_ATTEMPTS = 20
 
 
@@ -355,6 +365,8 @@ class SnapshotTable:
             manifest["renames"] = m["renames"]
         if m.get("dropped"):
             manifest["dropped"] = m["dropped"]
+        if m.get("widened"):
+            manifest["widened"] = m["widened"]
         if m.get("deletes"):
             # the clone inherits the source's deletion vectors in place;
             # pin each token to the root that owns it (clone-of-clone
@@ -643,6 +655,8 @@ class SnapshotTable:
             manifest["renames"] = bm["renames"]
         if bm.get("dropped"):
             manifest["dropped"] = bm["dropped"]
+        if bm.get("widened"):
+            manifest["widened"] = bm["widened"]
         if deletes:
             manifest["deletes"] = deletes
         if not self._write_manifest_exclusive(fork_v + 1, manifest):
@@ -941,9 +955,14 @@ class SnapshotTable:
             # joins the group key: files predating an ADD COLUMN WITH
             # DEFAULT read the default, files written after read their
             # physical values — indistinguishable after mergeSchema's
-            # null-fill, so they cannot share one scan
+            # null-fill, so they cannot share one scan. The widen
+            # signature (type widening) splits for a harder reason:
+            # parquet mergeSchema REFUSES int32/int64 conflicts, so
+            # pre-widen (narrow) and post-widen (wide) files can never
+            # share a scan at all; the narrow group casts after read.
             fill = json.dumps(e.get("fill") or {}, sort_keys=True)
-            spec = (tuple(sorted(e["partition"].keys())), base, fill)
+            widen = json.dumps(e.get("widen") or {}, sort_keys=True)
+            spec = (tuple(sorted(e["partition"].keys())), base, fill, widen)
             groups.setdefault(spec, []).append(f"{base}/{e['path']}")
         # numeric-looking partition values (datatype='850') must read back
         # as strings, or a merge would rewrite them as a new '850.0' slice
@@ -954,12 +973,15 @@ class SnapshotTable:
             from pyspark.sql import functions as F
 
             dfs = []
-            for (_, base, fill), paths in sorted(groups.items()):
+            for (_, base, fill, widen), paths in sorted(groups.items()):
                 d = (
                     self.spark.read.option("basePath", base)
                     .option("mergeSchema", "true")
                     .parquet(*paths)
                 )
+                for col, to_type in json.loads(widen).items():
+                    if col in d.columns:
+                        d = d.withColumn(col, F.col(col).cast(to_type))
                 for col, spec_ in json.loads(fill).items():
                     filled = F.lit(spec_["v"]).cast(spec_["t"])
                     if col in d.columns:
@@ -1122,6 +1144,8 @@ class SnapshotTable:
         }
         if m.get("dropped"):
             manifest["dropped"] = m["dropped"]
+        if m.get("widened"):
+            manifest["widened"] = m["widened"]
         if m.get("deletes"):
             # DVs survive unrelated metadata commits — omitting them
             # here would resurrect every DV-deleted row at this version
@@ -1161,6 +1185,8 @@ class SnapshotTable:
         }
         if m.get("renames"):
             manifest["renames"] = m["renames"]
+        if m.get("widened"):
+            manifest["widened"] = m["widened"]
         if m.get("deletes"):
             # same carry-forward as every data commit: a metadata-only
             # evolution must not resurrect DV-deleted rows
@@ -1221,6 +1247,70 @@ class SnapshotTable:
                 f"lost the publish race for v{version} at {self.path}"
             )
         return version
+
+    def widen_column(self, col: str, to_type: str) -> int:
+        """Metadata-only TYPE WIDENING (Delta type widening): promote a
+        numeric column to a wider type with zero data I/O. Existing
+        files keep their narrow physical encoding and are tagged to
+        CAST after scan (parquet mergeSchema refuses int32/int64
+        conflicts, so tagged and untagged files scan in separate
+        groups); rows written after the widen are physically wide —
+        the shared write path aligns every incoming frame to the
+        table's widened types. Time travel to a pre-widen version
+        still reads the narrow type. Only lossless widenings from
+        :data:`_WIDENINGS` are allowed; partition columns are layout
+        and cannot widen."""
+        if col in self.partition_cols:
+            raise ValueError("cannot widen a partition column")
+        cur = self.read()
+        if cur is None or col not in cur.columns:
+            raise ValueError(f"'{col}' does not exist in the live schema")
+        from_type = dict(cur.dtypes)[col]
+        if from_type == to_type:
+            return self.latest_version()
+        if (from_type, to_type) not in _WIDENINGS:
+            raise ValueError(
+                f"unsupported widening {from_type} -> {to_type}; allowed: "
+                f"{sorted(_WIDENINGS)}"
+            )
+        base_v = self.latest_version()
+        m = self._read_manifest(base_v)
+        entries = [
+            {**e, "widen": {**(e.get("widen") or {}), col: to_type}}
+            for e in m["files"]
+        ]
+        version = base_v + 1
+        manifest = {
+            "version": version,
+            "partition_cols": list(self.partition_cols),
+            "files": entries,
+            "widened": {**m.get("widened", {}), col: to_type},
+            "op": "widen-column",
+        }
+        for carry in ("renames", "dropped", "deletes"):
+            if m.get(carry):
+                manifest[carry] = m[carry]
+        if not self._write_manifest_exclusive(version, manifest):
+            raise ConcurrentCommitError(
+                f"lost the publish race for v{version} at {self.path}"
+            )
+        return version
+
+    def _align_widened(self, df: DataFrame) -> DataFrame:
+        """Cast incoming columns up to the table's widened types, so
+        every file written after a widen is physically wide and scan
+        groups never mix parquet int32/int64 for one column."""
+        from pyspark.sql import functions as F
+
+        v = self.latest_version()
+        if v is None:
+            return df
+        widened = self._read_manifest(v).get("widened") or {}
+        types = dict(df.dtypes)
+        for col, to_type in widened.items():
+            if col in types and types[col] != to_type:
+                df = df.withColumn(col, F.col(col).cast(to_type))
+        return df
 
     @staticmethod
     def _apply_renames(df: DataFrame, renames: list[list[str]]) -> DataFrame:
@@ -1284,6 +1374,22 @@ class SnapshotTable:
         cur_dropped = self._latest_dropped()
         if cur_dropped:
             manifest["dropped"] = cur_dropped
+        cur_widened = self._read_manifest(base_v).get("widened") or {}
+        if cur_widened:
+            # widenings that happened AFTER the restore target: every
+            # restored file is narrow for those columns — tag them so
+            # reads cast (files from post-widen targets keep their tags)
+            missing = {
+                c: t
+                for c, t in cur_widened.items()
+                if c not in (target.get("widened") or {})
+            }
+            if missing:
+                manifest["files"] = [
+                    {**e, "widen": {**(e.get("widen") or {}), **missing}}
+                    for e in manifest["files"]
+                ]
+            manifest["widened"] = cur_widened
         if not self._write_manifest_exclusive(new_v, manifest):
             raise ConcurrentCommitError(
                 f"lost the publish race for v{new_v} at {self.path}"
@@ -1791,6 +1897,7 @@ class SnapshotTable:
                 "name (no field ids in a name-mapped store)"
             )
         df = self._derive_transforms(df)
+        df = self._align_widened(df)
         if cluster_by:
             # explicit cluster_partitions pins the file count (AQE would
             # otherwise coalesce small commits into one file, which is
@@ -2004,6 +2111,9 @@ class SnapshotTable:
             dropped = src_m.get("dropped", []) if src_m is not None else []
             if dropped:
                 manifest["dropped"] = dropped
+            widened = src_m.get("widened") if src_m is not None else None
+            if widened:
+                manifest["widened"] = widened
             # deletion vectors survive unrelated commits (an append must
             # not resurrect DV-deleted rows); extra may override (e.g.
             # materialize_deletes clears the list)
@@ -2108,6 +2218,8 @@ class SnapshotTable:
             manifest["renames"] = base_m["renames"]
         if base_m.get("dropped"):
             manifest["dropped"] = base_m["dropped"]
+        if base_m.get("widened"):
+            manifest["widened"] = base_m["widened"]
         if base_m.get("deletes"):
             manifest["deletes"] = base_m["deletes"]
         if extra:

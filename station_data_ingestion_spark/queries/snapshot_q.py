@@ -3089,3 +3089,74 @@ def snapshot_add_column_default_read(spark, sf_dir):
             F.sum("cents").cast("long").alias("cents"),
         )
     )
+
+
+@query(
+    "snapshot_type_widening_read",
+    """
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(o_orderkey % 4 AS VARCHAR) AS bucket
+  FROM orders WHERE o_orderkey % 2 = 0
+), incoming AS (
+  SELECT o_orderkey + 1000000000 AS o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) + 5000000000 AS cents,
+         'n' || CAST(o_orderkey % 4 AS VARCHAR) AS bucket
+  FROM orders WHERE o_orderkey % 7 = 0
+), unioned AS (
+  SELECT * FROM base UNION ALL SELECT * FROM incoming
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS cents,
+       CAST(MAX(cents) AS BIGINT) AS max_cents
+FROM unioned GROUP BY bucket
+""",
+)
+def snapshot_type_widening_read(spark, sf_dir):
+    """Metadata-only TYPE WIDENING (Delta type widening): the cents
+    column starts as INT (all values fit int32), widens to BIGINT with
+    ZERO data I/O, and rows appended afterwards carry values ABOVE the
+    int32 range — the exact case that forces the widen. Parquet
+    mergeSchema refuses int32/int64 conflicts, so pre-widen files scan
+    in their own tagged group and cast after read while post-widen
+    files are physically wide (the shared write path aligns them).
+    In-query asserts: the widen commit leaves the file set untouched,
+    the pre-widen version still reads int, and the live schema reads
+    bigint."""
+    o = load(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("int").alias("cents"),
+        (F.col("o_orderkey") % 4).cast("string").alias("bucket"),
+    )
+    base = o.filter(F.col("o_orderkey") % 2 == 0)
+    incoming = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+        (F.col("cents").cast("bigint") + 5000000000).alias("cents"),
+        F.concat(F.lit("n"), F.col("bucket")).alias("bucket"),
+    )
+    t = SnapshotTable(
+        spark,
+        _tmpdir(prefix="snap_widen_") + "/orders_widen",
+        partition_cols=("bucket",),
+        stat_cols=("o_orderkey",),
+    )
+    t.commit_overwrite_partitions(base)
+    v1 = t.latest_version()
+    if dict(t.read().dtypes)["cents"] != "int":
+        raise RuntimeError("fixture must start narrow")
+    files_v1 = {e["path"] for e in t._read_manifest(v1)["files"]}
+    v2 = t.widen_column("cents", "bigint")
+    if {e["path"] for e in t._read_manifest(v2)["files"]} != files_v1:
+        raise RuntimeError("TYPE WIDENING must be metadata-only")
+    if dict(t.read(version=v1).dtypes)["cents"] != "int":
+        raise RuntimeError("time travel must keep the narrow type")
+    t.commit_overwrite_partitions(incoming)
+    out = t.read()
+    if dict(out.dtypes)["cents"] != "bigint":
+        raise RuntimeError("live schema must read the widened type")
+    return out.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+        F.max("cents").cast("long").alias("max_cents"),
+    )

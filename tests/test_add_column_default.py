@@ -65,3 +65,48 @@ def test_add_column_composes_with_dv_and_cow(spark, tmp_path):
     t.delete_where(F.col("k") == 1)
     assert t.read().count() == 15
     assert t.read().filter(F.col("tag") == "legacy").count() == 15
+
+
+def test_widen_column_mixed_files_and_validation(spark, tmp_path):
+    """int -> bigint widening: metadata-only, mixed narrow/wide files
+    read in separate groups, writes align to the wide type, time
+    travel keeps the narrow era narrow."""
+    t = SnapshotTable(spark, str(tmp_path / "w"), partition_cols=("p",))
+    t.commit_overwrite_partitions(
+        spark.range(0, 10).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).cast("string").alias("p"),
+            F.col("id").cast("int").alias("v"),
+        )
+    )
+    v1 = t.latest_version()
+    t.widen_column("v", "bigint")
+    assert dict(t.read().dtypes)["v"] == "bigint"
+    assert dict(t.read(version=v1).dtypes)["v"] == "int"
+    # a narrow INCOMING frame into the SAME partitions must align wide
+    t.commit_overwrite_partitions(
+        spark.range(100, 105).select(
+            F.col("id").alias("k"),
+            F.lit("0").alias("p"),
+            F.col("id").cast("int").alias("v"),
+        )
+    )
+    # over-int32 values land fine
+    t.commit_overwrite_partitions(
+        spark.range(0, 3).select(
+            (F.col("id") + 200).alias("k"),
+            F.lit("9").alias("p"),
+            (F.col("id") + 5_000_000_000).alias("v"),
+        )
+    )
+    got = t.read()
+    assert got.filter(F.col("v") >= 5_000_000_000).count() == 3
+    assert got.count() == 5 + 5 + 3  # p=1 kept, p=0 replaced, p=9 new
+    with pytest.raises(ValueError, match="unsupported widening"):
+        t.widen_column("v", "int")
+    with pytest.raises(ValueError, match="partition"):
+        t.widen_column("p", "bigint")
+    # widen survives restore (schema metadata stays current)
+    t.restore(v1)
+    assert dict(t.read().dtypes)["v"] == "bigint"
+    assert t.read().count() == 10
