@@ -173,11 +173,24 @@ def _replicated_blocks(
         "vec_id",
         F.transform("embedding", lambda v: v / F.col("_n")).alias("embedding"),
     )
-    centroids = kmeans_fit(normed, k=k, n_iter=n_iter)
+    centroids = kmeans_fit(
+        _hash_seeded(normed), k=k, n_iter=n_iter, id_col="_init_order"
+    )
     return vecs.mapInPandas(
         _replicate_batches(centroids, margin=r),
         "block int, vec_id long, embedding array<double>",
     )
+
+
+def _hash_seeded(normed: DataFrame) -> DataFrame:
+    """Init spread for the k-means fit: first-k-by-id initial centroids
+    sample an ID PREFIX, which on id-structured corpora (replicated
+    shards, source-ordered crawls) can land every centroid inside one
+    shard and leave whole regions centroid-free — the blocking then
+    measures as degenerate even though the corpus clusters fine.
+    Ordering the init by a deterministic hash of the id samples the
+    whole corpus, still with no RNG."""
+    return normed.withColumn("_init_order", F.xxhash64(F.col("vec_id")))
 
 
 def replication_stats(
@@ -266,6 +279,89 @@ def _eval_prefix_blockings(centroids: np.ndarray, margin: float, sizes):
     return run
 
 
+def _cross_pairs(tau: float, chunk_bytes: int = 256 << 20):
+    """Pair kernel for the group-pair decomposition: one task holds one
+    (gi, gj) group pair. Diagonal tasks (side-0 rows only) emit the
+    within-group triangle; off-diagonal tasks emit side-0 × side-1
+    pairs only — every unordered pair lands in exactly ONE task, so
+    total work is exactly n(n-1)/2 sims with G(G+1)/2-way parallelism
+    and memory bounded by the group size (chunked, like _block_pairs)."""
+
+    def run(pdf):
+        import pandas as pd
+
+        a = pdf[pdf["side"] == 0]
+        b = pdf[pdf["side"] == 1]
+        if len(b) == 0:
+            block = a.drop(columns=["side"]).assign(block=0)
+            return _block_pairs(tau, 1 << 62, chunk_bytes)(block)
+        xa = np.array(list(a["embedding"]), dtype=np.float64)
+        xb = np.array(list(b["embedding"]), dtype=np.float64)
+        ia = a["vec_id"].to_numpy()
+        ib = b["vec_id"].to_numpy()
+        na = np.linalg.norm(xa, axis=1)
+        nb = np.linalg.norm(xb, axis=1)
+        out_a, out_b, out_s = [], [], []
+        chunk = max(1, chunk_bytes // (8 * max(len(b), 1)))
+        for lo in range(0, len(a), chunk):
+            hi = min(lo + chunk, len(a))
+            sims = (xa[lo:hi] @ xb.T) / np.outer(na[lo:hi], nb)
+            ci, cj = np.nonzero(sims >= tau)
+            out_a.append(np.minimum(ia[ci + lo], ib[cj]))
+            out_b.append(np.maximum(ia[ci + lo], ib[cj]))
+            out_s.append(np.round(sims[ci, cj], 6))
+        if not out_a:
+            return pd.DataFrame({"a_id": [], "b_id": [], "sim": []})
+        return pd.DataFrame(
+            {
+                "a_id": np.concatenate(out_a),
+                "b_id": np.concatenate(out_b),
+                "sim": np.concatenate(out_s),
+            }
+        )
+
+    return run
+
+
+def _all_pairs_distributed(
+    vecs: DataFrame, tau: float, n: int, max_block_rows: int
+) -> DataFrame:
+    """EXACT all-pairs cosine via group-PAIR decomposition — the
+    distributed floor when measured blocking cannot beat brute force
+    (a corpus with no cluster structure at the margin scale). Rows
+    hash into G bounded groups; each of the G(G+1)/2 group pairs is
+    one independent task, so the unavoidable O(n²) sims spread across
+    the cluster with per-task memory bounded by the group size —
+    unlike a single k=1 block, which would serialize the quadratic on
+    one core."""
+    group_rows = max(1, min(max_block_rows, max(4096, -(-n // 8))))
+    g_count = max(1, -(-n // group_rows))
+    spark = vecs.sparkSession
+    mapping = spark.createDataFrame(
+        [
+            (gi, gi * g_count + gj, 0)
+            for gi in range(g_count)
+            for gj in range(gi, g_count)
+        ]
+        + [
+            (gj, gi * g_count + gj, 1)
+            for gi in range(g_count)
+            for gj in range(gi, g_count)
+            if gj != gi
+        ],
+        "g int, pid int, side int",
+    )
+    tagged = vecs.withColumn(
+        "g", (F.pmod(F.xxhash64("vec_id"), F.lit(g_count))).cast("int")
+    ).join(F.broadcast(mapping), "g")
+    pairs = tagged.groupBy("pid").applyInPandas(
+        _cross_pairs(tau), "a_id long, b_id long, sim double"
+    )
+    # each unordered pair appears in exactly one task; the agg is kept
+    # for shape parity with the blocked path (and is a cheap no-op)
+    return pairs.groupBy("a_id", "b_id").agg(F.min("sim").alias("sim"))
+
+
 def semantic_near_pairs_auto(
     df: DataFrame,
     tau: float,
@@ -274,6 +370,7 @@ def semantic_near_pairs_auto(
     vec_col: str = "embedding",
     max_block_rows: int = 100_000,
     stats_out: dict | None = None,
+    max_candidate_pairs: int | None = None,
 ) -> DataFrame:
     """:func:`semantic_near_pairs` with MEASURED k selection — the
     replication alarm wired to act instead of just report.
@@ -287,11 +384,16 @@ def semantic_near_pairs_auto(
     Arrow pass evaluates the geometric ladder of centroid PREFIXES
     (k0, k0/4, …, 1 — the exactness guarantee holds for any centroid
     set, so prefixes are valid blockings) and the k with the fewest
-    candidate pairs wins, subject to ``max_block_rows``. k=1 (a single
-    exact all-pairs block) is the honest floor for an unclusterable
-    corpus that fits a block; a corpus that is unclusterable at EVERY
-    ladder size AND over the cap raises loudly — silently burning a
-    quadratic is the one thing a 100 TB pipeline must not do.
+    candidate pairs wins; blocked sizes whose hottest block exceeds
+    ``max_block_rows`` are ruled out. k=1 is the honest floor for an
+    unclusterable corpus and runs as the GROUP-PAIR decomposition
+    (:func:`_all_pairs_distributed`): exact brute force with zero
+    duplicated work, G(G+1)/2-way parallelism, per-task memory bounded
+    by ``max_block_rows`` — never one serial mega-block. The measured
+    cost is always visible (``ladder`` in ``stats_out``); pass
+    ``max_candidate_pairs`` to make an over-budget corpus raise loudly
+    instead of running the quadratic — the alarm a 100 TB pipeline
+    sets.
 
     Total measurement cost: one k-means fit + one linear evaluation
     pass, regardless of how many k values are compared.
@@ -325,7 +427,9 @@ def semantic_near_pairs_auto(
             "embedding"
         ),
     )
-    centroids = kmeans_fit(normed, k=k0, n_iter=n_iter)
+    centroids = kmeans_fit(
+        _hash_seeded(normed), k=k0, n_iter=n_iter, id_col="_init_order"
+    )
     per_block = (
         vecs.mapInPandas(
             _eval_prefix_blockings(centroids, r, sizes),
@@ -342,23 +446,25 @@ def semantic_near_pairs_auto(
         s: sum(m * (m - 1) // 2 for m in blocks.values())
         for s, blocks in by_size.items()
     }
+    # s=1 is ALWAYS feasible: it runs as the group-pair decomposition
+    # (exact brute force, G(G+1)/2-way parallel, memory bounded), so
+    # the blocked sizes only stay in play when their hot block fits
+    # the cap AND they actually beat brute force
     feasible = [
         s
         for s in sizes
-        if max(by_size[s].values(), default=0) <= max_block_rows
+        if s == 1 or max(by_size[s].values(), default=0) <= max_block_rows
     ]
-    if not feasible:
-        worst = min(sizes, key=lambda s: max(by_size[s].values(), default=0))
-        raise ValueError(
-            "semantic-dedup blocking degenerated at every ladder size "
-            f"{sizes}: smallest max-block is "
-            f"{max(by_size[worst].values(), default=0)} rows "
-            f"(cap {max_block_rows}). The corpus has no cluster "
-            "structure at the margin scale sqrt(2-2*tau) — raise tau, "
-            "shard the corpus, or raise max_block_rows if the quadratic "
-            "cost is intended."
-        )
     chosen = min(feasible, key=lambda s: (ladder[s], s))
+    if max_candidate_pairs is not None and ladder[chosen] > max_candidate_pairs:
+        raise ValueError(
+            f"semantic-dedup measured {ladder[chosen]} candidate pairs "
+            f"at the best blocking (k={chosen}), over the "
+            f"max_candidate_pairs budget {max_candidate_pairs}. The "
+            "corpus has no cluster structure at the margin scale "
+            "sqrt(2-2*tau) — raise tau, shard the corpus, or raise the "
+            f"budget if the quadratic cost is intended. Ladder: {ladder}"
+        )
     blocks = by_size[chosen]
     replicated_rows = sum(blocks.values())
     if stats_out is not None:
@@ -373,6 +479,8 @@ def semantic_near_pairs_auto(
             chosen_k=chosen,
             ladder=ladder,
         )
+    if chosen == 1:
+        return _all_pairs_distributed(vecs, tau, n, max_block_rows)
     replicated = vecs.mapInPandas(
         _replicate_batches(centroids[:chosen], margin=r),
         "block int, vec_id long, embedding array<double>",
