@@ -873,6 +873,10 @@ class SnapshotTable:
                         idx_cache[geom] = self._bloom_probe_indices(
                             val, b["m"], b["k"], b.get("t")
                         )
+                    if idx_cache[geom] is None:
+                        # value overflows the build-time type (bloom
+                        # predates a widen): the file cannot contain it
+                        return False
                     words = b["words"]
                     for i in idx_cache[geom]:
                         # Python's infinite two's complement matches the
@@ -1787,25 +1791,34 @@ class SnapshotTable:
 
     def _bloom_probe_indices(
         self, value, m: int, k: int, dtype: str | None
-    ) -> list[int]:
+    ) -> list[int] | None:
         """The k bit indices a literal value hashes to (one-row Spark
         eval so the probe uses the exact JVM xxhash64 the build used,
-        with the literal cast to the recorded build-time column type)."""
+        with the literal cast to the recorded build-time column type).
+
+        Returns None when the value does not FIT the build-time type —
+        a point probe for an over-int32 value against a file whose
+        bloom was built pre-widen (see :meth:`widen_column`): such a
+        file cannot contain the value, so None means 'prune', and the
+        try_cast keeps ANSI mode from raising on the overflow."""
         from pyspark.sql import functions as F
 
         from station_data_ingestion_spark.operators.bloom import _index_exprs
 
-        probe = F.lit(value).cast(dtype) if dtype else F.lit(value)
+        probe = F.lit(value).try_cast(dtype) if dtype else F.lit(value)
         row = (
             self.spark.range(1)
             .select(
+                probe.isNull().alias("overflow"),
                 *[
                     e.alias(f"i{j}")
                     for j, e in enumerate(_index_exprs(probe, m, k))
-                ]
+                ],
             )
             .first()
         )
+        if row["overflow"] and value is not None:
+            return None
         return [int(row[f"i{j}"]) for j in range(k)]
 
     def commit_overwrite_partitions(

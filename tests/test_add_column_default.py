@@ -110,3 +110,39 @@ def test_widen_column_mixed_files_and_validation(spark, tmp_path):
     t.restore(v1)
     assert dict(t.read().dtypes)["v"] == "bigint"
     assert t.read().count() == 10
+
+
+def test_widen_with_bloom_point_reads(spark, tmp_path):
+    """Blooms record their build-time type per file, so point reads on
+    a widened column stay correct across eras: in-range probes hash
+    with the narrow type for narrow files, and an over-int32 probe
+    PRUNES pre-widen files (try_cast overflow = cannot contain) while
+    still finding the value in post-widen files."""
+    t = SnapshotTable(
+        spark, str(tmp_path / "wb"), partition_cols=("p",),
+        bloom_cols=("v",),
+    )
+    t.commit_overwrite_partitions(
+        spark.range(0, 50).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).cast("string").alias("p"),
+            F.col("id").cast("int").alias("v"),
+        )
+    )
+    t.widen_column("v", "bigint")
+    t.commit_overwrite_partitions(
+        spark.range(0, 3).select(
+            (F.col("id") + 100).alias("k"),
+            F.lit("9").alias("p"),
+            (F.col("id") + 6_000_000_000).alias("v"),
+        )
+    )
+    # in-range value: found in the narrow era (typed per-file hash)
+    got = t.read(point={"v": 7})
+    assert got is not None and got.filter(F.col("v") == 7).count() == 1
+    # over-int32 value: narrow files pruned, wide file serves it
+    got_big = t.read(point={"v": 6_000_000_001})
+    assert got_big is not None
+    assert got_big.filter(F.col("v") == 6_000_000_001).count() == 1
+    # absent over-range value: prunes everything (None = no files)
+    assert t.read(point={"v": 7_000_000_000}) is None
