@@ -847,3 +847,92 @@ def text_winnowing_dup_pairs(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
     )
+
+
+@query(
+    "text_js_divergence_sources",
+    """
+WITH tok AS (
+  SELECT source, UNNEST(string_split(text, ' ')) AS word FROM documents
+  WHERE source IN ('src0', 'src1')
+), vocab AS (
+  SELECT word,
+         CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+           AS cp,
+         CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT)
+           AS cq
+  FROM tok GROUP BY word
+), tot AS (
+  SELECT CAST(SUM(cp) AS BIGINT) AS np, CAST(SUM(cq) AS BIGINT) AS nq
+  FROM vocab
+), terms AS (
+  SELECT CASE WHEN cp > 0 THEN
+           CAST(ROUND((cp * 1.0 / np) * log2((cp * 1.0 / np)
+                / ((cp * 1.0 / np + cq * 1.0 / nq) / 2)) * 1000000000)
+                AS BIGINT)
+         ELSE 0 END AS tp,
+         CASE WHEN cq > 0 THEN
+           CAST(ROUND((cq * 1.0 / nq) * log2((cq * 1.0 / nq)
+                / ((cp * 1.0 / np + cq * 1.0 / nq) / 2)) * 1000000000)
+                AS BIGINT)
+         ELSE 0 END AS tq
+  FROM vocab CROSS JOIN tot
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       CAST(SUM(tp) AS BIGINT) AS kl_p_m_nanobits,
+       CAST(SUM(tq) AS BIGINT) AS kl_q_m_nanobits,
+       CAST(FLOOR((SUM(tp) + SUM(tq)) / 2.0) AS BIGINT) AS jsd_nanobits
+FROM terms
+""",
+)
+def text_js_divergence_sources(spark, sf_dir):
+    """Jensen-Shannon divergence between two sources' unigram
+    distributions — the standard domain-distance measure for corpus
+    mixing decisions (symmetric, bounded [0,1] bit, defined even on
+    disjoint vocabularies, unlike raw KL). JSD = (KL(p||m)+KL(q||m))/2
+    with m the midpoint; per-word contribution terms are rounded to
+    integer NANOBITS before summing (the unigram-logprob contract), so
+    the corpus-level sums are associative integer math. One vocabulary
+    groupBy + a one-row totals broadcast — at any scale the state is
+    the vocabulary, never the corpus."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    tok = d.filter(F.col("source").isin("src0", "src1")).select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    vocab = tok.groupBy("word").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+        .cast("long")
+        .alias("cp"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0))
+        .cast("long")
+        .alias("cq"),
+    )
+    tot = vocab.agg(
+        F.sum("cp").cast("long").alias("np"),
+        F.sum("cq").cast("long").alias("nq"),
+    )
+    p = F.col("cp") * 1.0 / F.col("np")
+    q = F.col("cq") * 1.0 / F.col("nq")
+    mid = (p + q) / 2
+    terms = vocab.join(F.broadcast(tot)).select(
+        F.when(
+            F.col("cp") > 0,
+            F.round(p * F.log2(p / mid) * 1000000000).cast("long"),
+        )
+        .otherwise(0)
+        .alias("tp"),
+        F.when(
+            F.col("cq") > 0,
+            F.round(q * F.log2(q / mid) * 1000000000).cast("long"),
+        )
+        .otherwise(0)
+        .alias("tq"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum("tp").cast("long").alias("kl_p_m_nanobits"),
+        F.sum("tq").cast("long").alias("kl_q_m_nanobits"),
+        F.floor((F.sum("tp") + F.sum("tq")) / 2.0)
+        .cast("long")
+        .alias("jsd_nanobits"),
+    )

