@@ -146,3 +146,38 @@ def test_widen_with_bloom_point_reads(spark, tmp_path):
     assert got_big.filter(F.col("v") == 6_000_000_001).count() == 1
     # absent over-range value: prunes everything (None = no files)
     assert t.read(point={"v": 7_000_000_000}) is None
+
+
+def test_widen_fill_and_dv_compose_on_one_table(spark, tmp_path):
+    """All three per-entry read mechanisms at once — widen tags, fill
+    tags, and deletion vectors — must compose: groups split by their
+    (fill, widen) signature, casts and defaults apply per era, and the
+    DV anti-join still removes exactly its rows."""
+    t = SnapshotTable(spark, str(tmp_path / "c"), partition_cols=("p",))
+    t.commit_overwrite_partitions(
+        spark.range(0, 20).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).cast("string").alias("p"),
+            F.col("id").cast("int").alias("v"),
+        )
+    )
+    t.widen_column("v", "bigint")
+    t.add_column("tag", "string", default="old")
+    t.delete_where_dv(F.col("k") % 4 == 0)  # 5 rows out via DV
+    t.commit_overwrite_partitions(
+        spark.range(0, 4).select(
+            (F.col("id") + 100).alias("k"),
+            F.lit("9").alias("p"),
+            (F.col("id") + 9_000_000_000).alias("v"),
+            F.lit("new").alias("tag"),
+        )
+    )
+    got = t.read()
+    assert dict(got.dtypes)["v"] == "bigint"
+    assert got.count() == 15 + 4
+    assert got.filter(F.col("tag") == "old").count() == 15
+    assert got.filter(F.col("v") >= 9_000_000_000).count() == 4
+    assert got.filter(F.col("k") % 4 == 0).filter(F.col("k") < 100).count() == 0
+    # and the whole stack survives a vacuum
+    t.vacuum(older_than_sec=0.0)
+    assert t.read().count() == 19
