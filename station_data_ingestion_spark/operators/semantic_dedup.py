@@ -402,7 +402,36 @@ def semantic_near_pairs_auto(
     if not 0.0 < tau < 1.0:
         raise ValueError(f"tau must be in (0, 1), got {tau}")
     n = df.count()
-    k0 = auto_k(n)
+    # auto_k clamps UP to 8, so a corpus with fewer vectors than that
+    # must clamp back down or kmeans_fit raises; below 2 vectors there
+    # is no blocking to measure at all — go straight to the k=1 floor
+    k0 = max(1, min(auto_k(n), n))
+    vecs = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    if k0 == 1:
+        pairs_n = n * (n - 1) // 2
+        if max_candidate_pairs is not None and pairs_n > max_candidate_pairs:
+            raise ValueError(
+                f"semantic-dedup: {pairs_n} candidate pairs at k=1 "
+                f"exceed the max_candidate_pairs budget {max_candidate_pairs}"
+            )
+        if stats_out is not None:
+            stats_out.update(
+                n_vectors=n,
+                replicated_rows=n,
+                replication_factor=1.0 if n else 0.0,
+                n_blocks=1 if n else 0,
+                max_block_rows=n,
+                candidate_pairs=pairs_n,
+                block_rows={0: n} if n else {},
+                chosen_k=1,
+                ladder={1: pairs_n},
+            )
+        return _all_pairs_distributed(vecs, tau, n, max_block_rows)
     sizes = []
     s = k0
     while s > 1:
@@ -410,12 +439,6 @@ def semantic_near_pairs_auto(
         s //= 4
     sizes.append(1)
     r = math.sqrt(2.0 - 2.0 * tau)
-    vecs = df.select(
-        F.col(id_col).alias("vec_id"),
-        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias(
-            "embedding"
-        ),
-    )
     normed = vecs.withColumn(
         "_n",
         F.sqrt(

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import uuid
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -75,7 +76,9 @@ def _fs(spark: SparkSession, path_str: str):
     return path.getFileSystem(spark._jsc.hadoopConfiguration()), path, jvm
 
 
-_ROOT_KEYS: dict[str, str] = {}
+_ROOT_KEYS: "weakref.WeakKeyDictionary[SparkSession, dict[str, str]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _root_key(spark: SparkSession, path_str: str) -> str:
@@ -86,13 +89,26 @@ def _root_key(spark: SparkSession, path_str: str) -> str:
     filesystem's working directory, so equality works for object-store
     URIs and does not depend on the Python process CWD —
     ``os.path.abspath`` would join an s3:// URI onto the CWD and break
-    both properties. Memoized: root sets are tiny but the comparisons
-    run once per manifest entry."""
-    key = _ROOT_KEYS.get(path_str)
-    if key is None:
-        fs, path, _ = _fs(spark, path_str)
-        key = fs.makeQualified(path).toString().rstrip("/")
-        _ROOT_KEYS[path_str] = key
+    both properties. Root sets are tiny but the comparisons run once
+    per manifest entry, so resolved keys are memoized.
+
+    Memoized per (session, path): a raw relative path resolves against
+    the filesystem working directory at call time, and fs.defaultFS can
+    differ between sessions — a process-global cache keyed on the raw
+    string could serve a stale root across a CWD change or a second
+    session and mis-classify clone/DV roots, so relative paths are
+    never cached and absolute ones are keyed under their session."""
+    is_abs = "://" in path_str or path_str.startswith(("/", "file:"))
+    cache = None
+    if is_abs:
+        cache = _ROOT_KEYS.setdefault(spark, {})
+        key = cache.get(path_str)
+        if key is not None:
+            return key
+    fs, path, _ = _fs(spark, path_str)
+    key = fs.makeQualified(path).toString().rstrip("/")
+    if cache is not None:
+        cache[path_str] = key
     return key
 
 
@@ -367,6 +383,8 @@ class SnapshotTable:
             manifest["dropped"] = m["dropped"]
         if m.get("widened"):
             manifest["widened"] = m["widened"]
+        if m.get("added"):
+            manifest["added"] = m["added"]
         if m.get("deletes"):
             # the clone inherits the source's deletion vectors in place;
             # pin each token to the root that owns it (clone-of-clone
@@ -657,6 +675,8 @@ class SnapshotTable:
             manifest["dropped"] = bm["dropped"]
         if bm.get("widened"):
             manifest["widened"] = bm["widened"]
+        if bm.get("added"):
+            manifest["added"] = bm["added"]
         if deletes:
             manifest["deletes"] = deletes
         if not self._write_manifest_exclusive(fork_v + 1, manifest):
@@ -983,9 +1003,6 @@ class SnapshotTable:
                     .option("mergeSchema", "true")
                     .parquet(*paths)
                 )
-                for col, to_type in json.loads(widen).items():
-                    if col in d.columns:
-                        d = d.withColumn(col, F.col(col).cast(to_type))
                 for col, spec_ in json.loads(fill).items():
                     filled = F.lit(spec_["v"]).cast(spec_["t"])
                     if col in d.columns:
@@ -996,6 +1013,12 @@ class SnapshotTable:
                         )
                     else:
                         d = d.withColumn(col, filled)
+                # widen casts run AFTER fills so a widened ADDED column
+                # (fill-created, never physical in this group) still
+                # lands at the wide type
+                for col, to_type in json.loads(widen).items():
+                    if col in d.columns:
+                        d = d.withColumn(col, F.col(col).cast(to_type))
                 if lineage:
                     d = d.select(
                         "*",
@@ -1150,6 +1173,8 @@ class SnapshotTable:
             manifest["dropped"] = m["dropped"]
         if m.get("widened"):
             manifest["widened"] = m["widened"]
+        if m.get("added"):
+            manifest["added"] = m["added"]
         if m.get("deletes"):
             # DVs survive unrelated metadata commits — omitting them
             # here would resurrect every DV-deleted row at this version
@@ -1191,6 +1216,12 @@ class SnapshotTable:
             manifest["renames"] = m["renames"]
         if m.get("widened"):
             manifest["widened"] = m["widened"]
+        if m.get("added"):
+            # the dropped column (if it was an added one) leaves the map
+            # — its name is retired, so the fill spec can never re-apply
+            added = {c: s for c, s in m["added"].items() if c != col}
+            if added:
+                manifest["added"] = added
         if m.get("deletes"):
             # same carry-forward as every data commit: a metadata-only
             # evolution must not resurrect DV-deleted rows
@@ -1241,9 +1272,17 @@ class SnapshotTable:
             "version": version,
             "partition_cols": list(self.partition_cols),
             "files": entries,
+            # table-level record of initial defaults: RESTORE uses it to
+            # re-tag restored (pre-add) files so the added column keeps
+            # reading its default instead of vanishing from the schema
+            "added": {**(m.get("added") or {}), col: {"v": default, "t": dtype}},
             "op": "add-column",
         }
-        for carry in ("renames", "dropped", "deletes"):
+        # 'widened' MUST ride along: dropping it would stop
+        # _align_widened from casting incoming writes and put mixed
+        # narrow/wide untagged files in one scan group
+        # (CANNOT_MERGE_SCHEMAS on read)
+        for carry in ("renames", "dropped", "deletes", "widened"):
             if m.get(carry):
                 manifest[carry] = m[carry]
         if not self._write_manifest_exclusive(version, manifest):
@@ -1291,7 +1330,7 @@ class SnapshotTable:
             "widened": {**m.get("widened", {}), col: to_type},
             "op": "widen-column",
         }
-        for carry in ("renames", "dropped", "deletes"):
+        for carry in ("renames", "dropped", "deletes", "added"):
             if m.get(carry):
                 manifest[carry] = m[carry]
         if not self._write_manifest_exclusive(version, manifest):
@@ -1378,7 +1417,8 @@ class SnapshotTable:
         cur_dropped = self._latest_dropped()
         if cur_dropped:
             manifest["dropped"] = cur_dropped
-        cur_widened = self._read_manifest(base_v).get("widened") or {}
+        base_m = self._read_manifest(base_v)
+        cur_widened = base_m.get("widened") or {}
         if cur_widened:
             # widenings that happened AFTER the restore target: every
             # restored file is narrow for those columns — tag them so
@@ -1394,6 +1434,24 @@ class SnapshotTable:
                     for e in manifest["files"]
                 ]
             manifest["widened"] = cur_widened
+        cur_added = base_m.get("added") or {}
+        if cur_added:
+            # columns ADDED (initial default) after the restore target:
+            # restored files predate the add, so without a fill tag the
+            # column would silently vanish from the live schema — tag
+            # them with the current fill specs, mirroring the widen
+            # handling (files from post-add targets keep their tags)
+            missing_fill = {
+                c: spec
+                for c, spec in cur_added.items()
+                if c not in (target.get("added") or {})
+            }
+            if missing_fill:
+                manifest["files"] = [
+                    {**e, "fill": {**(e.get("fill") or {}), **missing_fill}}
+                    for e in manifest["files"]
+                ]
+            manifest["added"] = cur_added
         if not self._write_manifest_exclusive(new_v, manifest):
             raise ConcurrentCommitError(
                 f"lost the publish race for v{new_v} at {self.path}"
@@ -2127,6 +2185,9 @@ class SnapshotTable:
             widened = src_m.get("widened") if src_m is not None else None
             if widened:
                 manifest["widened"] = widened
+            added = src_m.get("added") if src_m is not None else None
+            if added:
+                manifest["added"] = added
             # deletion vectors survive unrelated commits (an append must
             # not resurrect DV-deleted rows); extra may override (e.g.
             # materialize_deletes clears the list)
@@ -2233,6 +2294,8 @@ class SnapshotTable:
             manifest["dropped"] = base_m["dropped"]
         if base_m.get("widened"):
             manifest["widened"] = base_m["widened"]
+        if base_m.get("added"):
+            manifest["added"] = base_m["added"]
         if base_m.get("deletes"):
             manifest["deletes"] = base_m["deletes"]
         if extra:

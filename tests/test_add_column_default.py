@@ -178,6 +178,81 @@ def test_widen_fill_and_dv_compose_on_one_table(spark, tmp_path):
     assert got.filter(F.col("tag") == "old").count() == 15
     assert got.filter(F.col("v") >= 9_000_000_000).count() == 4
     assert got.filter(F.col("k") % 4 == 0).filter(F.col("k") < 100).count() == 0
+    # add_column must CARRY the table-level widened map: a NARROW-typed
+    # append after the add still aligns to bigint — before the carry
+    # fix the int file shared a scan group with the wide untagged file
+    # and read() died with CANNOT_MERGE_SCHEMAS
+    t.commit_overwrite_partitions(
+        spark.range(0, 3).select(
+            (F.col("id") + 200).alias("k"),
+            F.lit("8").alias("p"),
+            (F.col("id") + 7).cast("int").alias("v"),
+            F.lit("narrow").alias("tag"),
+        )
+    )
+    got = t.read()
+    assert dict(got.dtypes)["v"] == "bigint"
+    assert got.filter(F.col("tag") == "narrow").count() == 3
+    assert got.count() == 15 + 4 + 3
+    # a LATER widen must merge with (not clobber) the carried map —
+    # and widening an ADDED column composes (fill casts to the wide type)
+    t.add_column("w2", "int", default=1)
+    t.widen_column("w2", "bigint")
+    assert set((t._read_manifest(t.latest_version())["widened"]).keys()) == {
+        "v",
+        "w2",
+    }
+    got = t.read()
+    assert dict(got.dtypes)["w2"] == "bigint"
+    assert got.filter(F.col("w2") == 1).count() == 22
     # and the whole stack survives a vacuum
     t.vacuum(older_than_sec=0.0)
-    assert t.read().count() == 19
+    assert t.read().count() == 22
+
+
+def test_restore_preserves_added_column(spark, tmp_path):
+    """RESTORE rolls back data, not schema: a column added (metadata-
+    only, per-file fill) after the restore target must stay in the live
+    schema, with restored files re-tagged so they read the default —
+    the same keep-schema-current rule the widen handling follows."""
+    t = _mk(spark, tmp_path)
+    v1 = t.latest_version()
+    t.add_column("tag", "string", default="legacy")
+    t.commit_overwrite_partitions(
+        spark.range(100, 104).select(
+            F.col("id").alias("k"),
+            F.lit("9").alias("p"),
+            (F.col("id") * 10).alias("v"),
+            F.lit("new").alias("tag"),
+        )
+    )
+    t.restore(v1)
+    got = t.read()
+    assert "tag" in got.columns
+    assert got.count() == 20
+    assert got.filter(F.col("tag") == "legacy").count() == 20
+    # restore TO a post-add version keeps the physical values
+    t.restore(t.latest_version() - 1)  # back to the 24-row state
+    got = t.read()
+    assert got.count() == 24
+    assert got.filter(F.col("tag") == "new").count() == 4
+
+
+def test_added_map_follows_drop_and_metadata_ops(spark, tmp_path):
+    """The table-level added map rides every metadata commit and the
+    dropped column leaves it (its name is retired anyway)."""
+    t = _mk(spark, tmp_path)
+    t.add_column("a1", "string", default="x")
+    t.add_column("a2", "bigint", default=5)
+    t.rename_column("v", "val")
+    t.widen_column("k", "bigint")
+    m = t._read_manifest(t.latest_version())
+    assert set(m["added"].keys()) == {"a1", "a2"}
+    t.drop_column("a1")
+    m = t._read_manifest(t.latest_version())
+    assert set(m["added"].keys()) == {"a2"}
+    # restore past everything: a2 still reads its default on old files
+    t.restore(1)
+    got = t.read()
+    assert got.filter(F.col("a2") == 5).count() == 20
+    assert "a1" not in got.columns

@@ -229,3 +229,34 @@ def test_auto_exact_on_clustered_corpus_and_cap_raises(spark):
         semantic_near_pairs_auto(
             df, tau=0.95, n_iter=2, max_candidate_pairs=10
         )
+
+
+def test_auto_tiny_corpus_below_auto_k_floor(spark):
+    """auto_k clamps UP to 8; a corpus with fewer vectors must clamp
+    back down to n (through to the k=1 exact path) instead of raising
+    'k exceeds available vectors' from kmeans_fit."""
+    from station_data_ingestion_spark.operators.semantic_dedup import (
+        semantic_near_pairs_auto,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),  # near-dup of 0
+        (2, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    stats: dict = {}
+    got = {
+        (r.a_id, r.b_id)
+        for r in semantic_near_pairs_auto(
+            df, tau=0.95, n_iter=2, stats_out=stats
+        ).collect()
+    }
+    assert got == {(0, 1)}
+    assert 1 <= stats["chosen_k"] <= 3 and stats["n_vectors"] == 3
+    # degenerate corpora: one vector and zero vectors both yield the
+    # trivial empty pair set, no raise
+    one = spark.createDataFrame(rows[:1], "vec_id long, embedding array<double>")
+    assert semantic_near_pairs_auto(one, tau=0.9).count() == 0
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert semantic_near_pairs_auto(empty, tau=0.9).count() == 0
