@@ -975,3 +975,67 @@ def events_session_path_topk(spark, sf_dir):
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(10)
     )
+
+
+@query(
+    "events_ohlc_candles_weekly",
+    """
+WITH r AS (
+  SELECT event_type, date_trunc('week', ts) AS week, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('week', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('week', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_z
+  FROM events
+)
+SELECT event_type,
+       strftime(week, '%Y-%m-%d') AS week_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+       ROUND(MAX(value), 6) AS high,
+       ROUND(MIN(value), 6) AS low,
+       ROUND(MAX(CASE WHEN rn_z = 1 THEN value END), 6) AS close
+FROM r GROUP BY 1, 2
+""",
+)
+def events_ohlc_candles_weekly(spark, sf_dir):
+    """OHLC candles per (event_type, ISO week) — the time-series
+    downsampling every market/metrics store ships. Open/close are the
+    first/last value under the deterministic (ts, event_id) total
+    order (two row_numbers over ONE partitioned window shuffle — keys
+    are (type, week), so parallelism grows with the calendar and no
+    global window ever appears); high/low/count ride the same
+    groupBy. Exact picks, exact extrema; only the emitted doubles are
+    rounded."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")["events"]
+    wk = F.date_trunc("week", "ts")
+    base = e.select(
+        "event_type", wk.alias("week"), "value", "ts", "event_id"
+    )
+    pw = Window.partitionBy("event_type", "week")
+    r = base.select(
+        "event_type",
+        "week",
+        "value",
+        F.row_number()
+        .over(pw.orderBy(F.col("ts").asc(), F.col("event_id").asc()))
+        .alias("rn_a"),
+        F.row_number()
+        .over(pw.orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+        .alias("rn_z"),
+    )
+    return r.groupBy(
+        "event_type", F.date_format("week", "yyyy-MM-dd").alias("week_start")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 6).alias(
+            "open"
+        ),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.round(F.max(F.when(F.col("rn_z") == 1, F.col("value"))), 6).alias(
+            "close"
+        ),
+    )

@@ -1181,3 +1181,353 @@ def graph_degree_assortativity(spark, sf_dir):
             6,
         ).alias("assortativity"),
     )
+
+
+@query(
+    "stats_contingency_chi2_cramers_v",
+    """
+WITH obs AS (
+  SELECT r_name, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS obs
+  FROM orders, customer, nation, region
+  WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+    AND n_regionkey = r_regionkey
+  GROUP BY 1, 2
+), rt AS (SELECT r_name, SUM(obs) AS rt FROM obs GROUP BY 1),
+ct AS (SELECT o_orderpriority, SUM(obs) AS ct FROM obs GROUP BY 1),
+tot AS (
+  SELECT SUM(obs) AS n, COUNT(DISTINCT r_name) AS nr,
+         COUNT(DISTINCT o_orderpriority) AS nc
+  FROM obs
+), cells AS (
+  SELECT CAST(obs.obs * tot.n - rt.rt * ct.ct AS DOUBLE) *
+         CAST(obs.obs * tot.n - rt.rt * ct.ct AS DOUBLE) /
+         (CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)) AS term,
+         tot.n AS n, tot.nr AS nr, tot.nc AS nc
+  FROM obs
+  JOIN rt USING (r_name) JOIN ct USING (o_orderpriority) CROSS JOIN tot
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n,
+       CAST((MAX(nr) - 1) * (MAX(nc) - 1) AS BIGINT) AS dof,
+       ROUND(SUM(term) / MAX(n), 6) AS chi2,
+       ROUND(sqrt(SUM(term) / MAX(n)
+             / (MAX(n) * least(MAX(nr) - 1, MAX(nc) - 1))), 6) AS cramers_v
+FROM cells
+""",
+)
+def stats_contingency_chi2_cramers_v(spark, sf_dir):
+    """R x C contingency analysis (customer region x order priority):
+    Pearson chi-square statistic + Cramér's V effect size. One fact
+    scan builds the observed table via broadcast dim joins; expected
+    counts never materialize — each cell's (obs*N - rt*ct) numerator is
+    an EXACT bigint (products stay < 2^53 through ~sf100, so the
+    double cast is lossless and both engines square the same IEEE
+    value), and the R*C-row totals attach via literal-key broadcast
+    equi-joins, never a nested-loop. The cell table is dimension-
+    bounded (R*C rows), not fact-bounded — the only full scan is the
+    one observed-count aggregation."""
+    t = load(spark, sf_dir, "orders", "customer", "nation", "region")
+    joined = (
+        t["orders"]
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"].select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    obs = joined.groupBy("r_name", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    rt = obs.groupBy("r_name").agg(F.sum("obs").alias("rt"))
+    ct = obs.groupBy("o_orderpriority").agg(F.sum("obs").alias("ct"))
+    tot = (
+        obs.agg(
+            F.sum("obs").alias("n"),
+            F.countDistinct("r_name").alias("nr"),
+            F.countDistinct("o_orderpriority").alias("nc"),
+        )
+        .withColumn("_k", F.lit(1))
+    )
+    cells = (
+        obs.join(F.broadcast(rt), "r_name")
+        .join(F.broadcast(ct), "o_orderpriority")
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(tot), "_k")
+    )
+    num = (
+        F.col("obs") * F.col("n") - F.col("rt") * F.col("ct")
+    ).cast("double")
+    term = num * num / (F.col("rt").cast("double") * F.col("ct").cast("double"))
+    agg = cells.agg(
+        F.sum(term).alias("s"),
+        F.max("n").alias("n"),
+        F.max("nr").alias("nr"),
+        F.max("nc").alias("nc"),
+    )
+    chi2 = F.col("s") / F.col("n")
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                chi2
+                / (F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@query(
+    "stats_theil_sen_slope",
+    """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS xc
+  FROM orders GROUP BY 1
+), p AS (
+  SELECT (b.xc - a.xc) * 1.0 / date_diff('day', a.d, b.d) AS slope
+  FROM daily a JOIN daily b ON b.d > a.d
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(quantile_cont(slope, 0.5), 6) AS slope_cents_per_day
+FROM p
+""",
+)
+def stats_theil_sen_slope(spark, sf_dir):
+    """Theil–Sen estimator for the daily-revenue trend: the median of
+    all pairwise slopes — the robust line fit that shrugs off the
+    outlier days OLS would chase. The pair frame is CALENDAR-bounded:
+    TPC-H order dates span ~2.4k days at EVERY scale factor, so the
+    broadcast inequality self-join is <=2.4k x 2.4k (~3M slopes)
+    whether the fact table holds 15k rows or 15B — the only
+    fact-bounded work is the one daily aggregation. Slopes are exact
+    bigint cent deltas over exact day counts; the median interpolates
+    identically in both engines."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("xc")
+    )
+    a = daily.select(F.col("d").alias("d1"), F.col("xc").alias("x1"))
+    b = daily.select(F.col("d").alias("d2"), F.col("xc").alias("x2"))
+    pairs = a.join(F.broadcast(b), F.col("d2") > F.col("d1"))
+    slopes = pairs.select(
+        (
+            (F.col("x2") - F.col("x1"))
+            / F.datediff("d2", "d1").cast("double")
+        ).alias("slope")
+    )
+    return slopes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.expr("percentile(slope, 0.5)"), 6).alias(
+            "slope_cents_per_day"
+        ),
+    )
+
+
+@query(
+    "stats_kendall_tau_daily",
+    """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS xc,
+         CAST(COUNT(*) AS BIGINT) AS yc
+  FROM orders GROUP BY 1
+), p AS (
+  SELECT CASE WHEN (b.xc - a.xc) * (b.yc - a.yc) > 0 THEN 1 ELSE 0 END AS conc,
+         CASE WHEN (b.xc - a.xc) * (b.yc - a.yc) < 0 THEN 1 ELSE 0 END AS disc,
+         CASE WHEN b.xc = a.xc THEN 1 ELSE 0 END AS tx,
+         CASE WHEN b.yc = a.yc THEN 1 ELSE 0 END AS ty
+  FROM daily a JOIN daily b ON b.d > a.d
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(conc) AS BIGINT) AS concordant,
+       CAST(SUM(disc) AS BIGINT) AS discordant,
+       ROUND((SUM(conc) - SUM(disc)) * 1.0
+             / sqrt((COUNT(*) - SUM(tx)) * 1.0 * (COUNT(*) - SUM(ty))),
+             6) AS tau_b
+FROM p
+""",
+)
+def stats_kendall_tau_daily(spark, sf_dir):
+    """Kendall's tau-b between daily revenue and daily order count —
+    the rank-concordance companion to the Spearman query, with the
+    textbook tie correction (ties in x and y shrink the denominator).
+    Concordant/discordant/tied counts are exact integers off the same
+    calendar-bounded pair frame as Theil–Sen (<=2.4k days at any SF,
+    so the O(n^2) pair join is a constant-size broadcast regardless of
+    fact rows); only the final ratio touches floating point."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("xc"),
+        F.count(F.lit(1)).alias("yc"),
+    )
+    a = daily.select(
+        F.col("d").alias("d1"), F.col("xc").alias("x1"), F.col("yc").alias("y1")
+    )
+    b = daily.select(
+        F.col("d").alias("d2"), F.col("xc").alias("x2"), F.col("yc").alias("y2")
+    )
+    prod = (F.col("x2") - F.col("x1")) * (F.col("y2") - F.col("y1"))
+    p = a.join(F.broadcast(b), F.col("d2") > F.col("d1")).select(
+        F.when(prod > 0, 1).otherwise(0).alias("conc"),
+        F.when(prod < 0, 1).otherwise(0).alias("disc"),
+        F.when(F.col("x2") == F.col("x1"), 1).otherwise(0).alias("tx"),
+        F.when(F.col("y2") == F.col("y1"), 1).otherwise(0).alias("ty"),
+    )
+    agg = p.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("conc").alias("c"),
+        F.sum("disc").alias("dd"),
+        F.sum("tx").alias("tx"),
+        F.sum("ty").alias("ty"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.col("c").cast("long").alias("concordant"),
+        F.col("dd").cast("long").alias("discordant"),
+        F.round(
+            (F.col("c") - F.col("dd"))
+            * 1.0
+            / F.sqrt(
+                (F.col("n") - F.col("tx"))
+                * 1.0
+                * (F.col("n") - F.col("ty"))
+            ),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+@query(
+    "ts_cusum_changepoint",
+    """
+WITH d AS (
+  SELECT o_orderdate AS day,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+), p AS (
+  SELECT day,
+         SUM(rev) OVER (ORDER BY day) AS pt,
+         ROW_NUMBER() OVER (ORDER BY day) AS t
+  FROM d
+), tot AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(rev) AS HUGEINT) AS tt
+  FROM d
+), s AS (
+  SELECT day,
+         ABS(tot.n * CAST(pt AS HUGEINT) - CAST(t AS HUGEINT) * tot.tt)
+           AS stat,
+         tot.n AS n
+  FROM p CROSS JOIN tot
+)
+SELECT day AS change_day,
+       ROUND(CAST(stat AS DOUBLE) / CAST(n AS DOUBLE) / 100, 6)
+         AS max_cusum_dollars
+FROM s ORDER BY stat DESC, day ASC LIMIT 1
+""",
+)
+def ts_cusum_changepoint(spark, sf_dir):
+    """CUSUM changepoint detector on the daily-revenue series: the day
+    t maximizing |sum_{i<=t}(x_i - mean)| — where the level shift
+    happened, if any. The statistic is kept EXACT by scaling out the
+    fractional mean: |n*P_t - t*T| in decimal(38,0) (P_t = inclusive
+    prefix sum via the distributed two-phase scan, never a global
+    window over the fact table; t = a prefix count on the same pass
+    input). Ties break to the earliest day; the only floats are the
+    final rescale back to dollars (/n/100) and rounding. The series is
+    calendar-bounded, so the sort-limit is over <=2.6k rows at any
+    SF."""
+    from station_data_ingestion_spark.operators.prefix_sum import (
+        ordered_prefix_sum,
+    )
+
+    o = load(spark, sf_dir, "orders")["orders"]
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
+    )
+    p = ordered_prefix_sum(daily, ["day"], "rev", out_col="pt")
+    p = ordered_prefix_sum(p, ["day"], F.lit(1), out_col="t")
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("rev").cast("decimal(38,0)").alias("tt"),
+    ).withColumn("_k", F.lit(1))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = p.withColumn("_k", F.lit(1)).join(F.broadcast(tot), "_k").select(
+        "day",
+        F.abs(F.col("n") * dec("pt") - dec("t") * F.col("tt")).alias("stat"),
+        "n",
+    )
+    return (
+        s.orderBy(F.col("stat").desc(), F.col("day").asc())
+        .limit(1)
+        .select(
+            F.col("day").alias("change_day"),
+            F.round(
+                F.col("stat").cast("double")
+                / F.col("n").cast("double")
+                / 100,
+                6,
+            ).alias("max_cusum_dollars"),
+        )
+    )
+
+
+@query(
+    "ts_cross_correlation_lags",
+    """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1
+), lags AS (SELECT * FROM (VALUES (0),(1),(2),(3),(7)) AS t(lag)),
+j AS (
+  SELECT lags.lag, a.rev, b.cnt
+  FROM d a CROSS JOIN lags
+  JOIN d b ON b.day = a.day + CAST(lags.lag AS INTEGER)
+)
+SELECT CAST(lag AS BIGINT) AS lag,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(corr(rev, cnt), 6) AS r
+FROM j GROUP BY 1 ORDER BY 1
+""",
+)
+def ts_cross_correlation_lags(spark, sf_dir):
+    """CROSS-correlation between two series — daily revenue x_t against
+    daily order count y_{t+k} for k in {0,1,2,3,7} (does today's
+    revenue co-move with order volume k days later?). The lag
+    alignment is an EQUI-join on the shifted date (explode of 5 lag
+    literals, then day+lag = day), never an inequality join or a
+    global window; per-lag Pearson r is the shared one-pass co-moment
+    sketch. The joined frame is calendar-bounded (<=2.6k days x 5
+    lags)."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    expanded = d.select(
+        "day",
+        "rev",
+        F.explode(F.array(*[F.lit(k) for k in (0, 1, 2, 3, 7)])).alias("lag"),
+    ).withColumn("jday", F.date_add("day", F.col("lag")))
+    joined = expanded.join(
+        d.select(F.col("day").alias("jday"), "cnt"), "jday"
+    )
+    return (
+        joined.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(F.corr("rev", "cnt"), 6).alias("r"),
+        )
+        .select(F.col("lag").cast("long"), "n_days", "r")
+        .orderBy("lag")
+    )

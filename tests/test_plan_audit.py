@@ -55,6 +55,14 @@ CROSS_JOIN_OK = {
     # distinct-value ECDF frame
     "text_js_divergence_sources",  # one-row per-source token totals
     # broadcast against the vocabulary table
+    "stats_theil_sen_slope",  # calendar-bounded pair frame: the daily
+    # series is <=2.6k rows at ANY scale factor (TPC-H date span), so
+    # the broadcast inequality self-join is a constant-size O(days^2)
+    "stats_kendall_tau_daily",  # same calendar-bounded pair frame
+    "ts_cusum_changepoint",  # one-row (n, total) broadcast over the
+    # <=2.6k-row daily prefix-sum frame
+    "stats_contingency_chi2_cramers_v",  # one-row (n, nr, nc) totals
+    # broadcast over the R*C-row cell table
 }
 
 # Iterative/stateful queries that execute eagerly during plan
