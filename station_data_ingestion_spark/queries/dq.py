@@ -540,3 +540,74 @@ def dq_outlier_iqr_fences(spark, sf_dir):
             "max_outlier_cents",
         )
     )
+
+
+@query(
+    "dq_order_lineitem_reconciliation",
+    """
+WITH li AS (
+  SELECT l_orderkey,
+         SUM(CAST(ROUND(l_extendedprice * (1 + l_tax) * (1 - l_discount)
+                        * 100) AS BIGINT)) AS li_cents
+  FROM lineitem GROUP BY l_orderkey
+), j AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS o_cents,
+         li_cents
+  FROM orders LEFT JOIN li ON l_orderkey = o_orderkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN li_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_childless,
+       CAST(SUM(CASE WHEN li_cents IS NOT NULL
+                      AND ABS(o_cents - li_cents) <= 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_reconciled,
+       CAST(SUM(CASE WHEN li_cents IS NOT NULL
+                      AND ABS(o_cents - li_cents) > 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_mismatched,
+       CAST(MAX(CASE WHEN li_cents IS NOT NULL
+                     THEN ABS(o_cents - li_cents) END) AS BIGINT)
+         AS max_abs_diff_cents
+FROM j
+""",
+)
+def dq_order_lineitem_reconciliation(spark, sf_dir):
+    """CROSS-TABLE reconciliation audit — the classic header/detail
+    integrity check: does o_totalprice equal the lineitem-derived
+    charge sum (extendedprice * (1+tax) * (1-discount))? Per-row
+    charges round to EXACT cents before summing (both engines apply
+    the identical IEEE product then one half-away round, so the bigint
+    sums are order-independent); reconciliation tolerates 1 cent of
+    header-side rounding. One shuffle on orderkey for the detail
+    aggregation, one equi-join; counts and the max divergence are all
+    exact integers."""
+    t = load(spark, sf_dir, "orders", "lineitem")
+    li = t["lineitem"].groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice")
+                * (1 + F.col("l_tax"))
+                * (1 - F.col("l_discount"))
+                * 100
+            ).cast("long")
+        ).alias("li_cents")
+    )
+    j = t["orders"].join(
+        li, F.col("l_orderkey") == F.col("o_orderkey"), "left"
+    ).select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("o_cents"),
+        "li_cents",
+    )
+    diff = F.abs(F.col("o_cents") - F.col("li_cents"))
+    has = F.col("li_cents").isNotNull()
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.when(~has, 1).otherwise(0)).cast("long").alias("n_childless"),
+        F.sum(F.when(has & (diff <= 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n_reconciled"),
+        F.sum(F.when(has & (diff > 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n_mismatched"),
+        F.max(F.when(has, diff)).cast("long").alias("max_abs_diff_cents"),
+    )

@@ -411,3 +411,195 @@ def graph_kcore_membership(spark, sf_dir):
         e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     ).localCheckpoint(eager=True)
     return kcore(edges, k=_KCORE_K, max_rounds=_KCORE_ROUNDS)
+
+
+_COPURCHASE_EDGES_SQL = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+  WHERE l_partkey % 10 = 0
+),
+e AS (
+  SELECT DISTINCT a.p AS a, b.p AS b
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+)
+"""
+
+
+def _copurchase_edges(spark, sf_dir):
+    """The shared part co-purchase edge frame (a < b, deduplicated) —
+    same construction as graph_triangle_count_copurchase."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    nodes = (
+        li.filter(F.col("l_partkey") % 10 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = nodes.alias("a"), nodes.alias("b")
+    return (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("a"), F.col("b.p").alias("b"))
+        .distinct()
+    )
+
+
+@query(
+    "graph_clustering_coefficient",
+    _COPURCHASE_EDGES_SQL
+    + """,
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b
+), tri_per_node AS (
+  SELECT v, COUNT(*) AS tri FROM (
+    SELECT x AS v FROM tri UNION ALL
+    SELECT y FROM tri UNION ALL
+    SELECT z FROM tri
+  ) GROUP BY v
+), deg AS (
+  SELECT v, COUNT(*) AS d FROM (
+    SELECT a AS v FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY v
+), cc AS (
+  SELECT deg.v, deg.d, COALESCE(tri_per_node.tri, 0) AS tri,
+         (20 * COALESCE(tri_per_node.tri, 0)) // (deg.d * (deg.d - 1))
+           AS bucket,
+         2.0 * COALESCE(tri_per_node.tri, 0) / (deg.d * (deg.d - 1)) AS c
+  FROM deg LEFT JOIN tri_per_node ON deg.v = tri_per_node.v
+  WHERE deg.d >= 2
+)
+SELECT CAST(bucket AS BIGINT) AS cc_tenths_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       ROUND(AVG(c), 6) AS avg_cc
+FROM cc GROUP BY 1
+""",
+)
+def graph_clustering_coefficient(spark, sf_dir):
+    """LOCAL clustering coefficient distribution over the co-purchase
+    graph: cc(v) = 2*tri(v) / (deg(v)*(deg(v)-1)) for deg >= 2,
+    bucketed into tenths. Triangles come from the same oriented
+    (a<b<c) two-hop join as the triangle-count query, projected onto
+    all three corners; the bucket is EXACT integer floor division
+    (20*tri div d(d-1)) so no float ever decides a bucket edge — only
+    the per-bucket average coefficient is floating point. Every join
+    is an equi-join on node id; output is bucket-bounded (<=11
+    rows)."""
+    e = _copurchase_edges(spark, sf_dir)
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    tri_per_node = (
+        tri.select(F.col("x").alias("v"))
+        .unionAll(tri.select(F.col("y").alias("v")))
+        .unionAll(tri.select(F.col("z").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("tri"))
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    cc = (
+        deg.join(tri_per_node, "v", "left")
+        .withColumn("tri", F.coalesce(F.col("tri"), F.lit(0)))
+        .filter(F.col("d") >= 2)
+        .select(
+            F.expr("(20 * tri) div (d * (d - 1))").alias("bucket"),
+            (
+                2.0 * F.col("tri") / (F.col("d") * (F.col("d") - 1))
+            ).alias("c"),
+        )
+    )
+    return cc.groupBy(
+        F.col("bucket").cast("long").alias("cc_tenths_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.round(F.avg("c"), 6).alias("avg_cc"),
+    )
+
+
+@query(
+    "graph_common_neighbors_linkpred",
+    _COPURCHASE_EDGES_SQL
+    + """,
+adj AS (
+  SELECT a AS u, b AS w FROM e UNION ALL SELECT b, a FROM e
+), deg AS (
+  SELECT u AS v, COUNT(*) AS d FROM adj GROUP BY u
+), cand AS (
+  SELECT s.u AS x, t.w AS z, COUNT(*) AS cn
+  FROM adj s JOIN adj t ON s.w = t.u
+  WHERE s.u < t.w
+  GROUP BY s.u, t.w
+), nonedge AS (
+  SELECT cand.* FROM cand
+  LEFT JOIN e ON e.a = cand.x AND e.b = cand.z
+  WHERE e.a IS NULL
+)
+SELECT CAST(x AS BIGINT) AS x, CAST(z AS BIGINT) AS z,
+       CAST(cn AS BIGINT) AS common_neighbors,
+       ROUND(cn * 1.0 / (dx.d + dz.d - cn), 6) AS jaccard
+FROM nonedge
+JOIN deg dx ON dx.v = x JOIN deg dz ON dz.v = z
+ORDER BY cn DESC, x ASC, z ASC LIMIT 20
+""",
+)
+def graph_common_neighbors_linkpred(spark, sf_dir):
+    """LINK PREDICTION by common-neighbor count: the top-20 NON-adjacent
+    part pairs sharing the most co-purchase neighbors, with Jaccard
+    |N(x) ∩ N(z)| / |N(x) ∪ N(z)| as the score. Wedge enumeration is
+    the same two-hop equi-join the triangle count pays (bounded by
+    sum of squared degrees); existing edges leave via one anti-join
+    on the oriented pair; degrees attach by node-id equi-joins.
+    Deterministic top-20 (cn desc, then pair id) via TakeOrdered —
+    never a global row_number window."""
+    e = _copurchase_edges(spark, sf_dir)
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("w")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("w"))
+    )
+    deg = adj.groupBy(F.col("u").alias("v")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    s, t = adj.alias("s"), adj.alias("t")
+    cand = (
+        s.join(t, F.col("s.w") == F.col("t.u"))
+        .filter(F.col("s.u") < F.col("t.w"))
+        .groupBy(F.col("s.u").alias("x"), F.col("t.w").alias("z"))
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    nonedge = cand.join(
+        e,
+        (F.col("a") == F.col("x")) & (F.col("b") == F.col("z")),
+        "left_anti",
+    )
+    dx = deg.select(F.col("v").alias("x"), F.col("d").alias("dx"))
+    dz = deg.select(F.col("v").alias("z"), F.col("d").alias("dz"))
+    scored = (
+        nonedge.join(dx, "x")
+        .join(dz, "z")
+        .select(
+            F.col("x").cast("long"),
+            F.col("z").cast("long"),
+            F.col("cn").cast("long").alias("common_neighbors"),
+            F.round(
+                F.col("cn") * 1.0 / (F.col("dx") + F.col("dz") - F.col("cn")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("common_neighbors").desc(), F.col("x").asc(), F.col("z").asc()
+    ).limit(20)

@@ -575,3 +575,51 @@ def mixture_dsir_importance(spark, sf_dir):
             F.sum("ubits").cast("long").alias("dsir_ubits"),
         )
     )
+
+
+@query(
+    "mixture_temperature_reweight",
+    """
+WITH s AS (
+  SELECT source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+), w AS (
+  SELECT source, tokens, sqrt(CAST(tokens AS DOUBLE)) AS raw
+  FROM s
+), tot AS (SELECT SUM(raw) AS z FROM w)
+SELECT source,
+       tokens,
+       ROUND(raw / z, 6) AS weight,
+       CAST(FLOOR(raw / z * 1000000) AS BIGINT) AS ppm_budget
+FROM w CROSS JOIN tot
+ORDER BY source
+""",
+)
+def mixture_temperature_reweight(spark, sf_dir):
+    """TEMPERATURE-scaled sampling weights (T=2, i.e. tokens^(1/2)
+    renormalized): the standard multilingual/multi-source rebalance
+    that upsamples small sources without letting any source dominate.
+    One scan aggregates per-source token counts; sqrt + the normalizer
+    are a 20-row one-row-broadcast attach. The per-source sampling
+    budget is emitted in exact PPM via FLOOR so the integer column
+    can't drift between engines."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    s = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("tokens")
+    )
+    w = s.withColumn("raw", F.sqrt(F.col("tokens").cast("double")))
+    tot = w.agg(F.sum("raw").alias("z")).withColumn("_k", F.lit(1))
+    return (
+        w.withColumn("_k", F.lit(1))
+        .join(F.broadcast(tot), "_k")
+        .select(
+            "source",
+            "tokens",
+            F.round(F.col("raw") / F.col("z"), 6).alias("weight"),
+            F.floor(F.col("raw") / F.col("z") * 1000000)
+            .cast("long")
+            .alias("ppm_budget"),
+        )
+        .orderBy("source")
+    )

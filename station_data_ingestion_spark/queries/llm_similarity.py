@@ -878,3 +878,82 @@ def sim_bm25_incremental_index(spark, sf_dir):
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+_MATRYOSHKA_ORACLE = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 5),
+c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings
+      WHERE vec_id >= 5),
+scored AS (
+  SELECT q_id, c_id,
+         ROUND({_COS_SQL.format(a='qv', b='cv')}, 6) AS sim_full,
+         ROUND({_COS_SQL.format(a='qv[1:16]', b='cv[1:16]')}, 6) AS sim_pre
+  FROM q, c
+), ranked AS (
+  SELECT q_id, c_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY sim_full DESC, c_id) AS rk_full,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY sim_pre DESC, c_id) AS rk_pre
+  FROM scored
+)
+SELECT q_id,
+       CAST(SUM(CASE WHEN rk_full <= 10 AND rk_pre <= 10 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_overlap,
+       ROUND(SUM(CASE WHEN rk_full <= 10 AND rk_pre <= 10
+                      THEN 1 ELSE 0 END) / 10.0, 6) AS recall_at_10
+FROM ranked GROUP BY q_id
+"""
+
+
+@query("sim_matryoshka_prefix_recall", _MATRYOSHKA_ORACLE)
+def sim_matryoshka_prefix_recall(spark, sf_dir):
+    """MATRYOSHKA-style truncation audit: recall@10 of the 16-dim
+    PREFIX embedding against the full 64-dim ranking, per query — the
+    measurement behind every 'retrieve coarse at 1/4 the FLOPs and
+    memory, rerank fine' deployment. Both rankings score in ONE pass
+    over the same broadcast cross of 5 queries x candidates (prefix
+    norms via array slice, same index-order float64 accumulation as
+    the full cosine), then two partitioned row_number windows rank
+    under the deterministic (round(sim,6) DESC, c_id) key. Output is
+    query-bounded (5 rows)."""
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    pre = lambda col: F.slice(F.col(col), 1, 16)  # noqa: E731
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        _norm("embedding").alias("qn"),
+        _norm(pre("embedding")).alias("qn_p"),
+    )
+    c = e.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("cv"),
+        _norm("embedding").alias("cn"),
+        _norm(pre("embedding")).alias("cn_p"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "q_id",
+        "c_id",
+        F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6).alias(
+            "sim_full"
+        ),
+        F.round(
+            _dot(pre("qv"), pre("cv")) / (F.col("qn_p") * F.col("cn_p")), 6
+        ).alias("sim_pre"),
+    )
+    pw = Window.partitionBy("q_id")
+    ranked = scored.select(
+        "q_id",
+        F.row_number()
+        .over(pw.orderBy(F.col("sim_full").desc(), F.col("c_id")))
+        .alias("rk_full"),
+        F.row_number()
+        .over(pw.orderBy(F.col("sim_pre").desc(), F.col("c_id")))
+        .alias("rk_pre"),
+    )
+    hit = F.when((F.col("rk_full") <= 10) & (F.col("rk_pre") <= 10), 1).otherwise(0)
+    return ranked.groupBy("q_id").agg(
+        F.sum(hit).cast("long").alias("n_overlap"),
+        F.round(F.sum(hit) / 10.0, 6).alias("recall_at_10"),
+    )

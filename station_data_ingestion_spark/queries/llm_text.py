@@ -936,3 +936,62 @@ def text_js_divergence_sources(spark, sf_dir):
         .cast("long")
         .alias("jsd_nanobits"),
     )
+
+
+@query(
+    "text_zipf_slope",
+    """
+WITH toks AS (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents),
+f AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM toks GROUP BY token
+  ORDER BY freq DESC, token LIMIT 200
+), r AS (
+  SELECT ln(ROW_NUMBER() OVER (ORDER BY freq DESC, token)) AS x,
+         ln(freq) AS y
+  FROM f
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(regr_slope(y, x), 6) AS zipf_slope,
+       ROUND(regr_intercept(y, x), 6) AS intercept,
+       ROUND(regr_r2(y, x), 6) AS r2
+FROM r
+""",
+)
+def text_zipf_slope(spark, sf_dir):
+    """Zipf's-law exponent for the corpus: OLS slope of ln(freq) ~
+    ln(rank) over the top-200 tokens — the one-number lexical-health
+    check (natural text sits near -1; boilerplate and spam bend it).
+    The token histogram is the only corpus-scale pass; the top-200 cut
+    is a TakeOrdered, and ranks attach via the distributed prefix-sum
+    operator over the 200-row frame keyed by (-freq, token) — no
+    global row_number window even here. Both engines fit with their
+    NATIVE regr_* aggregates (independent implementations, same
+    closed form)."""
+    from station_data_ingestion_spark.operators.prefix_sum import (
+        ordered_prefix_sum,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    f = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(200)
+    )
+    ranked = ordered_prefix_sum(
+        f.withColumn("negfreq", -F.col("freq")),
+        ["negfreq", "token"],
+        F.lit(1),
+        out_col="rank",
+    )
+    xy = ranked.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    return xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.expr("regr_slope(y, x)"), 6).alias("zipf_slope"),
+        F.round(F.expr("regr_intercept(y, x)"), 6).alias("intercept"),
+        F.round(F.expr("regr_r2(y, x)"), 6).alias("r2"),
+    )

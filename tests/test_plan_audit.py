@@ -63,6 +63,10 @@ CROSS_JOIN_OK = {
     # <=2.6k-row daily prefix-sum frame
     "stats_contingency_chi2_cramers_v",  # one-row (n, nr, nc) totals
     # broadcast over the R*C-row cell table
+    "sim_matryoshka_prefix_recall",  # same 5-query broadcast cross as
+    # sim_brute_topk, scored at two dimensionalities in one pass
+    "mixture_temperature_reweight",  # one-row normalizer broadcast over
+    # the per-source (20-row) weight table
 }
 
 # Iterative/stateful queries that execute eagerly during plan
