@@ -787,3 +787,116 @@ def join_reciprocal_best_match(spark, sf_dir):
         .filter((F.col("rc") == 1) & (F.col("rp") == 1))
         .select("custkey", "partkey", "spend_cents")
     )
+
+
+_LATERAL_SQL = """
+SELECT c_custkey AS custkey, t.o_orderkey AS orderkey,
+       t.price_cents AS price_cents
+FROM {cust}, LATERAL (
+  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT)
+           AS price_cents
+  FROM {ords} WHERE o_custkey = c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+) t
+"""
+
+
+@query(
+    "join_lateral_topk_orders",
+    _LATERAL_SQL.format(cust="customer", ords="orders"),
+    doc="Correlated LATERAL subquery with per-group ORDER BY + LIMIT "
+    "(top-2 orders per customer); DuckDB LATERAL oracle.",
+)
+def join_lateral_topk_orders(spark, sf_dir: str):
+    """Top-2 orders per customer via a correlated LATERAL subquery —
+    the SQL surface users reach for before they learn window tricks.
+    Spark 4.x DECORRELATES this (no per-row re-execution): the plan is
+    a row_number window partitioned by o_custkey, a rn <= 2 filter,
+    then one hash join back to customer — semantically identical to
+    window_topk_parts_per_brand's hand-written form. Honest scale
+    note: the decorrelation currently funnels the LIMIT's ORDER BY
+    through a global range sort of the fact side before the window,
+    one exchange more than the hand-written top-k; this query
+    certifies the SQL surface, window_topk_two_phase is the 100 TB
+    path. Total order (price DESC, orderkey ASC) makes the pick
+    deterministic; money is emitted in integer cents."""
+    t = load(spark, sf_dir, "customer", "orders")
+    t["customer"].createOrReplaceTempView("customer_lat")
+    t["orders"].createOrReplaceTempView("orders_lat")
+    return spark.sql(_LATERAL_SQL.format(cust="customer_lat", ords="orders_lat"))
+
+
+@query(
+    "sort_pareto_frontier_parts",
+    """
+WITH p AS (
+  SELECT p_partkey,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS size
+  FROM part
+)
+SELECT p.p_partkey AS partkey, p.price_cents, p.size
+FROM p
+WHERE NOT EXISTS (
+  SELECT 1 FROM p q
+  WHERE q.price_cents <= p.price_cents AND q.size >= p.size
+    AND (q.price_cents < p.price_cents OR q.size > p.size)
+)
+""",
+    doc="Skyline / Pareto frontier (min price, max size) via two-phase "
+    "bucket run-max — never an all-pairs dominance join; quadratic "
+    "NOT EXISTS oracle.",
+)
+def sort_pareto_frontier_parts(spark, sf_dir: str):
+    """Skyline query: parts not dominated on (price low, size high) —
+    the multi-objective shortlist every catalog/procurement pipeline
+    wants. The textbook formulation is an all-pairs dominance anti-join
+    (the oracle's quadratic NOT EXISTS); the distributed plan instead
+    uses the order-statistics identity: a part survives iff its size
+    beats the MAX size among all strictly-cheaper parts AND ties the
+    MAX size at its own price. Strictly-cheaper max = GREATEST of (a) a
+    run-max over per-price-BUCKET maxima (the only global window, over
+    a ~25-row aggregated series bounded by the price range, not the
+    part count) and (b) a bucket-partitioned RANGE window for cheaper
+    parts in the same bucket. Everything over raw parts is partitioned
+    by bucket or price, so the plan holds at any row count."""
+    from pyspark.sql import Window
+
+    p = load(spark, sf_dir, "part")["part"].select(
+        F.col("p_partkey").alias("partkey"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    p = p.withColumn("bucket", F.expr("price_cents div 5000"))
+    bmax = p.groupBy("bucket").agg(F.max("size").alias("bmx"))
+    prev = bmax.select(
+        "bucket",
+        F.max("bmx")
+        .over(
+            Window.orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        )
+        .alias("prev_runmax"),
+    )
+    within = (
+        Window.partitionBy("bucket")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    same = Window.partitionBy("price_cents")
+    scored = (
+        p.join(F.broadcast(prev), "bucket")
+        .withColumn("cheaper_in_bucket", F.max("size").over(within))
+        .withColumn("same_price_max", F.max("size").over(same))
+        .withColumn(
+            "cheaper_max",
+            F.coalesce(
+                F.greatest("prev_runmax", "cheaper_in_bucket"), F.lit(-1)
+            ),
+        )
+    )
+    return scored.filter(
+        (F.col("size") > F.col("cheaper_max"))
+        & (F.col("size") == F.col("same_price_max"))
+    ).select("partkey", "price_cents", "size")

@@ -1531,3 +1531,261 @@ def ts_cross_correlation_lags(spark, sf_dir):
         .select(F.col("lag").cast("long"), "n_days", "r")
         .orderBy("lag")
     )
+
+
+# One IRLS step in SQL: eta from the incoming betas, sigmoid quantized
+# to the 2^-30 grid (ROUND half-away-from-zero in BOTH engines), w/z
+# derived from the quantized p, then the five weighted moments rounded
+# to integer 2^-20 units and summed as BIGINT (associative => engine-
+# and partitioning-independent), and the 2x2 Cramer solve spelled out
+# with the exact operation tree operators/logreg.py uses in Python.
+_LOGREG_STEP_SQL = """
+{p_cte} AS (
+  SELECT y, x, eta,
+         LEAST(GREATEST(ROUND((1.0 / (1.0 + EXP(-eta))) * 1073741824.0)
+                          / 1073741824.0,
+                        1.0 / 1048576.0),
+               1.0 - 1.0 / 1048576.0) AS p
+  FROM {eta_cte}
+),
+{w_cte} AS (SELECT y, x, eta, p, p * (1.0 - p) AS w FROM {p_cte}),
+{z_cte} AS (
+  SELECT y, x, w, eta + (y - p) / w AS z FROM {w_cte}
+),
+{m_cte} AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(ROUND(w * 1048576.0) AS BIGINT)) AS a00,
+         SUM(CAST(ROUND(w * x * 1048576.0) AS BIGINT)) AS a01,
+         SUM(CAST(ROUND(w * x * x * 1048576.0) AS BIGINT)) AS a11,
+         SUM(CAST(ROUND(w * z * 1048576.0) AS BIGINT)) AS b0,
+         SUM(CAST(ROUND(w * x * z * 1048576.0) AS BIGINT)) AS b1
+  FROM {z_cte}
+),
+{d_cte} AS (
+  SELECT n, a00 / 1048576.0 AS a00d, a01 / 1048576.0 AS a01d,
+         a11 / 1048576.0 AS a11d, b0 / 1048576.0 AS b0d,
+         b1 / 1048576.0 AS b1d
+  FROM {m_cte}
+),
+{beta_cte} AS (
+  SELECT n,
+         (a11d * b0d - a01d * b1d)
+           / (a00d * a11d - a01d * a01d) AS bb0,
+         (a00d * b1d - a01d * b0d)
+           / (a00d * a11d - a01d * a01d) AS bb1
+  FROM {d_cte}
+)"""
+
+
+def _logreg_step(i: int, eta_cte: str) -> str:
+    return _LOGREG_STEP_SQL.format(
+        p_cte=f"p{i}",
+        w_cte=f"w{i}",
+        z_cte=f"z{i}",
+        m_cte=f"m{i}",
+        d_cte=f"d{i}",
+        beta_cte=f"beta{i}",
+        eta_cte=eta_cte,
+    )
+
+
+_LOGREG_ORACLE = (
+    """
+WITH base AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+         l_quantity / 64.0 AS x
+  FROM lineitem
+),
+s1 AS (SELECT y, x, 0.0 * 1.0 + 0.0 * x AS eta FROM base),
+"""
+    + _logreg_step(1, "s1")
+    + """,
+s2 AS (SELECT y, x, bb0 * 1.0 + bb1 * x AS eta FROM base, beta1),
+"""
+    + _logreg_step(2, "s2")
+    + """
+SELECT CAST(n AS BIGINT) AS n, ROUND(bb0, 6) AS beta0,
+       ROUND(bb1, 6) AS beta1
+FROM beta2
+"""
+)
+
+
+@query(
+    "stats_logreg_irls_newton",
+    _LOGREG_ORACLE,
+    doc="Logistic regression (intercept + quantity), two exactly-"
+    "quantized IRLS steps; the DuckDB oracle replays the identical "
+    "algorithm in SQL including the 2x2 Cramer solves.",
+)
+def stats_logreg_irls_newton(spark, sf_dir):
+    """Logistic regression of return probability on quantity via two
+    Newton-IRLS steps (operators/logreg.py). Each step is ONE
+    distributed aggregation (per-row sigmoid + working weights in
+    whole-stage codegen, five moment sums with map-side combine) and a
+    2x2 driver solve — so a 100 TB fit is two fact scans, no
+    per-iteration shuffle growth, no Python row loops. The oracle
+    replays the same quantized algorithm in pure SQL: the sigmoid is
+    snapped to a 2^-30 grid and every moment term to integer 2^-20
+    units before summation, making the only transcendental (exp)
+    contribute one rounding decision per row and everything else exact
+    dyadic IEEE arithmetic — cross-engine equality is engineered.
+    Feature x = l_quantity/64 (dyadic: division by a power of two is
+    exact) keeps the step-1 moments integer-exact with ZERO rounding
+    decisions."""
+    from station_data_ingestion_spark.operators.logreg import (
+        logreg_irls_fit,
+    )
+
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    base = li.select(
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("y"),
+        (F.col("l_quantity") / F.lit(64.0)).alias("x"),
+    )
+    fit = logreg_irls_fit(base, ["x"], "y", steps=2)
+    return spark.range(1).select(
+        F.lit(fit["n"]).cast("long").alias("n"),
+        F.round(F.lit(fit["betas"][0]), 6).alias("beta0"),
+        F.round(F.lit(fit["betas"][1]), 6).alias("beta1"),
+    )
+
+
+@query(
+    "stats_brown_forsythe_levene",
+    """
+WITH li AS (
+  SELECT l_returnflag AS grp,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+),
+med AS (SELECT grp, median(cents) AS m FROM li GROUP BY grp),
+dev AS (
+  SELECT li.grp, CAST(ROUND(ABS(cents - m) * 2.0) AS BIGINT) AS d2
+  FROM li JOIN med ON li.grp = med.grp
+),
+per_g AS (
+  SELECT grp, CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(d2) AS HUGEINT) AS s,
+         CAST(SUM(CAST(d2 AS HUGEINT) * d2) AS HUGEINT) AS ss
+  FROM dev GROUP BY grp
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS HUGEINT) AS n_tot,
+         CAST(SUM(s) AS HUGEINT) AS s_tot,
+         CAST(SUM(ss) AS HUGEINT) AS ss_tot,
+         SUM(s * 1.0 * s / n) AS sum_s2_over_n
+  FROM per_g
+)
+SELECT k, CAST(n_tot AS BIGINT) AS n,
+       ROUND((sum_s2_over_n - s_tot * 1.0 * s_tot / n_tot) / (k - 1)
+             / ((ss_tot - sum_s2_over_n) / (n_tot - k)), 6) AS bf_stat
+FROM tot
+""",
+)
+def stats_brown_forsythe_levene(spark, sf_dir):
+    """Brown-Forsythe test (Levene with median centers): are price
+    variances homogeneous across return-flag groups? Robust
+    heteroscedasticity check = one-way ANOVA over |x - median_g|. The
+    per-group exact medians come from ONE group-aggregate (k or k+0.5
+    over integer cents — doubling the deviations makes them exact
+    integers again), joined back as a k-row broadcast; the F statistic
+    then reuses the exact HUGEINT/decimal moment pipeline of
+    stats_anova_oneway_f. Two fact scans, both map-side combined — no
+    windows over raw rows, so group skew cannot serialize a task."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"].select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    med = li.groupBy("grp").agg(F.expr("percentile(cents, 0.5)").alias("m"))
+    dev = li.join(F.broadcast(med), "grp").select(
+        "grp",
+        F.round(F.abs(F.col("cents") - F.col("m")) * 2.0)
+        .cast("long")
+        .alias("d2"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_g = dev.groupBy("grp").agg(
+        dec(F.count(F.lit(1))).alias("n"),
+        dec(F.sum("d2")).alias("s"),
+        F.sum(dec(F.col("d2")) * F.col("d2")).alias("ss"),
+    )
+    tot = per_g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").alias("n_tot"),
+        F.sum("s").alias("s_tot"),
+        F.sum("ss").alias("ss_tot"),
+        F.sum(F.col("s") * 1.0 * F.col("s") / F.col("n")).alias(
+            "sum_s2_over_n"
+        ),
+    )
+    ssb = F.col("sum_s2_over_n") - F.col("s_tot") * 1.0 * F.col(
+        "s_tot"
+    ) / F.col("n_tot")
+    ssw = F.col("ss_tot") - F.col("sum_s2_over_n")
+    return tot.select(
+        "k",
+        F.col("n_tot").cast("long").alias("n"),
+        F.round(
+            ssb / (F.col("k") - 1) / (ssw / (F.col("n_tot") - F.col("k"))),
+            6,
+        ).alias("bf_stat"),
+    )
+
+
+@query(
+    "stats_two_proportion_ztest",
+    """
+WITH x AS (
+  SELECT l_linestatus AS grp,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+  FROM lineitem WHERE l_linestatus IN ('O', 'F')
+), m AS (
+  SELECT
+    CAST(SUM(CASE WHEN grp = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(SUM(CASE WHEN grp = 'O' THEN r ELSE 0 END) AS BIGINT) AS x1,
+    CAST(SUM(CASE WHEN grp = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    CAST(SUM(CASE WHEN grp = 'F' THEN r ELSE 0 END) AS BIGINT) AS x2
+  FROM x
+)
+SELECT n1, x1, n2, x2,
+       ROUND((x1 * 1.0 / n1 - x2 * 1.0 / n2)
+             / SQRT((x1 + x2) * 1.0 / (n1 + n2)
+                    * (1.0 - (x1 + x2) * 1.0 / (n1 + n2))
+                    * (1.0 / n1 + 1.0 / n2)), 6) AS z_stat
+FROM m
+""",
+)
+def stats_two_proportion_ztest(spark, sf_dir):
+    """Two-proportion pooled z-test (A/B conversion comparison): does
+    the return rate differ between open and finished line statuses? One agg
+    pass produces the four exact integer counts (map-side combined at
+    any SF); the z statistic is a fixed double expression over them
+    written with the identical operation tree in both engines, so IEEE
+    determinism carries end-to-end with zero per-row float math."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    x = li.filter(F.col("l_linestatus").isin("O", "F")).select(
+        F.col("l_linestatus").alias("grp"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("r"),
+    )
+    m = x.agg(
+        F.sum(F.when(F.col("grp") == "O", 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("grp") == "O", F.col("r")).otherwise(0))
+        .cast("long")
+        .alias("x1"),
+        F.sum(F.when(F.col("grp") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum(F.when(F.col("grp") == "F", F.col("r")).otherwise(0))
+        .cast("long")
+        .alias("x2"),
+    )
+    pp = (F.col("x1") + F.col("x2")) * 1.0 / (F.col("n1") + F.col("n2"))
+    z = (
+        F.col("x1") * 1.0 / F.col("n1") - F.col("x2") * 1.0 / F.col("n2")
+    ) / F.sqrt(pp * (1.0 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n2")))
+    return m.select(
+        "n1", "x1", "n2", "x2", F.round(z, 6).alias("z_stat")
+    )

@@ -127,6 +127,10 @@ GLOBAL_WINDOW_OK = {
     # ts_seasonal_naive_backtest: same shape — lag-7 over the
     # post-aggregation daily series, never the fact table
     "ts_seasonal_naive_backtest",
+    # sort_pareto_frontier_parts: run-max over the per-price-BUCKET
+    # maxima (~25 rows, bounded by the price range); every window over
+    # raw parts is partitioned by bucket or price
+    "sort_pareto_frontier_parts",
 }
 
 # windowspecdefinition(<first arg is a sort order>) == empty partition
