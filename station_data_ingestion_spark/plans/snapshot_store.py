@@ -48,6 +48,9 @@ _PENDING = "_pending"
 _CHANGES = "_changes"
 _DELETES = "_deletes"
 
+# column-mask policy kinds accepted by SnapshotTable.set_column_mask
+_MASK_KINDS = ("hash", "partial", "nullify", "bucket")
+
 # Lossless numeric type widenings (Delta type-widening table):
 # metadata-only promotion, existing files cast after scan.
 _WIDENINGS = {
@@ -191,6 +194,29 @@ def _entry_key(e: dict) -> tuple:
     so two entries with equal relative paths under different roots never
     alias."""
     return (e.get("base"), e["path"])
+
+
+# Schema/governance metadata that must ride EVERY commit unchanged
+# unless the committing op overrides its own key. Centralized so a new
+# key cannot be silently dropped by one of the nine manifest-building
+# sites — the exact bug class of r7's "widened lost by add_column".
+# "deletes" (deletion vectors) is deliberately NOT here: several ops
+# rewrite or clear it with op-specific semantics, so each site carries
+# it explicitly.
+_CARRY_KEYS = ("renames", "dropped", "widened", "added", "masks")
+
+
+def _carry_meta(manifest: dict, src: dict | None) -> dict:
+    """Copy every truthy _CARRY_KEYS value from src into manifest,
+    skipping keys the caller already set (a DDL op that owns a key sets
+    it before calling this)."""
+    for k in _CARRY_KEYS:
+        if k in manifest:
+            continue
+        v = (src or {}).get(k)
+        if v:
+            manifest[k] = v
+    return manifest
 
 
 class SnapshotTable:
@@ -377,14 +403,7 @@ class SnapshotTable:
             "files": files,
             "op": "clone",
         }
-        if m.get("renames"):
-            manifest["renames"] = m["renames"]
-        if m.get("dropped"):
-            manifest["dropped"] = m["dropped"]
-        if m.get("widened"):
-            manifest["widened"] = m["widened"]
-        if m.get("added"):
-            manifest["added"] = m["added"]
+        _carry_meta(manifest, m)
         if m.get("deletes"):
             # the clone inherits the source's deletion vectors in place;
             # pin each token to the root that owns it (clone-of-clone
@@ -669,14 +688,7 @@ class SnapshotTable:
             "files": entries,
             "op": "fast-forward",
         }
-        if bm.get("renames"):
-            manifest["renames"] = bm["renames"]
-        if bm.get("dropped"):
-            manifest["dropped"] = bm["dropped"]
-        if bm.get("widened"):
-            manifest["widened"] = bm["widened"]
-        if bm.get("added"):
-            manifest["added"] = bm["added"]
+        _carry_meta(manifest, bm)
         if deletes:
             manifest["deletes"] = deletes
         if not self._write_manifest_exclusive(fork_v + 1, manifest):
@@ -1115,6 +1127,135 @@ class SnapshotTable:
             )
         return None
 
+    # -- column-mask policies (governance) ---------------------------------
+
+    def masks(self) -> dict:
+        """Live column-mask policies {col: [kind, arg]}."""
+        v = self.latest_version()
+        if v is None:
+            return {}
+        return dict(self._read_manifest(v).get("masks") or {})
+
+    def set_column_mask(self, col: str, kind: str, arg=None) -> int:
+        """Metadata-only commit attaching a MASK POLICY to a column
+        (Delta/Snowflake-style column-level masking): governed reads
+        (:meth:`read_masked`) rewrite the column through the policy
+        expression; no data file is touched, so the policy applies
+        retroactively to every un-vacuumed version and costs zero I/O
+        to set or drop.
+
+        Kinds: ``hash`` (sha256 hex of the string form — deterministic
+        tokenization: equality joins on masked values keep working),
+        ``partial`` (redact to '****' + last ``arg`` chars), ``nullify``
+        (NULL of the original type), ``bucket`` (generalize a numeric
+        to multiples of ``arg`` — the k-anonymity coarsening).
+
+        Policies are keyed by LOGICAL name: they follow rename_column,
+        are retired by drop_column, ride every commit via _CARRY_KEYS,
+        and stay CURRENT across restore (governance is not rolled back
+        with data)."""
+        if kind not in _MASK_KINDS:
+            raise ValueError(
+                f"unknown mask kind {kind!r}; allowed: {_MASK_KINDS}"
+            )
+        if kind in ("partial", "bucket"):
+            if not isinstance(arg, int) or arg <= 0:
+                raise ValueError(f"mask kind {kind!r} needs a positive int arg")
+        cur = self.read()
+        if cur is None or col not in cur.columns:
+            raise ValueError(f"'{col}' does not exist in the live schema")
+        base_v = self.latest_version()
+        m = self._read_manifest(base_v)
+        version = base_v + 1
+        manifest = {
+            "version": version,
+            "partition_cols": list(self.partition_cols),
+            "files": m["files"],
+            "masks": {**(m.get("masks") or {}), col: [kind, arg]},
+            "op": "set-mask",
+        }
+        _carry_meta(manifest, m)
+        if m.get("deletes"):
+            manifest["deletes"] = m["deletes"]
+        if not self._write_manifest_exclusive(version, manifest):
+            raise ConcurrentCommitError(
+                f"lost the publish race for v{version} at {self.path}"
+            )
+        return version
+
+    def drop_column_mask(self, col: str) -> int:
+        """Metadata-only commit removing a mask policy."""
+        base_v = self.latest_version()
+        if base_v is None:
+            raise ValueError(f"no table at {self.path}")
+        m = self._read_manifest(base_v)
+        masks = dict(m.get("masks") or {})
+        if col not in masks:
+            raise ValueError(f"no mask policy on '{col}'")
+        del masks[col]
+        version = base_v + 1
+        manifest = {
+            "version": version,
+            "partition_cols": list(self.partition_cols),
+            "files": m["files"],
+            "op": "drop-mask",
+        }
+        if masks:
+            manifest["masks"] = masks
+        else:
+            manifest["masks"] = {}
+        _carry_meta(manifest, m)
+        if manifest.get("masks") == {}:
+            del manifest["masks"]
+        if m.get("deletes"):
+            manifest["deletes"] = m["deletes"]
+        if not self._write_manifest_exclusive(version, manifest):
+            raise ConcurrentCommitError(
+                f"lost the publish race for v{version} at {self.path}"
+            )
+        return version
+
+    @staticmethod
+    def _mask_expr(col: str, dtype: str, kind: str, arg):
+        from pyspark.sql import functions as F
+
+        c = F.col(col)
+        if kind == "hash":
+            return F.sha2(c.cast("string"), 256)
+        if kind == "partial":
+            return F.concat(
+                F.lit("****"),
+                F.expr(f"right(cast(`{col}` as string), {int(arg)})"),
+            )
+        if kind == "nullify":
+            return F.lit(None).cast(dtype)
+        if kind == "bucket":
+            step = int(arg)
+            return (F.floor(c.cast("double") / step) * step).cast("long")
+        raise ValueError(f"unknown mask kind {kind!r}")
+
+    def read_masked(self, **kwargs) -> DataFrame | None:
+        """Governed read: :meth:`read` with live mask policies applied.
+        The raw read() stays unmasked by design — the engine's own
+        maintenance paths (merge, CDF, compaction, restore) must see
+        true bytes; production wiring routes untrusted principals
+        through this entry. Masks are the CURRENT policies even when
+        time-traveling (version/as_of): revoking visibility must cover
+        history too, or time travel is a mask bypass."""
+        df = self.read(**kwargs)
+        if df is None:
+            return None
+        dtypes = dict(df.dtypes)
+        for col, spec in self.masks().items():
+            if col not in dtypes:
+                continue
+            kind = spec[0]
+            arg = spec[1] if len(spec) > 1 else None
+            df = df.withColumn(
+                col, self._mask_expr(col, dtypes[col], kind, arg)
+            )
+        return df
+
     def rename_column(self, old: str, new: str) -> int:
         """Metadata-only column rename (Iceberg rename-column): no data
         file is touched — old files keep the old physical name, future
@@ -1169,12 +1310,14 @@ class SnapshotTable:
             "files": m["files"],
             "op": "rename-column",
         }
-        if m.get("dropped"):
-            manifest["dropped"] = m["dropped"]
-        if m.get("widened"):
-            manifest["widened"] = m["widened"]
-        if m.get("added"):
-            manifest["added"] = m["added"]
+        if m.get("masks"):
+            # mask policies are keyed by LOGICAL name: they follow the
+            # rename, so the governed column stays governed
+            manifest["masks"] = {
+                (new if c == old else c): spec
+                for c, spec in m["masks"].items()
+            }
+        _carry_meta(manifest, m)
         if m.get("deletes"):
             # DVs survive unrelated metadata commits — omitting them
             # here would resurrect every DV-deleted row at this version
@@ -1212,16 +1355,26 @@ class SnapshotTable:
             "dropped": m.get("dropped", []) + [col],
             "op": "drop-column",
         }
-        if m.get("renames"):
-            manifest["renames"] = m["renames"]
-        if m.get("widened"):
-            manifest["widened"] = m["widened"]
         if m.get("added"):
             # the dropped column (if it was an added one) leaves the map
             # — its name is retired, so the fill spec can never re-apply
             added = {c: s for c, s in m["added"].items() if c != col}
             if added:
                 manifest["added"] = added
+            else:
+                manifest["added"] = {}  # placeholder: see pop below
+        if m.get("masks"):
+            masks = {c: s for c, s in m["masks"].items() if c != col}
+            if masks:
+                manifest["masks"] = masks
+            else:
+                manifest["masks"] = {}
+        _carry_meta(manifest, m)
+        for k in ("added", "masks"):
+            # empty dicts above only blocked _carry_meta from re-adding
+            # the unfiltered map; drop them from the stored manifest
+            if manifest.get(k) == {}:
+                del manifest[k]
         if m.get("deletes"):
             # same carry-forward as every data commit: a metadata-only
             # evolution must not resurrect DV-deleted rows
@@ -1282,9 +1435,9 @@ class SnapshotTable:
         # _align_widened from casting incoming writes and put mixed
         # narrow/wide untagged files in one scan group
         # (CANNOT_MERGE_SCHEMAS on read)
-        for carry in ("renames", "dropped", "deletes", "widened"):
-            if m.get(carry):
-                manifest[carry] = m[carry]
+        _carry_meta(manifest, m)
+        if m.get("deletes"):
+            manifest["deletes"] = m["deletes"]
         if not self._write_manifest_exclusive(version, manifest):
             raise ConcurrentCommitError(
                 f"lost the publish race for v{version} at {self.path}"
@@ -1330,9 +1483,9 @@ class SnapshotTable:
             "widened": {**m.get("widened", {}), col: to_type},
             "op": "widen-column",
         }
-        for carry in ("renames", "dropped", "deletes", "added"):
-            if m.get(carry):
-                manifest[carry] = m[carry]
+        _carry_meta(manifest, m)
+        if m.get("deletes"):
+            manifest["deletes"] = m["deletes"]
         if not self._write_manifest_exclusive(version, manifest):
             raise ConcurrentCommitError(
                 f"lost the publish race for v{version} at {self.path}"
@@ -1452,6 +1605,10 @@ class SnapshotTable:
                     for e in manifest["files"]
                 ]
             manifest["added"] = cur_added
+        # masks (and any carry key the special cases above left unset)
+        # stay CURRENT across restore, same policy as renames: restore
+        # rolls back data, not governance
+        _carry_meta(manifest, base_m)
         if not self._write_manifest_exclusive(new_v, manifest):
             raise ConcurrentCommitError(
                 f"lost the publish race for v{new_v} at {self.path}"
@@ -2176,18 +2333,7 @@ class SnapshotTable:
                 "partition_cols": list(self.partition_cols),
                 "files": kept + new_entries,
             }
-            renames = src_m.get("renames", []) if src_m is not None else []
-            if renames:
-                manifest["renames"] = renames
-            dropped = src_m.get("dropped", []) if src_m is not None else []
-            if dropped:
-                manifest["dropped"] = dropped
-            widened = src_m.get("widened") if src_m is not None else None
-            if widened:
-                manifest["widened"] = widened
-            added = src_m.get("added") if src_m is not None else None
-            if added:
-                manifest["added"] = added
+            _carry_meta(manifest, src_m)
             # deletion vectors survive unrelated commits (an append must
             # not resurrect DV-deleted rows); extra may override (e.g.
             # materialize_deletes clears the list)
@@ -2288,14 +2434,7 @@ class SnapshotTable:
             "partition_cols": list(self.partition_cols),
             "files": kept + new_entries,
         }
-        if base_m.get("renames"):
-            manifest["renames"] = base_m["renames"]
-        if base_m.get("dropped"):
-            manifest["dropped"] = base_m["dropped"]
-        if base_m.get("widened"):
-            manifest["widened"] = base_m["widened"]
-        if base_m.get("added"):
-            manifest["added"] = base_m["added"]
+        _carry_meta(manifest, base_m)
         if base_m.get("deletes"):
             manifest["deletes"] = base_m["deletes"]
         if extra:

@@ -3160,3 +3160,176 @@ def snapshot_type_widening_read(spark, sf_dir):
         F.sum("cents").cast("long").alias("cents"),
         F.max("cents").cast("long").alias("max_cents"),
     )
+
+
+@query(
+    "snapshot_column_masking_read",
+    """
+WITH m AS (
+  SELECT sha256(c_name) AS name_tok,
+         '****' || right(CAST(c_mktsegment AS VARCHAR), 3) AS seg,
+         CAST(FLOOR(CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT) AS DOUBLE)
+                    / 10000) * 10000 AS BIGINT) AS bal_bucket
+  FROM customer
+)
+SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(COUNT(DISTINCT name_tok) AS BIGINT) AS n_name_tokens,
+       MIN(name_tok) AS min_name_token,
+       CAST(SUM(bal_bucket) AS BIGINT) AS bal_bucket_sum
+FROM m GROUP BY seg
+""",
+    doc="Column-level masking policies (hash/partial/bucket/nullify) "
+    "stored in table metadata, applied by governed reads; DuckDB "
+    "recomputes the masked values from the raw source.",
+)
+def snapshot_column_masking_read(spark, sf_dir):
+    """Column-mask governance end-to-end: customers land in a snapshot
+    table, then METADATA-ONLY commits attach policies — sha256
+    tokenization on the name (deterministic: equality semantics
+    survive masking), partial redaction on the segment, k-anonymity
+    bucketing on the balance, full nullification on the nation key —
+    and a governed read (read_masked) must produce exactly the masked
+    values DuckDB computes from the raw source. In-query asserts:
+    (a) mask commits touch zero data files, (b) the raw read() is
+    untouched (engine maintenance paths need true bytes), (c) the
+    nullified column reads all-NULL through governance. Policies ride
+    the manifest (_CARRY_KEYS), so at 100 TB set/drop is one manifest
+    CAS — no rewrite of a single parquet byte."""
+    cust = load(spark, sf_dir, "customer")["customer"].select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+        F.col("c_nationkey").cast("long").alias("nat"),
+        (F.col("c_custkey") % 4).cast("string").alias("b"),
+    )
+    t = SnapshotTable(
+        spark,
+        _tmpdir(prefix="snap_mask_") + "/cust_masked",
+        partition_cols=("b",),
+        stat_cols=(),
+    )
+    t.commit_overwrite_partitions(cust)
+    files_before = {e["path"] for e in t._read_manifest(t.latest_version())["files"]}
+    t.set_column_mask("name", "hash")
+    t.set_column_mask("seg", "partial", 3)
+    t.set_column_mask("bal_cents", "bucket", 10000)
+    t.set_column_mask("nat", "nullify")
+    files_after = {e["path"] for e in t._read_manifest(t.latest_version())["files"]}
+    if files_before != files_after:
+        raise RuntimeError("mask commits must be metadata-only")
+    if t.read().filter(F.col("nat").isNull()).count() != 0:
+        raise RuntimeError("raw read() must stay unmasked")
+    gov = t.read_masked()
+    if gov.filter(F.col("nat").isNotNull()).count() != 0:
+        raise RuntimeError("nullify mask leaked values")
+    return gov.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.countDistinct("name").cast("long").alias("n_name_tokens"),
+        F.min("name").alias("min_name_token"),
+        F.sum("bal_cents").cast("long").alias("bal_bucket_sum"),
+    )
+
+
+@query(
+    "snapshot_bitemporal_asof_read",
+    """
+WITH t1 AS (
+  SELECT o_custkey AS c, EXTRACT(year FROM o_orderdate) AS y, COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+),
+p1 AS (
+  SELECT c, n FROM (
+    SELECT c, n, ROW_NUMBER() OVER (PARTITION BY c ORDER BY y DESC) AS rn
+    FROM t1 WHERE y <= 1997) WHERE rn = 1
+),
+t2 AS (
+  SELECT o_custkey AS c, EXTRACT(year FROM o_orderdate) AS y, COUNT(*) AS n
+  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1, 2
+),
+p2 AS (
+  SELECT c, n FROM (
+    SELECT c, n, ROW_NUMBER() OVER (PARTITION BY c ORDER BY y DESC) AS rn
+    FROM t2 WHERE y <= 1997) WHERE rn = 1
+)
+SELECT 'v1' AS sys, CAST(n AS BIGINT) AS tier,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM p1 GROUP BY n
+UNION ALL
+SELECT 'latest' AS sys, CAST(n AS BIGINT) AS tier,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM p2 GROUP BY n
+""",
+    doc="Bitemporal point query: transaction time = snapshot version "
+    "(time travel), valid time = SCD2 ranges; a correcting re-publish "
+    "changes what the system believes about the same past instant.",
+)
+def snapshot_bitemporal_asof_read(spark, sf_dir):
+    """BITEMPORAL as-of: 'what did the system believe AT COMMIT V about
+    the customer's tier VALID AT 1997-07-01?' Valid time lives in the
+    rows (SCD2 valid_from/valid_to built with one lead() per customer);
+    transaction time lives in the snapshot store (every publish is a
+    version). Publish 1 derives tier history from ALL orders; publish 2
+    is a CORRECTION (tiers recomputed from finished orders only) that
+    REWRITES THE PAST — so the same valid-time instant answers
+    differently under version pin v1 vs latest, which is the whole
+    point of bitemporality: audits replay old beliefs, reports use
+    corrected ones. The oracle re-derives both beliefs from the raw
+    source; the Spark side must get them from the STORE via time
+    travel, proving correction commits never destroy the audit trail."""
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")["orders"]
+    asof = "1997-07-01"
+
+    def tiers(src):
+        return src.groupBy(
+            F.col("o_custkey").alias("c"),
+            F.year("o_orderdate").alias("y"),
+        ).agg(F.count(F.lit(1)).alias("n"))
+
+    def scd2(yearly):
+        w = Window.partitionBy("c").orderBy("y")
+        nxt = F.lead("y").over(w)
+        return yearly.select(
+            "c",
+            "n",
+            F.to_date(F.concat(F.col("y"), F.lit("-01-01"))).alias(
+                "valid_from"
+            ),
+            F.coalesce(
+                F.to_date(F.concat(nxt, F.lit("-01-01"))),
+                F.to_date(F.lit("9999-01-01")),
+            ).alias("valid_to"),
+            F.lit("h").alias("era"),
+        )
+
+    t = SnapshotTable(
+        spark,
+        _tmpdir(prefix="snap_bitemp_") + "/cust_tiers",
+        partition_cols=("era",),
+        stat_cols=(),
+    )
+    t.commit_overwrite_partitions(scd2(tiers(orders)))
+    v1 = t.latest_version()
+    t.commit_overwrite_partitions(
+        scd2(tiers(orders.filter(F.col("o_orderstatus") == "F")))
+    )
+
+    def valid_at(df):
+        return df.filter(
+            (F.col("valid_from") <= F.lit(asof))
+            & (F.col("valid_to") > F.lit(asof))
+        )
+
+    belief_v1 = valid_at(t.read(version=v1)).select(
+        F.lit("v1").alias("sys"), F.col("n").cast("long").alias("tier")
+    )
+    belief_now = valid_at(t.read()).select(
+        F.lit("latest").alias("sys"), F.col("n").cast("long").alias("tier")
+    )
+    return (
+        belief_v1.unionByName(belief_now)
+        .groupBy("sys", "tier")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )

@@ -493,3 +493,134 @@ def stream_interval_full_join_replay(spark, sf_dir):
         F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("p_ts"),
         F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("c_ts"),
     )
+
+
+@query(
+    "stream_late_data_audit_replay",
+    """
+WITH e AS (SELECT ts, event_type, event_id % 2 AS par FROM events),
+w1 AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS wm FROM e WHERE par = 0),
+w2 AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS wm FROM e),
+agg AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
+         COUNT(*) FILTER (WHERE par = 0) AS n_even,
+         COUNT(*) AS n_all
+  FROM e GROUP BY 1, 2
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start, event_type,
+       CAST(CASE WHEN ws + INTERVAL 1 HOUR <= w1.wm THEN n_even
+                 ELSE n_all END AS BIGINT) AS n_events
+FROM agg, w1, w2
+WHERE (ws + INTERVAL 1 HOUR <= w1.wm AND n_even > 0)
+   OR (ws + INTERVAL 1 HOUR > w1.wm AND ws + INTERVAL 1 HOUR <= w2.wm)
+""",
+    doc="Watermark late-data semantics made auditable: two checkpointed "
+    "availableNow runs; run 2 delivers the odd-id half late, finalized "
+    "windows drop it, open windows absorb it; drop count asserted "
+    "against the batch-predicted value.",
+)
+def stream_late_data_audit_replay(spark, sf_dir):
+    """LATE-DATA AUDIT: what exactly does the watermark drop? The
+    even-id half of events streams first (one availableNow run, which
+    finalizes every window ending at or before w1 = max(even ts) - 2h
+    and persists w1 in the checkpoint); the odd-id half then arrives
+    LATE through a second run on the SAME checkpoint. Spark must (a)
+    DROP late rows whose windows were already finalized, (b) ABSORB
+    late rows into still-open windows (checkpointed state merges them
+    with the even counts), and (c) emit exactly the windows finalized
+    by the new watermark w2. The memory sinks of both runs union into
+    the audited result; the oracle predicts all three behaviors from
+    the raw table. In-query assert: the engine's own
+    numRowsDroppedByWatermark must equal the batch-predicted count of
+    late GROUPS in finalized windows (the counter sits above the
+    map-side partial aggregate — measured, see inline note) — the
+    audit a 100 TB pipeline needs before trusting its completeness
+    SLOs (same counter, same semantics, any scale)."""
+    import glob
+    import shutil
+
+    events = load(spark, sf_dir, "events")["events"].select(
+        "ts", "event_type", "event_id"
+    )
+    d = tempfile.mkdtemp(prefix="stream_late_")
+    _CKPT_DIRS.append(d)
+    src = f"{d}/src"
+    even = events.filter(F.col("event_id") % 2 == 0)
+    odd = events.filter(F.col("event_id") % 2 == 1)
+    even.repartition(2).write.parquet(src)
+
+    schema = events.schema
+    ckpt = f"{d}/ckpt"
+
+    def _run(out_dir: str):
+        # foreachBatch (not the memory sink): the second run must
+        # RECOVER from the first run's checkpoint, which the memory
+        # sink refuses; each run appends its finalized windows to its
+        # own parquet dir
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm").alias(
+                    "window_start"
+                ),
+                "event_type",
+                "n_events",
+            )
+        )
+
+        def _sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            agg.writeStream.foreachBatch(_sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dropped = 0
+        for prog in q.recentProgress:
+            for op in prog.get("stateOperators") or []:
+                dropped += int(op.get("numRowsDroppedByWatermark") or 0)
+        try:
+            out = spark.read.parquet(out_dir)
+        except Exception:  # a run that finalized nothing wrote no files
+            out = spark.createDataFrame([], agg.schema)
+        return out, dropped
+
+    out1, dropped1 = _run(f"{d}/out1")
+    if dropped1 != 0:
+        raise RuntimeError(f"run 1 has no late data yet dropped {dropped1}")
+
+    # deliver the odd half LATE: new files in the same source dir
+    late_dir = f"{d}/late_stage"
+    odd.repartition(2).write.parquet(late_dir)
+    for i, f_ in enumerate(sorted(glob.glob(f"{late_dir}/part-*"))):
+        shutil.move(f_, f"{src}/late-{i}.parquet")
+
+    # batch-predicted drop count. Unit subtlety (measured, r8): for a
+    # streaming AGGREGATION, numRowsDroppedByWatermark counts rows at
+    # the STATE operator, which sits above the map-side partial
+    # aggregate — i.e. dropped GROUPS (distinct (window, type) pairs
+    # among late rows in finalized windows), not raw input rows.
+    w1 = even.agg(
+        (F.max("ts") - F.expr("INTERVAL 2 HOURS")).alias("wm")
+    ).collect()[0]["wm"]
+    expect_dropped = (
+        odd.filter(F.window("ts", "1 hour").end <= F.lit(w1))
+        .select(F.window("ts", "1 hour"), "event_type")
+        .distinct()
+        .count()
+    )
+
+    out2, dropped2 = _run(f"{d}/out2")
+    if dropped2 != expect_dropped:
+        raise RuntimeError(
+            f"watermark dropped {dropped2} late rows; batch semantics "
+            f"predict {expect_dropped}"
+        )
+    return out1.unionByName(out2)
