@@ -995,3 +995,91 @@ def text_zipf_slope(spark, sf_dir):
         F.round(F.expr("regr_intercept(y, x)"), 6).alias("intercept"),
         F.round(F.expr("regr_r2(y, x)"), 6).alias("r2"),
     )
+
+
+@query(
+    "text_bigram_kneser_ney",
+    """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+b AS (
+  SELECT ws[i] AS w1, ws[i + 1] AS w2
+  FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+),
+big AS (SELECT w1, w2, COUNT(*) AS c FROM b GROUP BY w1, w2),
+lft AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c1, COUNT(*) AS n1r
+        FROM big GROUP BY w1),
+rgt AS (SELECT w2, COUNT(*) AS n1l FROM big GROUP BY w2),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS bt FROM big),
+p AS (
+  SELECT big.c,
+         (CAST(big.c AS DOUBLE) - 0.75) / CAST(lft.c1 AS DOUBLE)
+         + 0.75 * CAST(lft.n1r AS DOUBLE) / CAST(lft.c1 AS DOUBLE)
+           * (CAST(rgt.n1l AS DOUBLE) / CAST(tot.bt AS DOUBLE)) AS pkn
+  FROM big JOIN lft ON big.w1 = lft.w1
+           JOIN rgt ON big.w2 = rgt.w2, tot
+)
+SELECT CAST(SUM(c) AS BIGINT) AS n_bigram_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_bigram_types,
+       CAST(SUM(CAST(ROUND(c * log2(pkn) * 1000000.0) AS BIGINT))
+            AS BIGINT) AS kn_logprob_microbits
+FROM p
+""",
+    doc="Interpolated Kneser-Ney bigram LM (d=0.75): corpus log-prob "
+    "in integer microbits; continuation counts, absolute discounting, "
+    "identical op trees in both engines.",
+)
+def text_bigram_kneser_ney(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram language model — the LM behind
+    perplexity-based quality filtering (CCNet/KenLM style), built as
+    pure aggregation: bigram counts, left-context totals c1(w1),
+    right-continuation fan-outs N1+(w1*), left-continuation fan-ins
+    N1+(*w2), and the distinct-bigram total B. P_KN(w2|w1) =
+    (c-d)/c1 + d*N1+(w1*)/c1 * N1+(*w2)/B with d = 0.75; corpus
+    log2-prob is summed over bigram TYPES weighted by count, each term
+    rounded to integer microbits so accumulation order cannot perturb
+    the sum. Three shuffles (bigram key, w1, w2) + one one-row total
+    broadcast — at 100 TB this is the same shape as any tf-idf pass;
+    the only transcendental (log2) is rounded per TYPE, not per token,
+    so the term count is vocabulary-bounded."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    b = (
+        d.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w1")
+        )
+        .withColumn("w2", F.lead("w1").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("w1", "w2")
+    )
+    big = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    lft = big.groupBy("w1").agg(
+        F.sum("c").cast("long").alias("c1"),
+        F.count(F.lit(1)).alias("n1r"),
+    )
+    rgt = big.groupBy("w2").agg(F.count(F.lit(1)).alias("n1l"))
+    tot = big.agg(F.count(F.lit(1)).cast("long").alias("bt"))
+    cD = F.col("c").cast("double")
+    c1D = F.col("c1").cast("double")
+    n1rD = F.col("n1r").cast("double")
+    n1lD = F.col("n1l").cast("double")
+    btD = F.col("bt").cast("double")
+    pkn = (cD - F.lit(0.75)) / c1D + F.lit(0.75) * n1rD / c1D * (
+        n1lD / btD
+    )
+    p = (
+        big.join(lft, "w1")
+        .join(rgt, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("c", pkn.alias("pkn"))
+    )
+    return p.agg(
+        F.sum("c").cast("long").alias("n_bigram_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_bigram_types"),
+        F.sum(
+            F.round(F.col("c") * F.log2("pkn") * F.lit(1000000.0)).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("kn_logprob_microbits"),
+    )

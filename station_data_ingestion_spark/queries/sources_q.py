@@ -168,3 +168,81 @@ def ingest_wide_csv_e2e(spark, sf_dir):
         F.col("date").alias("obs_date"),
         "value",
     )
+
+
+_PYDS_DDL = "event_id bigint, event_type string, user_id bigint, value_cents bigint"
+
+
+def _staged_pyds_jsonl(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir, "pyds_jsonl")
+    if key not in _STAGED:
+        d = tempfile.mkdtemp(prefix="pyds_jsonl_")
+        load(spark, sf_dir, "events")["events"].select(
+            "event_id",
+            "event_type",
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        ).repartition(4).write.json(f"{d}/src")
+        _STAGED[key] = d
+    return f"{_STAGED[key]}/src"
+
+
+@query(
+    "source_python_datasource_scan",
+    """
+SELECT user_id % 50 AS user_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+WHERE event_type = 'click' AND CAST(ROUND(value * 100) AS BIGINT) >= 500
+GROUP BY 1
+""",
+    doc="Spark 4 Python Data Source API: custom JSONL format with "
+    "per-file InputPartitions and pushFilters row-level pushdown; "
+    "oracle on the original parquet.",
+)
+def source_python_datasource_scan(spark, sf_dir):
+    """Custom PYTHON DATA SOURCE (Spark 4 DataSource API) end-to-end:
+    events staged as 4 JSONL files are read back through a registered
+    ``DataSource`` subclass — Catalyst plans one InputPartition per
+    file (asserted in-query via distinct spark_partition_id), pushes
+    the equality + range predicates into the reader via pushFilters
+    (rows failing them never cross the Python->JVM boundary; claimed
+    filters are REMOVED from the post-scan plan, so the oracle is
+    auditing the reader's own predicate code), and the aggregate must
+    match DuckDB on the original parquet. This is how a remote
+    document-store source (the reference's S5) becomes a first-class
+    partition-parallel Spark scan without a JVM connector."""
+    import glob as _glob
+
+    from station_data_ingestion_spark.sources.pyds import (
+        register_jsonl_source,
+    )
+
+    src = _staged_pyds_jsonl(spark, sf_dir)
+    register_jsonl_source(spark)
+    df = (
+        spark.read.format("jsonl_pyds")
+        .schema(_PYDS_DDL)
+        .option("path", src)
+        .load()
+    )
+    n_files = len(
+        _glob.glob(f"{src}/*.json") + _glob.glob(f"{src}/*.jsonl")
+    )
+    n_parts = df.select(F.spark_partition_id()).distinct().count()
+    if n_parts != n_files:
+        raise RuntimeError(
+            f"expected one InputPartition per file ({n_files}), planned "
+            f"{n_parts}"
+        )
+    return (
+        df.filter(
+            (F.col("event_type") == "click") & (F.col("value_cents") >= 500)
+        )
+        .groupBy((F.col("user_id") % 50).alias("user_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("value_cents").cast("long").alias("cents"),
+        )
+    )

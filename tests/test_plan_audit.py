@@ -67,6 +67,8 @@ CROSS_JOIN_OK = {
     # sim_brute_topk, scored at two dimensionalities in one pass
     "mixture_temperature_reweight",  # one-row normalizer broadcast over
     # the per-source (20-row) weight table
+    "text_bigram_kneser_ney",  # one-row distinct-bigram-total broadcast
+    # against the bigram-type table
 }
 
 # Iterative/stateful queries that execute eagerly during plan
