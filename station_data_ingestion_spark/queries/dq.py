@@ -611,3 +611,85 @@ def dq_order_lineitem_reconciliation(spark, sf_dir):
         .alias("n_mismatched"),
         F.max(F.when(has, diff)).cast("long").alias("max_abs_diff_cents"),
     )
+
+
+@query(
+    "dq_observe_single_pass_metrics",
+    """
+WITH tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS scanned_rows,
+         CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS null_qty,
+         CAST(MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS min_price_cents,
+         CAST(MAX(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS max_price_cents
+  FROM lineitem
+),
+agg AS (
+  SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT agg.flag, agg.n, agg.cents,
+       tot.scanned_rows, tot.null_qty, tot.min_price_cents,
+       tot.max_price_cents
+FROM agg, tot
+""",
+    doc="Observation API: DQ counters (row count, null count, value "
+    "bounds) collected IN the same pass as the business aggregate — "
+    "no second scan; oracle recomputes both.",
+)
+def dq_observe_single_pass_metrics(spark, sf_dir):
+    """IN-FLIGHT data-quality metrics via Spark's Observation API: the
+    business aggregate (revenue by return flag) executes ONCE, and the
+    observe() node riding the same scan collects the DQ counters a
+    pipeline wants alongside every run — rows scanned, nulls in a
+    critical column, value bounds — through accumulators, with ZERO
+    additional passes (at 100 TB a separate profiling query doubles
+    the scan bill; observe() makes profiling free). The observed
+    values are attached to every output row so the oracle audits both
+    the aggregate and the metrics; a metrics drift (e.g. the observe
+    node silently detaching from the scan after an optimizer change)
+    is a gate red."""
+    from pyspark.sql import Observation
+
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    obs = Observation("dq_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).cast("long").alias("scanned_rows"),
+        F.sum(F.col("l_quantity").isNull().cast("long"))
+        .cast("long")
+        .alias("null_qty"),
+        F.min(cents).cast("long").alias("min_price_cents"),
+        F.max(cents).cast("long").alias("max_price_cents"),
+    )
+    agg_rows = (
+        observed.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(cents).cast("long").alias("cents"),
+        )
+        .collect()  # the ONE action: business result + metrics together
+    )
+    m = obs.get
+    out = [
+        (
+            r["flag"],
+            r["n"],
+            r["cents"],
+            m["scanned_rows"],
+            m["null_qty"],
+            m["min_price_cents"],
+            m["max_price_cents"],
+        )
+        for r in agg_rows
+    ]
+    return spark.createDataFrame(
+        out,
+        "flag string, n bigint, cents bigint, scanned_rows bigint, "
+        "null_qty bigint, min_price_cents bigint, max_price_cents bigint",
+    )

@@ -246,3 +246,98 @@ def source_python_datasource_scan(spark, sf_dir):
             F.sum("value_cents").cast("long").alias("cents"),
         )
     )
+
+
+@query(
+    "source_python_stream_datasource_replay",
+    """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events GROUP BY event_type
+""",
+    doc="Custom Python STREAMING data source: file-count offsets, "
+    "per-file partitions, restart reads only newly-arrived files; "
+    "exactly-once union equals the plain batch aggregate.",
+)
+def source_python_stream_datasource_replay(spark, sf_dir):
+    """Custom Python STREAMING source (Spark 4 DataSourceStreamReader)
+    end-to-end: the offset is the count of sorted files, so a
+    checkpoint identifies an exact file prefix. Run 1 streams the
+    first half of the corpus; two more files then ARRIVE; run 2
+    resumes from the committed offset and must read ONLY the new
+    files (asserted: run-2 input rows == rows in the late files —
+    re-reading old files would double-count, skipping new ones would
+    drop data). The union of both runs' foreachBatch outputs must
+    equal the plain batch aggregate — exactly-once across a restart,
+    which is the property a 100 TB ingest loop actually relies on.
+    Each microbatch plans one InputPartition per new file: executor
+    Python workers parse in parallel; offsets/commits live in the
+    checkpoint, the source itself is stateless."""
+    import glob as _glob
+    import shutil
+
+    from station_data_ingestion_spark.sources.pyds import (
+        register_jsonl_stream_source,
+    )
+
+    staged = _staged_pyds_jsonl(spark, sf_dir)  # 4 JSONL files
+    register_jsonl_stream_source(spark)
+    d = tempfile.mkdtemp(prefix="pyds_stream_run_")
+    _STAGED[("run", d, "pyds_stream")] = d  # atexit cleanup
+    src = f"{d}/src"
+    import os as _os
+
+    _os.makedirs(src)
+    files = sorted(_glob.glob(f"{staged}/part-*.json"))
+    if len(files) < 4:
+        raise RuntimeError(f"expected >=4 staged files, got {len(files)}")
+    half = len(files) // 2
+    for i, f_ in enumerate(files[:half]):
+        shutil.copy(f_, f"{src}/a{i}.jsonl")
+
+    ckpt = f"{d}/ckpt"
+    ddl = _PYDS_DDL
+
+    def _run(out_dir: str) -> int:
+        stream = (
+            spark.readStream.format("jsonl_pyds_stream")
+            .schema(ddl)
+            .option("path", src)
+            .load()
+        )
+
+        def _sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            stream.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sum(int(p["numInputRows"]) for p in q.recentProgress)
+
+    n1 = _run(f"{d}/out1")
+
+    # two more files ARRIVE between runs
+    for i, f_ in enumerate(files[half:]):
+        shutil.copy(f_, f"{src}/b{i}.jsonl")
+    late_rows = (
+        spark.read.schema(ddl).json([f"{src}/b{i}.jsonl" for i in range(len(files) - half)]).count()
+    )
+    n2 = _run(f"{d}/out2")
+    if n2 != late_rows:
+        raise RuntimeError(
+            f"restart must read ONLY newly-arrived files: expected "
+            f"{late_rows} rows, streamed {n2}"
+        )
+    if n1 + n2 == n1:
+        raise RuntimeError("run 2 streamed nothing")
+    out = spark.read.parquet(f"{d}/out1").unionByName(
+        spark.read.parquet(f"{d}/out2")
+    )
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("value_cents").cast("long").alias("cents"),
+    )

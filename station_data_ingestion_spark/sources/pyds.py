@@ -30,6 +30,7 @@ from typing import Iterable, Iterator, List
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -167,3 +168,89 @@ def register_jsonl_source(spark) -> None:
     # a reader that implements it with the conf off is a hard error
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(JsonlDataSource)
+
+
+class JsonlStreamDataSource(DataSource):
+    """Streaming twin of :class:`JsonlDataSource`: a custom Python
+    STREAMING source whose offset is the count of (sorted) files
+    consumed. Files only ever arrive with new names, so the sorted
+    listing is append-stable and an offset {"idx": n} identifies an
+    exact prefix — a restarted query resumes from the committed offset
+    and reads ONLY files that arrived since (exactly-once across
+    restarts, asserted by the gate query). Each microbatch plans one
+    InputPartition per new file, so executor-side Python workers parse
+    in parallel exactly like the batch source."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_pyds_stream"
+
+    def schema(self):
+        raise NotImplementedError(
+            "jsonl_pyds_stream requires an explicit .schema(...)"
+        )
+
+    def streamReader(self, schema: StructType) -> "JsonlStreamReader":
+        return JsonlStreamReader(schema, self.options)
+
+
+class JsonlStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options):
+        self.schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_pyds_stream needs .option('path', dir)")
+
+    def _files(self) -> list:
+        return sorted(
+            glob.glob(os.path.join(self.path, "*.json"))
+            + glob.glob(os.path.join(self.path, "*.jsonl"))
+        )
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def latestOffset(self) -> dict:
+        return {"idx": len(self._files())}
+
+    def partitions(self, start: dict, end: dict):
+        files = self._files()
+        return [_FilePartition(p) for p in files[start["idx"]: end["idx"]]]
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        fields = [
+            (f.name, f.dataType.simpleString()) for f in self.schema.fields
+        ]
+
+        def coerce(v, t):
+            if v is None:
+                return None
+            if t in ("bigint", "int", "smallint", "tinyint"):
+                return int(v)
+            if t in ("double", "float"):
+                return float(v)
+            if t == "string":
+                return str(v)
+            if t == "boolean":
+                return bool(v)
+            return v
+
+        with open(partition.path, "r", encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    rec = json.loads(line)
+                    yield tuple(coerce(rec.get(n), t) for n, t in fields)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the checkpoint; nothing source-side
+
+
+def register_jsonl_stream_source(spark) -> None:
+    """Idempotent registration of the jsonl_pyds_stream format."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    spark.dataSource.register(JsonlStreamDataSource)
