@@ -113,6 +113,17 @@ HEADLINE = [
     "merge_dv_merge_on_read",
     "stats_mann_whitney_u",
     "text_dup_ngram_span_fraction",
+    # r8 flagship additions: the engine-native recursion (UnionLoop),
+    # two-pass IRLS logistic regression (one agg + 2x2 driver solve per
+    # step), the Kneser-Ney bigram LM (three shuffles over vocab
+    # tables), and the bucket-run-max skyline. Governance/streaming r8
+    # queries (masking, late-data audit, bitemporal, Python DS) stay
+    # gate-only: multi-commit or multi-run workloads out of family
+    # with per-stage medians.
+    "sql_recursive_cte_native",
+    "stats_logreg_irls_newton",
+    "text_bigram_kneser_ney",
+    "sort_pareto_frontier_parts",
 ]
 
 

@@ -203,7 +203,7 @@ def _entry_key(e: dict) -> tuple:
 # "deletes" (deletion vectors) is deliberately NOT here: several ops
 # rewrite or clear it with op-specific semantics, so each site carries
 # it explicitly.
-_CARRY_KEYS = ("renames", "dropped", "widened", "added", "masks")
+_CARRY_KEYS = ("renames", "dropped", "widened", "added", "masks", "generated")
 
 
 def _carry_meta(manifest: dict, src: dict | None) -> dict:
@@ -1126,6 +1126,87 @@ class SnapshotTable:
                 hi - hi % n if hi is not None else None,
             )
         return None
+
+    # -- generated columns --------------------------------------------------
+
+    def generated_columns(self) -> dict:
+        """Live generated-column specs {col: sql_expr}."""
+        v = self.latest_version()
+        if v is None:
+            return {}
+        return dict(self._read_manifest(v).get("generated") or {})
+
+    def add_generated_column(self, col: str, expr: str) -> int:
+        """Metadata-only commit declaring a GENERATED column (Delta
+        generated columns): every subsequent write either COMPUTES
+        ``col`` from ``expr`` (writer omitted it) or VALIDATES the
+        writer-supplied values against ``expr`` and aborts the commit
+        on any mismatch — a generated column can never silently hold a
+        value its expression disagrees with. Files written before the
+        declaration read the column as NULL (same union-schema rule as
+        plain schema evolution); declare before the first data commit
+        for a fully-populated column. The expression references this
+        table's own columns; renaming or dropping a source column makes
+        the next write fail LOUDLY rather than compute garbage."""
+        if col in self.partition_cols:
+            raise ValueError(
+                "partition columns are generated via partition_transforms"
+            )
+        base_v = self.latest_version()
+        if base_v is None:
+            raise ValueError(f"no table at {self.path}")
+        cur = self.read()
+        if cur is not None and col in cur.columns:
+            raise ValueError(
+                f"'{col}' already exists in the live schema; a generated "
+                "column must be a new name"
+            )
+        if cur is not None:
+            # typecheck the expression against the live schema now —
+            # a typo'd expr must fail the declaration, not every
+            # future write
+            from pyspark.sql import functions as F
+
+            cur.limit(0).select(F.expr(expr)).schema  # noqa: B018
+        m = self._read_manifest(base_v)
+        version = base_v + 1
+        manifest = {
+            "version": version,
+            "partition_cols": list(self.partition_cols),
+            "files": m["files"],
+            "generated": {**(m.get("generated") or {}), col: expr},
+            "op": "add-generated-column",
+        }
+        _carry_meta(manifest, m)
+        if m.get("deletes"):
+            manifest["deletes"] = m["deletes"]
+        if not self._write_manifest_exclusive(version, manifest):
+            raise ConcurrentCommitError(
+                f"lost the publish race for v{version} at {self.path}"
+            )
+        return version
+
+    def _apply_generated(self, df: DataFrame) -> DataFrame:
+        """Compute omitted generated columns; validate supplied ones."""
+        from pyspark.sql import functions as F
+
+        for col, expr in self.generated_columns().items():
+            if col in df.columns:
+                ok = F.col(col).eqNullSafe(F.expr(expr))
+                df = df.filter(
+                    F.when(
+                        ~F.coalesce(ok, F.lit(False)),
+                        F.raise_error(
+                            F.lit(
+                                f"generated column '{col}' violated: "
+                                f"supplied value != {expr}"
+                            )
+                        ).cast("boolean"),
+                    ).otherwise(F.lit(True))
+                )
+            else:
+                df = df.withColumn(col, F.expr(expr))
+        return df
 
     # -- column-mask policies (governance) ---------------------------------
 
@@ -2124,6 +2205,7 @@ class SnapshotTable:
                 "retired: old files' values would resurface under the "
                 "name (no field ids in a name-mapped store)"
             )
+        df = self._apply_generated(df)
         df = self._derive_transforms(df)
         df = self._align_widened(df)
         if cluster_by:

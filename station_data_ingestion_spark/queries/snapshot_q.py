@@ -3333,3 +3333,74 @@ def snapshot_bitemporal_asof_read(spark, sf_dir):
         .groupBy("sys", "tier")
         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
     )
+
+
+@query(
+    "snapshot_generated_column_read",
+    """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders WHERE o_orderkey % 3 IN (1, 2)
+GROUP BY 1
+""",
+    doc="Generated columns: computed at write when omitted, validated "
+    "when supplied (wrong value aborts the commit pre-publish); "
+    "declared by a metadata-only commit.",
+)
+def snapshot_generated_column_read(spark, sf_dir):
+    """GENERATED COLUMN lifecycle under the gate: era 'a' commits
+    before the declaration (the column reads NULL there), the
+    metadata-only declaration attaches o_year = year(o_orderdate),
+    era 'b' OMITS the column (the write path computes it), era 'c'
+    SUPPLIES it correctly (the write path validates it), and a wrong
+    supplied value must abort its commit pre-publish leaving the
+    version untouched — a generated column can never disagree with its
+    expression. The aggregate over the two post-declaration eras must
+    match DuckDB computing the same expression from the raw source."""
+    base = load(spark, sf_dir, "orders")["orders"].select(
+        F.col("o_orderkey").alias("k"),
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 3).cast("string").alias("era"),
+    )
+    t = SnapshotTable(
+        spark,
+        _tmpdir(prefix="snap_gen_") + "/orders_gen",
+        partition_cols=("era",),
+        stat_cols=(),
+    )
+    t.commit_overwrite_partitions(base.filter(F.col("era") == "0"))
+    t.add_generated_column("o_year", "year(o_orderdate)")
+    t.commit_overwrite_partitions(base.filter(F.col("era") == "1"))
+    t.commit_overwrite_partitions(
+        base.filter(F.col("era") == "2").withColumn(
+            "o_year", F.year("o_orderdate").cast("int")
+        )
+    )
+    v_ok = t.latest_version()
+    try:
+        t.commit_overwrite_partitions(
+            base.filter(F.col("era") == "2").withColumn(
+                "o_year", F.lit(1900).cast("int")
+            )
+        )
+        raise RuntimeError("wrong generated value must abort the commit")
+    except RuntimeError:
+        raise
+    except Exception:
+        pass  # expected: validation raise_error aborted the staging write
+    if t.latest_version() != v_ok:
+        raise RuntimeError("aborted commit must not advance the version")
+    df = t.read()
+    if df.filter((F.col("era") == "0") & F.col("o_year").isNotNull()).count():
+        raise RuntimeError("pre-declaration files must read NULL o_year")
+    return (
+        df.filter(F.col("era").isin("1", "2"))
+        .groupBy(F.col("o_year").cast("long").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
