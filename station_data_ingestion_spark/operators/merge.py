@@ -333,3 +333,46 @@ def merge_apply_ops(
     upserts = ops.filter(F.col(op_col) == "upsert").drop(op_col)
     kept = target.join(deletes, key_fields, "left_anti")
     return merge_plan(kept, upserts, key_fields, replace=replace).drop("_action")
+
+
+def merge_not_matched_by_source(
+    target: DataFrame,
+    source: DataFrame,
+    key_fields: list[str],
+    delete_condition=None,
+    replace: bool = True,
+) -> DataFrame:
+    """Delta's ``WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE``
+    composed with the standard upsert merge — the sync-a-dimension
+    shape: matched rows update-iff-changed, unmatched source rows
+    insert, and target rows whose key the source no longer carries are
+    deleted (optionally only when ``delete_condition``, evaluated on
+    the TARGET row, holds — unconditional not-matched-by-source delete
+    degenerates to 'replace table with source', so the condition is
+    what makes the operator useful: retire stale rows, keep recent
+    ones).
+
+    Composition: one LEFT ANTI finds keys absent from the source, the
+    delete condition prunes that frame, a second LEFT ANTI removes the
+    doomed keys, then merge_plan applies the upserts — three shuffles
+    on the SAME key that AQE/bucketing co-partition. [reference:
+    src/modules/ingestion_handler.py:205-254 — replace-only upsert;
+    this is the branch Delta added in 2.3 that it cannot express]"""
+    missing = target.join(
+        source.select(*key_fields).dropDuplicates(key_fields),
+        key_fields,
+        "left_anti",
+    )
+    if delete_condition is not None:
+        cond = (
+            F.expr(delete_condition)
+            if isinstance(delete_condition, str)
+            else delete_condition
+        )
+        missing = missing.filter(F.coalesce(cond, F.lit(False)))
+    kept = target.join(
+        missing.select(*key_fields), key_fields, "left_anti"
+    )
+    return merge_plan(kept, source, key_fields, replace=replace).drop(
+        "_action"
+    )

@@ -693,3 +693,39 @@ def dq_observe_single_pass_metrics(spark, sf_dir):
         "flag string, n bigint, cents bigint, scanned_rows bigint, "
         "null_qty bigint, min_price_cents bigint, max_price_cents bigint",
     )
+
+
+@query(
+    "dq_freshness_lag_by_type",
+    """
+WITH m AS (SELECT MAX(ts) AS mx FROM events),
+p AS (SELECT event_type, MAX(ts) AS mt, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type)
+SELECT event_type, n AS n_events,
+       CAST(epoch_us(mx) - epoch_us(mt) AS BIGINT) AS lag_micros
+FROM p, m
+""",
+    doc="Per-stream freshness lag vs the corpus high-watermark in "
+    "exact epoch microseconds — the staleness SLO audit.",
+)
+def dq_freshness_lag_by_type(spark, sf_dir):
+    """FRESHNESS audit: how far does each event stream trail the
+    corpus high-watermark? Exact epoch-microsecond arithmetic (never
+    minute/day 'differences', whose boundary-crossing semantics differ
+    between engines) over two tiny aggregates — a per-type max and a
+    one-row global max broadcast. The canary for a dead upstream
+    partition or a stuck consumer; at 100 TB it is one map-side-
+    combined pass."""
+    e = load(spark, sf_dir, "events")["events"]
+    m = e.agg(F.max("ts").alias("mx"))
+    p = e.groupBy("event_type").agg(
+        F.max("ts").alias("mt"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    return p.crossJoin(F.broadcast(m)).select(
+        "event_type",
+        "n_events",
+        (F.unix_micros("mx") - F.unix_micros("mt"))
+        .cast("long")
+        .alias("lag_micros"),
+    )

@@ -564,3 +564,71 @@ def merge_dv_merge_on_read(spark, sf_dir):
     if res["version"] != v1 + 1:
         raise RuntimeError("merge-on-read must be ONE atomic commit")
     return t.read().select("o_orderkey", "cents", "bucket")
+
+
+@query(
+    "merge_not_matched_by_source_delete",
+    """
+WITH t AS (
+  SELECT o_orderkey AS k, CAST(ROUND(o_totalprice * 100) AS BIGINT)
+           AS cents, o_orderdate AS d
+  FROM orders
+),
+s AS (
+  SELECT k, cents + 11 AS cents FROM t WHERE k % 7 IN (1, 2, 3)
+  UNION ALL
+  SELECT k + 10000000 AS k, cents FROM t WHERE k % 97 = 0
+),
+m AS (
+  SELECT COALESCE(s.k, t.k) AS k, COALESCE(s.cents, t.cents) AS cents,
+         t.d, s.k IS NOT NULL AS in_src, t.k IS NOT NULL AS in_tgt
+  FROM t FULL OUTER JOIN s ON t.k = s.k
+)
+SELECT k % 10 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM m
+WHERE in_src OR (in_tgt AND NOT (d < DATE '1997-01-01'))
+GROUP BY 1
+""",
+    doc="MERGE ... WHEN NOT MATCHED BY SOURCE AND <cond> THEN DELETE: "
+    "stale unmatched target rows retired, recent ones kept, plus the "
+    "standard update/insert branches.",
+)
+def merge_not_matched_by_source_delete(spark, sf_dir):
+    """The Delta 2.3 MERGE branch the replace-only reference cannot
+    express: the source carries updates (keys % 7 in 1-3, price + 11
+    cents) and inserts (shifted keys), and every target row the source
+    NO LONGER CARRIES is deleted iff it is stale (ordered before
+    1997) — conditional not-matched-by-source delete, the
+    sync-a-dimension shape. Unconditional delete would degenerate to
+    'replace table with source'; the condition keeps recent unmatched
+    rows alive, which is what the oracle checks row-for-row. Three
+    shuffles on the one merge key (operators/merge.py:
+    merge_not_matched_by_source)."""
+    from station_data_ingestion_spark.operators.merge import (
+        merge_not_matched_by_source,
+    )
+
+    o = load(spark, sf_dir, "orders")["orders"]
+    t = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderdate").alias("d"),
+    )
+    s = (
+        t.filter(F.col("k") % 7 <= 3)
+        .filter(F.col("k") % 7 >= 1)
+        .select("k", (F.col("cents") + 11).alias("cents"), "d")
+        .unionByName(
+            t.filter(F.col("k") % 97 == 0).select(
+                (F.col("k") + 10000000).alias("k"), "cents", "d"
+            )
+        )
+    )
+    merged = merge_not_matched_by_source(
+        t, s, ["k"], delete_condition=F.col("d") < F.lit("1997-01-01")
+    )
+    return merged.groupBy((F.col("k") % 10).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("cents"),
+    )

@@ -900,3 +900,49 @@ def sort_pareto_frontier_parts(spark, sf_dir: str):
         (F.col("size") > F.col("cheaper_max"))
         & (F.col("size") == F.col("same_price_max"))
     ).select("partkey", "price_cents", "size")
+
+
+@query(
+    "pivot_dynamic_discovered",
+    """
+SELECT o_orderpriority AS prio,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                     THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS f_cents,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                     THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS o_cents,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                     THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS p_cents
+FROM orders GROUP BY o_orderpriority
+""",
+    doc="Dynamic pivot: column set DISCOVERED at plan time (no values "
+    "list) — the extra distinct pass users pay for; oracle spells the "
+    "CASE columns out.",
+)
+def pivot_dynamic_discovered(spark, sf_dir):
+    """PIVOT with RUNTIME column discovery: no values list, so Spark
+    runs a distinct pass over the pivot column to learn the output
+    schema before the real aggregation (two jobs — the documented cost
+    of dynamic pivot; the static-values variant pivot_status_by_priority
+    skips the extra pass and is the 100 TB recommendation). Discovered
+    columns are asserted against the expected status set so a corpus
+    change fails loudly, then renamed to the oracle's fixed aliases."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    piv = (
+        o.select(F.col("o_orderpriority").alias("prio"), "o_orderstatus", cents.alias("c"))
+        .groupBy("prio")
+        .pivot("o_orderstatus")  # no values: discovery pass
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long"))
+    )
+    got = sorted(c for c in piv.columns if c != "prio")
+    if got != ["F", "O", "P"]:
+        raise RuntimeError(f"discovered pivot columns changed: {got}")
+    return piv.select(
+        "prio",
+        F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("f_cents"),
+        F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("o_cents"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("p_cents"),
+    )

@@ -1789,3 +1789,75 @@ def stats_two_proportion_ztest(spark, sf_dir):
     return m.select(
         "n1", "x1", "n2", "x2", F.round(z, 6).alias("z_stat")
     )
+
+
+@query(
+    "stats_gini_by_priority",
+    """
+WITH x AS (
+  SELECT o_orderpriority AS grp,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderkey AS k
+  FROM orders
+),
+r AS (
+  SELECT grp, cents,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cents, k) AS i
+  FROM x
+),
+g AS (
+  SELECT grp, CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(cents) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(i AS HUGEINT) * cents) AS HUGEINT) AS six
+  FROM r GROUP BY grp
+)
+SELECT grp, CAST(n AS BIGINT) AS n_orders,
+       ROUND((2.0 * six - (n + 1) * 1.0 * sx) / (n * 1.0 * sx), 6)
+         AS gini
+FROM g
+""",
+    doc="Gini coefficient of order value per priority: global "
+    "prefix-sum rank decomposition — no per-group window over raw "
+    "rows; oracle uses the direct ranked form.",
+)
+def stats_gini_by_priority(spark, sf_dir):
+    """GINI COEFFICIENT of order-value concentration per priority —
+    the inequality metric every revenue dashboard wants. The ranked
+    formula G = (2*Σi*x_i - (n+1)*Σx) / (n*Σx) needs per-group ranks
+    over millions of rows; a group-partitioned window would push each
+    group through ONE task (5 groups = parallelism 5), so the ranks
+    are decomposed instead: ONE global prefix count over the total
+    order (grp, cents, k) — distributed via operators/prefix_sum.py —
+    gives global positions; per-group rank = position - (group's first
+    position - 1), so Σi*x = Σpos*x - offset*Σx, all exact
+    decimal(38) integer sums, one fixed IEEE expression at the end.
+    The oracle computes the same statistic from the textbook
+    PARTITION BY window — two independent derivations, one answer."""
+    from station_data_ingestion_spark.operators.prefix_sum import (
+        ordered_prefix_sum,
+    )
+
+    o = load(spark, sf_dir, "orders")["orders"].select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderkey").alias("k"),
+    )
+    pos = ordered_prefix_sum(o, ["grp", "cents", "k"], F.lit(1), "pos")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = pos.groupBy("grp").agg(
+        dec(F.count(F.lit(1))).alias("n"),
+        dec(F.sum("cents")).alias("sx"),
+        F.sum(dec(F.col("pos")) * F.col("cents")).alias("sposx"),
+        dec(F.min("pos")).alias("minpos"),
+    )
+    # per-group rank i = pos - (minpos - 1)  =>  six = sposx - (minpos-1)*sx
+    six = F.col("sposx") - (F.col("minpos") - 1) * F.col("sx")
+    return g.select(
+        "grp",
+        F.col("n").cast("long").alias("n_orders"),
+        F.round(
+            (2.0 * six - (F.col("n") + 1) * 1.0 * F.col("sx"))
+            / (F.col("n") * 1.0 * F.col("sx")),
+            6,
+        ).alias("gini"),
+    )

@@ -69,6 +69,8 @@ CROSS_JOIN_OK = {
     # the per-source (20-row) weight table
     "text_bigram_kneser_ney",  # one-row distinct-bigram-total broadcast
     # against the bigram-type table
+    "dq_freshness_lag_by_type",  # one-row corpus high-watermark broadcast
+    # against the per-type maxima
 }
 
 # Iterative/stateful queries that execute eagerly during plan
