@@ -1039,3 +1039,68 @@ def events_ohlc_candles_weekly(spark, sf_dir):
             "close"
         ),
     )
+
+
+@query(
+    "events_cohort_ltv_cumulative",
+    """
+WITH f AS (
+  SELECT user_id,
+         MIN(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7)
+           AS cohort_m
+  FROM events GROUP BY user_id
+),
+r AS (
+  SELECT f.cohort_m,
+         (date_diff('day', DATE '1970-01-01', CAST(e.ts AS DATE)) // 7)
+           - f.cohort_m AS age_m,
+         CAST(ROUND(e.value * 100) AS BIGINT) AS cents
+  FROM events e JOIN f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase'
+),
+g AS (
+  SELECT cohort_m, age_m, CAST(SUM(cents) AS BIGINT) AS rev
+  FROM r GROUP BY cohort_m, age_m
+)
+SELECT CAST(cohort_m AS BIGINT) AS cohort_m, CAST(age_m AS BIGINT) AS age_m,
+       CAST(SUM(rev) OVER (PARTITION BY cohort_m ORDER BY age_m)
+            AS BIGINT) AS cum_revenue_cents
+FROM g
+""",
+    doc="Cohort LTV curves: cumulative purchase revenue by cohort "
+    "month x age month; cumsum only over the tiny post-agg grid.",
+)
+def events_cohort_ltv_cumulative(spark, sf_dir):
+    """Cohort LIFETIME-VALUE curves: users grouped by first-seen WEEK
+    (epoch-day DIV 7 — explicit integer arithmetic, so both engines
+    agree without week-of-year locale semantics; weekly grain because
+    the corpus spans ~one month), purchase revenue accumulated by
+    cohort age. One shuffle for first-seen, one join back,
+    one (cohort, age) aggregate; the running sum happens only on the
+    post-aggregation grid (cohorts x ages, dozens of rows), partitioned
+    by cohort — never a window over raw events."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")["events"]
+    mth = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")) / 7
+    )
+    f = e.groupBy("user_id").agg(F.min(mth).alias("cohort_m"))
+    r = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(f, "user_id")
+        .select(
+            "cohort_m",
+            (mth - F.col("cohort_m")).alias("age_m"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    g = r.groupBy("cohort_m", "age_m").agg(
+        F.sum("cents").cast("long").alias("rev")
+    )
+    w = Window.partitionBy("cohort_m").orderBy("age_m")
+    return g.select(
+        F.col("cohort_m").cast("long").alias("cohort_m"),
+        F.col("age_m").cast("long").alias("age_m"),
+        F.sum("rev").over(w).cast("long").alias("cum_revenue_cents"),
+    )

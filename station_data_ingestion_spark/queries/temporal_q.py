@@ -744,3 +744,51 @@ def ts_ewma_bounded_horizon(spark, sf_dir):
             ).alias("ewma_cents"),
         )
     )
+
+
+@query(
+    "ts_rolling_median_7d",
+    """
+WITH d AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+)
+SELECT day, cents,
+       median(cents) OVER (ORDER BY day
+                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         AS med7
+FROM d
+""",
+    doc="Rolling 7-row exact median over the daily-revenue series via "
+    "bounded frame collect + sort; DuckDB windowed median oracle.",
+)
+def ts_rolling_median_7d(spark, sf_dir):
+    """Rolling EXACT median (7-row trailing frame) over the daily
+    revenue series — the robust smoother dashboards use where a
+    rolling mean chases outliers. Spark has no median window function;
+    the frame is BOUNDED (7 rows), so collect_list over the frame +
+    array_sort + middle-element interpolation is exact and O(1) per
+    row — integer cents make the k / k+0.5 midpoints engine-stable.
+    The window is global by SEMANTICS (one time series) but runs over
+    the post-aggregation daily frame (<=2.6k rows at any SF), the same
+    allowlisted family as the autocorrelation series."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")["orders"]
+    d = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    arr = F.array_sort(F.collect_list("cents").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n - 1) / 2).cast("int") + 1)
+    hi = F.element_at(arr, (n / 2).cast("int") + 1)
+    return d.select(
+        "day", "cents", ((lo + hi) / 2.0).alias("med7")
+    )

@@ -131,6 +131,9 @@ GLOBAL_WINDOW_OK = {
     # ts_seasonal_naive_backtest: same shape — lag-7 over the
     # post-aggregation daily series, never the fact table
     "ts_seasonal_naive_backtest",
+    # ts_rolling_median_7d: 7-row trailing frame over the post-agg
+    # daily series — same family as the autocorrelation series
+    "ts_rolling_median_7d",
     # sort_pareto_frontier_parts: run-max over the per-price-BUCKET
     # maxima (~25 rows, bounded by the price range); every window over
     # raw parts is partitioned by bucket or price
