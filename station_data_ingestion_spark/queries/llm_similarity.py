@@ -957,3 +957,140 @@ def sim_matryoshka_prefix_recall(spark, sf_dir):
         F.sum(hit).cast("long").alias("n_overlap"),
         F.round(F.sum(hit) / 10.0, 6).alias("recall_at_10"),
     )
+
+
+def _mmr_step_sql(i: int, prior: list) -> str:
+    prior_union = " UNION ALL ".join(
+        f"SELECT c_id FROM p{j}" for j in prior
+    )
+    return f"""
+m{i} AS (
+  SELECT c.c_id, c.rel, MAX(s.s) AS mx
+  FROM cand c JOIN sims s ON s.x = c.c_id
+   AND s.y IN ({prior_union})
+  WHERE c.c_id NOT IN ({prior_union})
+  GROUP BY c.c_id, c.rel
+),
+p{i} AS (
+  SELECT c_id, ROUND(0.7 * rel - 0.3 * mx, 6) AS score
+  FROM m{i} ORDER BY score DESC, c_id LIMIT 1
+)"""
+
+
+_MMR_ORACLE = (
+    f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+c0 AS (
+  SELECT vec_id AS c_id, embedding AS cv,
+         ROUND({_COS_SQL.format(a='qv', b='embedding')}, 6) AS rel
+  FROM embeddings, q WHERE vec_id >= 5
+),
+cand AS (
+  SELECT c_id, cv, rel FROM (
+    SELECT c_id, cv, rel,
+           ROW_NUMBER() OVER (ORDER BY rel DESC, c_id) AS rn
+    FROM c0) WHERE rn <= 20
+),
+sims AS (
+  SELECT a.c_id AS x, b.c_id AS y,
+         ROUND({_COS_SQL.format(a='a.cv', b='b.cv')}, 6) AS s
+  FROM cand a JOIN cand b ON a.c_id <> b.c_id
+),
+p1 AS (
+  SELECT c_id, ROUND(0.7 * rel, 6) AS score
+  FROM cand ORDER BY ROUND(0.7 * rel, 6) DESC, c_id LIMIT 1
+),"""
+    + ",".join(_mmr_step_sql(i, list(range(1, i))) for i in range(2, 6))
+    + """
+SELECT * FROM (
+  SELECT 1 AS rank, c_id, score FROM p1
+  UNION ALL SELECT 2, c_id, score FROM p2
+  UNION ALL SELECT 3, c_id, score FROM p3
+  UNION ALL SELECT 4, c_id, score FROM p4
+  UNION ALL SELECT 5, c_id, score FROM p5
+)
+"""
+)
+
+
+@query(
+    "sim_mmr_diversified_topk",
+    _MMR_ORACLE,
+    doc="Maximal Marginal Relevance re-ranking (lambda=0.7, k=5 from "
+    "20 candidates); the oracle unrolls the greedy selection into "
+    "five SQL layers.",
+)
+def sim_mmr_diversified_topk(spark, sf_dir):
+    """MMR DIVERSIFIED re-ranking — the RAG answer to 'my top-k are
+    five copies of the same paragraph': greedily pick argmax of
+    0.7*relevance - 0.3*max-similarity-to-already-picked. Relevance
+    and the 20x19 candidate-pair similarity matrix are computed
+    DISTRIBUTED (the same index-order double-accumulated cosine the
+    brute-force family certifies); the greedy selection itself runs on
+    the driver over the BOUNDED collected candidate set (20 rows + 380
+    pair sims — selection is inherently sequential, k x n scalar
+    comparisons, never data-scale work). Determinism: every cosine is
+    rounded to 6dp BEFORE selection in both engines, MMR scores are
+    rounded half-away-from-zero exactly like SQL ROUND, ties break on
+    candidate id — the DuckDB oracle replays the identical greedy
+    unrolled into five SQL layers."""
+    import math
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), _norm("embedding").alias("qn")
+    )
+    c = e.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("cv"),
+        _norm("embedding").alias("cn"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "c_id",
+        "cv",
+        "cn",
+        F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6).alias(
+            "rel"
+        ),
+    )
+    # TakeOrderedAndProject, not a global window: the 20-row candidate
+    # cut is a top-k reduction per partition then a driver merge
+    cand = scored.orderBy(F.col("rel").desc(), F.col("c_id")).limit(20)
+    a = cand.select(
+        F.col("c_id").alias("x"), F.col("cv").alias("xv"), F.col("cn").alias("xn")
+    )
+    b = cand.select(
+        F.col("c_id").alias("y"), F.col("cv").alias("yv"), F.col("cn").alias("yn")
+    )
+    sims = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("x") != F.col("y"))
+        .select(
+            "x",
+            "y",
+            F.round(_dot("xv", "yv") / (F.col("xn") * F.col("yn")), 6).alias(
+                "s"
+            ),
+        )
+    )
+    rel = {r["c_id"]: r["rel"] for r in cand.select("c_id", "rel").collect()}
+    sim = {(r["x"], r["y"]): r["s"] for r in sims.collect()}
+
+    def rnd6(x: float) -> float:  # SQL ROUND: half away from zero
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+    selected: list = []
+    out = []
+    while len(selected) < 5:
+        best = None
+        for cid, r in rel.items():
+            if cid in selected:
+                continue
+            mx = max((sim[(cid, s)] for s in selected), default=None)
+            score = rnd6(0.7 * r) if mx is None else rnd6(0.7 * r - 0.3 * mx)
+            key = (-score, cid)
+            if best is None or key < best[0]:
+                best = (key, cid, score)
+        selected.append(best[1])
+        out.append((len(selected), best[1], best[2]))
+    return spark.createDataFrame(out, "rank int, c_id bigint, score double")
