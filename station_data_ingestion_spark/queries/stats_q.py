@@ -1861,3 +1861,126 @@ def stats_gini_by_priority(spark, sf_dir):
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "stats_hill_tail_index",
+    """
+WITH tail AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders ORDER BY c DESC, o_orderkey LIMIT 500
+),
+t AS (SELECT MIN(c) AS tmin FROM tail),
+s AS (
+  SELECT CAST(SUM(CAST(ROUND(LN(CAST(c AS DOUBLE) / tmin)
+                             * 1000000000.0) AS BIGINT)) AS BIGINT)
+           AS nanolns
+  FROM tail, t
+)
+SELECT CAST(500 AS BIGINT) AS k, t.tmin AS threshold_cents,
+       ROUND(500.0 / (s.nanolns / 1000000000.0), 6) AS hill_alpha
+FROM s, t
+""",
+    doc="Hill tail-index estimator over the top-500 order values: "
+    "per-term integer-nanobit logs, TakeOrdered tail cut.",
+)
+def stats_hill_tail_index(spark, sf_dir):
+    """HILL ESTIMATOR of the power-law tail index — the MLE behind
+    'how heavy is this distribution's tail' (revenue concentration,
+    token frequencies, degree distributions). The k=500 tail is a
+    TakeOrderedAndProject cut (per-partition top-k then a driver
+    merge, never a global sort); ln(x/threshold) terms are rounded to
+    integer nanounits before the sum so accumulation order cannot
+    move the estimate; one IEEE division at the end. Complements the
+    regression-based Zipf fit (text_zipf_slope) with the estimator
+    statisticians actually use for tails."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    tail = (
+        o.select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+            F.col("o_orderkey").alias("k"),
+        )
+        .orderBy(F.col("c").desc(), F.col("k"))
+        .limit(500)
+    )
+    t = tail.agg(F.min("c").alias("tmin"))
+    s = tail.crossJoin(F.broadcast(t)).agg(
+        F.sum(
+            F.round(
+                F.log(F.col("c").cast("double") / F.col("tmin"))
+                * F.lit(1000000000.0)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("nanolns"),
+        F.first("tmin").alias("tmin"),
+    )
+    return s.select(
+        F.lit(500).cast("long").alias("k"),
+        F.col("tmin").alias("threshold_cents"),
+        F.round(
+            F.lit(500.0) / (F.col("nanolns") / F.lit(1000000000.0)), 6
+        ).alias("hill_alpha"),
+    )
+
+
+@query(
+    "agg_weighted_median_by_flag",
+    """
+WITH x AS (
+  SELECT l_returnflag AS grp,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(l_quantity AS BIGINT) AS w,
+         l_orderkey * 10 + l_linenumber AS k
+  FROM lineitem
+),
+c AS (
+  SELECT grp, cents, w,
+         SUM(w) OVER (PARTITION BY grp ORDER BY cents, k) AS cumw,
+         SUM(w) OVER (PARTITION BY grp) AS totw
+  FROM x
+)
+SELECT grp, CAST(MIN(totw) AS BIGINT) AS total_weight,
+       CAST(MIN(CASE WHEN 2 * cumw >= totw THEN cents END) AS BIGINT)
+         AS weighted_median_cents
+FROM c GROUP BY grp
+""",
+    doc="Weighted median per group via ONE global prefix sum (no "
+    "per-group window over raw rows); textbook windowed oracle.",
+)
+def agg_weighted_median_by_flag(spark, sf_dir):
+    """WEIGHTED MEDIAN (quantity-weighted price) per return flag — the
+    robust 'typical traded price'. Same rank decomposition as
+    stats_gini_by_priority: a per-group cumulative weight would need a
+    group-partitioned window over millions of rows (parallelism =
+    #groups), so ONE distributed prefix sum over the total order
+    (grp, cents, k) supplies global cumulative weights, the per-group
+    offset is the group's first cum-minus-own-weight, and the lower
+    weighted median is the smallest value whose doubled in-group
+    cumulative weight reaches the group total. Exact integer
+    arithmetic end-to-end; DuckDB replays the textbook PARTITION BY
+    form."""
+    from station_data_ingestion_spark.operators.prefix_sum import (
+        ordered_prefix_sum,
+    )
+
+    li = load(spark, sf_dir, "lineitem")["lineitem"].select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("k"),
+    )
+    ps = ordered_prefix_sum(li, ["grp", "cents", "k"], "w", "cumw")
+    g = ps.groupBy("grp").agg(
+        F.min(F.col("cumw") - F.col("w")).alias("offw"),
+        F.sum("w").cast("long").alias("totw"),
+    )
+    j = ps.join(F.broadcast(g), "grp")
+    return (
+        j.filter(2 * (F.col("cumw") - F.col("offw")) >= F.col("totw"))
+        .groupBy("grp")
+        .agg(
+            F.min("totw").cast("long").alias("total_weight"),
+            F.min("cents").cast("long").alias("weighted_median_cents"),
+        )
+    )

@@ -71,6 +71,8 @@ CROSS_JOIN_OK = {
     # against the bigram-type table
     "dq_freshness_lag_by_type",  # one-row corpus high-watermark broadcast
     # against the per-type maxima
+    "stats_hill_tail_index",  # one-row tail-threshold broadcast over the
+    # 500-row tail cut
 }
 
 # Iterative/stateful queries that execute eagerly during plan
