@@ -1104,3 +1104,80 @@ def events_cohort_ltv_cumulative(spark, sf_dir):
         F.col("age_m").cast("long").alias("age_m"),
         F.sum("rev").over(w).cast("long").alias("cum_revenue_cents"),
     )
+
+
+@query(
+    "events_diff_in_differences",
+    """
+WITH x AS (
+  SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS treat,
+         CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' THEN 1
+              ELSE 0 END AS post,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+g AS (
+  SELECT treat, post, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s
+  FROM x GROUP BY treat, post
+),
+w AS (
+  SELECT MAX(CASE WHEN treat = 1 AND post = 1 THEN s * 1.0 / n END) AS t1,
+         MAX(CASE WHEN treat = 1 AND post = 0 THEN s * 1.0 / n END) AS t0,
+         MAX(CASE WHEN treat = 0 AND post = 1 THEN s * 1.0 / n END) AS c1,
+         MAX(CASE WHEN treat = 0 AND post = 0 THEN s * 1.0 / n END) AS c0,
+         CAST(SUM(n) AS BIGINT) AS n_total
+  FROM g
+)
+SELECT n_total, ROUND(t1 - t0, 6) AS treat_delta_cents,
+       ROUND(c1 - c0, 6) AS control_delta_cents,
+       ROUND((t1 - t0) - (c1 - c0), 6) AS did_effect_cents
+FROM w
+""",
+    doc="Difference-in-differences: pre/post x treat/control cell "
+    "means from one pass of exact integer sums.",
+)
+def events_diff_in_differences(spark, sf_dir):
+    """DIFFERENCE-IN-DIFFERENCES — the workhorse causal estimate for
+    rollouts without randomization: (treated post - pre) minus
+    (control post - pre) cancels both group level and time trend. One
+    aggregation pass produces the four cells' exact integer (n, sum);
+    the estimate is a fixed IEEE expression over them — no per-row
+    float math, so at 100 TB this is a map-side-combined scan like any
+    ANOVA-family statistic here."""
+    e = load(spark, sf_dir, "events")["events"]
+    x = e.select(
+        F.when(F.col("user_id") % 2 == 1, 1).otherwise(0).alias("treat"),
+        F.when(F.col("ts") >= F.lit("2024-01-15 00:00:00"), 1)
+        .otherwise(0)
+        .alias("post"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    g = x.groupBy("treat", "post").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+
+    def cell(t, p):
+        return F.max(
+            F.when(
+                (F.col("treat") == t) & (F.col("post") == p),
+                F.col("s") * 1.0 / F.col("n"),
+            )
+        )
+
+    w = g.agg(
+        cell(1, 1).alias("t1"),
+        cell(1, 0).alias("t0"),
+        cell(0, 1).alias("c1"),
+        cell(0, 0).alias("c0"),
+        F.sum("n").cast("long").alias("n_total"),
+    )
+    return w.select(
+        "n_total",
+        F.round(F.col("t1") - F.col("t0"), 6).alias("treat_delta_cents"),
+        F.round(F.col("c1") - F.col("c0"), 6).alias("control_delta_cents"),
+        F.round(
+            (F.col("t1") - F.col("t0")) - (F.col("c1") - F.col("c0")), 6
+        ).alias("did_effect_cents"),
+    )

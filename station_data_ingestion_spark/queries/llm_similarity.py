@@ -1094,3 +1094,112 @@ def sim_mmr_diversified_topk(spark, sf_dir):
         selected.append(best[1])
         out.append((len(selected), best[1], best[2]))
     return spark.createDataFrame(out, "rank int, c_id bigint, score double")
+
+
+_ROCCHIO_ORACLE = """
+WITH vecs AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+cd AS (
+  SELECT label, i AS dim,
+         CAST(SUM(CAST(ROUND(emb[i] * 1048576.0) AS BIGINT)) AS BIGINT)
+           AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM vecs, UNNEST(generate_series(1, len(emb))) AS t(i)
+  GROUP BY label, i
+),
+cent AS (
+  SELECT label,
+         list(s * 1.0 / (n * 1048576.0) ORDER BY dim) AS carr
+  FROM cd GROUP BY label
+),
+d AS (
+  SELECT v.vec_id, v.label AS true_label, c.label AS pred,
+         ROUND(list_dot_product(v.emb, v.emb)
+               - 2.0 * list_dot_product(v.emb, c.carr)
+               + list_dot_product(c.carr, c.carr), 6) AS d2
+  FROM vecs v, cent c
+),
+r AS (
+  SELECT true_label, pred,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY d2, pred) AS rn
+  FROM d
+)
+SELECT true_label, pred, CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM r WHERE rn = 1 GROUP BY true_label, pred
+"""
+
+
+@query(
+    "sim_nearest_centroid_confusion",
+    _ROCCHIO_ORACLE,
+    doc="Rocchio nearest-centroid classifier: 2^-20-quantized per-dim "
+    "centroid sums, squared-distance argmin, confusion matrix.",
+)
+def sim_nearest_centroid_confusion(spark, sf_dir):
+    """NEAREST-CENTROID (Rocchio) classification of the embedding
+    corpus against its own label centroids, reported as a confusion
+    matrix — the cheapest embedding-space classifier and the standard
+    label-quality smoke test. Per-dim centroid sums are quantized to
+    integer 2^-20 units (associative => partitioning cannot move a
+    centroid); distances use the squared-norm expansion
+    |x|^2 - 2<x,c> + |c|^2 with the family's index-order dot product,
+    rounded to 6dp before the argmin, ties on label — so DuckDB
+    replays the identical classifier. One explode pass for centroids
+    (vectors x dims rows, map-side combined), one broadcast of the
+    tiny centroid table, argmin per vector via a vec-partitioned
+    window."""
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    ex = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "xv")
+    )
+    cd = ex.groupBy("label", "dim").agg(
+        F.sum(
+            F.round(F.col("xv").cast("double") * F.lit(1048576.0)).cast(
+                "long"
+            )
+        ).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cent = (
+        cd.select(
+            "label",
+            F.struct(
+                "dim",
+                (F.col("s") * 1.0 / (F.col("n") * F.lit(1048576.0))).alias(
+                    "cval"
+                ),
+            ).alias("dc"),
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("dc")), lambda s: s["cval"]
+            ).alias("carr")
+        )
+    )
+    v = e.select(
+        "vec_id", F.col("label").alias("true_label"), F.col("embedding").alias("emb")
+    )
+    c = cent.select(F.col("label").alias("pred"), "carr")
+    d = v.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        "true_label",
+        "pred",
+        F.round(
+            _dot("emb", "emb")
+            - F.lit(2.0) * _dot("emb", "carr")
+            + _dot("carr", "carr"),
+            6,
+        ).alias("d2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "pred")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("true_label", "pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    )

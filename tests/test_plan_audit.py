@@ -73,6 +73,9 @@ CROSS_JOIN_OK = {
     # against the per-type maxima
     "stats_hill_tail_index",  # one-row tail-threshold broadcast over the
     # 500-row tail cut
+    "sim_nearest_centroid_confusion",  # label-cardinality-bounded
+    # centroid-table broadcast cross (the classifier scores every
+    # vector against each of the ~8 centroids by design)
 }
 
 # Iterative/stateful queries that execute eagerly during plan
