@@ -1181,3 +1181,61 @@ def events_diff_in_differences(spark, sf_dir):
             (F.col("t1") - F.col("t0")) - (F.col("c1") - F.col("c0")), 6
         ).alias("did_effect_cents"),
     )
+
+
+@query(
+    "events_inter_arrival_histogram",
+    """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+),
+b AS (
+  SELECT CASE
+           WHEN gap_us < 60000000 THEN 'lt_1m'
+           WHEN gap_us < 600000000 THEN 'lt_10m'
+           WHEN gap_us < 3600000000 THEN 'lt_1h'
+           WHEN gap_us < 86400000000 THEN 'lt_1d'
+           ELSE 'ge_1d'
+         END AS bucket,
+         gap_us
+  FROM g WHERE gap_us IS NOT NULL
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+FROM b GROUP BY bucket
+""",
+    doc="Per-user inter-arrival gap histogram in exact epoch "
+    "microseconds; user-partitioned lag, never a global window.",
+)
+def events_inter_arrival_histogram(spark, sf_dir):
+    """INTER-ARRIVAL distribution: the time between consecutive events
+    per user, bucketed into the operational bands (sub-minute bursts
+    vs daily returns) — the base rate behind session-gap and anomaly
+    thresholds. One user-partitioned lag (parallelism = users, never a
+    global window), exact epoch-microsecond arithmetic, integer-exact
+    aggregates per bucket."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias(
+            "gap_us"
+        )
+    ).filter(F.col("gap_us").isNotNull())
+    bucket = (
+        F.when(F.col("gap_us") < 60000000, "lt_1m")
+        .when(F.col("gap_us") < 600000000, "lt_10m")
+        .when(F.col("gap_us") < 3600000000, "lt_1h")
+        .when(F.col("gap_us") < 86400000000, "lt_1d")
+        .otherwise("ge_1d")
+    )
+    return g.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("gap_us").cast("long").alias("total_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+    )
