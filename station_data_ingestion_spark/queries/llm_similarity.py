@@ -1203,3 +1203,161 @@ def sim_nearest_centroid_confusion(spark, sf_dir):
         .groupBy("true_label", "pred")
         .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
     )
+
+
+_SRP_PLANES = 16
+_SRP_BAND_BITS = 4
+_SRP_TAU = 0.40
+
+_SRP_ORACLE = f"""
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+dims AS (
+  SELECT vec_id, i - 1 AS d, emb[i] AS x
+  FROM vecs, UNNEST(generate_series(1, len(emb))) AS t(i)
+),
+planes AS (
+  SELECT p, d,
+         (CAST(('0x' || SUBSTR(md5('srp' || p || '_' || d), 1, 12))
+               AS BIGINT) + 0.5) / 281474976710656.0 - 0.5 AS w
+  FROM UNNEST(generate_series(0, {_SRP_PLANES - 1})) AS tp(p),
+       UNNEST(generate_series(0, 63)) AS td(d)
+),
+sig AS (
+  SELECT vec_id, p,
+         SUM(CAST(ROUND(x * w * 1048576.0) AS BIGINT)) AS dq
+  FROM dims JOIN planes USING (d) GROUP BY vec_id, p
+),
+bands AS (
+  SELECT vec_id, p // {_SRP_BAND_BITS} AS band,
+         CAST(SUM(CASE WHEN dq >= 0
+                       THEN CAST(1 AS BIGINT) << (p % {_SRP_BAND_BITS})
+                       ELSE 0 END) AS BIGINT) AS bkey
+  FROM sig GROUP BY vec_id, p // {_SRP_BAND_BITS}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+)
+SELECT c.a_id, c.b_id,
+       ROUND({_COS_SQL.format(a='va.emb', b='vb.emb')}, 6) AS sim
+FROM cand c JOIN vecs va ON c.a_id = va.vec_id
+            JOIN vecs vb ON c.b_id = vb.vec_id
+WHERE ROUND({_COS_SQL.format(a='va.emb', b='vb.emb')}, 6) >= {_SRP_TAU}
+"""
+
+
+@query(
+    "sim_srp_lsh_neardup_pairs",
+    _SRP_ORACLE,
+    doc="Signed-random-projection LSH (16 md5-derived planes, 4-bit "
+    "bands) with exact cosine verification — the ANN family's first "
+    "fully oracle-gated bucketing.",
+)
+def sim_srp_lsh_neardup_pairs(spark, sf_dir):
+    """SRP-LSH near-duplicate pairs, fully ORACLE-GATED (the ANN-LSH
+    family's other member is rows-only by necessity; this one is
+    deterministic end to end): hyperplanes are md5-derived pseudo-
+    uniforms — a pure function of (plane, dim), so both engines build
+    bit-identical planes — and each signature bit is the SIGN OF AN
+    INTEGER (per-term 2^-20-quantized dot products summed as BIGINT),
+    so no float accumulation order can flip a bit. 16 planes band into
+    4 x 4-bit keys; candidates share >= 1 band (never all-pairs: the
+    per-band join is bucket-grouped, and band width widens with corpus
+    size to keep buckets bounded); survivors verify on the exact
+    rounded cosine >= 0.40 (this corpus' synthetic embeddings top out
+    near cos 0.51, so the gate threshold sits where real pairs exist;
+    production near-dup runs raise tau and the banding math only gets
+    MORE selective). The plane table is dims x planes rows
+    (tiny, broadcast); signatures cost one explode pass (n x D x P
+    terms, map-side combined)."""
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    dims = e.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("d", "x")
+    )
+    spark_p = spark.range(_SRP_PLANES).select(F.col("id").alias("p"))
+    spark_d = spark.range(64).select(F.col("id").alias("d"))
+    planes = spark_p.crossJoin(spark_d).select(
+        "p",
+        "d",
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("srp"), F.col("p"), F.lit("_"), F.col("d")
+                            )
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                + 0.5
+            )
+            / F.lit(281474976710656.0)
+            - 0.5
+        ).alias("w"),
+    )
+    sig = (
+        dims.join(F.broadcast(planes), "d")
+        .groupBy("vec_id", "p")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("x").cast("double") * F.col("w") * F.lit(1048576.0)
+                ).cast("long")
+            ).alias("dq")
+        )
+    )
+    bands = sig.groupBy(
+        "vec_id", F.expr(f"p div {_SRP_BAND_BITS}").alias("band")
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("dq") >= 0,
+                F.expr(f"shiftleft(1L, CAST(p % {_SRP_BAND_BITS} AS INT))"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("bkey")
+    )
+    a = bands.select(
+        F.col("vec_id").alias("a_id"), "band", "bkey"
+    )
+    b = bands.select(
+        F.col("vec_id").alias("b_id"), "band", "bkey"
+    )
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    va = e.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("ea"),
+        _norm("embedding").alias("na"),
+    )
+    vb = e.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("eb"),
+        _norm("embedding").alias("nb"),
+    )
+    return (
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(_dot("ea", "eb") / (F.col("na") * F.col("nb")), 6).alias(
+                "sim"
+            ),
+        )
+        .filter(F.col("sim") >= _SRP_TAU)
+    )
