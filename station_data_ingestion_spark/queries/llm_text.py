@@ -1083,3 +1083,75 @@ def text_bigram_kneser_ney(spark, sf_dir):
         .cast("long")
         .alias("kn_logprob_microbits"),
     )
+
+
+@query(
+    "text_mattr_lexical_diversity",
+    """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws
+  FROM documents WHERE doc_id % 7 = 0
+),
+m AS (
+  SELECT doc_id, len(ws) AS n_tokens,
+         CASE WHEN len(ws) < 50 THEN 1 ELSE len(ws) - 49 END AS n_win
+  FROM d
+),
+w AS (
+  SELECT d.doc_id,
+         CASE WHEN len(ws) < 50
+              THEN len(list_distinct(ws))
+              ELSE len(list_distinct(ws[i : i + 49])) END AS n_distinct
+  FROM d, UNNEST(generate_series(
+           1, CASE WHEN len(ws) < 50 THEN 1 ELSE len(ws) - 49 END))
+         AS t(i)
+),
+s AS (
+  SELECT doc_id, CAST(SUM(n_distinct) AS BIGINT) AS sum_distinct
+  FROM w GROUP BY doc_id
+)
+SELECT m.doc_id, CAST(m.n_tokens AS BIGINT) AS n_tokens,
+       ROUND(s.sum_distinct * 1.0
+             / (m.n_win * CASE WHEN m.n_tokens < 50
+                               THEN m.n_tokens ELSE 50 END), 6)
+         AS mattr
+FROM m JOIN s ON m.doc_id = s.doc_id
+""",
+    doc="MATTR-50 lexical diversity: mean distinct-token ratio over "
+    "50-token sliding windows (whole-doc TTR fallback under 50).",
+)
+def text_mattr_lexical_diversity(spark, sf_dir):
+    """MATTR (moving-average type-token ratio, window 50) — the
+    length-robust lexical-diversity score corpus-quality filters use
+    where plain TTR collapses on long documents. Pure array-land JVM
+    work: per doc, transform over window starts -> slice ->
+    array_distinct -> size, summed exactly and divided once (docs
+    shorter than the window fall back to whole-doc TTR, same rule both
+    engines). Cost is O(tokens x window) per document with zero
+    shuffles beyond the doc scan — embarrassingly parallel at any
+    corpus size; the doc_id % 7 cut keeps the gate invocation light."""
+    d = load(spark, sf_dir, "documents")["documents"].filter(
+        F.col("doc_id") % 7 == 0
+    )
+    ws = F.split("text", " ")
+    n = F.size(ws)
+    short = n < 50
+    n_win = F.when(short, F.lit(1)).otherwise(n - 49)
+    wlen = F.when(short, n).otherwise(F.lit(50))
+    sum_distinct = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda i: F.size(
+                F.array_distinct(F.slice(ws, i, F.when(short, n).otherwise(F.lit(50))))
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(
+            sum_distinct * 1.0 / (n_win.cast("long") * wlen.cast("long")), 6
+        ).alias("mattr"),
+    )
