@@ -1239,3 +1239,54 @@ def events_inter_arrival_histogram(spark, sf_dir):
         F.sum("gap_us").cast("long").alias("total_gap_us"),
         F.max("gap_us").cast("long").alias("max_gap_us"),
     )
+
+
+@query(
+    "events_burst_detection_minutes",
+    """
+WITH m AS (
+  SELECT time_bucket(INTERVAL 1 MINUTE, ts) AS minute,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS k
+  FROM m
+)
+SELECT strftime(minute, '%Y-%m-%d %H:%M') AS minute, n,
+       ROUND((n - tot * 1.0 / k)
+             / SQRT(tot * 1.0 / k), 6) AS poisson_z
+FROM m, s
+WHERE (n - tot * 1.0 / k) / SQRT(tot * 1.0 / k) > 2.0
+""",
+    doc="Poisson burst detection: minutes whose count exceeds the "
+    "homogeneous rate by > 2 sigma (sqrt-mean), exact integer counts.",
+)
+def events_burst_detection_minutes(spark, sf_dir):
+    """BURST DETECTION under a homogeneous-Poisson null: a minute is
+    bursty when its count exceeds the global per-minute rate by more
+    than 4 sqrt(rate) — the first-line traffic-anomaly alarm (attack,
+    replay, stuck producer). Per-minute counts are one map-side-
+    combined aggregate; the rate is a one-row broadcast; the z
+    expression is fixed IEEE over exact integers, identical in both
+    engines. Complements the value-based z-score anomaly query
+    (events_anomaly_zscore) with an ARRIVAL-RATE anomaly."""
+    e = load(spark, sf_dir, "events")["events"]
+    m = e.groupBy(
+        F.date_trunc("minute", "ts").alias("minute")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    s = m.agg(
+        F.sum("n").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    rate = F.col("tot") * 1.0 / F.col("k")
+    z = (F.col("n") - rate) / F.sqrt(rate)
+    return (
+        m.crossJoin(F.broadcast(s))
+        .filter(z > 2.0)
+        .select(
+            F.date_format("minute", "yyyy-MM-dd HH:mm").alias("minute"),
+            "n",
+            F.round(z, 6).alias("poisson_z"),
+        )
+    )

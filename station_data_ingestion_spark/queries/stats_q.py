@@ -1984,3 +1984,80 @@ def agg_weighted_median_by_flag(spark, sf_dir):
             F.min("cents").cast("long").alias("weighted_median_cents"),
         )
     )
+
+
+@query(
+    "stats_cohens_d_effect_size",
+    """
+WITH x AS (
+  SELECT l_linestatus AS grp,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+),
+m AS (
+  SELECT grp, CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(cents) AS HUGEINT) AS s,
+         CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS ss
+  FROM x GROUP BY grp
+),
+w AS (
+  SELECT MAX(CASE WHEN grp = 'O' THEN n END) AS n1,
+         MAX(CASE WHEN grp = 'O' THEN s END) AS s1,
+         MAX(CASE WHEN grp = 'O' THEN ss END) AS ss1,
+         MAX(CASE WHEN grp = 'F' THEN n END) AS n2,
+         MAX(CASE WHEN grp = 'F' THEN s END) AS s2,
+         MAX(CASE WHEN grp = 'F' THEN ss END) AS ss2
+  FROM m
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       ROUND((s1 * 1.0 / n1 - s2 * 1.0 / n2)
+             / SQRT(((ss1 - s1 * 1.0 * s1 / n1)
+                     + (ss2 - s2 * 1.0 * s2 / n2))
+                    / (n1 + n2 - 2)), 6) AS cohens_d
+FROM w
+""",
+    doc="Cohen's d standardized effect size (pooled SD) from exact "
+    "integer moments — the magnitude companion to the Welch t-test.",
+)
+def stats_cohens_d_effect_size(spark, sf_dir):
+    """COHEN'S D — the standardized effect size reviewers ask for next
+    to every p-value: mean difference over the pooled standard
+    deviation. Same exact HUGEINT/decimal moment pipeline as the
+    t-test/ANOVA family (one map-side-combined pass, one fixed IEEE
+    expression), so significance (stats_welch_ttest) and MAGNITUDE now
+    both sit under the oracle."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    x = li.select(
+        F.col("l_linestatus").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    m = x.groupBy("grp").agg(
+        dec(F.count(F.lit(1))).alias("n"),
+        dec(F.sum("cents")).alias("s"),
+        F.sum(dec(F.col("cents")) * F.col("cents")).alias("ss"),
+    )
+
+    def cell(g, c):
+        return F.max(F.when(F.col("grp") == g, F.col(c)))
+
+    w = m.agg(
+        cell("O", "n").alias("n1"),
+        cell("O", "s").alias("s1"),
+        cell("O", "ss").alias("ss1"),
+        cell("F", "n").alias("n2"),
+        cell("F", "s").alias("s2"),
+        cell("F", "ss").alias("ss2"),
+    )
+    mean_diff = F.col("s1") * 1.0 / F.col("n1") - F.col("s2") * 1.0 / F.col(
+        "n2"
+    )
+    pooled = (
+        (F.col("ss1") - F.col("s1") * 1.0 * F.col("s1") / F.col("n1"))
+        + (F.col("ss2") - F.col("s2") * 1.0 * F.col("s2") / F.col("n2"))
+    ) / (F.col("n1") + F.col("n2") - 2)
+    return w.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(mean_diff / F.sqrt(pooled), 6).alias("cohens_d"),
+    )

@@ -73,6 +73,8 @@ CROSS_JOIN_OK = {
     # against the per-type maxima
     "stats_hill_tail_index",  # one-row tail-threshold broadcast over the
     # 500-row tail cut
+    "events_burst_detection_minutes",  # one-row global-rate broadcast
+    # over the per-minute counts
     "sim_nearest_centroid_confusion",  # label-cardinality-bounded
     # centroid-table broadcast cross (the classifier scores every
     # vector against each of the ~8 centroids by design)
