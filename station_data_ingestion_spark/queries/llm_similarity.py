@@ -1278,9 +1278,10 @@ def sim_srp_lsh_neardup_pairs(spark, sf_dir):
     dims = e.select(
         "vec_id", F.posexplode(F.col("embedding")).alias("d", "x")
     )
-    spark_p = spark.range(_SRP_PLANES).select(F.col("id").alias("p"))
-    spark_d = spark.range(64).select(F.col("id").alias("d"))
-    planes = spark_p.crossJoin(spark_d).select(
+    # one range, no cross join: p = id div 64, d = id % 64
+    planes = spark.range(_SRP_PLANES * 64).select(
+        F.expr("id div 64").alias("p"), (F.col("id") % 64).alias("d")
+    ).select(
         "p",
         "d",
         (
