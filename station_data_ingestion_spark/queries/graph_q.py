@@ -603,3 +603,179 @@ def graph_common_neighbors_linkpred(spark, sf_dir):
     return scored.orderBy(
         F.col("common_neighbors").desc(), F.col("x").asc(), F.col("z").asc()
     ).limit(20)
+
+
+@query(
+    "graph_adamic_adar_linkpred",
+    _COPURCHASE_EDGES_SQL
+    + """,
+adj AS (
+  SELECT a AS u, b AS w FROM e UNION ALL SELECT b, a FROM e
+), deg AS (
+  SELECT u AS v, COUNT(*) AS d FROM adj GROUP BY u
+), wedge AS (
+  SELECT s.u AS x, t.w AS z, s.w AS mid
+  FROM adj s JOIN adj t ON s.w = t.u
+  WHERE s.u < t.w
+), scored AS (
+  SELECT x, z,
+         CAST(SUM(CAST(ROUND(1000000.0 / ln(deg.d)) AS BIGINT)) AS BIGINT)
+           AS aa_micro,
+         CAST(SUM(CAST(ROUND(1000000.0 / deg.d) AS BIGINT)) AS BIGINT)
+           AS ra_micro
+  FROM wedge JOIN deg ON deg.v = wedge.mid
+  GROUP BY x, z
+), nonedge AS (
+  SELECT scored.* FROM scored
+  LEFT JOIN e ON e.a = scored.x AND e.b = scored.z
+  WHERE e.a IS NULL
+)
+SELECT CAST(x AS BIGINT) AS x, CAST(z AS BIGINT) AS z,
+       ROUND(aa_micro / 1000000.0, 6) AS adamic_adar,
+       ROUND(ra_micro / 1000000.0, 6) AS resource_alloc
+FROM nonedge
+ORDER BY aa_micro DESC, x ASC, z ASC LIMIT 20
+""",
+)
+def graph_adamic_adar_linkpred(spark, sf_dir):
+    """LINK PREDICTION by Adamic-Adar: top-20 non-adjacent part pairs
+    scored by sum over common neighbors w of 1/ln(deg(w)) — rare shared
+    neighbors count more than popular hubs — plus the resource-allocation
+    index (1/deg(w)). Same wedge equi-join the common-neighbor query
+    pays (bounded by sum of squared degrees, never all-pairs); the
+    middle node's degree attaches by one equi-join BEFORE the pair
+    group-by, so each wedge contributes its term exactly once. Per-wedge
+    terms are quantized to integer micro-units before the SUM — integer
+    addition is associative, so the aggregate is bit-identical across
+    partitionings and engines (the registry float rule). Top-20 by
+    (aa desc, pair id) is a TakeOrdered on the integer score, never a
+    global window. At 100 TB the wedge join is the one shuffle and the
+    hub-degree skew is the knob — the same cap/salting levers as the
+    triangle count apply."""
+    e = _copurchase_edges(spark, sf_dir)
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("w")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("w"))
+    )
+    deg = adj.groupBy(F.col("u").alias("v")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    s, t = adj.alias("s"), adj.alias("t")
+    wedge = (
+        s.join(t, F.col("s.w") == F.col("t.u"))
+        .filter(F.col("s.u") < F.col("t.w"))
+        .select(
+            F.col("s.u").alias("x"),
+            F.col("t.w").alias("z"),
+            F.col("s.w").alias("mid"),
+        )
+    )
+    scored = (
+        wedge.join(deg, F.col("mid") == F.col("v"))
+        .groupBy("x", "z")
+        .agg(
+            F.sum(
+                F.round(F.lit(1000000.0) / F.log(F.col("d").cast("double")))
+                .cast("long")
+            ).alias("aa_micro"),
+            F.sum(
+                F.round(F.lit(1000000.0) / F.col("d")).cast("long")
+            ).alias("ra_micro"),
+        )
+    )
+    nonedge = scored.join(
+        e,
+        (F.col("a") == F.col("x")) & (F.col("b") == F.col("z")),
+        "left_anti",
+    )
+    out = nonedge.select(
+        F.col("x").cast("long"),
+        F.col("z").cast("long"),
+        F.round(F.col("aa_micro") / 1000000.0, 6).alias("adamic_adar"),
+        F.round(F.col("ra_micro") / 1000000.0, 6).alias("resource_alloc"),
+        F.col("aa_micro"),
+    )
+    return (
+        out.orderBy(F.col("aa_micro").desc(), F.col("x").asc(), F.col("z").asc())
+        .limit(20)
+        .drop("aa_micro")
+    )
+
+
+@query(
+    "graph_label_propagation_sync3",
+    _COPURCHASE_EDGES_SQL
+    + """,
+adj AS (
+  SELECT a AS u, b AS w FROM e UNION ALL SELECT b, a FROM e
+), l0 AS (
+  SELECT DISTINCT u AS v, u AS label FROM adj
+), v1 AS (
+  SELECT adj.u AS v, l.label, COUNT(*) AS c
+  FROM adj JOIN l0 l ON adj.w = l.v GROUP BY adj.u, l.label
+), r1 AS (
+  SELECT v, label FROM v1
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, label ASC) = 1
+), v2 AS (
+  SELECT adj.u AS v, l.label, COUNT(*) AS c
+  FROM adj JOIN r1 l ON adj.w = l.v GROUP BY adj.u, l.label
+), r2 AS (
+  SELECT v, label FROM v2
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, label ASC) = 1
+), v3 AS (
+  SELECT adj.u AS v, l.label, COUNT(*) AS c
+  FROM adj JOIN r2 l ON adj.w = l.v GROUP BY adj.u, l.label
+), r3 AS (
+  SELECT v, label FROM v3
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, label ASC) = 1
+)
+SELECT CAST(label AS BIGINT) AS community,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MIN(v) AS BIGINT) AS min_member
+FROM r3 GROUP BY label
+""",
+)
+def graph_label_propagation_sync3(spark, sf_dir):
+    """Community detection by SYNCHRONOUS label propagation, three
+    deterministic rounds: every node starts labeled with its own id and
+    each round adopts the most frequent label among its neighbors
+    (ties break to the smallest label, so the update is a pure function
+    of the previous round — no asynchronous/order-dependent drift).
+    Each round is ONE equi-join (edges x labels) + ONE aggregation; the
+    per-node argmax is a single max(struct(count, -label)) — no window
+    over the wedge frame. Fixed round count keeps the lineage bounded
+    (no iterate-to-convergence checkpoint dance) and makes the oracle
+    expressible as three unrolled SQL layers. At 100 TB each round
+    shuffles edges once on dst — the same cost profile as one PageRank
+    iteration; hub skew salts the same way."""
+    e = _copurchase_edges(spark, sf_dir)
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("w")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("w"))
+    )
+    labels = adj.select(F.col("u").alias("v")).distinct().select(
+        "v", F.col("v").alias("label")
+    )
+    for _ in range(3):
+        votes = (
+            adj.join(labels, F.col("w") == F.col("v"))
+            .groupBy(F.col("u"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.groupBy("u")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c").alias("c"),
+                        (-F.col("label")).alias("neg_label"),
+                    )
+                ).alias("top")
+            )
+            .select(
+                F.col("u").alias("v"),
+                (-F.col("top.neg_label")).alias("label"),
+            )
+        )
+    return labels.groupBy(F.col("label").cast("long").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min("v").cast("long").alias("min_member"),
+    )

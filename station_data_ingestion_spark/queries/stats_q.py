@@ -2061,3 +2061,334 @@ def stats_cohens_d_effect_size(spark, sf_dir):
         F.col("n2").cast("long").alias("n2"),
         F.round(mean_diff / F.sqrt(pooled), 6).alias("cohens_d"),
     )
+
+
+@query(
+    "stats_kaplan_meier_survival",
+    """
+WITH signup AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), conv AS (
+  SELECT e.user_id, MIN(e.ts) AS tp
+  FROM events e JOIN signup s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s.t0
+  GROUP BY e.user_id
+), last AS (
+  SELECT user_id, MAX(ts) AS tl FROM events GROUP BY user_id
+), subj AS (
+  SELECT s.user_id,
+         CASE WHEN c.tp IS NOT NULL
+              THEN epoch_us(c.tp) - epoch_us(s.t0)
+              ELSE epoch_us(l.tl) - epoch_us(s.t0) END // 3600000000
+           AS dur_h,
+         CASE WHEN c.tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM signup s
+  JOIN last l ON l.user_id = s.user_id
+  LEFT JOIN conv c ON c.user_id = s.user_id
+), tot AS (
+  SELECT COUNT(*) AS n_subjects FROM subj
+), at_event AS (
+  SELECT dur_h, COUNT(*) AS d FROM subj WHERE ev = 1 GROUP BY dur_h
+), risk AS (
+  SELECT a.dur_h, a.d,
+         (SELECT COUNT(*) FROM subj WHERE subj.dur_h >= a.dur_h) AS n_risk
+  FROM at_event a
+), terms AS (
+  SELECT dur_h, d, n_risk,
+         CASE WHEN n_risk = d THEN 0 ELSE
+           CAST(ROUND(ln((n_risk - d) * 1.0 / n_risk) * 1000000) AS BIGINT)
+         END AS ln_micro,
+         CASE WHEN n_risk = d THEN 1 ELSE 0 END AS zero_flag
+  FROM risk
+), km AS (
+  SELECT dur_h, d, n_risk,
+         SUM(ln_micro) OVER (ORDER BY dur_h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_micro,
+         MAX(zero_flag) OVER (ORDER BY dur_h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hit_zero
+  FROM terms
+)
+SELECT CAST(dur_h AS BIGINT) AS duration_hours,
+       CAST(n_risk AS BIGINT) AS n_at_risk,
+       CAST(d AS BIGINT) AS n_events,
+       CASE WHEN hit_zero = 1 THEN 0.0
+            ELSE ROUND(exp(cum_micro / 1000000.0), 6) END AS survival
+FROM km
+""",
+)
+def stats_kaplan_meier_survival(spark, sf_dir):
+    """KAPLAN-MEIER survival estimate for time-to-first-purchase after
+    signup, with right-censoring at each non-converting user's last
+    observed event. The product-limit estimator is computed as
+    exp(cumsum(ln((n-d)/n))) with each per-time hazard term quantized to
+    integer micro-units BEFORE the cumulative sum — the running total is
+    exact integer arithmetic, so accumulation order cannot perturb the
+    curve (the registry float rule applied to a cumulative PRODUCT).
+    n_at_risk comes from one descending prefix-sum over the event-time
+    histogram, not a per-subject window: the heavy side (subjects) is
+    aggregated to distinct event times first, so the window runs over a
+    bounded post-agg series. [reference semantics: survival curves over
+    station-observation gap durations]"""
+    e = load(spark, sf_dir, "events")["events"]
+    signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(signup, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    last = e.groupBy("user_id").agg(F.max("ts").alias("tl"))
+    us = lambda c: F.unix_micros(F.col(c))  # noqa: E731
+    subj = (
+        signup.join(last, "user_id")
+        .join(conv, "user_id", "left")
+        .select(
+            F.floor(
+                F.when(F.col("tp").isNotNull(), us("tp") - us("t0"))
+                .otherwise(us("tl") - us("t0"))
+                / 3600000000
+            ).alias("dur_h"),
+            F.when(F.col("tp").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("ev"),
+        )
+    )
+    # Histogram of ALL subject durations (events and censorings) so
+    # n_at_risk is a suffix sum over distinct times, never a subject scan
+    # per event time.
+    hist = subj.groupBy("dur_h").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum("ev").alias("d"),
+    )
+    from station_data_ingestion_spark.operators.prefix_sum import (
+        ordered_prefix_sum,
+    )
+
+    risk = ordered_prefix_sum(
+        hist.withColumn("neg_dur", -F.col("dur_h")),
+        ["neg_dur"],
+        F.col("n_all"),
+        out_col="n_risk",
+    ).filter(F.col("d") > 0)
+    dead = F.col("n_risk") == F.col("d")
+    terms = risk.select(
+        "dur_h",
+        "d",
+        "n_risk",
+        F.when(dead, F.lit(0))
+        .otherwise(
+            F.round(
+                F.log(
+                    (F.col("n_risk") - F.col("d")) * 1.0 / F.col("n_risk")
+                )
+                * 1000000
+            ).cast("long")
+        )
+        .alias("ln_micro"),
+        F.when(dead, F.lit(1)).otherwise(F.lit(0)).alias("zero_flag"),
+    )
+    km = ordered_prefix_sum(
+        terms, ["dur_h"], F.col("ln_micro"), out_col="cum_micro"
+    )
+    km = ordered_prefix_sum(
+        km, ["dur_h"], F.col("zero_flag"), out_col="hit_zero"
+    )
+    return km.select(
+        F.col("dur_h").cast("long").alias("duration_hours"),
+        F.col("n_risk").cast("long").alias("n_at_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        F.when(F.col("hit_zero") >= 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("cum_micro") / 1000000.0), 6))
+        .alias("survival"),
+    )
+
+
+@query(
+    "stats_isotonic_regression_pava",
+    """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY o_orderdate
+), idx AS (
+  SELECT d, y,
+         ROW_NUMBER() OVER (ORDER BY d) AS rn,
+         SUM(y) OVER (ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps
+  FROM daily
+), grid AS (
+  SELECT k.rn AS k, j.rn AS j,
+         (k.ps - j.ps + j.y) * 1.0 / (k.rn - j.rn + 1) AS avgjk
+  FROM idx k JOIN idx j ON j.rn <= k.rn
+), m AS (
+  SELECT j, k,
+         MIN(avgjk) OVER (PARTITION BY j ORDER BY k DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mmin
+  FROM grid
+), iso AS (
+  SELECT k AS i, MAX(mmin) AS yhat_cents FROM m GROUP BY k
+)
+SELECT strftime(idx.d, '%Y-%m-%d') AS day,
+       ROUND(idx.y / 100.0, 2) AS daily_revenue,
+       ROUND(iso.yhat_cents / 100.0, 6) AS isotonic_fit
+FROM iso JOIN idx ON idx.rn = iso.i
+""",
+)
+def stats_isotonic_regression_pava(spark, sf_dir):
+    """ISOTONIC REGRESSION (monotone non-decreasing least-squares fit) of
+    daily revenue, via the closed-form minimax identity
+    yhat_i = max_{j<=i} min_{k>=i} mean(y[j..k]) — the exact PAVA
+    solution without PAVA's sequential pooling loop, so it distributes.
+    The fact table collapses to one bounded post-agg series first; the
+    (j,k) grid is generated JVM-side by explode(sequence(1, rn)) (no
+    inequality join on the Spark side), interval means come from two
+    prefix-sum lookups, the inner min is a per-j running suffix-min
+    window over the grid (grid is |days|^2/2 rows — a function of the
+    CALENDAR, not of fact cardinality, so it does not grow with SF),
+    and the outer max is one groupBy. Interval means are exact-integer
+    sums divided once, so every compared double is bit-identical across
+    engines; min/max never accumulate error."""
+    from station_data_ingestion_spark.operators.prefix_sum import (
+        ordered_prefix_sum,
+    )
+
+    o = load(spark, sf_dir, "orders")["orders"]
+    daily = o.groupBy("o_orderdate").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y")
+    )
+    idx = ordered_prefix_sum(daily, ["o_orderdate"], F.lit(1), out_col="rn")
+    idx = ordered_prefix_sum(idx, ["o_orderdate"], F.col("y"), out_col="ps")
+    grid = idx.select(
+        F.col("rn").alias("k"),
+        F.col("ps").alias("psk"),
+        F.explode(F.sequence(F.lit(1), F.col("rn"))).alias("j"),
+    )
+    left = idx.select(
+        F.col("rn").alias("j"),
+        (F.col("ps") - F.col("y")).alias("psj1"),
+    )
+    avgjk = grid.join(left, "j").select(
+        "j",
+        "k",
+        (
+            (F.col("psk") - F.col("psj1")) * 1.0
+            / (F.col("k") - F.col("j") + 1)
+        ).alias("avgjk"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("j")
+        .orderBy(F.col("k").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = avgjk.select("j", "k", F.min("avgjk").over(w).alias("mmin"))
+    iso = m.groupBy(F.col("k").alias("i")).agg(
+        F.max("mmin").alias("yhat_cents")
+    )
+    return iso.join(idx, F.col("i") == F.col("rn")).select(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("y") / 100.0, 2).alias("daily_revenue"),
+        F.round(F.col("yhat_cents") / 100.0, 6).alias("isotonic_fit"),
+    )
+
+
+@query(
+    "stats_bootstrap_subsample_ci",
+    """
+WITH base AS (
+  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), reps AS (
+  SELECT b.b, base.cents
+  FROM base
+  JOIN (SELECT UNNEST(RANGE(1, 65)) AS b) b
+    ON substr(md5(CONCAT(CAST(o_orderkey AS VARCHAR), ':',
+                         CAST(b.b AS VARCHAR))), 32, 1)
+       IN ('0','2','4','6','8','a','c','e')
+), means AS (
+  SELECT b, SUM(cents) * 1.0 / COUNT(*) / 100.0 AS m
+  FROM reps GROUP BY b
+), ranked AS (
+  SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS rn FROM means
+), pick AS (
+  SELECT MAX(CASE WHEN rn = 2 THEN m END) AS lo,
+         MAX(CASE WHEN rn = 63 THEN m END) AS hi
+  FROM ranked
+), full_mean AS (
+  SELECT COUNT(*) AS n, SUM(cents) * 1.0 / COUNT(*) / 100.0 AS est
+  FROM base
+)
+SELECT CAST(n AS BIGINT) AS n_orders, 64 AS n_replicates,
+       ROUND(est, 6) AS mean_estimate,
+       ROUND(lo, 6) AS ci_lo, ROUND(hi, 6) AS ci_hi
+FROM full_mean, pick
+""",
+)
+def stats_bootstrap_subsample_ci(spark, sf_dir):
+    """BOOTSTRAP confidence interval for the mean order price by
+    deterministic half-sampling: replicate b keeps row r iff the last
+    hex nibble of md5(key:b) is even — a reproducible coin both engines
+    flip identically, so the 'randomness' needs no RNG state and any
+    executor can re-derive membership (the md5-derived-hyperplane trick
+    from SRP-LSH applied to resampling). 64 replicates explode from a
+    sequence literal (the 64x row blowup is the honest distributed cost
+    of bootstrap — one wide scan, one groupBy(b), partial aggregation
+    map-side). Replicate means are exact-integer cent sums divided once;
+    the 2.5%/97.5% order statistics come from a rank over the bounded
+    64-row post-agg frame via the distributed prefix-sum operator, never
+    a window over raw rows."""
+    from station_data_ingestion_spark.operators.prefix_sum import (
+        ordered_prefix_sum,
+    )
+
+    o = load(spark, sf_dir, "orders")["orders"]
+    base = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    reps = (
+        base.select(
+            "o_orderkey",
+            "cents",
+            F.explode(F.sequence(F.lit(1), F.lit(64))).alias("b"),
+        )
+        .filter(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                32,
+                1,
+            ).isin("0", "2", "4", "6", "8", "a", "c", "e")
+        )
+    )
+    means = reps.groupBy("b").agg(
+        (F.sum("cents") * 1.0 / F.count(F.lit(1)) / 100.0).alias("m")
+    )
+    ranked = ordered_prefix_sum(means, ["m", "b"], F.lit(1), out_col="rn")
+    pick = ranked.agg(
+        F.max(F.when(F.col("rn") == 2, F.col("m"))).alias("lo"),
+        F.max(F.when(F.col("rn") == 63, F.col("m"))).alias("hi"),
+    )
+    full = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        (F.sum("cents") * 1.0 / F.count(F.lit(1)) / 100.0).alias("est"),
+    )
+    return full.join(pick).select(
+        "n_orders",
+        F.lit(64).alias("n_replicates"),
+        F.round("est", 6).alias("mean_estimate"),
+        F.round("lo", 6).alias("ci_lo"),
+        F.round("hi", 6).alias("ci_hi"),
+    )

@@ -78,6 +78,8 @@ CROSS_JOIN_OK = {
     "sim_nearest_centroid_confusion",  # label-cardinality-bounded
     # centroid-table broadcast cross (the classifier scores every
     # vector against each of the ~8 centroids by design)
+    "stats_bootstrap_subsample_ci",  # one-row full-sample (n, mean)
+    # broadcast attached to the one-row CI order-statistics frame
 }
 
 # Iterative/stateful queries that execute eagerly during plan
