@@ -1295,3 +1295,86 @@ def text_dup_ngram_span_fraction(spark, sf_dir):
             .alias("dup_fraction_bp"),
         )
     )
+
+
+@query(
+    "dedup_qgram_ed2_partnames",
+    """
+WITH names AS (
+  SELECT DISTINCT p_name AS nm FROM part
+)
+SELECT a.nm AS name_a, b.nm AS name_b,
+       CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS edit_distance
+FROM names a JOIN names b
+  ON a.nm < b.nm
+ AND abs(len(a.nm) - len(b.nm)) <= 2
+ AND levenshtein(a.nm, b.nm) <= 2
+""",
+)
+def dedup_qgram_ed2_partnames(spark, sf_dir):
+    """EDIT-DISTANCE <= 2 string-pair join with EXACT q-gram COUNT
+    FILTERING (Gravano et al.): one edit destroys at most q=2 bigrams,
+    so ED(x,y) <= k forces |bigrams(x) /\\ bigrams(y)| (multiset) >=
+    max(|Gx|,|Gy|) - k*q. Candidates come from an equi-join on shared
+    bigrams + a per-pair LEAST(cx,cy) sum against that bound — never the
+    all-pairs product the quadratic oracle pays — then one levenshtein()
+    verify. The bound degenerates (<= 0) only when BOTH strings have
+    <= k*q bigrams (len <= 5 here); those ultra-short strings are a
+    bounded vocabulary handled by a separate length-band equi-join leg
+    (|len diff| <= k), so completeness is exact for every input, not
+    just long strings. SymSpell (dedup_fuzzy_ed1_suppliers) stays the
+    ED<=1 fast path; count filtering is the general-k scale path: both
+    shuffles key on bigram/name, and frequent-bigram skew salts like
+    any hot join key."""
+    p = load(spark, sf_dir, "part")["part"]
+    names = p.select(F.col("p_name").alias("nm")).distinct()
+    grams = names.select(
+        "nm",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(nm) - 1),"
+                " i -> substring(nm, i, 2))"
+            )
+        ).alias("g"),
+    ).groupBy("nm", "g").agg(F.count(F.lit(1)).alias("c"))
+    ga = grams.select(
+        F.col("nm").alias("na"), F.col("g"), F.col("c").alias("ca")
+    )
+    gb = grams.select(
+        F.col("nm").alias("nb"), F.col("g"), F.col("c").alias("cb")
+    )
+    common = (
+        ga.join(gb, "g")
+        .filter(F.col("na") < F.col("nb"))
+        .groupBy("na", "nb")
+        .agg(F.sum(F.least("ca", "cb")).alias("common"))
+    )
+    # count-filter: common >= max(|Ga|,|Gb|) - k*q, valid when that
+    # bound is positive (at least one side longer than k*q grams)
+    candA = common.filter(
+        F.col("common")
+        >= F.greatest(F.length("na"), F.length("nb")) - 1 - 4
+    ).select("na", "nb")
+    # degenerate leg: both sides have <= 4 bigrams (len <= 5) — a
+    # bounded ultra-short vocabulary; length-band equi-join covers it
+    short = names.filter(F.length("nm") <= 5)
+    sa = short.select(
+        F.col("nm").alias("na"),
+        F.explode(
+            F.sequence(F.length("nm") - 2, F.length("nm") + 2)
+        ).alias("lb"),
+    )
+    sb = short.select(F.col("nm").alias("nb"), F.length("nm").alias("lb"))
+    candB = (
+        sa.join(sb, "lb").filter(F.col("na") < F.col("nb")).select("na", "nb")
+    )
+    cand = candA.unionAll(candB).distinct()
+    verified = cand.filter(
+        (F.abs(F.length("na") - F.length("nb")) <= 2)
+        & (F.levenshtein("na", "nb") <= 2)
+    )
+    return verified.select(
+        F.col("na").alias("name_a"),
+        F.col("nb").alias("name_b"),
+        F.levenshtein("na", "nb").cast("long").alias("edit_distance"),
+    )

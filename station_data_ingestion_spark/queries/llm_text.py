@@ -1155,3 +1155,195 @@ def text_mattr_lexical_diversity(spark, sf_dir):
             sum_distinct * 1.0 / (n_win.cast("long") * wlen.cast("long")), 6
         ).alias("mattr"),
     )
+
+
+@query(
+    "text_rake_keyphrases",
+    r"""
+WITH phr AS (
+  SELECT trim(p) AS phrase FROM (
+    SELECT UNNEST(string_split_regex(
+      array_to_string(
+        list_transform(string_split(text, ' '),
+          x -> CASE WHEN x IN ('a', 'the') THEN '|' ELSE x END),
+        ' '),
+      ' *\| *')) AS p
+    FROM documents
+  ) WHERE trim(p) <> ''
+), wo AS (
+  SELECT w, len(string_split(phrase, ' ')) AS wlen
+  FROM (SELECT phrase, UNNEST(string_split(phrase, ' ')) AS w FROM phr)
+), ws AS (
+  SELECT w, COUNT(*) AS freq, SUM(wlen) AS degree,
+         CAST(ROUND(1000000.0 * SUM(wlen) / COUNT(*)) AS BIGINT) AS score_micro
+  FROM wo GROUP BY w
+), dp AS (
+  SELECT phrase, COUNT(*) AS n_occ FROM phr GROUP BY phrase
+), pw AS (
+  SELECT dp.phrase, dp.n_occ, ws.score_micro
+  FROM dp, UNNEST(string_split(dp.phrase, ' ')) AS t(w)
+  JOIN ws ON ws.w = t.w
+), scored AS (
+  SELECT phrase, MAX(n_occ) AS n_occ,
+         CAST(SUM(score_micro) AS BIGINT) AS s_micro
+  FROM pw GROUP BY phrase
+)
+SELECT phrase, CAST(n_occ AS BIGINT) AS n_occurrences,
+       ROUND(s_micro / 1000000.0, 6) AS rake_score
+FROM scored
+ORDER BY s_micro DESC, phrase ASC LIMIT 15
+""",
+)
+def text_rake_keyphrases(spark, sf_dir):
+    """RAKE keyphrase extraction (Rapid Automatic Keyword Extraction):
+    candidate phrases are maximal stopword-free token runs; each word is
+    scored degree/frequency over all phrase occurrences (degree = summed
+    length of phrases it appears in — co-occurrence including self) and
+    a phrase scores the sum of its member word scores. Phrase splitting
+    is pure array-land (token map -> delimiter rejoin -> regex split, no
+    Python); word stats are one shuffle on word; phrase scores are one
+    shuffle on phrase text. Word scores quantize to integer micro-units
+    before the phrase SUM (registry float rule), and the top-15 is a
+    TakeOrdered on the integer score. At 100 TB both shuffles are
+    key-hashed and combine map-side; nothing is ever per-document
+    quadratic."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    phrases = (
+        d.select(
+            F.explode(
+                F.split(
+                    F.array_join(
+                        F.transform(
+                            F.split("text", " "),
+                            lambda x: F.when(
+                                x.isin("a", "the"), F.lit("|")
+                            ).otherwise(x),
+                        ),
+                        " ",
+                    ),
+                    r" *\| *",
+                )
+            ).alias("p")
+        )
+        .select(F.trim("p").alias("phrase"))
+        .filter(F.col("phrase") != "")
+    )
+    wo = phrases.select(
+        F.explode(F.split("phrase", " ")).alias("w"),
+        F.size(F.split("phrase", " ")).alias("wlen"),
+    )
+    ws = wo.groupBy("w").agg(
+        F.round(
+            1000000.0 * F.sum("wlen") / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("score_micro")
+    )
+    dp = phrases.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occ"))
+    pw = dp.select(
+        "phrase", "n_occ", F.explode(F.split("phrase", " ")).alias("w")
+    ).join(ws, "w")
+    scored = pw.groupBy("phrase").agg(
+        F.max("n_occ").alias("n_occ"),
+        F.sum("score_micro").alias("s_micro"),
+    )
+    return (
+        scored.orderBy(F.col("s_micro").desc(), F.col("phrase").asc())
+        .limit(15)
+        .select(
+            "phrase",
+            F.col("n_occ").cast("long").alias("n_occurrences"),
+            F.round(F.col("s_micro") / 1000000.0, 6).alias("rake_score"),
+        )
+    )
+
+
+@query(
+    "text_pmi_collocations",
+    """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), uni AS (
+  SELECT w, COUNT(*) AS c FROM (
+    SELECT UNNEST(ts) AS w FROM toks
+  ) GROUP BY w
+), n AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni
+), big AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM (
+    SELECT ts[i] AS w1, ts[i + 1] AS w2
+    FROM toks, UNNEST(RANGE(1, len(ts))) AS t(i)
+  ) GROUP BY w1, w2
+  HAVING COUNT(*) >= 30
+), scored AS (
+  SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+         (c12 * n.n * 1000000) // (u1.c * u2.c) AS ord_ppm,
+         c12 * n.n * 1.0 / (u1.c * u2.c) AS ratio
+  FROM big JOIN uni u1 ON u1.w = w1 JOIN uni u2 ON u2.w = w2, n
+)
+SELECT w1, w2, CAST(c12 AS BIGINT) AS pair_count,
+       ROUND(log2(ratio), 6) AS pmi
+FROM scored
+ORDER BY ord_ppm DESC, w1 ASC, w2 ASC LIMIT 20
+""",
+)
+def text_pmi_collocations(spark, sf_dir):
+    """POINTWISE MUTUAL INFORMATION collocations: the top-20 adjacent
+    token bigrams by PMI = log2(N * c12 / (c1 * c2)) with a minimum
+    pair count of 30 (PMI is unstable on rare pairs). Bigrams come from
+    a positional sequence explode (no self-join); unigram counts attach
+    by two equi-joins; the corpus token total is a one-row broadcast.
+    The top-20 ORDERS ON AN EXACT INTEGER — the ratio in parts-per-
+    million by integer division — so selection never depends on a
+    transcendental: log2 only renders the already-selected rows (one
+    call per output row, no accumulation). One shuffle per count."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    toks = d.select(F.split("text", " ").alias("ts"))
+    uni = (
+        toks.select(F.explode("ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = uni.agg(F.sum("c").cast("long").alias("n"))
+    big = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1),"
+                    " i -> struct(ts[i - 1] AS w1, ts[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= 30)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .join(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.expr("(c12 * n * 1000000) div (c1 * c2)").alias("ord_ppm"),
+            (F.col("c12") * F.col("n") * 1.0 / (F.col("c1") * F.col("c2"))).alias(
+                "ratio"
+            ),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.col("ord_ppm").desc(), F.col("w1").asc(), F.col("w2").asc()
+        )
+        .limit(20)
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("pair_count"),
+            F.round(F.log2("ratio"), 6).alias("pmi"),
+        )
+    )

@@ -80,6 +80,8 @@ CROSS_JOIN_OK = {
     # vector against each of the ~8 centroids by design)
     "stats_bootstrap_subsample_ci",  # one-row full-sample (n, mean)
     # broadcast attached to the one-row CI order-statistics frame
+    "text_pmi_collocations",  # one-row corpus-token-total broadcast
+    # against the frequent-bigram table
 }
 
 # Iterative/stateful queries that execute eagerly during plan
