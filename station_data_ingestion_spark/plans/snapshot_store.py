@@ -203,7 +203,14 @@ def _entry_key(e: dict) -> tuple:
 # "deletes" (deletion vectors) is deliberately NOT here: several ops
 # rewrite or clear it with op-specific semantics, so each site carries
 # it explicitly.
-_CARRY_KEYS = ("renames", "dropped", "widened", "added", "masks", "generated")
+# "eq_deletes" carries like schema metadata: every commit inherits the
+# pending equality deletes unless the committing op overrides the key
+# (delete_where_eq appends, materialize_eq_deletes clears, fast_forward
+# re-roots).
+_CARRY_KEYS = (
+    "renames", "dropped", "widened", "added", "masks", "generated",
+    "eq_deletes", "row_tracking",
+)
 
 
 def _carry_meta(manifest: dict, src: dict | None) -> dict:
@@ -403,6 +410,11 @@ class SnapshotTable:
             "files": files,
             "op": "clone",
         }
+        if m.get("seq_hwm"):
+            # the clone continues the SOURCE's data-sequence numbering:
+            # inherited equality deletes carry source sequence numbers,
+            # so clone-side appends must land strictly above them
+            manifest["seq_hwm"] = m["seq_hwm"]
         _carry_meta(manifest, m)
         if m.get("deletes"):
             # the clone inherits the source's deletion vectors in place;
@@ -411,6 +423,14 @@ class SnapshotTable:
             manifest["deletes"] = [
                 {**d, "root": d.get("root") or _root_key(self.spark, self.path)}
                 for d in m["deletes"]
+            ]
+        if m.get("eq_deletes"):
+            # equality deletes inherit in place too (key files hold key
+            # VALUES, not file coordinates, so a root pin is all a clone
+            # needs; entry seq values copy verbatim with the entries)
+            manifest["eq_deletes"] = [
+                {**d, "root": d.get("root") or _root_key(self.spark, self.path)}
+                for d in m["eq_deletes"]
             ]
         if not dst._write_manifest_exclusive(1, manifest):
             raise ConcurrentCommitError(
@@ -585,6 +605,22 @@ class SnapshotTable:
         if doc is None or doc.get("type") != "branch":
             raise ValueError(f"no branch {name!r} at {self.path}")
         fork_v = int(doc["fork_version"])
+        br_probe = self.branch(name)
+        bv_probe = br_probe.latest_version()
+        if bv_probe is not None:
+            bm_probe = br_probe._read_manifest(bv_probe)
+            if any(
+                not d.get("root")
+                for d in bm_probe.get("eq_deletes", [])
+            ):
+                # branch-LOCAL equality deletes carry branch-relative
+                # sequence numbers that are not coherent with main's
+                # after the rehome; fold them in on the branch first
+                raise RuntimeError(
+                    f"branch {name!r} has pending branch-local equality "
+                    "deletes: run branch('" + name + "')."
+                    "materialize_eq_deletes() before fast_forward"
+                )
         cur = self.latest_version()
         if cur != fork_v:
             raise ConcurrentCommitError(
@@ -691,6 +727,17 @@ class SnapshotTable:
         _carry_meta(manifest, bm)
         if deletes:
             manifest["deletes"] = deletes
+        eq_list = []
+        for d in bm.get("eq_deletes", []):
+            d = dict(d)
+            root = d.get("root")
+            # branch-local eq deletes were rejected up front; main-rooted
+            # ones become plain local entries again, foreign roots keep
+            if root is not None and _root_key(self.spark, root) == self_key:
+                d.pop("root", None)
+            eq_list.append(d)
+        if eq_list:
+            manifest["eq_deletes"] = eq_list
         if not self._write_manifest_exclusive(fork_v + 1, manifest):
             # a rival claimed the version between the fork check and the
             # CAS: move every rehomed file BACK so the branch stays
@@ -718,6 +765,64 @@ class SnapshotTable:
             stream.close()
         return json.loads(text)
 
+    def _stamp_sequence(self, version: int, manifest: dict) -> None:
+        """Assign the manifest's DATA SEQUENCE NUMBER (Iceberg v2) and
+        stamp it onto entries new to this manifest. ``seq_hwm`` is a
+        table-level high-water mark that strictly exceeds every entry's
+        ``seq`` — equality deletes compare their own commit's sequence
+        against per-file sequences to decide which files they apply to
+        (a file appended AFTER a DELETE ... WHERE key=k must keep its
+        k-rows). Centralized at the single publish choke point so no
+        manifest-building site can forget it (the _CARRY_KEYS lesson);
+        sites that inherit entries (clone, restore, fast-forward) keep
+        the entries' original seq values, and legacy entries without one
+        read as seq 0 — conservatively subject to every later delete."""
+        prev = None
+        if version > 1:
+            try:
+                prev = self._read_manifest(version - 1)
+            except Exception:
+                prev = None  # vacuumed/absent parent: stamp from entries
+        if "seq_hwm" not in manifest:
+            prev_hwm = int((prev or {}).get("seq_hwm") or 0)
+            max_entry = max(
+                (int(e.get("seq") or 0) for e in manifest.get("files", [])),
+                default=0,
+            )
+            manifest["seq_hwm"] = max(prev_hwm, max_entry) + 1
+        hwm = int(manifest["seq_hwm"])
+        prev_keys = {_entry_key(e) for e in (prev or {}).get("files", [])}
+        new_entries = [
+            e
+            for e in manifest.get("files", [])
+            if _entry_key(e) not in prev_keys
+        ]
+        for e in new_entries:
+            if "seq" not in e:
+                e["seq"] = hwm
+        # ROW TRACKING (Delta-style stable row ids): allocate each new
+        # file a contiguous [row_base, row_base + rows) id range from the
+        # table-level row high-water mark. A row's id is row_base +
+        # parquet row_index unless the file carries a MATERIALIZED
+        # physical _row_id column (rewrites preserve ids that way; their
+        # fresh entries still consume hwm — wasted ids are harmless,
+        # reused ids never happen). Sorted iteration makes the
+        # assignment deterministic for a deterministic file layout.
+        if manifest.get("row_tracking") and "row_hwm" not in manifest:
+            base = int((prev or {}).get("row_hwm") or 0)
+            for e in sorted(new_entries, key=lambda e: e["path"]):
+                if "row_base" in e:
+                    continue
+                n = (e.get("stats") or {}).get("__rows")
+                if n is None:
+                    raise RuntimeError(
+                        "row tracking needs per-file row counts; entry "
+                        f"{e['path']} has no __rows stat"
+                    )
+                e["row_base"] = base
+                base += int(n)
+            manifest["row_hwm"] = base
+
     def _write_manifest_exclusive(self, version: int, manifest: dict) -> bool:
         """Publish v{version}.json atomically; False if it already exists.
 
@@ -729,6 +834,7 @@ class SnapshotTable:
         fs.mkdirs(dest.getParent())
         if fs.exists(dest):
             return False
+        self._stamp_sequence(version, manifest)
         tmp = jvm.org.apache.hadoop.fs.Path(
             f"{self.path}/{_SNAPDIR}/.tmp-{uuid.uuid4().hex}.json"
         )
@@ -752,7 +858,9 @@ class SnapshotTable:
         point: dict | None = None,
         as_of: float | None = None,
         ref: str | None = None,
+        with_row_ids: bool = False,
         _lineage: bool = False,
+        _skip_eq: bool = False,
     ) -> DataFrame | None:
         """DataFrame over a snapshot's files; None if no table.
 
@@ -921,11 +1029,19 @@ class SnapshotTable:
         if not entries:
             return None
         dvs = manifest.get("deletes") or []
+        eqs = [] if _skip_eq else (manifest.get("eq_deletes") or [])
+        if with_row_ids and not manifest.get("row_tracking"):
+            raise ValueError(
+                f"row tracking is not enabled on {self.path}: call "
+                "enable_row_tracking() first"
+            )
+        need_lineage = bool(dvs) or bool(eqs) or _lineage or with_row_ids
         out = self._read_entry_files(
             entries,
             renames=manifest.get("renames", []),
             dropped=manifest.get("dropped", []),
-            lineage=bool(dvs) or _lineage,
+            lineage=need_lineage,
+            keep_row_ids=with_row_ids,
         )
         if dvs:
             # MERGE-ON-READ deletion vectors: anti-join the (file, row)
@@ -937,8 +1053,16 @@ class SnapshotTable:
                 on=["_dv_file", "_dv_row"],
                 how="left_anti",
             )
-            if not _lineage:
-                out = out.drop("_dv_file", "_dv_row")
+        if eqs:
+            # MERGE-ON-READ equality deletes (Iceberg v2): anti-join the
+            # recorded key tuples against rows from files whose data
+            # sequence PRECEDES the delete's — rows appended after the
+            # delete keep their keys.
+            out = self._apply_eq_deletes(out, eqs, entries)
+        if with_row_ids:
+            out = self._attach_row_ids(out, entries)
+        if need_lineage and not _lineage:
+            out = out.drop("_dv_file", "_dv_row")
         # transform-derived partition columns are LAYOUT, not schema:
         # hide them (Iceberg hidden partitioning)
         for pcol in self.partition_transforms:
@@ -962,8 +1086,13 @@ class SnapshotTable:
         renames: list[list[str]] | None = None,
         dropped: list[str] | None = None,
         lineage: bool = False,
+        keep_row_ids: bool = False,
     ) -> DataFrame:
         """Scan manifest entries, restoring partition columns.
+
+        ``keep_row_ids=False`` hides the physical ``_row_id`` column a
+        row-tracked rewrite materializes — it is storage layout, not
+        table schema; id-aware readers opt in.
 
         ``lineage=True`` additionally exposes per-row file identity as
         ``_dv_file`` (the scan's ``_metadata.file_path`` URI) and
@@ -1048,6 +1177,8 @@ class SnapshotTable:
         for c in dropped or []:
             if c in out.columns:
                 out = out.drop(c)
+        if not keep_row_ids and "_row_id" in out.columns:
+            out = out.drop("_row_id")
         return out
 
     def _latest_renames(self) -> list[list[str]]:
@@ -1350,6 +1481,12 @@ class SnapshotTable:
         merged read schema (mergeSchema touches every live footer) — a
         rename is rare DDL, so exhaustive correctness wins; a
         footer-schema cache would amortize it on huge tables."""
+        for d in self._eq_deletes():
+            if old in d["cols"]:
+                raise RuntimeError(
+                    f"column {old!r} is referenced by a pending equality "
+                    "delete: run materialize_eq_deletes() first"
+                )
         if old == new:
             raise ValueError("rename requires distinct names")
         renames = self._latest_renames()
@@ -1418,6 +1555,12 @@ class SnapshotTable:
         field ids — re-adding would resurface old files' values), same
         rule as renamed-away names. Partition columns cannot be dropped
         (baked into layout and entry keys)."""
+        for d in self._eq_deletes():
+            if col in d["cols"]:
+                raise RuntimeError(
+                    f"column {col!r} is referenced by a pending equality "
+                    "delete: run materialize_eq_deletes() first"
+                )
         if col in self.partition_cols:
             raise ValueError("cannot drop a partition column")
         cur = self.read()
@@ -1643,6 +1786,12 @@ class SnapshotTable:
             # — dropping them would resurrect DV-deleted rows and make
             # metadata COUNT/MIN-MAX serve stale per-file stats as exact
             manifest["deletes"] = target["deletes"]
+        # pending equality deletes are part of the restored DATA state
+        # (their seq semantics travel with the entries' own seq values,
+        # both from immutable manifests). Set unconditionally — an empty
+        # list must BLOCK the _CARRY_KEYS inheritance of the current
+        # version's pending deletes, which the restore rolls back.
+        manifest["eq_deletes"] = target.get("eq_deletes", [])
         # schema metadata stays CURRENT: restore rolls back data, not
         # renames (a rename after the restored version still applies)
         cur = self._latest_renames()
@@ -1721,7 +1870,7 @@ class SnapshotTable:
         if v is None:
             return None
         m = self._read_manifest(v)
-        if m.get("deletes"):
+        if m.get("deletes") or m.get("eq_deletes"):
             # merge-on-read deletes make per-file counts stale (and DV
             # refs can themselves be stale after rewrites) — a metadata
             # answer would be unsound; caller falls back to a scan
@@ -1820,11 +1969,13 @@ class SnapshotTable:
             else:
                 pm = self._read_manifest(p)
                 prev_keys = {_entry_key(e) for e in pm["files"]}
-                prev_dvs = pm.get("deletes", [])
+                prev_dvs = pm.get("deletes", []) + pm.get("eq_deletes", [])
             top_m = self._read_manifest(p + 1)
             cur = {_entry_key(e): e for e in top_m["files"]}
             removed = prev_keys - set(cur)
-            dv_changed = prev_dvs != top_m.get("deletes", [])
+            dv_changed = prev_dvs != top_m.get("deletes", []) + top_m.get(
+                "eq_deletes", []
+            )
             if (removed or dv_changed) and on_rewrite == "error":
                 what = (
                     f"{len(removed)} file(s) rewritten/removed"
@@ -1911,12 +2062,14 @@ class SnapshotTable:
         removed = old_paths - hi_paths
         # a DV delete changes ROWS while the file set is unchanged — as
         # non-append as a rewrite, just cheaper; compare the DV lists
-        old_dvs = (
-            self._read_manifest(from_version).get("deletes", [])
-            if from_version is not None
-            else []
+        if from_version is not None:
+            fm = self._read_manifest(from_version)
+            old_dvs = fm.get("deletes", []) + fm.get("eq_deletes", [])
+        else:
+            old_dvs = []
+        dv_changed = old_dvs != hi_m.get("deletes", []) + hi_m.get(
+            "eq_deletes", []
         )
-        dv_changed = old_dvs != hi_m.get("deletes", [])
         if (removed or dv_changed) and on_rewrite == "error":
             what = (
                 f"{len(removed)} file(s) were rewritten/removed"
@@ -1964,8 +2117,8 @@ class SnapshotTable:
         if v is None:
             return None
         m = self._read_manifest(v)
-        if m.get("deletes"):
-            # a DV-deleted row may have held the recorded min/max —
+        if m.get("deletes") or m.get("eq_deletes"):
+            # a deleted row may have held the recorded min/max —
             # zone maps stay SOUND for pruning (bounds only widen) but
             # are no longer exact answers; fall back to a scan
             return None
@@ -2753,6 +2906,7 @@ class SnapshotTable:
         base_v = self.latest_version()
         if base_v is None:
             raise ValueError(f"no table at {self.path}")
+        self._guard_eq_deletes("materialize_deletes")
         base_m = self._read_manifest(base_v)
         dvs = base_m.get("deletes") or []
         if not dvs:
@@ -2784,10 +2938,14 @@ class SnapshotTable:
             renames=base_m.get("renames", []),
             dropped=base_m.get("dropped", []),
             lineage=True,
+            keep_row_ids=True,
         )
         df = df.join(
             self._read_dv_frame(dvs), on=["_dv_file", "_dv_row"], how="left_anti"
-        ).drop("_dv_file", "_dv_row")
+        )
+        if base_m.get("row_tracking"):
+            df = self._attach_row_ids(df, touched)
+        df = df.drop("_dv_file", "_dv_row")
         staging = f"{self.path}/{_STAGING}/{uuid.uuid4().hex}"
         df.write.partitionBy(*self.partition_cols).parquet(staging)
         stats = self._file_stats(staging, list(self.stat_cols))
@@ -2798,6 +2956,343 @@ class SnapshotTable:
             new_entries,
             base_v,
             extra={"op": "materialize-deletes", "deletes": [], "cdf": "none"},
+        )
+
+    # -- equality deletes (Iceberg v2 merge-on-read) -----------------------
+
+    def _eq_deletes(self, version: int | None = None) -> list[dict]:
+        v = self.latest_version() if version is None else version
+        if v is None:
+            return []
+        return self._read_manifest(v).get("eq_deletes") or []
+
+    def _guard_eq_deletes(self, op: str) -> None:
+        """File-REWRITING maintenance must not run with pending equality
+        deletes: rewrites re-read files directly (not through read())
+        and re-land rows under a NEW data sequence, which would both
+        resurrect eq-deleted rows and lift surviving rows out of the
+        deletes' reach. Iceberg imposes the same discipline (equality
+        deletes must be rewritten during compaction); here the cheap
+        safe order is materialize_eq_deletes() first."""
+        if self._eq_deletes():
+            raise RuntimeError(
+                f"{op} with pending equality deletes would resurrect "
+                "deleted rows: run materialize_eq_deletes() first"
+            )
+
+    def enable_row_tracking(self) -> int:
+        """Turn on ROW TRACKING (Delta-style stable row ids): every row
+        gets a table-unique id that survives file rewrites. New files
+        get a contiguous id range allocated at commit (id = file
+        row_base + parquet row_index — no physical column, zero storage
+        cost); rewrite-class ops (UPDATE/DELETE rewrites, compactions,
+        recluster) MATERIALIZE ids into a physical ``_row_id`` column on
+        the files they rewrite so identity survives the copy. Existing
+        files are assigned ranges retroactively at enable time (their
+        per-file row counts are already in the manifest). Read ids with
+        ``read(with_row_ids=True)``; plain reads never see them.
+        MERGE-ON-READ ops (DV/equality deletes) preserve ids for free —
+        they never move a row; merge_dv's updated copies are NEW rows
+        and get fresh ids (re-keying across a merge needs the key, not
+        the row id). [reference: Delta Lake row tracking / Iceberg row
+        lineage — re-expressed over the manifest store +
+        _metadata.row_index]"""
+        base_v = self.latest_version()
+        if base_v is None:
+            raise ValueError(f"no table at {self.path}")
+        m = self._read_manifest(base_v)
+        if m.get("row_tracking"):
+            return base_v
+        base = 0
+        files = [dict(e) for e in m["files"]]
+        for e in sorted(files, key=lambda e: e["path"]):
+            n = (e.get("stats") or {}).get("__rows")
+            if n is None:
+                raise RuntimeError(
+                    "cannot enable row tracking: entry "
+                    f"{e['path']} predates per-file row counts"
+                )
+            e["row_base"] = base
+            base += int(n)
+        version = base_v + 1
+        manifest = {
+            "version": version,
+            "partition_cols": list(self.partition_cols),
+            "files": files,
+            "op": "enable-row-tracking",
+            "row_tracking": True,
+            "row_hwm": base,
+            "cdf": "none",
+        }
+        _carry_meta(manifest, m)
+        if m.get("deletes"):
+            manifest["deletes"] = m["deletes"]
+        if not self._write_manifest_exclusive(version, manifest):
+            raise ConcurrentCommitError(
+                f"lost the publish race for v{version} at {self.path}"
+            )
+        return version
+
+    def _attach_row_ids(
+        self, out: DataFrame, entries: list[dict]
+    ) -> DataFrame:
+        """Compute ``_row_id`` on a lineage-bearing frame: the file's
+        physical column when materialized (rewrites), else row_base +
+        parquet row_index. The filename->base map is manifest-sized and
+        broadcasts."""
+        from pyspark.sql import functions as F
+
+        fmap = []
+        for e in entries:
+            b = e.get("row_base")
+            if b is None:
+                raise RuntimeError(
+                    f"row tracking enabled but entry {e['path']} has no "
+                    "row_base — manifest corruption"
+                )
+            # full relative path, not basename (one commit's write job
+            # repeats part-file names across partition dirs)
+            fmap.append((e["path"], int(b)))
+        fdf = self.spark.createDataFrame(
+            fmap, "_rt_frel string, _rt_base long"
+        )
+        out = out.withColumn(
+            "_rt_frel",
+            F.url_decode(
+                F.element_at(F.split(F.col("_dv_file"), "/data/"), -1)
+            ),
+        ).join(F.broadcast(fdf), "_rt_frel", "left")
+        derived = F.when(
+            F.col("_rt_base").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("row-id base map missed file "),
+                    F.col("_dv_file"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("_rt_base") + F.col("_dv_row"))
+        if "_row_id" in out.columns:
+            idc = F.coalesce(F.col("_row_id").cast("long"), derived)
+        else:
+            idc = derived
+        return out.withColumn("_row_id", idc.cast("long")).drop(
+            "_rt_frel", "_rt_base"
+        )
+
+    def _read_eq_frame(self, items: list[dict]) -> DataFrame:
+        """Union of same-key-columns equality-delete files, each row
+        tagged with its delete's data sequence number."""
+        from pyspark.sql import functions as F
+
+        frames = []
+        for d in items:
+            root = d.get("root") or self.path
+            frames.append(
+                self.spark.read.parquet(
+                    f"{root}/{_DELETES}/{d['token']}"
+                ).withColumn("_eq_dseq", F.lit(int(d["seq"])))
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    def _apply_eq_deletes(
+        self, out: DataFrame, eqs: list[dict], entries: list[dict]
+    ) -> DataFrame:
+        """Anti-join pending equality deletes against ``out`` (which
+        must carry ``_dv_file`` lineage). A row is deleted iff some
+        recorded key tuple matches null-safely AND the row's file has a
+        data sequence strictly below the delete's. File sequence attaches
+        by a broadcast filename->seq map built from the manifest entries
+        (file names embed a commit uuid, so they are unique per table);
+        the delete sets themselves are small by design — O(deleted keys),
+        kilobytes at any table size — so both joins broadcast."""
+        from pyspark.sql import functions as F
+
+        # keyed by the full data-root-relative path, NOT the basename:
+        # one commit's write job emits identically-named part files into
+        # different partition dirs (the _file_stats trap). The scan's
+        # _dv_file URI is percent-encoded; url_decode aligns it with the
+        # manifest's literal path segments. An unmapped file raises
+        # rather than silently treating the file as older than every
+        # delete (which could delete legitimately re-inserted rows).
+        fmap = [
+            (e["path"], int(e.get("seq") or 0)) for e in entries
+        ]
+        fdf = self.spark.createDataFrame(
+            fmap, "_eq_frel string, _eq_fseq long"
+        )
+        out = out.withColumn(
+            "_eq_frel",
+            F.url_decode(
+                F.element_at(F.split(F.col("_dv_file"), "/data/"), -1)
+            ),
+        ).join(F.broadcast(fdf), "_eq_frel", "left")
+        out = out.withColumn(
+            "_eq_fseq",
+            F.when(
+                F.col("_eq_fseq").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit("equality-delete seq map missed file "),
+                        F.col("_dv_file"),
+                    )
+                ).cast("long"),
+            ).otherwise(F.col("_eq_fseq")),
+        )
+        groups: dict[tuple, list[dict]] = {}
+        for d in eqs:
+            groups.setdefault(tuple(d["cols"]), []).append(d)
+        for cols, items in groups.items():
+            dk = self._read_eq_frame(items)
+            renamed = dk.select(
+                *[F.col(c).alias(f"_eqk_{i}") for i, c in enumerate(cols)],
+                "_eq_dseq",
+            )
+            cond = F.col("_eq_fseq") < renamed["_eq_dseq"]
+            for i, c in enumerate(cols):
+                cond = cond & out[c].eqNullSafe(renamed[f"_eqk_{i}"])
+            out = out.join(F.broadcast(renamed), cond, "left_anti")
+        return out.drop("_eq_fname", "_eq_fseq")
+
+    def delete_where_eq(self, keys: DataFrame) -> int:
+        """DELETE by KEY SET, merge-on-read (Iceberg v2 EQUALITY
+        deletes): record the key tuples themselves — no scan of the
+        table at all on the write path beyond the CDF capture — and let
+        readers anti-join them against files committed BEFORE the
+        delete. The complementary trade to deletion vectors: a DV knows
+        exact (file, row) coordinates but must find them first (one
+        predicate scan); an equality delete costs O(keys) to write even
+        when the table is cold, and is how streaming CDC retires keys it
+        has never read. Sequence-number semantics: rows appended AFTER
+        the delete keep their keys (per-file ``seq`` vs the delete's
+        ``seq``), matching Iceberg exactly. NULL key components match
+        null-safely. Returns the new version.
+
+        Pending equality deletes block file-REWRITING maintenance
+        (rewrite_where / recluster / materialize_deletes raise) until
+        :meth:`materialize_eq_deletes` folds them in; appends, DV
+        deletes, reads, time travel, and more equality deletes compose
+        freely."""
+        from pyspark.sql import functions as F
+
+        base_v = self.latest_version()
+        if base_v is None:
+            raise ValueError(f"no table at {self.path}")
+        current = self.read(version=base_v)
+        cols = list(keys.columns)
+        missing = [c for c in cols if c not in current.columns]
+        if missing:
+            raise ValueError(
+                f"equality-delete key columns {missing} not in table "
+                f"schema {current.columns}"
+            )
+        keyset = keys.distinct()
+        tok = f"eq-{uuid.uuid4().hex}"
+        keyset.coalesce(1).write.parquet(f"{self.path}/{_DELETES}/{tok}")
+        n = self.spark.read.parquet(f"{self.path}/{_DELETES}/{tok}").count()
+        base_m = self._read_manifest(base_v)
+        dseq = int(base_m.get("seq_hwm") or 0) + 1
+        # CDF capture: the rows this delete retires are exactly the
+        # current matching rows (every live file's seq precedes dseq)
+        cond = None
+        kren = keyset.select(
+            *[F.col(c).alias(f"_eqk_{i}") for i, c in enumerate(cols)]
+        )
+        for i, c in enumerate(cols):
+            this = current[c].eqNullSafe(kren[f"_eqk_{i}"])
+            cond = this if cond is None else (cond & this)
+        changes = current.join(F.broadcast(kren), cond, "left_semi").withColumn(
+            "_change_type", F.lit("delete")
+        )
+        chg_tok = self._write_changes(changes)
+        prior = base_m.get("eq_deletes", [])
+        return self._commit_entries(
+            set(),
+            [],
+            expected_version=base_v,
+            extra={
+                "op": "delete-eq",
+                "eq_deletes": prior
+                + [{"token": tok, "cols": cols, "seq": dseq, "rows": int(n)}],
+                "changes": chg_tok,
+                "seq_hwm": dseq,
+            },
+        )
+
+    def materialize_eq_deletes(self) -> int:
+        """Fold pending equality deletes into the data files: rewrite
+        ONLY the files that still contain matching pre-delete rows, then
+        clear the list — the maintenance twin of materialize_deletes,
+        and what unblocks rewrite-class maintenance. ``cdf: none`` (no
+        logical rows change — readers already saw the deletes)."""
+        from pyspark.sql import functions as F
+
+        base_v = self.latest_version()
+        if base_v is None:
+            raise ValueError(f"no table at {self.path}")
+        base_m = self._read_manifest(base_v)
+        eqs = base_m.get("eq_deletes") or []
+        if not eqs:
+            return base_v
+        raw = self.read(version=base_v, _lineage=True, _skip_eq=True)
+        survivors = self._apply_eq_deletes(raw, eqs, base_m["files"])
+        # touched = files that lose at least one row: present in raw's
+        # per-file counts but with fewer surviving rows
+        pre = {
+            r["_dv_file"]: r["count"]
+            for r in raw.groupBy("_dv_file").count().collect()
+        }
+        post = {
+            r["_dv_file"]: r["count"]
+            for r in survivors.groupBy("_dv_file").count().collect()
+        }
+        hit_uris = {u for u, n in pre.items() if post.get(u, 0) != n}
+        if not hit_uris:
+            return self._commit_file_replacement(
+                set(), [], base_v,
+                extra={"op": "materialize-eq-deletes", "eq_deletes": [],
+                       "cdf": "none"},
+            )
+        from urllib.parse import unquote
+
+        hit_names = {
+            unquote(u).rpartition("/")[2] for u in hit_uris
+        }
+        touched = [
+            e
+            for e in base_m["files"]
+            if e["path"].rpartition("/")[2] in hit_names
+        ]
+        df = self._read_entry_files(
+            touched,
+            renames=base_m.get("renames", []),
+            dropped=base_m.get("dropped", []),
+            lineage=True,
+            keep_row_ids=True,
+        )
+        if base_m.get("deletes"):
+            df = df.join(
+                self._read_dv_frame(base_m["deletes"]),
+                on=["_dv_file", "_dv_row"],
+                how="left_anti",
+            )
+        df = self._apply_eq_deletes(df, eqs, touched)
+        if base_m.get("row_tracking"):
+            df = self._attach_row_ids(df, touched)
+        df = df.drop("_dv_file", "_dv_row")
+        staging = f"{self.path}/{_STAGING}/{uuid.uuid4().hex}"
+        df.write.partitionBy(*self.partition_cols).parquet(staging)
+        stats = self._file_stats(staging, list(self.stat_cols))
+        blooms = self._file_blooms(staging)
+        new_entries = self._promote_staging(staging, stats, blooms)
+        return self._commit_file_replacement(
+            {_entry_key(e) for e in touched},
+            new_entries,
+            base_v,
+            extra={"op": "materialize-eq-deletes", "eq_deletes": [],
+                   "cdf": "none"},
         )
 
     def update_where(self, condition, assignments: dict) -> int:
@@ -2847,6 +3342,7 @@ class SnapshotTable:
         base_v = self.latest_version()
         if base_v is None:
             raise ValueError(f"no table at {self.path}")
+        self._guard_eq_deletes("predicate rewrite")
         cond = F.expr(condition) if isinstance(condition, str) else condition
         # lineage read: file identity comes from _metadata.file_path,
         # which (unlike input_file_name) stays well-defined after the
@@ -2893,6 +3389,7 @@ class SnapshotTable:
             renames=base_m.get("renames", []),
             dropped=base_m.get("dropped", []),
             lineage=True,
+            keep_row_ids=True,
         )
         if base_m.get("deletes"):
             # rewriting a file MATERIALIZES its deletion-vector rows:
@@ -2902,6 +3399,10 @@ class SnapshotTable:
                 on=["_dv_file", "_dv_row"],
                 how="left_anti",
             )
+        if base_m.get("row_tracking"):
+            # rewritten copies must keep their row ids: materialize them
+            # as a physical column before the transform
+            df = self._attach_row_ids(df, touched)
         df = df.drop("_dv_file", "_dv_row")
         rewritten = self._enforce_constraints(transform(df, cond))
         staging = f"{self.path}/{_STAGING}/{uuid.uuid4().hex}"
@@ -3059,11 +3560,19 @@ class SnapshotTable:
         recluster from there. Equivalent to Delta's OPTIMIZE losing a
         conflict check and re-running.
         """
+        self._guard_eq_deletes("recluster_partition")
         for _ in range(_max_attempts):
             base_v = self.latest_version()
             if base_v is None:
                 return None
-            df = self.read(partition=partition)
+            tracked = bool(
+                self._read_manifest(self.latest_version()).get(
+                    "row_tracking"
+                )
+            )
+            # a recluster COPY must not lose row identity: read WITH ids
+            # so the rewritten files materialize them physically
+            df = self.read(partition=partition, with_row_ids=tracked)
             if df is None:
                 return None
             new_v = self.commit_overwrite_partitions(
@@ -3165,7 +3674,7 @@ class SnapshotTable:
                 }
                 ref_dv_tokens |= {
                     d["token"]
-                    for d in bm.get("deletes", [])
+                    for d in bm.get("deletes", []) + bm.get("eq_deletes", [])
                     if d.get("root")
                     and _root_key(self.spark, d["root"]) == self_key
                 }
@@ -3254,6 +3763,7 @@ class SnapshotTable:
                     live_dv |= {
                         d["token"]
                         for d in m.get("deletes", [])
+                        + m.get("eq_deletes", [])
                         if not d.get("root")
                     }
             for st in fs.listStatus(dv_root):

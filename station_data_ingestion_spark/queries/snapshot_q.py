@@ -3404,3 +3404,172 @@ def snapshot_generated_column_read(spark, sf_dir):
             F.sum("cents").cast("long").alias("cents"),
         )
     )
+
+
+@query(
+    "snapshot_equality_delete_read",
+    """
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         1 AS batch
+  FROM orders
+), survivors AS (
+  SELECT * FROM base WHERE o_custkey % 10 <> 3
+), reinserted AS (
+  SELECT o_orderkey, o_custkey, cents + 11 AS cents, 2 AS batch
+  FROM base WHERE o_custkey % 10 = 3 AND o_custkey % 20 = 3
+), final AS (
+  SELECT * FROM survivors UNION ALL SELECT * FROM reinserted
+)
+SELECT CAST(batch AS BIGINT) AS batch,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM final GROUP BY batch
+""",
+)
+def snapshot_equality_delete_read(spark, sf_dir):
+    """MERGE-ON-READ EQUALITY DELETES (Iceberg v2): keys are retired by
+    recording the key tuples themselves — O(keys) write cost with no
+    table scan, how streaming CDC deletes rows it has never read — and
+    readers anti-join them against files whose DATA SEQUENCE NUMBER
+    precedes the delete's. The query exercises the defining semantic
+    IN-QUERY: after deleting every o_custkey%10==3 key, a later append
+    re-inserts half of those keys (cents+11 to make resurrection-vs-
+    reinsert hash-distinguishable) — the appended rows SURVIVE the
+    earlier delete because their files carry a later sequence, while the
+    pre-delete rows stay gone. Also asserts merge-on-read (no data file
+    rewritten by the delete) and that time travel to the pre-delete
+    version still sees every row. At 100 TB the delete write is
+    kilobytes and the read-side cost is one broadcast anti-join; the
+    guard rails (rewrites refuse until materialize_eq_deletes) keep
+    compaction from resurrecting rows. [reference: Iceberg spec v2
+    equality deletes + data sequence numbers]"""
+    orders = load(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.lit(1).alias("batch"),
+    )
+    t = SnapshotTable(
+        spark,
+        _tmpdir(prefix="snap_eq_") + "/orders_eq",
+        partition_cols=("batch",),
+        stat_cols=("o_custkey",),
+    )
+    t.commit_overwrite_partitions(orders)
+    v0 = t.latest_version()
+    n_total = t.read().count()
+    pre_files = sorted(e["path"] for e in t._read_manifest(v0)["files"])
+    # retire every key with o_custkey % 10 == 3 — by KEY SET, no scan
+    keys = orders.filter(F.col("o_custkey") % 10 == 3).select(
+        "o_orderkey"
+    )
+    t.delete_where_eq(keys)
+    v1 = t.latest_version()
+    post_files = sorted(e["path"] for e in t._read_manifest(v1)["files"])
+    if post_files != pre_files:
+        raise RuntimeError(
+            "equality delete rewrote data files — merge-on-read broken"
+        )
+    if t.read(version=v0).count() != n_total:
+        raise RuntimeError("time travel to pre-delete version lost rows")
+    # CDC re-insert of HALF the retired keys, post-delete sequence
+    reinsert = orders.filter(
+        (F.col("o_custkey") % 10 == 3) & (F.col("o_custkey") % 20 == 3)
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("cents") + 11).alias("cents"),
+        F.lit(2).alias("batch"),
+    )
+    t.commit_overwrite_partitions(reinsert)
+    return (
+        t.read()
+        .groupBy(F.col("batch").cast("long").alias("batch"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
+
+
+@query(
+    "snapshot_row_tracking_read",
+    """
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS row_id
+  FROM orders
+), updated AS (
+  SELECT o_orderkey, row_id,
+         CASE WHEN o_custkey % 7 = 0 THEN cents + 5 ELSE cents END AS cents,
+         o_custkey
+  FROM base
+), final AS (
+  SELECT * FROM updated WHERE o_custkey % 10 <> 4
+)
+SELECT CAST(row_id % 8 AS BIGINT) AS id_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(row_id) AS BIGINT) AS id_sum,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM final GROUP BY row_id % 8
+""",
+)
+def snapshot_row_tracking_read(spark, sf_dir):
+    """ROW TRACKING (Delta-style stable row ids): ids are allocated as
+    per-file contiguous ranges at commit (id = manifest row_base +
+    parquet row_index — zero storage cost, no physical column) and
+    MATERIALIZED into a physical column only by the rewrites that would
+    otherwise destroy them. The query proves stability end-to-end: a
+    deterministic single-file clustered load fixes id = rank(o_orderkey),
+    an UPDATE rewrite bumps some rows' cents WITHOUT changing their ids,
+    a DV delete retires rows without touching files, and the final
+    id-keyed aggregate only matches the oracle's ROW_NUMBER
+    reconstruction if every surviving row kept its original id through
+    both mutations. At 100 TB the id attach is one broadcast
+    filename->base map over the scan the reader already pays; updates
+    pay one extra int64 column only on the files they rewrite.
+    [reference: Delta row tracking / Iceberg row lineage]"""
+    orders = load(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.lit(1).alias("batch"),
+    )
+    t = SnapshotTable(
+        spark,
+        _tmpdir(prefix="snap_rt_") + "/orders_rt",
+        partition_cols=("batch",),
+        stat_cols=("o_orderkey",),
+    )
+    # single clustered file -> ids are exactly rank(o_orderkey) - 1
+    t.commit_overwrite_partitions(
+        orders, cluster_by=("o_orderkey",), cluster_partitions=1
+    )
+    t.enable_row_tracking()
+    ids_before = t.read(with_row_ids=True).select("o_orderkey", "_row_id")
+    t.update_where(
+        F.col("o_custkey") % 7 == 0, {"cents": F.col("cents") + 5}
+    )
+    t.delete_where_dv(F.col("o_custkey") % 10 == 4)
+    after = t.read(with_row_ids=True)
+    # in-query stability assert: every surviving row's id is unchanged
+    moved = (
+        after.select("o_orderkey", "_row_id")
+        .join(
+            ids_before.withColumnRenamed("_row_id", "_id0"), "o_orderkey"
+        )
+        .filter(F.col("_row_id") != F.col("_id0"))
+        .count()
+    )
+    if moved:
+        raise RuntimeError(f"{moved} rows changed row id across rewrites")
+    return after.groupBy(
+        (F.col("_row_id") % 8).cast("long").alias("id_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_row_id").cast("long").alias("id_sum"),
+        F.sum("cents").cast("long").alias("cents"),
+    )

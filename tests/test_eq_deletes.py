@@ -1,0 +1,275 @@
+"""Equality deletes (Iceberg v2 merge-on-read): sequence-number
+semantics, composition with DVs / time travel / restore / clone /
+branches, maintenance guards, and materialization.
+[reference: Iceberg spec v2 equality delete files + data sequence
+numbers — re-expressed over the manifest snapshot store]
+"""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from station_data_ingestion_spark.plans.snapshot_store import SnapshotTable
+
+
+def _mk(spark, tmp_path, name="t", partition_cols=("batch",)):
+    # partitioned by an ingest-batch column so successive commits are
+    # true APPENDS (dynamic partition overwrite replaces only the
+    # partitions present in the written frame)
+    return SnapshotTable(
+        spark, str(tmp_path / name), partition_cols=partition_cols
+    )
+
+
+_BATCH = [0]
+
+
+def _rows(spark, pairs, batch=None):
+    if batch is None:
+        _BATCH[0] += 1
+        batch = _BATCH[0]
+    return spark.createDataFrame(
+        [Row(k=k, val=v, batch=batch) for k, v in pairs],
+        "k int, val string, batch int",
+    )
+
+
+def test_eq_delete_basic(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.commit_overwrite_partitions(_rows(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    t.delete_where_eq(spark.createDataFrame([Row(k=2)], "k int"))
+    got = {r["k"] for r in t.read().collect()}
+    assert got == {1, 3}
+
+
+def test_eq_delete_sequence_append_survives(spark, tmp_path):
+    """THE defining eq-delete semantic: a row appended AFTER the delete
+    keeps the deleted key; the pre-delete row stays gone."""
+    t = _mk(spark, tmp_path)
+    t.commit_overwrite_partitions(_rows(spark, [(1, "old"), (2, "old")]))
+    t.delete_where_eq(spark.createDataFrame([Row(k=1)], "k int"))
+    # append re-inserts k=1 with new content (CDC retire-then-reinsert)
+    t.commit_overwrite_partitions(_rows(spark, [(1, "new")]))
+    got = {(r["k"], r["val"]) for r in t.read().collect()}
+    assert got == {(1, "new"), (2, "old")}
+
+
+def test_eq_delete_multi_column_and_null_keys(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    df = spark.createDataFrame(
+        [
+            Row(a=1, b="x", val=1, batch=1),
+            Row(a=1, b=None, val=2, batch=1),
+            Row(a=2, b="x", val=3, batch=1),
+        ],
+        "a int, b string, val int, batch int",
+    )
+    t.commit_overwrite_partitions(df)
+    t.delete_where_eq(
+        spark.createDataFrame([Row(a=1, b=None)], "a int, b string")
+    )
+    got = {(r["a"], r["b"]) for r in t.read().collect()}
+    # null-safe match: (1, NULL) deleted, others stay
+    assert got == {(1, "x"), (2, "x")}
+
+
+def test_eq_delete_no_table_write_scan(spark, tmp_path):
+    """Two stacked deletes with different key-column sets compose."""
+    t = _mk(spark, tmp_path)
+    t.commit_overwrite_partitions(
+        _rows(spark, [(1, "a"), (2, "b"), (3, "c"), (4, "d")])
+    )
+    t.delete_where_eq(spark.createDataFrame([Row(k=1)], "k int"))
+    t.delete_where_eq(
+        spark.createDataFrame([Row(val="c")], "val string")
+    )
+    got = {r["k"] for r in t.read().collect()}
+    assert got == {2, 4}
+
+
+def test_eq_delete_time_travel_and_cdf(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.commit_overwrite_partitions(_rows(spark, [(1, "a"), (2, "b")]))
+    v0 = t.latest_version()
+    pre_files = sorted(e["path"] for e in t._read_manifest(v0)["files"])
+    t.delete_where_eq(spark.createDataFrame([Row(k=1)], "k int"))
+    v1 = t.latest_version()
+    # merge-on-read: no data file rewritten
+    assert sorted(e["path"] for e in t._read_manifest(v1)["files"]) == pre_files
+    # pre-delete version still sees everything
+    assert t.read(version=v0).count() == 2
+    # CDF records the retired row
+    chg = t.read_change_feed(v0, v1)
+    dels = [r for r in chg.collect() if r["_change_type"] == "delete"]
+    assert [(r["k"], r["val"]) for r in dels] == [(1, "a")]
+
+
+def test_eq_delete_metadata_counts_go_stale(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.commit_overwrite_partitions(_rows(spark, [(1, "a"), (2, "b")]))
+    assert t.count_rows() == 2
+    t.delete_where_eq(spark.createDataFrame([Row(k=1)], "k int"))
+    assert t.count_rows() is None  # falls back to a scan
+    assert t.read().count() == 1
+
+
+def test_eq_delete_composes_with_dv(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.commit_overwrite_partitions(
+        _rows(spark, [(1, "a"), (2, "b"), (3, "c"), (4, "d")])
+    )
+    t.delete_where_dv(F.col("k") == 4)
+    t.delete_where_eq(spark.createDataFrame([Row(k=2)], "k int"))
+    assert {r["k"] for r in t.read().collect()} == {1, 3}
+
+
+def test_eq_delete_guards_rewrites(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.commit_overwrite_partitions(_rows(spark, [(1, "a"), (2, "b")]))
+    t.delete_where_eq(spark.createDataFrame([Row(k=1)], "k int"))
+    with pytest.raises(RuntimeError, match="equality deletes"):
+        t.delete_where("k = 2")
+    with pytest.raises(RuntimeError, match="equality deletes"):
+        t.update_where("k = 2", {"val": F.lit("z")})
+    with pytest.raises(RuntimeError, match="equality deletes"):
+        t.materialize_deletes()
+    with pytest.raises(RuntimeError, match="equality delete"):
+        t.rename_column("k", "kk")
+    # a rename of an UNreferenced column is fine
+    t.rename_column("val", "val2")
+    assert {r["k"] for r in t.read().collect()} == {2}
+
+
+def test_materialize_eq_deletes(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.commit_overwrite_partitions(
+        _rows(spark, [(1, "a"), (2, "b"), (3, "c")])
+    )
+    t.delete_where_eq(spark.createDataFrame([Row(k=2)], "k int"))
+    t.commit_overwrite_partitions(_rows(spark, [(2, "new")]))
+    before = {(r["k"], r["val"]) for r in t.read().collect()}
+    v = t.materialize_eq_deletes()
+    assert t._read_manifest(v).get("eq_deletes", []) == []
+    after = {(r["k"], r["val"]) for r in t.read().collect()}
+    assert after == before == {(1, "a"), (3, "c"), (2, "new")}
+    # maintenance is unblocked again
+    t.delete_where("k = 3")
+    assert {r["k"] for r in t.read().collect()} == {1, 2}
+
+
+def test_materialize_eq_noop_when_keys_miss(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.commit_overwrite_partitions(_rows(spark, [(1, "a")]))
+    t.delete_where_eq(spark.createDataFrame([Row(k=99)], "k int"))
+    pre = sorted(e["path"] for e in t._read_manifest(t.latest_version())["files"])
+    v = t.materialize_eq_deletes()
+    assert t._read_manifest(v).get("eq_deletes", []) == []
+    # nothing matched: no file rewritten
+    assert sorted(e["path"] for e in t._read_manifest(v)["files"]) == pre
+    assert t.read().count() == 1
+
+
+def test_eq_delete_restore_keeps_pending(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.commit_overwrite_partitions(_rows(spark, [(1, "a"), (2, "b")]))
+    t.delete_where_eq(spark.createDataFrame([Row(k=1)], "k int"))
+    v_del = t.latest_version()
+    t.commit_overwrite_partitions(_rows(spark, [(9, "z")]))
+    t.restore(v_del)
+    assert {r["k"] for r in t.read().collect()} == {2}
+
+
+def test_eq_delete_clone_inherits(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.commit_overwrite_partitions(_rows(spark, [(1, "a"), (2, "b")]))
+    t.delete_where_eq(spark.createDataFrame([Row(k=1)], "k int"))
+    c = t.clone_to(str(tmp_path / "c"))
+    assert {r["k"] for r in c.read().collect()} == {2}
+    # clone-side append of the deleted key survives (sequence semantics
+    # continue across the clone boundary via the carried seq_hwm)
+    c.commit_overwrite_partitions(_rows(spark, [(1, "again")]))
+    got = {(r["k"], r["val"]) for r in c.read().collect()}
+    assert got == {(2, "b"), (1, "again")}
+
+
+def test_eq_delete_branch_fast_forward(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.commit_overwrite_partitions(_rows(spark, [(1, "a"), (2, "b")]))
+    t.delete_where_eq(spark.createDataFrame([Row(k=1)], "k int"))
+    t.create_branch("wip")
+    br = t.branch("wip")
+    # inherited delete applies on the branch
+    assert {r["k"] for r in br.read().collect()} == {2}
+    br.commit_overwrite_partitions(_rows(spark, [(1, "branch-new")]))
+    assert {(r["k"], r["val"]) for r in br.read().collect()} == {
+        (2, "b"), (1, "branch-new")
+    }
+    t.fast_forward("wip")
+    assert {(r["k"], r["val"]) for r in t.read().collect()} == {
+        (2, "b"), (1, "branch-new")
+    }
+
+
+def test_eq_delete_branch_local_blocks_fast_forward(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.commit_overwrite_partitions(_rows(spark, [(1, "a"), (2, "b")]))
+    t.create_branch("wip")
+    br = t.branch("wip")
+    br.delete_where_eq(spark.createDataFrame([Row(k=2)], "k int"))
+    with pytest.raises(RuntimeError, match="branch-local equality"):
+        t.fast_forward("wip")
+    # folding them in on the branch unblocks
+    br.materialize_eq_deletes()
+    t.fast_forward("wip")
+    assert {r["k"] for r in t.read().collect()} == {1}
+
+
+def test_eq_delete_vacuum_keeps_key_files(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.commit_overwrite_partitions(_rows(spark, [(1, "a"), (2, "b")]))
+    t.delete_where_eq(spark.createDataFrame([Row(k=1)], "k int"))
+    t.vacuum(older_than_sec=0.0)
+    # the delete still applies after an aggressive vacuum
+    assert {r["k"] for r in t.read().collect()} == {2}
+
+
+def test_eq_delete_unknown_column_raises(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.commit_overwrite_partitions(_rows(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="not in table schema"):
+        t.delete_where_eq(spark.createDataFrame([Row(nope=1)], "nope int"))
+
+
+def test_eq_delete_streaming_source_refuses(spark, tmp_path):
+    """An eq-delete changes rows with an unchanged file set — as
+    non-append as a DV change; the append cursor must refuse."""
+    t = _mk(spark, tmp_path)
+    t.commit_overwrite_partitions(_rows(spark, [(1, "a"), (2, "b")]))
+    v0 = t.latest_version()
+    t.delete_where_eq(spark.createDataFrame([Row(k=1)], "k int"))
+    with pytest.raises(RuntimeError, match="non-append|deletion vectors"):
+        t.read_appends(v0)
+
+
+def test_restore_to_pre_delete_rolls_back_eq(spark, tmp_path):
+    """Restore to a version BEFORE the eq delete must drop the pending
+    delete (it is data state, not schema metadata): the deleted key
+    comes back."""
+    t = _mk(spark, tmp_path)
+    t.commit_overwrite_partitions(_rows(spark, [(1, "a"), (2, "b")]))
+    v0 = t.latest_version()
+    t.delete_where_eq(spark.createDataFrame([Row(k=1)], "k int"))
+    assert {r["k"] for r in t.read().collect()} == {2}
+    t.restore(v0)
+    assert {r["k"] for r in t.read().collect()} == {1, 2}
+
+
+def test_multi_partition_single_commit_seq_map(spark, tmp_path):
+    """Basename collisions across partition dirs within one commit must
+    not confuse the sequence map (full-relative-path keying)."""
+    t = _mk(spark, tmp_path)
+    df = _rows(spark, [(1, "a"), (2, "b")], batch=1).unionByName(
+        _rows(spark, [(3, "c"), (4, "d")], batch=2)
+    )
+    t.commit_overwrite_partitions(df)
+    t.delete_where_eq(spark.createDataFrame([Row(k=1), Row(k=3)], "k int"))
+    assert {r["k"] for r in t.read().collect()} == {2, 4}
