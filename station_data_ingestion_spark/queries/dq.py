@@ -729,3 +729,80 @@ def dq_freshness_lag_by_type(spark, sf_dir):
         .cast("long")
         .alias("lag_micros"),
     )
+
+
+@query(
+    "dq_expectation_suite_report",
+    """
+WITH v AS (
+  SELECT
+    COUNT(*) AS n_rows,
+    COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS v_key_nn,
+    COUNT(CASE WHEN o_orderkey IS NOT NULL THEN 1 END)
+      - COUNT(DISTINCT o_orderkey) AS v_key_uq,
+    COUNT(CASE WHEN o_orderstatus IS NOT NULL
+               AND o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 END)
+      AS v_status,
+    COUNT(CASE WHEN NOT COALESCE(o_totalprice > 0, TRUE) THEN 1 END)
+      AS v_price,
+    COUNT(CASE WHEN o_orderpriority IS NOT NULL
+               AND NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 END)
+      AS v_prio,
+    COUNT(CASE WHEN NOT COALESCE(o_orderdate >= DATE '1990-01-01', TRUE)
+               THEN 1 END) AS v_date
+  FROM orders
+), rows_out AS (
+  SELECT 'orderkey_not_null' AS rule, 'not_null' AS kind, v_key_nn AS nv, n_rows FROM v
+  UNION ALL SELECT 'orderkey_unique', 'unique', v_key_uq, n_rows FROM v
+  UNION ALL SELECT 'status_domain', 'in_set', v_status, n_rows FROM v
+  UNION ALL SELECT 'price_positive', 'custom', v_price, n_rows FROM v
+  UNION ALL SELECT 'priority_format', 'regex', v_prio, n_rows FROM v
+  UNION ALL SELECT 'date_floor', 'custom', v_date, n_rows FROM v
+)
+SELECT rule, kind, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(nv AS BIGINT) AS n_violations, nv = 0 AS passed
+FROM rows_out
+""",
+)
+def dq_expectation_suite_report(spark, sf_dir):
+    """DECLARATIVE EXPECTATION SUITE (Great-Expectations / DLT-style
+    data contract): six rules — not-null, key uniqueness, value domain,
+    custom predicate, regex format, date floor — compiled into ONE
+    aggregation pass (conditional counts + count_distinct riding a
+    single scan; the per-rule report rows fan out from the one result
+    row via stack(), a pure projection). NULL handling follows SQL
+    CHECK: unknown passes everything except not_null. At 100 TB the
+    suite costs exactly one map-side-combined scan no matter how many
+    rules the contract grows."""
+    from station_data_ingestion_spark.operators.expectations import (
+        evaluate_expectations,
+    )
+
+    o = load(spark, sf_dir, "orders")["orders"]
+    rules = [
+        {"name": "orderkey_not_null", "kind": "not_null", "col": "o_orderkey"},
+        {"name": "orderkey_unique", "kind": "unique", "cols": ["o_orderkey"]},
+        {
+            "name": "status_domain",
+            "kind": "in_set",
+            "col": "o_orderstatus",
+            "values": ["O", "F", "P"],
+        },
+        {
+            "name": "price_positive",
+            "kind": "custom",
+            "expr": "o_totalprice > 0",
+        },
+        {
+            "name": "priority_format",
+            "kind": "regex",
+            "col": "o_orderpriority",
+            "pattern": "^[1-5]-",
+        },
+        {
+            "name": "date_floor",
+            "kind": "custom",
+            "expr": "o_orderdate >= DATE '1990-01-01'",
+        },
+    ]
+    return evaluate_expectations(o, rules)

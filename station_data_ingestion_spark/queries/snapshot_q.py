@@ -3573,3 +3573,108 @@ def snapshot_row_tracking_read(spark, sf_dir):
         F.sum("_row_id").cast("long").alias("id_sum"),
         F.sum("cents").cast("long").alias("cents"),
     )
+
+
+@query(
+    "stream_cdc_eq_delete_replay",
+    """
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), survivors AS (
+  SELECT o_orderkey, cents, 1 AS batch FROM base WHERE o_custkey % 10 <> 3
+), corrected AS (
+  SELECT o_orderkey, cents + 7 AS cents, 2 AS batch
+  FROM base WHERE o_custkey % 20 = 3
+), final AS (
+  SELECT * FROM survivors UNION ALL SELECT * FROM corrected
+)
+SELECT CAST(batch AS BIGINT) AS batch,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM final GROUP BY batch
+""",
+)
+def stream_cdc_eq_delete_replay(spark, sf_dir):
+    """STREAMING CDC APPLY via EQUALITY DELETES: a change feed of
+    (op, key, row) records drains through foreachBatch — each
+    micro-batch retires its 'D' keys with one O(keys) delete_where_eq
+    (no scan of the 600k-row target, the CDC case DVs cannot serve
+    cheaply) and appends its 'I' rows as a new-sequence batch partition.
+    Run 1 loads the initial snapshot; a second checkpointed availableNow
+    run applies ONLY the late correction file (delete %10==3, re-insert
+    half of them corrected) — the re-inserts land AFTER the delete in
+    sequence order, so they survive it, which is the whole point of
+    sequence-numbered equality deletes. The oracle reconstructs the
+    final latest-wins state relationally. At 100 TB each micro-batch
+    costs O(changed keys) write + one manifest CAS; the read side pays
+    one broadcast anti-join until materialize_eq_deletes folds keys in.
+    [reference: Iceberg v2 CDC write pattern]"""
+    from station_data_ingestion_spark.queries.registry import (
+        ensure_session_confs,
+    )
+
+    ensure_session_confs(spark)
+    base = load(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    tmp = _tmpdir(prefix="stream_cdc_eq_")
+    watch = f"{tmp}/cdc"
+    feed1 = base.select(
+        F.lit("I").alias("op"),
+        "o_orderkey",
+        "cents",
+        F.lit(1).alias("batch"),
+    )
+    feed1.coalesce(4).write.parquet(watch)
+    t = SnapshotTable(
+        spark, f"{tmp}/tbl", partition_cols=("batch",), stat_cols=()
+    )
+
+    def apply_cdc(batch_df, batch_id: int) -> None:
+        dels = batch_df.filter(F.col("op") == "D").select("o_orderkey")
+        if t.read() is not None and dels.limit(1).count():
+            t.delete_where_eq(dels)
+        ins = batch_df.filter(F.col("op") == "I").drop("op")
+        if ins.limit(1).count():
+            t.commit_overwrite_partitions(ins)
+
+    def drain():
+        q = (
+            spark.readStream.schema(feed1.schema)
+            .parquet(watch)
+            .writeStream.foreachBatch(apply_cdc)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    deletes = base.filter(F.col("o_custkey") % 10 == 3).select(
+        F.lit("D").alias("op"),
+        "o_orderkey",
+        F.lit(None).cast("long").alias("cents"),
+        F.lit(2).alias("batch"),
+    )
+    reinserts = base.filter(F.col("o_custkey") % 20 == 3).select(
+        F.lit("I").alias("op"),
+        "o_orderkey",
+        (F.col("cents") + 7).alias("cents"),
+        F.lit(2).alias("batch"),
+    )
+    deletes.unionByName(reinserts).coalesce(1).write.mode("append").parquet(
+        watch
+    )
+    drain()
+    return (
+        t.read()
+        .groupBy(F.col("batch").cast("long").alias("batch"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
