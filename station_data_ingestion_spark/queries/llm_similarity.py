@@ -1362,3 +1362,78 @@ def sim_srp_lsh_neardup_pairs(spark, sf_dir):
         )
         .filter(F.col("sim") >= _SRP_TAU)
     )
+
+
+@query("sim_pq_adc_topk", None)
+def sim_pq_adc_topk(spark, sf_dir):
+    """ANN via PRODUCT QUANTIZATION + ADC (Jegou et al. 2011): 64-dim
+    vectors compress to 8 one-byte-ish codes (8 subspaces x 16-codeword
+    codebooks trained by per-subspace k-means on a deterministic hash
+    sample); per query, approximate L2 is 8 table lookups per corpus
+    row — one Arrow pass, no pairwise join — then the top-50 ADC
+    candidates rerank EXACTLY by cosine and the top-3 ship. The memory
+    story is the point at 100 TB: 64 floats -> 8 codes is a 32x corpus
+    compression, so the candidate scan reads codes, not vectors. No SQL
+    oracle (recall < 1 by construction, like IVF/LSH); pytest asserts
+    recall against the exact brute-force top-k."""
+    import numpy as np
+
+    from station_data_ingestion_spark.operators.pq import (
+        pq_adc_scores,
+        pq_encode,
+        pq_train,
+    )
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    books = pq_train(e, m=8, k=16, n_iter=3)
+    corpus = e.filter(F.col("vec_id") >= 5)
+    encoded = pq_encode(corpus, books).localCheckpoint(eager=True)
+    queries = [
+        (int(r["vec_id"]), np.array(r["embedding"], dtype=np.float64))
+        for r in e.filter(F.col("vec_id") < 5).collect()
+    ]
+    adc = pq_adc_scores(encoded, queries, books)
+    # top-50 ADC candidates per query (deterministic tiebreak), exact
+    # cosine rerank, top-3 — same two-phase shape as IVF probe rerank
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc").asc(), F.col("c_id").asc()
+    )
+    cand = (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("q_id", "c_id")
+    )
+    qv = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        _norm("embedding").alias("qn"),
+    )
+    cv = e.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("ce"),
+        _norm("embedding").alias("cn"),
+    )
+    scored = (
+        cand.join(qv, "q_id")
+        .join(cv, "c_id")
+        .select(
+            "q_id",
+            "c_id",
+            (_dot("qe", "ce") / (F.col("qn") * F.col("cn"))).alias("cos"),
+        )
+    )
+    w2 = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("c_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "q_id",
+            F.col("rank").cast("long").alias("rank"),
+            "c_id",
+            F.round("cos", 6).alias("cosine"),
+        )
+    )

@@ -140,3 +140,14 @@ def test_weighted_prefix_join_equals_brute_force(spark):
         >= F.lit(t * t) - F.lit(1e-12)
     )
     assert kept.count() < u.count()
+
+
+def test_pq_adc_recall_against_brute_force(spark):
+    """PQ+ADC with a top-50 exact rerank on a 16^8-cell quantizer: the
+    candidate pool is 10% of the sf0.001 corpus, so the reranked top-3
+    should recover most of the true top-3."""
+    truth = _topk_pairs(spark, "sim_brute_topk")
+    pq = _topk_pairs(spark, "sim_pq_adc_topk")
+    assert truth, "brute force returned nothing"
+    recall = len(truth & pq) / len(truth)
+    assert recall >= 0.6, f"PQ recall {recall:.2f} too low ({pq & truth})"
