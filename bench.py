@@ -124,6 +124,17 @@ HEADLINE = [
     "stats_logreg_irls_newton",
     "text_bigram_kneser_ney",
     "sort_pareto_frontier_parts",
+    # late-r8 flagship additions: sequence-numbered equality deletes
+    # (merge-on-read CDC key retirement), row tracking (stable ids
+    # through an UPDATE rewrite + DV delete), the distributed-minimax
+    # isotonic regression (|days|^2/2 grid + per-j suffix-min windows),
+    # RAKE keyphrase extraction (two corpus shuffles), and PQ+ADC ANN
+    # (24 sampled k-means fits + one-pass table-lookup scoring)
+    "snapshot_equality_delete_read",
+    "snapshot_row_tracking_read",
+    "stats_isotonic_regression_pava",
+    "text_rake_keyphrases",
+    "sim_pq_adc_topk",
 ]
 
 
