@@ -376,3 +376,90 @@ def merge_not_matched_by_source(
     return merge_plan(kept, source, key_fields, replace=replace).drop(
         "_action"
     )
+
+
+def merge_when_clauses(
+    target: DataFrame,
+    source: DataFrame,
+    key_fields: list[str],
+    clauses: list[tuple],
+    insert_unmatched: bool = True,
+) -> DataFrame:
+    """MERGE with ORDERED multi-clause WHEN MATCHED semantics (Delta's
+    `WHEN MATCHED AND <cond> THEN UPDATE/DELETE`, clause order binding):
+    for each matched row the FIRST clause whose condition holds wins;
+    a matched row matching no clause passes through unchanged. Clauses
+    are ``(condition, action)`` where condition is a Column over the
+    combined row (source columns visible as ``src_<name>``) or None
+    (always fires — Delta only allows that on the last clause, enforced
+    here), and action is either ``{"col": Column, ...}`` assignments or
+    the string ``"delete"``.
+
+    Plan shape: ONE left join target x source on the merge key; the
+    clause dispatch is a single CASE projection (whole-stage codegen),
+    deletes are a filter, and unmatched-source inserts ride the same
+    join's right side via one anti-join — no per-clause scans, no
+    per-clause shuffles. Duplicate source keys raise (the reference's
+    multi-match RecordKeyError [reference:
+    src/modules/ingestion_handler.py:193-195] extended to multi-clause).
+    """
+    from station_data_ingestion_spark.operators.merge import RecordKeyError
+
+    for i, (cond, _a) in enumerate(clauses):
+        if cond is None and i != len(clauses) - 1:
+            raise ValueError(
+                "an unconditional clause is only allowed last "
+                f"(clause {i} of {len(clauses)})"
+            )
+    # J3 guard: >1 source row per key is ambiguous under first-wins
+    dup = (
+        source.groupBy(*key_fields)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise RecordKeyError(
+            f"multiple source rows for key {dict((k, dup[0][k]) for k in key_fields)}"
+        )
+    src = source.select(
+        *[F.col(k) for k in key_fields],
+        *[
+            F.col(c).alias(f"src_{c}")
+            for c in source.columns
+            if c not in key_fields
+        ],
+        F.lit(True).alias("__matched_src"),
+    )
+    joined = target.join(src, key_fields, "left")
+    matched = F.col("__matched_src").isNotNull()
+    # first-wins clause index: 0 = no clause / unmatched
+    idx = F.lit(0)
+    for i, (cond, _a) in reversed(list(enumerate(clauses, start=1))):
+        fire = matched if cond is None else (matched & F.coalesce(cond, F.lit(False)))
+        idx = F.when(fire, F.lit(i)).otherwise(idx)
+    joined = joined.withColumn("__clause", idx)
+    out_cols = target.columns
+    proj = []
+    for c in out_cols:
+        expr = F.col(c)
+        for i, (_cond, action) in enumerate(clauses, start=1):
+            if action != "delete" and c in action:
+                expr = F.when(
+                    F.col("__clause") == i, action[c]
+                ).otherwise(expr)
+        proj.append(expr.alias(c))
+    delete_idx = [
+        i for i, (_c, a) in enumerate(clauses, start=1) if a == "delete"
+    ]
+    kept = joined
+    if delete_idx:
+        kept = kept.filter(~F.col("__clause").isin(delete_idx))
+    result = kept.select(*proj)
+    if insert_unmatched:
+        inserts = source.join(
+            target.select(*key_fields), key_fields, "left_anti"
+        ).select(*[F.col(c) for c in out_cols])
+        result = result.unionByName(inserts)
+    return result

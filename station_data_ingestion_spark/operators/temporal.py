@@ -60,13 +60,15 @@ def asof_join(
     ``last``/``first(..., ignorenulls=True)`` over an unbounded window
     per key. One shuffle on `on`; no range blow-up, either direction.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction}"
+        )
     right_cols = right_cols or [c for c in right.columns if c not in on and c != right_ts]
     payload = F.struct(
         F.col(right_ts).alias("__ts"), *[F.col(c) for c in right_cols]
     )
-    right_tag = 0 if direction == "backward" else 2
+    right_tag = 2 if direction == "forward" else 0
     r = right.select(
         *on,
         F.col(right_ts).alias("__evt_ts"),
@@ -82,27 +84,54 @@ def asof_join(
         *[F.col(c) for c in left.columns if c not in on],
     )
     unioned = r.unionByName(l_side)
+    wb = (
+        Window.partitionBy(*on)
+        .orderBy("__evt_ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*on)
+        .orderBy("__evt_ts", "__side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
     if direction == "backward":
-        w = (
-            Window.partitionBy(*on)
-            .orderBy("__evt_ts", "__side")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        matched = unioned.withColumn(
+            "__m", F.last("__rv", ignorenulls=True).over(wb)
         )
-        nearest = F.last("__rv", ignorenulls=True).over(w)
+    elif direction == "forward":
+        matched = unioned.withColumn(
+            "__m", F.first("__rv", ignorenulls=True).over(wf)
+        )
     else:
-        w = (
-            Window.partitionBy(*on)
-            .orderBy("__evt_ts", "__side")
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        # NEAREST (pandas merge_asof direction='nearest'): both legs
+        # ride the SAME sorted union — one shuffle, two window frames —
+        # then the closer side wins; exact ties prefer backward. Right
+        # rows at the left row's exact timestamp sort before it (tag 0),
+        # so the backward leg owns gap-0 matches, which is precisely the
+        # tie rule.
+        both = unioned.withColumn(
+            "__mb", F.last("__rv", ignorenulls=True).over(wb)
+        ).withColumn("__mf", F.first("__rv", ignorenulls=True).over(wf))
+        gb = F.unix_micros(F.col("__evt_ts")) - F.unix_micros(
+            F.col("__mb.__ts")
         )
-        nearest = F.first("__rv", ignorenulls=True).over(w)
-    matched = unioned.withColumn("__m", nearest)
+        gf = F.unix_micros(F.col("__mf.__ts")) - F.unix_micros(
+            F.col("__evt_ts")
+        )
+        pick_back = F.col("__mf").isNull() | (
+            F.col("__mb").isNotNull() & (gb <= gf)
+        )
+        matched = both.withColumn(
+            "__m", F.when(pick_back, F.col("__mb")).otherwise(F.col("__mf"))
+        ).drop("__mb", "__mf")
     if tolerance_seconds is not None:
         gap = F.unix_micros(F.col("__evt_ts")) - F.unix_micros(
             F.col("__m.__ts")
         )
         if direction == "forward":
             gap = -gap
+        elif direction == "nearest":
+            gap = F.abs(gap)
         within = gap <= F.lit(int(tolerance_seconds * 1_000_000))
         matched = matched.withColumn("__m", F.when(within, F.col("__m")))
     out_cols = (

@@ -632,3 +632,98 @@ def merge_not_matched_by_source_delete(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("cents").cast("long").alias("cents"),
     )
+
+
+@query(
+    "merge_multi_clause_orders",
+    """
+WITH t AS (
+  SELECT o_orderkey, o_orderstatus AS status,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 3 <> 0
+), s AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) + 37 AS src_cents,
+         CASE WHEN o_custkey % 5 = 0 THEN 'retire' ELSE 'price' END AS src_kind
+  FROM orders WHERE o_orderkey % 2 = 0
+), merged AS (
+  SELECT t.o_orderkey,
+         CASE
+           WHEN s.o_orderkey IS NOT NULL AND s.src_kind = 'price'
+                AND s.src_cents > t.cents
+             THEN 'REPRICED' ELSE t.status END AS status,
+         CASE
+           WHEN s.o_orderkey IS NOT NULL AND s.src_kind = 'price'
+                AND s.src_cents > t.cents
+             THEN s.src_cents ELSE t.cents END AS cents,
+         CASE WHEN s.o_orderkey IS NOT NULL AND NOT (
+                s.src_kind = 'price' AND s.src_cents > t.cents)
+                AND s.src_kind = 'retire'
+             THEN 1 ELSE 0 END AS deleted
+  FROM t LEFT JOIN s ON t.o_orderkey = s.o_orderkey
+), survivors AS (
+  SELECT o_orderkey, status, cents FROM merged WHERE deleted = 0
+), inserts AS (
+  SELECT s.o_orderkey, 'NEW' AS status, s.src_cents AS cents
+  FROM s LEFT JOIN t ON t.o_orderkey = s.o_orderkey
+  WHERE t.o_orderkey IS NULL
+), final AS (
+  SELECT * FROM survivors UNION ALL SELECT * FROM inserts
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM final GROUP BY status
+""",
+)
+def merge_multi_clause_orders(spark, sf_dir):
+    """MERGE with ORDERED multi-clause WHEN MATCHED (Delta semantics,
+    first clause wins): clause 1 reprices rows whose source price beats
+    the target (UPDATE two columns), clause 2 retires 'retire'-kind
+    source matches that clause 1 did NOT claim (DELETE), matched rows
+    claiming neither clause pass through, and unmatched source rows
+    insert. The whole dispatch is ONE left join + one CASE projection +
+    one anti-join — no per-clause scans. Clause ORDER is load-bearing
+    (a 'retire' row with a better price reprices, not deletes) and the
+    oracle replays exactly that precedence. [reference: multi-match
+    RecordKeyError semantics src/modules/ingestion_handler.py:193-195,
+    generalized to Delta's WHEN MATCHED AND chains]"""
+    from station_data_ingestion_spark.operators.merge import (
+        merge_when_clauses,
+    )
+
+    o = load(spark, sf_dir, "orders")["orders"]
+    target = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    source = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        (F.round(F.col("o_totalprice") * 100).cast("long") + 37).alias(
+            "cents"
+        ),
+        F.when(F.col("o_custkey") % 5 == 0, F.lit("retire"))
+        .otherwise(F.lit("price"))
+        .alias("kind"),
+        F.lit("NEW").alias("status"),
+    )
+    merged = merge_when_clauses(
+        target,
+        source.select("o_orderkey", "cents", "kind", "status"),
+        ["o_orderkey"],
+        clauses=[
+            (
+                (F.col("src_kind") == "price")
+                & (F.col("src_cents") > F.col("cents")),
+                {
+                    "status": F.lit("REPRICED"),
+                    "cents": F.col("src_cents"),
+                },
+            ),
+            (F.col("src_kind") == "retire", "delete"),
+        ],
+    )
+    return merged.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+    )

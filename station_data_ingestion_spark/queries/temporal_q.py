@@ -792,3 +792,185 @@ def ts_rolling_median_7d(spark, sf_dir):
     return d.select(
         "day", "cents", ((lo + hi) / 2.0).alias("med7")
     )
+
+
+@query(
+    "asof_nearest_purchase_click",
+    f"""
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, ts, MAX(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+back AS (
+  SELECT p.event_id, c.click_id AS b_id, c.ts AS b_ts
+  FROM purchases p ASOF LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND c.ts <= p.ts
+),
+fwd AS (
+  SELECT p.event_id, c.click_id AS f_id, c.ts AS f_ts
+  FROM purchases p ASOF LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND c.ts > p.ts
+)
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '{_TS_FMT_DUCK}') AS purchase_ts,
+       CASE WHEN f_ts IS NULL
+              OR (b_ts IS NOT NULL
+                  AND epoch_us(p.ts) - epoch_us(b_ts)
+                      <= epoch_us(f_ts) - epoch_us(p.ts))
+            THEN b_id ELSE f_id END AS click_id,
+       CASE WHEN f_ts IS NULL
+              OR (b_ts IS NOT NULL
+                  AND epoch_us(p.ts) - epoch_us(b_ts)
+                      <= epoch_us(f_ts) - epoch_us(p.ts))
+            THEN CAST(epoch_us(p.ts) - epoch_us(b_ts) AS BIGINT)
+            ELSE CAST(epoch_us(f_ts) - epoch_us(p.ts) AS BIGINT)
+       END AS abs_gap_us
+FROM purchases p
+JOIN back USING (event_id) JOIN fwd USING (event_id)
+""",
+)
+def asof_nearest_purchase_click(spark, sf_dir):
+    """AS-OF JOIN, direction='nearest' (pandas merge_asof parity): each
+    purchase matches the same user's click CLOSEST in time, either
+    direction, exact ties preferring the backward match. Both direction
+    legs ride ONE shuffle — the same sorted per-user union evaluates a
+    trailing last() and a leading first() frame, then a scalar CASE
+    picks the nearer struct; the oracle composes DuckDB's native
+    backward and strictly-forward ASOF joins with the same tie rule.
+    Completes the as-of family (backward / forward / tolerance /
+    nearest). One shuffle on user_id at any scale."""
+    e = load(spark, sf_dir, "events")["events"]
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    j = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["click_id"],
+        suffix="_c",
+        direction="nearest",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("purchase_ts"),
+        F.col("click_id_c").alias("click_id"),
+        F.abs(
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_c"))
+        ).alias("abs_gap_us"),
+    )
+
+
+@query(
+    "ts_holt_linear_bounded_backtest",
+    """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           AS dn,
+         strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS xc
+  FROM orders GROUP BY 1, 2
+), s1 AS (
+  SELECT a.dn, a.d,
+         CAST(ROUND(
+           SUM(b.xc * (CAST(1 AS BIGINT) << (13 - (a.dn - b.dn)))) * 100.0
+           / SUM(CAST(1 AS BIGINT) << (13 - (a.dn - b.dn)))
+         ) AS BIGINT) AS s1q
+  FROM daily a JOIN daily b ON b.dn BETWEEN a.dn - 13 AND a.dn
+  GROUP BY a.dn, a.d
+), s2 AS (
+  SELECT a.dn, a.d,
+         CAST(ROUND(
+           SUM(b.s1q * (CAST(1 AS BIGINT) << (13 - (a.dn - b.dn)))) * 1.0
+           / SUM(CAST(1 AS BIGINT) << (13 - (a.dn - b.dn)))
+         ) AS BIGINT) AS s2q
+  FROM s1 a JOIN s1 b ON b.dn BETWEEN a.dn - 13 AND a.dn
+  GROUP BY a.dn, a.d
+), fc AS (
+  SELECT s1.dn, s1.d,
+         (2 * s1.s1q - s2.s2q) + 7 * (s1.s1q - s2.s2q) AS f7q
+  FROM s1 JOIN s2 ON s1.dn = s2.dn
+)
+SELECT fc.d AS origin_day,
+       ROUND(fc.f7q / 100.0, 2) AS forecast_cents,
+       CAST(act.xc AS BIGINT) AS actual_cents,
+       ROUND(abs(fc.f7q / 100.0 - act.xc), 2) AS abs_err
+FROM fc JOIN daily act ON act.dn = fc.dn + 7
+""",
+)
+def ts_holt_linear_bounded_backtest(spark, sf_dir):
+    """HOLT'S LINEAR TREND forecast (Brown's double exponential
+    smoothing, alpha = 1/2) with a 7-day-ahead backtest. Recursive
+    smoothing distributes via the bounded-horizon identity TWICE: level
+    S1 = 14-day power-of-two-weighted mean (exact int64 sums, one
+    division), QUANTIZED to integer centi-cents so the second smoothing
+    S2 = EWMA(S1) is again exact integer arithmetic — chaining raw
+    doubles would accumulate order-dependent error; quantize-between-
+    passes is the registry float rule applied to composed smoothers.
+    Forecast F(t+h) = 2*S1 - S2 + h*(S1 - S2) (alpha = 1/2 collapses
+    the trend gain to 1). Both passes are bounded-fan-out explode-joins
+    on the post-agg daily series: no ordered global window, no
+    unbounded state, each day feeds at most 14 targets. The backtest
+    joins the realized value 7 days out."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    daily = o.groupBy(
+        F.unix_date(F.to_date("o_orderdate")).alias("dn"),
+        F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("xc")
+    )
+
+    def ewma_pass(df, val_col, out_col, scale):
+        contrib = df.select(
+            "dn",
+            F.col(val_col).alias("v"),
+            F.explode(F.sequence(F.lit(0), F.lit(13))).alias("l"),
+        ).select(
+            (F.col("dn") + F.col("l")).alias("tgt_dn"),
+            F.expr("v * shiftleft(CAST(1 AS BIGINT), 13 - l)").alias("np"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), 13 - l)").alias("dp"),
+        )
+        return (
+            df.select(F.col("dn").alias("tgt_dn"), "d")
+            .join(contrib, "tgt_dn")
+            .groupBy(F.col("tgt_dn").alias("dn"), "d")
+            .agg(
+                F.round(F.sum("np") * F.lit(scale) / F.sum("dp"))
+                .cast("long")
+                .alias(out_col)
+            )
+        )
+
+    s1 = ewma_pass(daily, "xc", "s1q", 100.0)
+    s2 = ewma_pass(s1, "s1q", "s2q", 1.0)
+    fc = s1.join(s2.select("dn", "s2q"), "dn").select(
+        "dn",
+        "d",
+        (
+            (2 * F.col("s1q") - F.col("s2q"))
+            + 7 * (F.col("s1q") - F.col("s2q"))
+        ).alias("f7q"),
+    )
+    act = daily.select((F.col("dn") - 7).alias("dn"), F.col("xc"))
+    return fc.join(act, "dn").select(
+        F.col("d").alias("origin_day"),
+        F.round(F.col("f7q") / 100.0, 2).alias("forecast_cents"),
+        F.col("xc").alias("actual_cents"),
+        F.round(F.abs(F.col("f7q") / 100.0 - F.col("xc")), 2).alias(
+            "abs_err"
+        ),
+    )
