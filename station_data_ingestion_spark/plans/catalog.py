@@ -61,10 +61,13 @@ class CatalogSnapshot:
     from one atomic catalog commit, so no transaction is half-visible.
     """
 
-    def __init__(self, catalog: "Catalog", version: int, pins: dict):
+    def __init__(self, catalog: "Catalog", version: int, pins: dict,
+                 views: dict | None = None):
         self.catalog = catalog
         self.version = version
         self._pins = pins  # name -> {"path": str, "version": int, **opts}
+
+        self._views = dict(views or {})
 
     def tables(self) -> list[str]:
         return sorted(self._pins)
@@ -86,6 +89,29 @@ class CatalogSnapshot:
             raise KeyError(f"table '{name}' not in catalog v{self.version}")
         ent = self._pins[name]
         return self.catalog._table(ent).read(version=int(ent["version"]), **kw)
+
+    def views(self) -> list[str]:
+        return sorted(self._views)
+
+    def read_view(self, name: str) -> DataFrame:
+        """Execute a catalog VIEW at THIS snapshot: every referenced
+        table resolves to its PINNED version (and referenced views
+        expand recursively, creation order), so a view over N tables is
+        transactionally consistent — the same guarantee a pinned
+        multi-table read gives, now behind a name. Registers the
+        snapshot's tables (and earlier views) as session temp views
+        under their catalog names before parsing."""
+        if name not in self._views:
+            raise KeyError(f"no view '{name}' in catalog")
+        for t in self.tables():
+            self.read(t).createOrReplaceTempView(t)
+        out = None
+        for vname, spec in self._views.items():
+            df = self.catalog.spark.sql(spec["sql"])
+            df.createOrReplaceTempView(vname)
+            if vname == name:
+                out = df
+        return out
 
 
 class Catalog:
@@ -165,7 +191,10 @@ class Catalog:
         v = self.latest_version() if version is None else version
         if v is None:
             raise ValueError("catalog has no versions — call init()")
-        return CatalogSnapshot(self, v, self._read_cat(v)["pins"])
+        doc = self._read_cat(v)
+        return CatalogSnapshot(
+            self, v, doc["pins"], views=doc.get("views", {})
+        )
 
     def transaction(self) -> "CatalogTransaction":
         return CatalogTransaction(self, self.snapshot())
@@ -210,6 +239,7 @@ class CatalogTransaction:
         self.catalog = catalog
         self.snap = snap
         self._new_pins: dict[str, dict] = {}
+        self._new_views: dict[str, dict | None] = {}  # None = drop
         self._done = False
 
     def read(self, name: str, **kw) -> DataFrame:
@@ -279,6 +309,35 @@ class CatalogTransaction:
         self._new_pins[name] = ent
         return v
 
+    def create_view(self, name: str, sql: str) -> None:
+        """Stage a logical VIEW: SQL text over catalog table (and
+        earlier view) names, stored in the catalog document and flipped
+        atomically with the pins. Validated HERE by resolving against
+        this transaction's snapshot (including its own staged writes) —
+        a typo'd column or table fails at create time, not first read."""
+        if name in self.snap._pins or name in self._new_pins:
+            raise ValueError(f"'{name}' already names a table")
+        if name in self.snap._views or name in self._new_views:
+            raise ValueError(f"view '{name}' already exists")
+        for t in self.snap.tables():
+            self.read(t).createOrReplaceTempView(t)
+        for n in self._new_pins:
+            self.read(n).createOrReplaceTempView(n)
+        for vname, spec in {**self.snap._views,
+                            **{k: v for k, v in self._new_views.items()
+                               if v is not None}}.items():
+            self.catalog.spark.sql(spec["sql"]).createOrReplaceTempView(
+                vname
+            )
+        # parse + analyze now (schema forces resolution, no execution)
+        self.catalog.spark.sql(sql).schema
+        self._new_views[name] = {"sql": sql}
+
+    def drop_view(self, name: str) -> None:
+        if name not in self.snap._views and self._new_views.get(name) is None:
+            raise KeyError(f"no view '{name}'")
+        self._new_views[name] = None
+
     def commit(self) -> int:
         """Publish ONE catalog version flipping every staged pin.
 
@@ -289,15 +348,24 @@ class CatalogTransaction:
         """
         if self._done:
             raise RuntimeError("transaction already committed/aborted")
-        if not self._new_pins:
+        if not self._new_pins and not self._new_views:
             self._done = True
             return self.snap.version
         base = self.snap
         for _ in range(_MAX_TXN_ATTEMPTS):
             pins = dict(base._pins)
             pins.update(self._new_pins)
+            views = dict(base._views)
+            for vn, spec in self._new_views.items():
+                if spec is None:
+                    views.pop(vn, None)
+                else:
+                    views[vn] = spec
+            doc = {"pins": pins}
+            if views:
+                doc["views"] = views
             if self.catalog._write_cat_exclusive(
-                base.version + 1, {"pins": pins}
+                base.version + 1, doc
             ):
                 self._done = True
                 return base.version + 1
@@ -313,6 +381,13 @@ class CatalogTransaction:
                         f"'{name}' (v{ours} -> v{theirs}); re-read and "
                         "retry the transaction"
                     )
+            for vn in self._new_views:
+                if rival._views.get(vn) != self.snap._views.get(vn):
+                    self._done = True
+                    raise ConcurrentCommitError(
+                        f"catalog: rival transaction changed view "
+                        f"'{vn}'; re-read and retry"
+                    )
             base = rival  # disjoint tables: rebase pins and re-CAS
         raise ConcurrentCommitError("catalog: too many commit attempts")
 
@@ -321,4 +396,5 @@ class CatalogTransaction:
         catalog-invisible metadata (vacuum reaps their files once the
         table's own retention passes)."""
         self._new_pins.clear()
+        self._new_views.clear()
         self._done = True

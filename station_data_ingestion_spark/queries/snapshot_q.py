@@ -3678,3 +3678,106 @@ def stream_cdc_eq_delete_replay(spark, sf_dir):
             F.sum("cents").cast("long").alias("cents"),
         )
     )
+
+
+@query(
+    "catalog_view_pinned_read",
+    """
+WITH fact AS (
+  SELECT o_orderkey, o_custkey % 20 AS seg,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents, 1 AS p
+  FROM orders
+), dim AS (
+  SELECT DISTINCT o_custkey % 20 AS seg,
+         CASE WHEN o_custkey % 40 = o_custkey % 20
+              THEN 'alpha' ELSE 'beta' END AS grp
+  FROM orders
+), v1 AS (
+  SELECT d.grp, COUNT(*) AS n, SUM(f.cents) AS cents
+  FROM fact f JOIN dim d ON f.seg = d.seg GROUP BY d.grp
+), v2 AS (
+  SELECT d.grp, COUNT(*) AS n,
+         SUM(CASE WHEN f.o_orderkey % 4 = 0
+                  THEN f.cents + 9 ELSE f.cents END) AS cents
+  FROM fact f JOIN dim d ON f.seg = d.seg GROUP BY d.grp
+)
+SELECT 'pinned' AS snap, grp, CAST(n AS BIGINT) AS n,
+       CAST(cents AS BIGINT) AS cents FROM v1
+UNION ALL
+SELECT 'current', grp, CAST(n AS BIGINT), CAST(cents AS BIGINT) FROM v2
+""",
+)
+def catalog_view_pinned_read(spark, sf_dir):
+    """CATALOG VIEWS with snapshot-pinned resolution: a logical view
+    (SQL text in the catalog document, validated at CREATE time,
+    flipped atomically with the pins) joins a fact to a dimension. A
+    second transaction then rewrites the fact (+9 cents on every 4th
+    order); the query reads the SAME view through BOTH catalog
+    snapshots — the old snapshot's view must still compute the
+    pre-update answer (its tables resolve at their pinned versions),
+    the new one sees the update. That is the lakehouse-view contract:
+    a view over N tables is as transactionally consistent as the
+    snapshot it's read through. [reference: Iceberg view spec /
+    Delta views over pinned catalogs]"""
+    from station_data_ingestion_spark.plans.catalog import Catalog
+
+    o = load(spark, sf_dir, "orders")["orders"]
+    fact = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 20).alias("seg"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.lit(1).alias("p"),
+    )
+    dim = (
+        o.select(
+            (F.col("o_custkey") % 20).alias("seg"),
+            F.when(
+                F.col("o_custkey") % 40 == F.col("o_custkey") % 20,
+                F.lit("alpha"),
+            )
+            .otherwise(F.lit("beta"))
+            .alias("grp"),
+        )
+        .distinct()
+        .withColumn("p", F.lit(1))
+    )
+    cat = Catalog(spark, _tmpdir(prefix="cat_view_") + "/cat")
+    cat.init()
+    txn = cat.transaction()
+    txn.create_table("fact", fact, partition_cols=("p",))
+    txn.create_table("dim", dim, partition_cols=("p",))
+    txn.create_view(
+        "seg_rollup",
+        "SELECT d.grp, COUNT(*) AS n, SUM(f.cents) AS cents "
+        "FROM fact f JOIN dim d ON f.seg = d.seg GROUP BY d.grp",
+    )
+    v1 = txn.commit()
+    pinned = cat.snapshot(v1)
+    txn2 = cat.transaction()
+    txn2.write(
+        "fact",
+        fact.withColumn(
+            "cents",
+            F.when(
+                F.col("o_orderkey") % 4 == 0, F.col("cents") + 9
+            ).otherwise(F.col("cents")),
+        ),
+    )
+    v2 = txn2.commit()
+    old = pinned.read_view("seg_rollup").select(
+        F.lit("pinned").alias("snap"),
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        F.col("cents").cast("long").alias("cents"),
+    )
+    # collect the pinned answer BEFORE re-registering temp views for the
+    # current snapshot (read_view registration is session-global)
+    old_rows = old.collect()
+    cur = cat.snapshot(v2).read_view("seg_rollup").select(
+        F.lit("current").alias("snap"),
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        F.col("cents").cast("long").alias("cents"),
+    )
+    old_df = spark.createDataFrame(old_rows, old.schema)
+    return old_df.unionByName(cur)

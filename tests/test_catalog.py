@@ -206,3 +206,90 @@ def test_cross_table_erasure_is_atomic(spark, tmp_path):
         feed = tbl.read_change_feed(tbl.latest_version() - 1)
         dels = feed.filter(F.col("_change_type") == "delete")
         assert dels.filter(F.col("uid") == subject).count() == n
+
+
+def test_catalog_views_pinned_consistency(spark, tmp_path):
+    """A catalog VIEW resolves its tables at the SNAPSHOT's pins: after
+    a later transaction advances a base table, an old snapshot's view
+    still computes the old answer; the new snapshot's view sees the new
+    one — and both flip atomically with the pins."""
+    from pyspark.sql import Row, functions as F
+
+    from station_data_ingestion_spark.plans.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.init()
+    txn = cat.transaction()
+    txn.create_table(
+        "fact",
+        spark.createDataFrame(
+            [Row(k=1, v=10, p=1), Row(k=2, v=20, p=1)], "k int, v int, p int"
+        ),
+        partition_cols=("p",),
+    )
+    txn.create_table(
+        "dim",
+        spark.createDataFrame(
+            [Row(k=1, name="a", p=1), Row(k=2, name="b", p=1)],
+            "k int, name string, p int",
+        ),
+        partition_cols=("p",),
+    )
+    txn.create_view(
+        "fact_by_name",
+        "SELECT d.name, SUM(f.v) AS total FROM fact f "
+        "JOIN dim d ON f.k = d.k GROUP BY d.name",
+    )
+    v1 = txn.commit()
+    s1 = cat.snapshot(v1)
+    got1 = {r["name"]: r["total"] for r in s1.read_view("fact_by_name").collect()}
+    assert got1 == {"a": 10, "b": 20}
+    # advance fact in a second txn
+    txn2 = cat.transaction()
+    txn2.write(
+        "fact",
+        spark.createDataFrame([Row(k=1, v=99, p=1), Row(k=2, v=20, p=1)],
+                              "k int, v int, p int"),
+    )
+    v2 = txn2.commit()
+    # old snapshot's view is frozen; new snapshot's view sees the write
+    got_old = {r["name"]: r["total"] for r in s1.read_view("fact_by_name").collect()}
+    assert got_old == {"a": 10, "b": 20}
+    got_new = {
+        r["name"]: r["total"]
+        for r in cat.snapshot(v2).read_view("fact_by_name").collect()
+    }
+    assert got_new == {"a": 99, "b": 20}
+
+
+def test_catalog_view_validation_and_chaining(spark, tmp_path):
+    import pytest
+    from pyspark.sql import Row
+
+    from station_data_ingestion_spark.plans.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat2"))
+    cat.init()
+    txn = cat.transaction()
+    txn.create_table(
+        "t",
+        spark.createDataFrame([Row(k=1, v=5, p=1)], "k int, v int, p int"),
+        partition_cols=("p",),
+    )
+    # typo'd column fails at CREATE time
+    with pytest.raises(Exception):
+        txn.create_view("bad", "SELECT nope FROM t")
+    txn.create_view("base_v", "SELECT k, v * 2 AS v2 FROM t")
+    txn.commit()
+    # a later txn can build a view ON a view
+    txn2 = cat.transaction()
+    txn2.create_view("top_v", "SELECT SUM(v2) AS s FROM base_v")
+    v = txn2.commit()
+    snap = cat.snapshot(v)
+    assert snap.views() == ["base_v", "top_v"]
+    assert snap.read_view("top_v").collect()[0]["s"] == 10
+    # drop
+    txn3 = cat.transaction()
+    txn3.drop_view("top_v")
+    v3 = txn3.commit()
+    assert cat.snapshot(v3).views() == ["base_v"]
