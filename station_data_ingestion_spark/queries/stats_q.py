@@ -2392,3 +2392,78 @@ def stats_bootstrap_subsample_ci(spark, sf_dir):
         F.round("lo", 6).alias("ci_lo"),
         F.round("hi", 6).alias("ci_hi"),
     )
+
+
+@query(
+    "stats_mcnemar_paired",
+    """
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN COUNT(CASE WHEN event_type = 'click' THEN 1 END) >= 14
+              THEN 1 ELSE 0 END AS clicked,
+         CASE WHEN COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) >= 14
+              THEN 1 ELSE 0 END AS bought
+  FROM events GROUP BY user_id
+), cells AS (
+  SELECT
+    CAST(SUM(CASE WHEN clicked = 1 AND bought = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(SUM(CASE WHEN clicked = 1 AND bought = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(SUM(CASE WHEN clicked = 0 AND bought = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+    CAST(SUM(CASE WHEN clicked = 0 AND bought = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM per_user
+)
+SELECT a, b, c, d,
+       ROUND((b - c) * (b - c) * 1.0 / (b + c), 6) AS mcnemar_chi2,
+       ROUND((abs(b - c) - 1) * (abs(b - c) - 1) * 1.0 / (b + c), 6)
+         AS mcnemar_chi2_cc
+FROM cells
+""",
+)
+def stats_mcnemar_paired(spark, sf_dir):
+    """McNEMAR'S TEST for paired binary outcomes (is a HEAVY clicker
+    also a heavy buyer? thresholded per-user counts so the paired table
+    is non-degenerate): the 2x2 paired table collapses per user in
+    one aggregation, the statistic (b-c)^2/(b+c) — plus Edwards'
+    continuity-corrected variant — is one fixed IEEE expression over
+    exact integer cells. The discordant cells are the whole story;
+    concordant users cancel out, which is why this beats a naive
+    two-proportion test on paired data. Two aggregation passes total
+    (per-user collapse, then cells), both map-side combined."""
+    e = load(spark, sf_dir, "events")["events"]
+    per_user = e.groupBy("user_id").agg(
+        (
+            F.count(F.when(F.col("event_type") == "click", 1)) >= 14
+        ).cast("int").alias("clicked"),
+        (
+            F.count(F.when(F.col("event_type") == "purchase", 1)) >= 14
+        ).cast("int").alias("bought"),
+    )
+    cells = per_user.agg(
+        F.sum(
+            F.when((F.col("clicked") == 1) & (F.col("bought") == 1), 1).otherwise(0)
+        ).cast("long").alias("a"),
+        F.sum(
+            F.when((F.col("clicked") == 1) & (F.col("bought") == 0), 1).otherwise(0)
+        ).cast("long").alias("b"),
+        F.sum(
+            F.when((F.col("clicked") == 0) & (F.col("bought") == 1), 1).otherwise(0)
+        ).cast("long").alias("c"),
+        F.sum(
+            F.when((F.col("clicked") == 0) & (F.col("bought") == 0), 1).otherwise(0)
+        ).cast("long").alias("d"),
+    )
+    bc = F.col("b") - F.col("c")
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(bc * bc * 1.0 / (F.col("b") + F.col("c")), 6).alias(
+            "mcnemar_chi2"
+        ),
+        F.round(
+            (F.abs(bc) - 1) * (F.abs(bc) - 1) * 1.0
+            / (F.col("b") + F.col("c")),
+            6,
+        ).alias("mcnemar_chi2_cc"),
+    )

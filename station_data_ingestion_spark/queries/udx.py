@@ -131,3 +131,73 @@ def udf_pandas_scalar_charstats(spark, sf_dir):
         distinct_chars("text").alias("n_distinct_chars"),
         vowels("text").alias("n_vowels"),
     )
+
+
+@query(
+    "udtf_polymorphic_top_tokens",
+    """
+WITH tok AS (
+  SELECT doc_id, t.w
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       UNNEST(l) AS t(w)
+), cnt AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w
+), ranked AS (
+  SELECT doc_id, w,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, w ASC)
+           AS rn
+  FROM cnt
+)
+SELECT doc_id,
+       MAX(CASE WHEN rn = 1 THEN w END) AS token_1,
+       MAX(CASE WHEN rn = 2 THEN w END) AS token_2,
+       MAX(CASE WHEN rn = 3 THEN w END) AS token_3
+FROM ranked GROUP BY doc_id
+""",
+)
+def udtf_polymorphic_top_tokens(spark, sf_dir):
+    """POLYMORPHIC Python UDTF (Spark 4 analyze-time schema): the
+    output schema is computed by the UDTF's static ``analyze`` from the
+    CONSTANT k argument — ``top_tokens(text, 3)`` plans three string
+    columns, ``top_tokens(text, 5)`` would plan five, no code change.
+    Each document emits its k most frequent tokens (count desc, token
+    asc — a total order both engines replay). The oracle is the fixed
+    k=3 unrolled rank-pivot. The per-row Counter is bounded by document
+    length; the UDTF runs as a LATERAL table function so Catalyst keeps
+    the scan and the join in one stage."""
+    from pyspark.sql.functions import udtf as _udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class _TopTokens:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, k: AnalyzeArgument):
+            if not isinstance(k.value, int) or k.value < 1:
+                raise ValueError("k must be a positive integer literal")
+            return AnalyzeResult(
+                StructType(
+                    [
+                        StructField(f"token_{i + 1}", StringType())
+                        for i in range(k.value)
+                    ]
+                )
+            )
+
+        def eval(self, text: str, k: int):
+            from collections import Counter
+
+            c = Counter((text or "").split(" "))
+            top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+            row = [w for w, _n in top]
+            row += [None] * (k - len(row))
+            yield tuple(row)
+
+    TopTokens = _udtf(_TopTokens)
+    load(spark, sf_dir, "documents")["documents"].createOrReplaceTempView(
+        "udtf_poly_docs"
+    )
+    spark.udtf.register("top_tokens", TopTokens)
+    return spark.sql(
+        "SELECT d.doc_id, s.token_1, s.token_2, s.token_3 "
+        "FROM udtf_poly_docs d, LATERAL top_tokens(d.text, 3) s"
+    )
