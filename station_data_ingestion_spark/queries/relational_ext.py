@@ -494,3 +494,93 @@ def sql_grouping_sets(spark, sf_dir):
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )
+
+
+@query(
+    "sql_group_by_all",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders
+GROUP BY ALL
+""",
+)
+def sql_group_by_all(spark, sf_dir):
+    """GROUP BY ALL (Spark 3.4+/4 SQL ergonomics, DuckDB-native too):
+    the grouping key set is inferred as every non-aggregate select
+    item — the oracle runs the IDENTICAL syntax, so this certifies the
+    inference rule agrees across engines, not just the aggregate."""
+    load(spark, sf_dir, "orders")["orders"].createOrReplaceTempView(
+        "orders_gba"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM orders_gba
+        GROUP BY ALL
+        """
+    )
+
+
+@query(
+    "sql_identifier_parameterized",
+    """
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def sql_identifier_parameterized(spark, sf_dir):
+    """Parameterized SQL with the IDENTIFIER() clause (Spark 4): the
+    table AND grouping column arrive as NAMED PARAMETERS, not string
+    interpolation — injection-safe templating for the multi-tenant
+    'same query over N tables' pattern (the reference's per-station
+    config templating, F5, lifted to SQL). The oracle is the resolved
+    plain query."""
+    load(spark, sf_dir, "orders")["orders"].createOrReplaceTempView(
+        "orders_idf"
+    )
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:col) AS status,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM IDENTIFIER(:tbl) GROUP BY IDENTIFIER(:col)
+        """,
+        args={"tbl": "orders_idf", "col": "o_orderstatus"},
+    )
+
+
+@query(
+    "sql_lateral_column_alias",
+    """
+SELECT o_orderkey,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100 AS dollars,
+       (CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100) * 110 // 100
+         AS with_tax
+FROM orders WHERE o_orderkey % 1000 = 7
+""",
+)
+def sql_lateral_column_alias(spark, sf_dir):
+    """LATERAL COLUMN ALIASES (Spark 3.4+): a select item references a
+    SIBLING alias (`dollars` built from `cents`, `with_tax` from
+    `dollars`) instead of repeating the expression — the oracle spells
+    the expansion out, certifying Spark's alias resolution produces the
+    identical integer arithmetic chain."""
+    load(spark, sf_dir, "orders")["orders"].createOrReplaceTempView(
+        "orders_lca"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               cents DIV 100 AS dollars,
+               dollars * 110 DIV 100 AS with_tax
+        FROM orders_lca WHERE o_orderkey % 1000 = 7
+        """
+    )

@@ -2467,3 +2467,95 @@ def stats_mcnemar_paired(spark, sf_dir):
             6,
         ).alias("mcnemar_chi2_cc"),
     )
+
+
+@query(
+    "stats_runs_test_randomness",
+    """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY o_orderdate
+), med AS (
+  SELECT CAST(ROUND(MEDIAN(y)) AS BIGINT) AS m FROM daily
+), signs AS (
+  SELECT d, CASE WHEN y > (SELECT m FROM med) THEN 1 ELSE 0 END AS s
+  FROM daily WHERE y <> (SELECT m FROM med)
+), lagged AS (
+  SELECT s, LAG(s) OVER (ORDER BY d) AS prev FROM signs
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(s) AS BIGINT) AS n1,
+         CAST(COUNT(*) - SUM(s) AS BIGINT) AS n2,
+         CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND s <> prev
+                           THEN 1 ELSE 0 END) AS BIGINT) AS runs
+  FROM lagged
+)
+SELECT n, n1, n2, runs,
+       ROUND((runs - (2.0 * n1 * n2 / n + 1))
+             / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+                    / (n * n * (n - 1))), 6) AS z
+FROM agg
+""",
+)
+def stats_runs_test_randomness(spark, sf_dir):
+    """WALD-WOLFOWITZ RUNS TEST on daily revenue around its median:
+    counts maximal above/below-median runs and standardizes against the
+    random-ordering expectation — the classic check that a series'
+    fluctuations are noise rather than regime-switching. The sign
+    sequence lives on the bounded post-agg daily series (the lag window
+    is calendar-bounded like the autocorrelation family); the median
+    ties drop per the textbook construction; the z-score is one fixed
+    IEEE expression over four exact integers."""
+    from station_data_ingestion_spark.operators.prefix_sum import (
+        ordered_prefix_sum,
+    )
+
+    o = load(spark, sf_dir, "orders")["orders"]
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    med = daily.agg(
+        F.round(F.expr("median(y)")).cast("long").alias("m")
+    )
+    signs = (
+        daily.join(F.broadcast(med))
+        .filter(F.col("y") != F.col("m"))
+        .select(
+            "d", F.when(F.col("y") > F.col("m"), 1).otherwise(0).alias("s")
+        )
+    )
+    # boundary count via the prefix-sum operator: a run starts where the
+    # sign differs from its predecessor — expressed as a self-join on
+    # consecutive ranks, no global lag window over the series
+    ranked = ordered_prefix_sum(signs, ["d"], F.lit(1), out_col="rn")
+    prev = ranked.select((F.col("rn") + 1).alias("rn"), F.col("s").alias("prev"))
+    lagged = ranked.join(prev, "rn", "left")
+    agg = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("s").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("s")).cast("long").alias("n2"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull() & (F.col("s") != F.col("prev")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("runs"),
+    )
+    n, n1, n2, runs = F.col("n"), F.col("n1"), F.col("n2"), F.col("runs")
+    mu = 2.0 * n1 * n2 / n + 1
+    var = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n * n * (n - 1))
+    return agg.select(
+        "n",
+        "n1",
+        "n2",
+        "runs",
+        F.round((runs - mu) / F.sqrt(var), 6).alias("z"),
+    )
