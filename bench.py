@@ -488,6 +488,16 @@ def bench_scale_probe(spark, sf_dir, timings: dict[str, float], k: int = 10) -> 
             "snapshot_change_feed_read",
             "matview_join_delta_refresh",
             "sim_bm25_incremental_index",
+            # late-r8 heavy families: merge-on-read equality deletes
+            # (O(keys) write + broadcast anti-join read — sub-linear by
+            # design), row tracking (one UPDATE rewrite + id-attach
+            # reads), isotonic regression (grid is calendar-bounded, so
+            # 10x data should be ~flat), and PQ ANN (24 k-means fits on
+            # a hash sample + one-pass ADC)
+            "snapshot_equality_delete_read",
+            "snapshot_row_tracking_read",
+            "stats_isotonic_regression_pava",
+            "sim_pq_adc_topk",
         ):
             if not isinstance(timings.get(name), float):
                 if name not in QUERIES:

