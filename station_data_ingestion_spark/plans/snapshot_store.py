@@ -209,8 +209,15 @@ def _entry_key(e: dict) -> tuple:
 # re-roots).
 _CARRY_KEYS = (
     "renames", "dropped", "widened", "added", "masks", "generated",
-    "eq_deletes", "row_tracking",
+    "eq_deletes", "row_tracking", "features",
 )
+
+# Reader feature protocol (Delta's minReaderVersion idea, spelled as
+# named feature flags): a manifest lists the features a correct read
+# REQUIRES; a reader that does not know one must refuse rather than
+# silently return wrong rows (an old reader ignoring eq_deletes would
+# resurrect deleted keys). This build understands:
+_READER_FEATURES = frozenset({"eq-deletes", "row-tracking"})
 
 
 def _carry_meta(manifest: dict, src: dict | None) -> dict:
@@ -911,6 +918,13 @@ class SnapshotTable:
                     "exist (never published, or vacuumed)"
                 )
         manifest = self._read_manifest(v)
+        unknown = set(manifest.get("features", [])) - _READER_FEATURES
+        if unknown:
+            raise RuntimeError(
+                f"table {self.path} requires reader features "
+                f"{sorted(unknown)} this engine build does not know — "
+                "refusing a read that could silently be wrong"
+            )
         entries = manifest["files"]
         if partition:
             entries = [
@@ -3023,6 +3037,9 @@ class SnapshotTable:
             "row_tracking": True,
             "row_hwm": base,
             "cdf": "none",
+            "features": sorted(
+                set(m.get("features", [])) | {"row-tracking"}
+            ),
         }
         _carry_meta(manifest, m)
         if m.get("deletes"):
@@ -3218,6 +3235,9 @@ class SnapshotTable:
                 + [{"token": tok, "cols": cols, "seq": dseq, "rows": int(n)}],
                 "changes": chg_tok,
                 "seq_hwm": dseq,
+                "features": sorted(
+                    set(base_m.get("features", [])) | {"eq-deletes"}
+                ),
             },
         )
 
@@ -3253,7 +3273,11 @@ class SnapshotTable:
             return self._commit_file_replacement(
                 set(), [], base_v,
                 extra={"op": "materialize-eq-deletes", "eq_deletes": [],
-                       "cdf": "none"},
+                       "cdf": "none",
+                       "features": sorted(
+                           set(base_m.get("features", []))
+                           - {"eq-deletes"}
+                       )},
             )
         from urllib.parse import unquote
 
@@ -3292,7 +3316,10 @@ class SnapshotTable:
             new_entries,
             base_v,
             extra={"op": "materialize-eq-deletes", "eq_deletes": [],
-                   "cdf": "none"},
+                   "cdf": "none",
+                   "features": sorted(
+                       set(base_m.get("features", [])) - {"eq-deletes"}
+                   )},
         )
 
     def update_where(self, condition, assignments: dict) -> int:

@@ -324,3 +324,27 @@ def test_lost_publish_leaves_reapable_orphan(spark, tmp_path):
         str(tmp_path / "t" / "_deletes" / "eq-orphanfile")
     )
     assert {r["k"] for r in t.read().collect()} == before
+
+
+def test_reader_feature_guard(spark, tmp_path):
+    """A manifest requiring an UNKNOWN reader feature must refuse to
+    read (an old engine silently ignoring eq-deletes would resurrect
+    rows); known features read fine; materializing retires the flag."""
+    import json
+
+    t = _mk(spark, tmp_path)
+    t.commit_overwrite_partitions(_rows(spark, [(1, "a"), (2, "b")]))
+    t.delete_where_eq(spark.createDataFrame([Row(k=1)], "k int"))
+    v = t.latest_version()
+    assert t._read_manifest(v).get("features") == ["eq-deletes"]
+    assert {r["k"] for r in t.read().collect()} == {2}
+    t.materialize_eq_deletes()
+    assert t._read_manifest(t.latest_version()).get("features", []) == []
+    # plant a future feature and expect a loud refusal
+    m = t._read_manifest(t.latest_version())
+    m["features"] = ["quantum-compression"]
+    v2 = t.latest_version() + 1
+    m["version"] = v2
+    assert t._write_manifest_exclusive(v2, m)
+    with pytest.raises(RuntimeError, match="reader features"):
+        t.read()
