@@ -623,3 +623,50 @@ def mixture_temperature_reweight(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "pipeline_truncation_loss_curve",
+    """
+WITH toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+), grid AS (
+  SELECT L FROM (VALUES (64), (128), (256), (512)) AS g(L)
+)
+SELECT CAST(g.L AS BIGINT) AS max_len,
+       CAST(COUNT(CASE WHEN t.n > g.L THEN 1 END) AS BIGINT)
+         AS docs_truncated,
+       CAST(SUM(GREATEST(t.n - g.L, 0)) AS BIGINT) AS tokens_lost,
+       CAST(SUM(t.n) AS BIGINT) AS tokens_total,
+       CAST(SUM(GREATEST(t.n - g.L, 0)) * 1000000
+            // SUM(t.n) AS BIGINT) AS loss_ppm
+FROM toks t CROSS JOIN grid g
+GROUP BY g.L
+""",
+)
+def pipeline_truncation_loss_curve(spark, sf_dir):
+    """CONTEXT-LENGTH TRUNCATION LOSS CURVE: for each candidate
+    max-sequence-length, how many documents truncate and what fraction
+    of corpus tokens is lost — the one-pass diagnostic that picks a
+    packing length before a training run. The 4-value length grid
+    explodes from a literal array against the per-doc token counts
+    (bounded fan-out: 4 rows per doc, never a join against data), and
+    the loss fraction ships as an exact integer ppm (integer division
+    both sides). At 100 TB this is one scan + one 4-group aggregate."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    toks = d.select(F.size(F.split("text", " ")).alias("n"))
+    fan = toks.select(
+        "n", F.explode(F.array(*[F.lit(x) for x in (64, 128, 256, 512)])).alias("L")
+    )
+    return fan.groupBy(F.col("L").cast("long").alias("max_len")).agg(
+        F.count(F.when(F.col("n") > F.col("L"), 1))
+        .cast("long")
+        .alias("docs_truncated"),
+        F.sum(F.greatest(F.col("n") - F.col("L"), F.lit(0)))
+        .cast("long")
+        .alias("tokens_lost"),
+        F.sum("n").cast("long").alias("tokens_total"),
+        F.expr(
+            "CAST(sum(greatest(n - L, 0)) * 1000000 div sum(n) AS BIGINT)"
+        ).alias("loss_ppm"),
+    )

@@ -1347,3 +1347,67 @@ def text_pmi_collocations(spark, sf_dir):
             F.round(F.log2("ratio"), 6).alias("pmi"),
         )
     )
+
+
+@query(
+    "text_readability_flesch",
+    """
+WITH per_doc AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS words,
+         GREATEST(len(string_split(text, '. ')), 1) AS sents,
+         (SELECT SUM(len(regexp_extract_all(t.w, '[aeiou]+')))
+          FROM UNNEST(string_split(text, ' ')) AS t(w)) AS sylls
+  FROM documents
+), scored AS (
+  SELECT doc_id, words, sents, sylls,
+         206.835 - 1.015 * (words * 1.0 / sents)
+                 - 84.6 * (sylls * 1.0 / words) AS flesch
+  FROM per_doc
+)
+SELECT CAST(FLOOR(flesch / 10) AS BIGINT) AS flesch_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(words) AS BIGINT) AS words,
+       CAST(SUM(sylls) AS BIGINT) AS syllables
+FROM scored GROUP BY 1
+""",
+)
+def text_readability_flesch(spark, sf_dir):
+    """FLESCH READING-EASE corpus profile: the classic
+    206.835 - 1.015*(words/sentences) - 84.6*(syllables/words) score,
+    with syllables approximated by vowel-group runs — the standard
+    dictionary-free proxy, computed identically in both engines by one
+    regexp over the token array. All three inputs are exact integers
+    per document (counting, not floating aggregation), the score is
+    one fixed IEEE expression, and docs histogram into 10-point bands.
+    Everything is a single projection + one groupBy — no joins, no
+    Python, trivially scan-bound at 100 TB."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    per_doc = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("words"),
+        F.greatest(
+            F.size(F.expr("split(text, '\\\\. ')")), F.lit(1)
+        ).alias("sents"),
+        F.expr(
+            "aggregate(transform(split(text, ' '),"
+            " w -> size(regexp_extract_all(w, '[aeiou]+', 0))),"
+            " 0L, (acc, x) -> acc + x)"
+        ).alias("sylls"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - 1.015 * (F.col("words") * 1.0 / F.col("sents"))
+        - 84.6 * (F.col("sylls") * 1.0 / F.col("words"))
+    )
+    return (
+        per_doc.withColumn(
+            "flesch_decile", F.floor(flesch / 10).cast("long")
+        )
+        .groupBy("flesch_decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("words").cast("long").alias("words"),
+            F.sum("sylls").cast("long").alias("syllables"),
+        )
+    )
