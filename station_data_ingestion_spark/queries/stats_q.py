@@ -2559,3 +2559,141 @@ def stats_runs_test_randomness(spark, sf_dir):
         "runs",
         F.round((runs - mu) / F.sqrt(var), 6).alias("z"),
     )
+
+
+@query(
+    "stats_cronbach_alpha",
+    """
+WITH items AS (
+  SELECT CAST(ROUND(l_quantity * 100) AS BIGINT) AS x1,
+         CAST(ROUND(l_extendedprice) AS BIGINT) AS x2,
+         CAST(ROUND(l_discount * 10000) AS BIGINT) AS x3
+  FROM lineitem
+), m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(x1) AS HUGEINT) AS s1, CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS q1,
+         CAST(SUM(x2) AS HUGEINT) AS s2, CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS q2,
+         CAST(SUM(x3) AS HUGEINT) AS s3, CAST(SUM(CAST(x3 AS HUGEINT) * x3) AS HUGEINT) AS q3,
+         CAST(SUM(CAST(x1 + x2 + x3 AS HUGEINT) * (x1 + x2 + x3)) AS HUGEINT) AS qt,
+         CAST(SUM(x1 + x2 + x3) AS HUGEINT) AS st
+  FROM items
+), v AS (
+  SELECT n,
+         (q1 - s1 * 1.0 * s1 / n) / (n - 1) AS v1,
+         (q2 - s2 * 1.0 * s2 / n) / (n - 1) AS v2,
+         (q3 - s3 * 1.0 * s3 / n) / (n - 1) AS v3,
+         (qt - st * 1.0 * st / n) / (n - 1) AS vt
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(1.5 * (1 - (v1 + v2 + v3) / vt), 6) AS cronbach_alpha
+FROM v
+""",
+)
+def stats_cronbach_alpha(spark, sf_dir):
+    """CRONBACH'S ALPHA internal-consistency reliability over three
+    lineitem measures treated as scale items: alpha = k/(k-1) *
+    (1 - sum(item variances)/variance(total)). One aggregation pass
+    emits exact integer moments for each item AND their rowwise total
+    (the total's square rides the same pass — no second scan), then one
+    fixed IEEE expression. k=3 makes the leading factor exactly 1.5."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    items = li.select(
+        F.round(F.col("l_quantity") * 100).cast("long").alias("x1"),
+        F.round(F.col("l_extendedprice")).cast("long").alias("x2"),
+        F.round(F.col("l_discount") * 10000).cast("long").alias("x3"),
+    ).withColumn("xt", F.col("x1") + F.col("x2") + F.col("x3"))
+    m = items.agg(
+        dec(F.count(F.lit(1))).alias("n"),
+        dec(F.sum("x1")).alias("s1"),
+        F.sum(dec(F.col("x1")) * F.col("x1")).alias("q1"),
+        dec(F.sum("x2")).alias("s2"),
+        F.sum(dec(F.col("x2")) * F.col("x2")).alias("q2"),
+        dec(F.sum("x3")).alias("s3"),
+        F.sum(dec(F.col("x3")) * F.col("x3")).alias("q3"),
+        dec(F.sum("xt")).alias("st"),
+        F.sum(dec(F.col("xt")) * F.col("xt")).alias("qt"),
+    )
+    var = lambda q, s: (  # noqa: E731
+        F.col(q) - F.col(s) * 1.0 * F.col(s) / F.col("n")
+    ) / (F.col("n") - 1)
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            1.5
+            * (
+                1
+                - (var("q1", "s1") + var("q2", "s2") + var("q3", "s3"))
+                / var("qt", "st")
+            ),
+            6,
+        ).alias("cronbach_alpha"),
+    )
+
+
+@query(
+    "agg_geo_harmonic_means",
+    """
+WITH x AS (
+  SELECT o_orderstatus AS st,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), t AS (
+  SELECT st,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(ln(cents) * 1000000) AS BIGINT)) AS BIGINT)
+           AS lnsum_micro,
+         CAST(SUM(CAST(ROUND(1000000000000.0 / cents) AS BIGINT)) AS BIGINT)
+           AS recip_pico
+  FROM x GROUP BY st
+)
+SELECT st,
+       n,
+       ROUND(exp(lnsum_micro * 1.0 / n / 1000000.0) / 100.0, 4)
+         AS geometric_mean,
+       ROUND(n * 1000000000000.0 / recip_pico / 100.0, 4)
+         AS harmonic_mean
+FROM t
+""",
+)
+def agg_geo_harmonic_means(spark, sf_dir):
+    """GEOMETRIC and HARMONIC means per order status — the two
+    Pythagorean means plain AVG misrepresents (multiplicative growth;
+    rates). Both reduce to associative integer sums under the registry
+    float rule: per-row ln(x) quantized to micro-units (geometric) and
+    per-row reciprocals quantized to pico-units (harmonic), each a
+    single deterministic scalar op; the final exp/divide renders once
+    per group. One aggregation pass, map-side combined."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    x = o.select(
+        F.col("o_orderstatus").alias("st"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    t = x.groupBy("st").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.round(F.log(F.col("cents").cast("double")) * 1000000).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("lnsum_micro"),
+        F.sum(
+            F.round(F.lit(1000000000000.0) / F.col("cents")).cast("long")
+        )
+        .cast("long")
+        .alias("recip_pico"),
+    )
+    return t.select(
+        "st",
+        "n",
+        F.round(
+            F.exp(F.col("lnsum_micro") * 1.0 / F.col("n") / 1000000.0)
+            / 100.0,
+            4,
+        ).alias("geometric_mean"),
+        F.round(
+            F.col("n") * 1000000000000.0 / F.col("recip_pico") / 100.0, 4
+        ).alias("harmonic_mean"),
+    )
