@@ -341,3 +341,58 @@ def source_python_stream_datasource_replay(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum("value_cents").cast("long").alias("cents"),
     )
+
+
+@query(
+    "source_fixed_width_roundtrip",
+    """
+WITH src AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS cents,
+       CAST(SUM(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null
+FROM src GROUP BY o_orderstatus
+""",
+)
+def source_fixed_width_roundtrip(spark, sf_dir):
+    """FIXED-WIDTH TEXT SOURCE round-trip (the NOAA/GHCN station-feed
+    format): orders render to position-delimited lines (write twin
+    right-pads, overflow raises), land on disk as plain text, and parse
+    back through one spark.read.text scan with substring/trim/
+    strict-cast projections — no Python in the row path, whole-stage
+    codegen end to end. The aggregate matching the source table proves
+    the round trip is lossless (padding stripped, types restored,
+    NULLs preserved as empty fields). [reference: strict parse
+    semantics of src/driver.py:141 / tapis_direct_driver.py:145]"""
+    import tempfile
+
+    from station_data_ingestion_spark.sources.fixed_width import (
+        format_fixed_width,
+        scan_fixed_width,
+    )
+
+    o = load(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    specs = [
+        ("o_orderkey", 1, 12, "bigint"),
+        ("o_orderstatus", 13, 2, "string"),
+        ("cents", 15, 14, "bigint"),
+    ]
+    tmp = tempfile.mkdtemp(prefix="fixedw_") + "/orders_fw"
+    format_fixed_width(o, specs).write.text(tmp)
+    parsed = scan_fixed_width(spark, tmp, specs)
+    return parsed.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+        F.sum(F.when(F.col("cents").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null"),
+    )
