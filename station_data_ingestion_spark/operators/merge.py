@@ -403,8 +403,6 @@ def merge_when_clauses(
     multi-match RecordKeyError [reference:
     src/modules/ingestion_handler.py:193-195] extended to multi-clause).
     """
-    from station_data_ingestion_spark.operators.merge import RecordKeyError
-
     for i, (cond, _a) in enumerate(clauses):
         if cond is None and i != len(clauses) - 1:
             raise ValueError(
