@@ -1749,10 +1749,11 @@ WITH x AS (
   FROM x
 )
 SELECT n1, x1, n2, x2,
-       ROUND((x1 * 1.0 / n1 - x2 * 1.0 / n2)
-             / SQRT((x1 + x2) * 1.0 / (n1 + n2)
-                    * (1.0 - (x1 + x2) * 1.0 / (n1 + n2))
-                    * (1.0 / n1 + 1.0 / n2)), 6) AS z_stat
+       ROUND((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+             / SQRT(CAST(x1 + x2 AS DOUBLE) / (n1 + n2)
+                    * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                    * (CAST(1 AS DOUBLE) / n1 + CAST(1 AS DOUBLE) / n2)),
+             6) AS z_stat
 FROM m
 """,
 )

@@ -38,11 +38,19 @@ def test_queries_order_puts_uncertified_first():
     q = entry_mod.queries()
     counts = entry_mod._certification_counts()
     names = list(q)
-    # the two r4 snapshot queries are new -> must be in the front half
-    for fresh in ("snapshot_ranged_orders_revenue",
-                  "snapshot_partition_point_read"):
-        assert fresh in names
-        assert names.index(fresh) < len(names) // 2, fresh
+    # never-driver-certified queries all precede any certified one
+    # (the original r4 spot-check pinned two then-new queries to the
+    # front HALF; after many rounds of certification they legitimately
+    # sit in the back — the invariant is the ordering rule itself)
+    zeros = [n for n in names if counts.get(n, 0) == 0]
+    if zeros and len(zeros) < len(names):
+        first_certified = min(
+            names.index(n) for n in names if counts.get(n, 0) > 0
+        )
+        last_zero = max(names.index(n) for n in zeros)
+        assert last_zero < first_certified, (
+            names[first_certified], names[last_zero]
+        )
     # ordering is monotone in certification count
     seq = [counts.get(n, 0) for n in names]
     assert seq == sorted(seq)
