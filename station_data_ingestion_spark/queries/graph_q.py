@@ -779,3 +779,137 @@ def graph_label_propagation_sync3(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_members"),
         F.min("v").cast("long").alias("min_member"),
     )
+
+
+_PPR_ITERS = 3
+
+
+def _ppr_oracle() -> str:
+    head = f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT cust AS src, supp + {_SUPP_OFF} AS dst FROM pairs
+  UNION ALL
+  SELECT supp + {_SUPP_OFF} AS src, cust AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+sn AS (
+  SELECT n.node, s.s_nationkey AS nk
+  FROM nodes n
+  JOIN supplier s ON n.node = s.s_suppkey + {_SUPP_OFF}
+),
+seeds AS (SELECT node FROM sn WHERE nk = (SELECT MIN(nk) FROM sn)),
+smeta AS (SELECT COUNT(*) AS ns FROM seeds),
+r0 AS (
+  SELECT n.node,
+         CASE WHEN sd.node IS NOT NULL THEN {_SCALE} // m.ns ELSE 0 END
+           AS rank
+  FROM nodes n CROSS JOIN smeta m LEFT JOIN seeds sd ON sd.node = n.node
+)"""
+    steps = []
+    for i in range(1, _PPR_ITERS + 1):
+        steps.append(f""",
+r{i} AS (
+  SELECT n.node,
+         CASE WHEN sd.node IS NOT NULL
+              THEN (15 * {_SCALE}) // (100 * m.ns) ELSE 0 END
+           + (85 * COALESCE(s.s, 0)) // 100 AS rank
+  FROM nodes n CROSS JOIN smeta m
+  LEFT JOIN seeds sd ON sd.node = n.node
+  LEFT JOIN (
+    SELECT e.dst, SUM(r.rank // o.deg) AS s
+    FROM edges e
+    JOIN r{i - 1} r ON e.src = r.node
+    JOIN outdeg o ON e.src = o.src
+    GROUP BY e.dst
+  ) s ON s.dst = n.node
+)""")
+    return (
+        head
+        + "".join(steps)
+        + f"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r{_PPR_ITERS}"
+    )
+
+
+@query("graph_personalized_pagerank", _ppr_oracle())
+def graph_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank: the teleport vector concentrates on a
+    SEED SET (suppliers of the smallest nation key present in the
+    graph — a rule that is non-empty at every SF) instead of spreading
+    uniformly, so
+    ranks measure proximity to that segment — the standard seeded
+    relevance/recommendation primitive. Same exact-integer mass scheme
+    as graph_pagerank_bipartite (1e-12 units, integer division), so 3
+    fixed iterations are bit-identical on any engine/partitioning and
+    the DuckDB oracle is the unrolled CTE chain. Unreached nodes keep
+    rank 0 (PPR mass leaks by definition — no uniform floor). Per
+    iteration: one rank join + one dst aggregation, both keyed on node
+    id; the seed flag rides the cached node frame so no per-iteration
+    seed join."""
+    t = load(spark, sf_dir, "orders", "lineitem", "supplier")
+    pairs = (
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    edges = (
+        pairs.select(
+            F.col("cust").alias("src"), (F.col("supp") + _SUPP_OFF).alias("dst")
+        )
+        .unionByName(
+            pairs.select(
+                (F.col("supp") + _SUPP_OFF).alias("src"),
+                F.col("cust").alias("dst"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    sup = t["supplier"].select(
+        (F.col("s_suppkey") + _SUPP_OFF).alias("snode"),
+        F.col("s_nationkey").alias("nk"),
+    )
+    bare_nodes = (
+        edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    )
+    sn = bare_nodes.join(F.broadcast(sup), F.col("node") == F.col("snode"))
+    # graph metadata scalar, same class as the node count in plain PR
+    mn = sn.agg(F.min("nk")).collect()[0][0]
+    seeds = sn.where(F.col("nk") == mn).select("snode")
+    nodes = (
+        bare_nodes.join(F.broadcast(seeds), F.col("node") == F.col("snode"), "left")
+        .select("node", F.col("snode").isNotNull().alias("is_seed"))
+        .localCheckpoint(eager=True)
+    )
+    ns = nodes.where("is_seed").count()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edeg = edges.join(outdeg, "src").localCheckpoint(eager=True)
+    base = (15 * _SCALE) // (100 * ns)
+
+    rank = nodes.select(
+        "node",
+        F.when(F.col("is_seed"), F.lit(_SCALE // ns)).otherwise(F.lit(0)).alias("rank"),
+    )
+    for _ in range(_PPR_ITERS):
+        contrib = (
+            edeg.join(rank, edeg["src"] == rank["node"])
+            .select(F.col("dst"), F.expr("rank div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        rank = nodes.join(contrib, nodes["node"] == contrib["dst"], "left").select(
+            "node",
+            (
+                F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0))
+                + F.expr("coalesce(s, 0) * 85 div 100")
+            ).alias("rank"),
+        )
+    return rank

@@ -126,3 +126,58 @@ def sketch_kll_quantiles(spark, sf_dir: str):
         orders, "o_totalprice", _KLL_PHIS, k=200, delta=0.05
     )
     return spark.createDataFrame(rows, "phi double, value double")
+
+
+_KMV_K = 4096
+
+_KMV_ORACLE = """
+SELECT event_type AS key,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+FROM events GROUP BY 1
+UNION ALL
+SELECT 'click|purchase' AS key,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+FROM events WHERE event_type IN ('click', 'purchase')
+"""
+
+
+@query(
+    "sketch_kmv_distinct_union",
+    oracle=_KMV_ORACLE,
+    doc="KMV bottom-k distinct sketches per event_type, plus the "
+    "sketch-UNION answer for click|purchase — exact while NDV < k, "
+    "so the oracle is plain COUNT(DISTINCT).",
+)
+def sketch_kmv_distinct_union(spark, sf_dir: str):
+    """Mergeable KMV distinct-count sketches (operators/kmv.py): one
+    narrow Arrow pass emits per-partition bottom-k hash sets per
+    event_type (rows = partitions x groups, never keys), one
+    sketch-sized shuffle folds them, and the driver — holding only
+    5 groups x 32 KB — answers the cross-group DISTINCT-of-UNION
+    question (users who clicked OR purchased) by merging two sketches
+    instead of re-scanning events. Exactness: per-type NDV at every
+    test SF sits far under k=4096, so the unsaturated sketch IS the
+    exact distinct set and the gate compares bit-for-bit against
+    COUNT(DISTINCT); at saturation the estimator degrades to
+    +-1/sqrt(k) relative error (documented, not exercised here)."""
+    import numpy as np
+
+    from station_data_ingestion_spark.operators.kmv import (
+        kmv_estimate,
+        kmv_sketches,
+        merge_hashes,
+    )
+
+    ev = load(spark, sf_dir, "events")["events"]
+    sketches = {
+        r["grp"]: np.frombuffer(r["hashes"], dtype=np.uint64)
+        for r in kmv_sketches(ev, "user_id", "event_type", _KMV_K).collect()
+    }
+    out = [
+        (g, kmv_estimate(arr, _KMV_K)) for g, arr in sorted(sketches.items())
+    ]
+    union = merge_hashes(
+        [sketches["click"], sketches["purchase"]], _KMV_K
+    )
+    out.append(("click|purchase", kmv_estimate(union, _KMV_K)))
+    return spark.createDataFrame(out, "key string, distinct_users long")

@@ -2698,3 +2698,94 @@ def agg_geo_harmonic_means(spark, sf_dir):
             F.col("n") * 1000000000000.0 / F.col("recip_pico") / 100.0, 4
         ).alias("harmonic_mean"),
     )
+
+
+@query(
+    "stats_jarque_bera_normality",
+    """
+WITH m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(c AS HUGEINT)) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(c AS HUGEINT) * c * c) AS DOUBLE) AS s3,
+         CAST(SUM(CAST(c AS HUGEINT) * c * c * c) AS DOUBLE) AS s4
+  FROM (SELECT CAST(ROUND(value * 100) AS BIGINT) AS c FROM events)
+), mu AS (
+  SELECT n, s1 / n AS mean, s2, s3, s4 FROM m
+), cm AS (
+  SELECT n,
+         s2 / n - mean * mean AS m2,
+         s3 / n - 3 * mean * (s2 / n) + 2 * mean * mean * mean AS m3,
+         s4 / n - 4 * mean * (s3 / n) + 6 * mean * mean * (s2 / n)
+           - 3 * mean * mean * mean * mean AS m4
+  FROM mu
+), sk AS (
+  SELECT n, m3 / (m2 * sqrt(m2)) AS skew, m4 / (m2 * m2) AS kurt FROM cm
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(skew, 6) AS skewness,
+       ROUND(kurt, 6) AS kurtosis,
+       ROUND(n / 6 * (skew * skew + (kurt - 3) * (kurt - 3) / 4), 4)
+         AS jb_stat
+FROM sk
+""",
+)
+def stats_jarque_bera_normality(spark, sf_dir):
+    """Jarque-Bera normality test on event values: skewness and excess
+    kurtosis from ONE aggregation pass of exact integer raw moments
+    (cents, cents^2..^4 summed in decimal(38,0) — associative, so
+    bit-identical under any partitioning), then a fixed driver-free
+    double expression. sqrt(m2)*m2 replaces pow(m2,1.5) because IEEE
+    sqrt is correctly rounded on both engines while libm pow is not.
+    At 100 TB this stays one map-side-combined scan with a 5-number
+    reduce — the same shape as the Welch/ANOVA family."""
+    e = load(spark, sf_dir, "events")["events"]
+    c = F.round(F.col("value") * 100).cast("long")
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    m = e.select(c.alias("c")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec(F.sum("c")).cast("double").alias("s1"),
+        F.sum(dec(F.col("c")) * F.col("c")).cast("double").alias("s2"),
+        F.sum(dec(F.col("c")) * F.col("c") * F.col("c"))
+        .cast("double")
+        .alias("s3"),
+        F.sum(dec(F.col("c")) * F.col("c") * F.col("c") * F.col("c"))
+        .cast("double")
+        .alias("s4"),
+    )
+    mu = m.select("n", (F.col("s1") / F.col("n")).alias("mean"), "s2", "s3", "s4")
+    mean = F.col("mean")
+    cm = mu.select(
+        "n",
+        (F.col("s2") / F.col("n") - mean * mean).alias("m2"),
+        (
+            F.col("s3") / F.col("n")
+            - F.lit(3) * mean * (F.col("s2") / F.col("n"))
+            + F.lit(2) * mean * mean * mean
+        ).alias("m3"),
+        (
+            F.col("s4") / F.col("n")
+            - F.lit(4) * mean * (F.col("s3") / F.col("n"))
+            + F.lit(6) * mean * mean * (F.col("s2") / F.col("n"))
+            - F.lit(3) * mean * mean * mean * mean
+        ).alias("m4"),
+    )
+    sk = cm.select(
+        "n",
+        (F.col("m3") / (F.col("m2") * F.sqrt("m2"))).alias("skew"),
+        (F.col("m4") / (F.col("m2") * F.col("m2"))).alias("kurt"),
+    )
+    return sk.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("skew"), 6).alias("skewness"),
+        F.round(F.col("kurt"), 6).alias("kurtosis"),
+        F.round(
+            F.col("n")
+            / 6
+            * (
+                F.col("skew") * F.col("skew")
+                + (F.col("kurt") - 3) * (F.col("kurt") - 3) / 4
+            ),
+            4,
+        ).alias("jb_stat"),
+    )
