@@ -15,6 +15,7 @@ from station_data_ingestion_spark.queries import (  # noqa: F401
     llm_similarity,
     llm_text,
     merge_q,
+    ml_q,
     multimodal,
     recursive_q,
     relational,

@@ -1,0 +1,264 @@
+"""Classical-ML text pipelines under the oracle gate: multinomial
+naive Bayes and hashing-trick featurization.
+
+Both follow the family's determinism rules: every per-term log is
+rounded to integer microbits BEFORE any sum (integer addition is
+associative, so the aggregate is bit-identical under any partitioning
+and on both engines), and the feature-hashing path is ALL-integer —
+md5-derived buckets, signs and weights, exact bigint dot products.
+
+[reference: none — engine surface (training-data pipeline classifiers
+from the capability brief); sits beside sim_nearest_centroid_confusion
+(discriminative geometric) as the generative counterpart.]
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from station_data_ingestion_spark.queries.registry import load, query
+
+_NB_ORACLE = """
+WITH train AS (
+  SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0
+),
+test AS (
+  SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 1
+),
+ttok AS (
+  SELECT lang, UNNEST(string_split(text, ' ')) AS tok FROM train
+),
+clt AS (SELECT lang, tok, COUNT(*) AS c FROM ttok GROUP BY 1, 2),
+nl AS (SELECT lang, SUM(c) AS n_l FROM clt GROUP BY 1),
+vm AS (SELECT COUNT(DISTINCT tok) AS v FROM ttok),
+prior AS (
+  SELECT lang,
+         CAST(ROUND(log2(COUNT(*) * 1.0 /
+                         (SELECT COUNT(*) FROM train)) * 1000000)
+              AS BIGINT) AS prior_mb,
+         CAST(ROUND(log2(1.0 / ((SELECT n_l FROM nl n
+                                 WHERE n.lang = t.lang) + (SELECT v FROM vm)))
+                    * 1000000) AS BIGINT) AS mb0
+  FROM train t GROUP BY lang
+),
+delta AS (
+  SELECT c.lang, c.tok,
+         CAST(ROUND(log2((c.c + 1.0) / (n.n_l + (SELECT v FROM vm)))
+                    * 1000000) AS BIGINT)
+           - p.mb0 AS d_mb
+  FROM clt c JOIN nl n ON c.lang = n.lang JOIN prior p ON c.lang = p.lang
+),
+dtok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM test
+),
+dcnt AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM dtok GROUP BY 1, 2),
+dtot AS (SELECT doc_id, SUM(cnt) AS total FROM dcnt GROUP BY 1),
+overlap AS (
+  SELECT d.doc_id, x.lang, SUM(d.cnt * x.d_mb) AS extra
+  FROM dcnt d JOIN delta x ON d.tok = x.tok
+  GROUP BY 1, 2
+),
+score AS (
+  SELECT t.doc_id, te.lang AS true_lang, p.lang AS pred_lang,
+         p.prior_mb + t.total * p.mb0 + COALESCE(o.extra, 0) AS s
+  FROM dtot t
+  JOIN test te ON te.doc_id = t.doc_id
+  CROSS JOIN prior p
+  LEFT JOIN overlap o ON o.doc_id = t.doc_id AND o.lang = p.lang
+),
+best AS (
+  SELECT true_lang, pred_lang,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY s DESC, pred_lang ASC) AS rn
+  FROM score
+)
+SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM best WHERE rn = 1 GROUP BY 1, 2
+"""
+
+
+@query(
+    "ml_naive_bayes_lang_confusion",
+    _NB_ORACLE,
+    doc="Multinomial naive Bayes (Laplace-smoothed, integer-microbit "
+    "log terms) trained on even doc_ids, confusion matrix on odd.",
+)
+def ml_naive_bayes_lang_confusion(spark, sf_dir):
+    """Multinomial naive Bayes language classifier: train on even
+    doc_ids (per-class token counts + Laplace smoothing), classify odd
+    doc_ids, report the confusion matrix. Every log term — class
+    prior, unseen-token floor mb0, and the seen-token delta — is
+    rounded to integer MICROBITS before summation (the Kneser-Ney
+    pattern), so scores are exact integers and argmax is
+    engine-independent; ties break on class name. Plan shape: the
+    (lang, token) model table is one map-side-combined aggregation of
+    the train split; scoring decomposes as prior + total_tokens*mb0 +
+    sum(cnt * delta) so UNSEEN tokens never materialize rows — the
+    only join against test tokens is an inner join on the seen vocab
+    (broadcastable: |vocab| x |classes|), and the dense doc x class
+    grid is a 5-row broadcast cross attach. At 100 TB: vocab tables
+    beyond broadcast size shuffle on token instead — same plan
+    skeleton, and the model side is the small one by construction."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    train = d.where(F.col("doc_id") % 2 == 0)
+    test = d.where(F.col("doc_id") % 2 == 1)
+
+    ttok = train.select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    clt = ttok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    clt = clt.localCheckpoint(eager=True)  # feeds nl, vocab size, delta
+    nl = clt.groupBy("lang").agg(F.sum("c").alias("n_l"))
+    # model metadata scalars (same class as PageRank's node count)
+    v = clt.select("tok").distinct().count()
+    n_train = train.count()
+
+    mb = lambda col: F.round(F.log2(col) * 1000000).cast("long")  # noqa: E731
+    prior = (
+        train.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .join(nl, "lang")
+        .select(
+            "lang",
+            mb(F.col("nd") * 1.0 / F.lit(n_train)).alias("prior_mb"),
+            mb(F.lit(1.0) / (F.col("n_l") + F.lit(v))).alias("mb0"),
+            "n_l",
+        )
+    )
+    delta = (
+        clt.join(prior, "lang")
+        .select(
+            "lang",
+            "tok",
+            (
+                mb((F.col("c") + F.lit(1.0)) / (F.col("n_l") + F.lit(v)))
+                - F.col("mb0")
+            ).alias("d_mb"),
+        )
+    )
+
+    dcnt = (
+        test.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dtot = dcnt.groupBy("doc_id").agg(F.sum("cnt").alias("total"))
+    overlap = (
+        dcnt.join(F.broadcast(delta), "tok")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("cnt") * F.col("d_mb")).alias("extra"))
+    )
+    consts = prior.select("lang", "prior_mb", "mb0")
+    ov = overlap.select(
+        F.col("doc_id").alias("odoc"), F.col("lang").alias("olang"), "extra"
+    )
+    score = (
+        dtot.join(test.select("doc_id", F.col("lang").alias("true_lang")), "doc_id")
+        .crossJoin(F.broadcast(consts))
+        .join(
+            ov,
+            (F.col("doc_id") == F.col("odoc")) & (F.col("lang") == F.col("olang")),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "true_lang",
+            F.col("lang").alias("pred_lang"),
+            (
+                F.col("prior_mb")
+                + F.col("total") * F.col("mb0")
+                + F.coalesce(F.col("extra"), F.lit(0))
+            ).alias("s"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("s").desc(), F.col("pred_lang").asc()
+    )
+    return (
+        score.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+_FH_BUCKETS = 64
+
+_FH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+tc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+hb AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT)
+              % {_FH_BUCKETS} AS BIGINT) AS bucket,
+         CASE WHEN CAST(('0x' || substr(md5(tok), 9, 1)) AS UBIGINT) < 8
+              THEN cnt ELSE -cnt END AS signed_cnt
+  FROM tc
+),
+feat AS (
+  SELECT doc_id, bucket, SUM(signed_cnt) AS f
+  FROM hb GROUP BY 1, 2
+),
+wt AS (
+  SELECT b AS bucket,
+         CAST(CAST(('0x' || substr(md5('w' || b), 1, 8)) AS UBIGINT)
+              % 2001 AS BIGINT) - 1000 AS w
+  FROM UNNEST(generate_series(0, {_FH_BUCKETS - 1})) AS t(b)
+),
+score AS (
+  SELECT doc_id, CAST(SUM(f * w) AS BIGINT) AS score
+  FROM feat JOIN wt USING (bucket) GROUP BY doc_id
+)
+SELECT doc_id, score FROM score
+ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+
+@query(
+    "ml_feature_hash_scores",
+    _FH_ORACLE,
+    doc="Hashing-trick featurization (64 signed md5 buckets) scored "
+    "against an md5-derived integer weight vector; exact bigint math.",
+)
+def ml_feature_hash_scores(spark, sf_dir):
+    """Feature hashing (Weinberger et al. 2009): tokens hash into 64
+    signed buckets (md5 prefix -> bucket, 9th hex digit -> sign), the
+    per-doc sparse feature vector is the signed count sum, and a fixed
+    md5-derived integer weight vector scores each doc — the standard
+    way to featurize unbounded vocabularies with BOUNDED state. The
+    whole pipeline is exact bigint arithmetic (no floats anywhere), so
+    the oracle replays it verbatim. Plan: one explode + two map-side-
+    combined aggregations; the 64-row weight table broadcasts; top-20
+    with doc_id tiebreak gives the total order. At 100 TB the bucket
+    count rises (2^18+) with the identical plan — state stays
+    buckets-bounded regardless of vocabulary growth."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    tc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    u32 = lambda c, a, n: F.conv(F.substring(F.md5(c), a, n), 16, 10).cast(  # noqa: E731
+        "long"
+    )
+    hb = tc.select(
+        "doc_id",
+        (u32(F.col("tok"), 1, 8) % _FH_BUCKETS).alias("bucket"),
+        F.when(u32(F.col("tok"), 9, 1) < 8, F.col("cnt"))
+        .otherwise(-F.col("cnt"))
+        .alias("signed_cnt"),
+    )
+    feat = hb.groupBy("doc_id", "bucket").agg(F.sum("signed_cnt").alias("f"))
+    wt = spark.range(_FH_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        (u32(F.concat(F.lit("w"), F.col("id")), 1, 8) % 2001 - 1000).alias("w"),
+    )
+    return (
+        feat.join(F.broadcast(wt), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("f") * F.col("w")).cast("long").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )

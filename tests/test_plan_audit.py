@@ -82,6 +82,10 @@ CROSS_JOIN_OK = {
     # broadcast attached to the one-row CI order-statistics frame
     "text_pmi_collocations",  # one-row corpus-token-total broadcast
     # against the frequent-bigram table
+    "ml_naive_bayes_lang_confusion",  # class-cardinality-bounded
+    # (|langs| rows) prior/floor-constants broadcast cross: every test
+    # doc scores against each class by design, same shape as
+    # sim_nearest_centroid_confusion
 }
 
 # Iterative/stateful queries that execute eagerly during plan
