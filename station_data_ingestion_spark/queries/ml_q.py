@@ -262,3 +262,138 @@ def ml_feature_hash_scores(spark, sf_dir):
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(20)
     )
+
+
+_STUMP_FEATS = 4
+_Q = 1048576.0  # 2^20 feature quantization
+
+_STUMP_ORACLE = f"""
+WITH pts AS (
+  SELECT f, CAST(ROUND(emb[f + 1] * {_Q}) AS BIGINT) AS q,
+         CAST(label % 2 AS BIGINT) AS y
+  FROM (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+               label
+        FROM embeddings),
+       UNNEST(generate_series(0, {_STUMP_FEATS - 1})) AS t(f)
+),
+cells AS (
+  SELECT f, q, COUNT(*) AS cnt, SUM(y) AS pos FROM pts GROUP BY 1, 2
+),
+tot AS (SELECT f, SUM(cnt) AS n, SUM(pos) AS p FROM cells GROUP BY 1),
+cum AS (
+  SELECT f, q,
+         SUM(cnt) OVER (PARTITION BY f ORDER BY q) AS nl,
+         SUM(pos) OVER (PARTITION BY f ORDER BY q) AS pl
+  FROM cells
+),
+cand AS (
+  SELECT c.f, c.q, c.nl, c.pl, t.n - c.nl AS nr, t.p - c.pl AS pr, t.n
+  FROM cum c JOIN tot t ON c.f = t.f
+  WHERE c.nl < t.n
+),
+scored AS (
+  SELECT f, q, nl, nr, pl, pr,
+         ROUND((CAST(pl * pl + (nl - pl) * (nl - pl) AS DOUBLE) / nl
+                + CAST(pr * pr + (nr - pr) * (nr - pr) AS DOUBLE) / nr)
+               / n, 9) AS purity
+  FROM cand
+)
+SELECT CAST(f AS BIGINT) AS feature, q AS threshold_micro,
+       CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+       CAST(pl AS BIGINT) AS pos_left, CAST(pr AS BIGINT) AS pos_right,
+       purity
+FROM scored
+ORDER BY purity DESC, feature ASC, threshold_micro ASC LIMIT 1
+"""
+
+
+@query(
+    "ml_decision_stump_gini",
+    _STUMP_ORACLE,
+    doc="Best 1-level decision-tree split over 4 embedding dims: "
+    "prefix-sum class counts per sorted feature value, exact-integer "
+    "Gini argmin.",
+)
+def ml_decision_stump_gini(spark, sf_dir):
+    """Decision-stump fitting — the split-finding primitive under
+    every distributed tree ensemble (XGBoost/LightGBM histogram
+    builders): for each candidate feature, sort its quantized values,
+    prefix-sum the class counts with ONE partitioned window, and score
+    every boundary's weighted Gini in a single expression. All counts
+    are exact integers; the only double is the final purity score
+    (sum of per-side squared-count ratios — monotone inverse of
+    weighted Gini: gini = 1 - purity), rounded to 9dp with
+    (feature, threshold) tiebreak, so both engines pick the same
+    argmax. Plan: explode 4 dims -> value-cell aggregation (map-side
+    combined) -> per-feature cumulative window -> global top-1 (a
+    takeOrdered over the cell table, which is |distinct values| x
+    |features| — data-bounded, never row-bounded). At 100 TB the cell
+    table is what histogram-based tree learners materialize; binning
+    the quantization coarser caps it at bins x features."""
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    pts = e.select(
+        F.posexplode(F.slice(F.col("embedding"), 1, _STUMP_FEATS)).alias(
+            "f", "x"
+        ),
+        (F.col("label") % 2).cast("long").alias("y"),
+    ).select(
+        "f",
+        F.round(F.col("x").cast("double") * _Q).cast("long").alias("q"),
+        "y",
+    )
+    cells = pts.groupBy("f", "q").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    )
+    w = (
+        Window.partitionBy("f")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cells.select(
+        "f",
+        "q",
+        F.sum("cnt").over(w).alias("nl"),
+        F.sum("pos").over(w).alias("pl"),
+    )
+    tot = cells.groupBy("f").agg(
+        F.sum("cnt").alias("n"), F.sum("pos").alias("p")
+    )
+    cand = (
+        cum.join(F.broadcast(tot), "f")
+        .withColumn("nr", F.col("n") - F.col("nl"))
+        .withColumn("pr", F.col("p") - F.col("pl"))
+        .where(F.col("nl") < F.col("n"))
+    )
+    purity = F.round(
+        (
+            (
+                F.col("pl") * F.col("pl")
+                + (F.col("nl") - F.col("pl")) * (F.col("nl") - F.col("pl"))
+            ).cast("double")
+            / F.col("nl")
+            + (
+                F.col("pr") * F.col("pr")
+                + (F.col("nr") - F.col("pr")) * (F.col("nr") - F.col("pr"))
+            ).cast("double")
+            / F.col("nr")
+        )
+        / F.col("n"),
+        9,
+    )
+    return (
+        cand.select(
+            F.col("f").cast("long").alias("feature"),
+            F.col("q").alias("threshold_micro"),
+            F.col("nl").cast("long").alias("n_left"),
+            F.col("nr").cast("long").alias("n_right"),
+            F.col("pl").cast("long").alias("pos_left"),
+            F.col("pr").cast("long").alias("pos_right"),
+            purity.alias("purity"),
+        )
+        .orderBy(
+            F.col("purity").desc(),
+            F.col("feature").asc(),
+            F.col("threshold_micro").asc(),
+        )
+        .limit(1)
+    )

@@ -13,7 +13,7 @@ orders of magnitude above the drift.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from station_data_ingestion_spark.operators.linreg import fit_ols, ols_terms_df
 from station_data_ingestion_spark.queries.registry import load, query
@@ -2788,4 +2788,211 @@ def stats_jarque_bera_normality(spark, sf_dir):
             ),
             4,
         ).alias("jb_stat"),
+    )
+
+
+# SPRT constants, precomputed ONCE in Python and embedded as integer
+# literals in both engines (no engine-side logs): H0 p=0.50 vs
+# H1 p=0.58, alpha = beta = 0.05.
+_SPRT_C1 = 148420  # round(ln(0.58/0.50) * 1e6)  per-success LLR
+_SPRT_C0 = -174353  # round(ln(0.42/0.50) * 1e6)  per-failure LLR
+_SPRT_A = 2944439  # round(ln((1-beta)/alpha) * 1e6)  accept-H1 bound
+_SPRT_B = -2944439  # round(ln(beta/(1-alpha)) * 1e6)  accept-H0 bound
+
+_SPRT_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS trials,
+         CAST(COUNT(*) FILTER (WHERE value >= 40) AS BIGINT) AS succ
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+cum AS (
+  SELECT d,
+         SUM(trials) OVER (ORDER BY d) AS n,
+         SUM(succ) OVER (ORDER BY d) AS s
+  FROM daily
+),
+llr AS (
+  SELECT d, n, s,
+         s * {_SPRT_C1} + (n - s) * {_SPRT_C0} AS llr_micro,
+         ROW_NUMBER() OVER (ORDER BY d DESC) AS from_end
+  FROM cum
+),
+pick AS (
+  SELECT *,
+         CASE WHEN llr_micro >= {_SPRT_A} OR llr_micro <= {_SPRT_B}
+              THEN 0 ELSE 1 END AS tag
+  FROM llr
+  WHERE llr_micro >= {_SPRT_A} OR llr_micro <= {_SPRT_B} OR from_end = 1
+)
+SELECT strftime(d, '%Y-%m-%d') AS decision_day,
+       CASE WHEN llr_micro >= {_SPRT_A} THEN 'accept_h1'
+            WHEN llr_micro <= {_SPRT_B} THEN 'accept_h0'
+            ELSE 'continue' END AS verdict,
+       CAST(n AS BIGINT) AS n_trials, CAST(s AS BIGINT) AS n_success,
+       CAST(llr_micro AS BIGINT) AS llr_micro
+FROM pick ORDER BY tag ASC, d ASC LIMIT 1
+"""
+
+
+@query(
+    "stats_sprt_sequential_test",
+    _SPRT_ORACLE,
+    doc="Wald SPRT on daily view-conversion: integer micro-nat LLR "
+    "random walk, first boundary crossing = early-stopping decision.",
+)
+def stats_sprt_sequential_test(spark, sf_dir):
+    """Wald's Sequential Probability Ratio Test — the early-stopping
+    A/B primitive: instead of a fixed-horizon test, the cumulative
+    log-likelihood ratio walks until it exits [ln(beta/(1-alpha)),
+    ln((1-beta)/alpha)] and the FIRST crossing day is the decision.
+    Per-trial LLR terms are integer micro-nats precomputed in Python
+    (no engine logs at all), so the walk is exact integer arithmetic:
+    llr_n = s*c1 + (n-s)*c0. The cumulative window runs over the
+    post-aggregation DAILY series (calendar-bounded), never the fact
+    table; the fallback row (no crossing -> 'continue' at the last
+    day) rides the same frame via a tag sort, keeping the output
+    exactly one row."""
+    e = load(spark, sf_dir, "events")["events"]
+    daily = (
+        e.where(F.col("event_type") == "view")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("trials"),
+            F.count(F.when(F.col("value") >= 40, 1)).cast("long").alias("succ"),
+        )
+    )
+    wc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    we = Window.orderBy(F.col("d").desc())
+    cum = daily.select(
+        "d",
+        F.sum("trials").over(wc).alias("n"),
+        F.sum("succ").over(wc).alias("s"),
+    ).withColumn("from_end", F.row_number().over(we))
+    llr = cum.withColumn(
+        "llr_micro",
+        F.col("s") * _SPRT_C1 + (F.col("n") - F.col("s")) * _SPRT_C0,
+    )
+    crossed = (F.col("llr_micro") >= _SPRT_A) | (F.col("llr_micro") <= _SPRT_B)
+    pick = llr.where(crossed | (F.col("from_end") == 1)).withColumn(
+        "tag", F.when(crossed, F.lit(0)).otherwise(F.lit(1))
+    )
+    return (
+        pick.select(
+            F.date_format("d", "yyyy-MM-dd").alias("decision_day"),
+            F.when(F.col("llr_micro") >= _SPRT_A, F.lit("accept_h1"))
+            .when(F.col("llr_micro") <= _SPRT_B, F.lit("accept_h0"))
+            .otherwise(F.lit("continue"))
+            .alias("verdict"),
+            F.col("n").cast("long").alias("n_trials"),
+            F.col("s").cast("long").alias("n_success"),
+            F.col("llr_micro").cast("long").alias("llr_micro"),
+            "tag",
+            "d",
+        )
+        .orderBy(F.col("tag").asc(), F.col("d").asc())
+        .limit(1)
+        .drop("tag", "d")
+    )
+
+
+_NEYMAN_K = 100
+
+_NEYMAN_ORACLE = f"""
+WITH m AS (
+  SELECT o_orderpriority AS stratum,
+         CAST(COUNT(*) AS BIGINT) AS n_h,
+         CAST(SUM(CAST(c AS HUGEINT)) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE) AS s2
+  FROM (SELECT o_orderpriority,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders)
+  GROUP BY 1
+),
+wgt AS (
+  SELECT stratum, n_h,
+         n_h * sqrt((s2 - s1 * s1 / n_h) / (n_h - 1)) AS w
+  FROM m
+),
+alloc AS (
+  SELECT stratum, n_h,
+         GREATEST(CAST(1 AS BIGINT),
+                  CAST(ROUND({_NEYMAN_K} * w / (SELECT SUM(w) FROM wgt))
+                       AS BIGINT)) AS k_h
+  FROM wgt
+),
+ranked AS (
+  SELECT o_orderpriority AS stratum, o_orderkey,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rk
+  FROM orders
+)
+SELECT r.stratum, a.k_h AS k_alloc, r.o_orderkey, r.rk
+FROM ranked r JOIN alloc a ON r.stratum = a.stratum
+WHERE r.rk <= a.k_h
+"""
+
+
+@query(
+    "sample_neyman_allocation",
+    _NEYMAN_ORACLE,
+    doc="Neyman-optimal stratified sampling: allocate 100 draws "
+    "proportional to N_h * S_h, then deterministic md5 bottom-k per "
+    "stratum.",
+)
+def sample_neyman_allocation(spark, sf_dir):
+    """Neyman (optimal) allocation for stratified sampling: a first
+    variance pass computes each stratum's N_h and standard deviation
+    S_h from exact integer moments, the budget of 100 draws is
+    allocated proportional to N_h*S_h (the allocation that minimizes
+    the stratified-mean variance; floor of 1 per stratum), and a
+    second pass takes each stratum's k_h lowest-md5 rows — the
+    family's seedless repartition-stable draw. Two scans total: one
+    map-side-combined moment aggregation, one per-stratum top-k window
+    (rank pushdown keeps k rows per partition before the merge). The
+    tiny allocation table broadcasts onto the ranked stream. S_h uses
+    IEEE sqrt over exact integer sums — correctly rounded, so both
+    engines allocate identically."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    m = (
+        o.select(F.col("o_orderpriority").alias("stratum"), cents.alias("c"))
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_h"),
+            dec(F.sum("c")).cast("double").alias("s1"),
+            F.sum(dec(F.col("c")) * F.col("c")).cast("double").alias("s2"),
+        )
+    )
+    wgt = m.select(
+        "stratum",
+        "n_h",
+        (
+            F.col("n_h")
+            * F.sqrt(
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_h"))
+                / (F.col("n_h") - 1)
+            )
+        ).alias("w"),
+    )
+    tot = wgt.agg(F.sum("w").alias("tw"))
+    alloc = wgt.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.round(F.lit(_NEYMAN_K) * F.col("w") / F.col("tw")).cast("long"),
+        ).alias("k_alloc"),
+    )
+    w = Window.partitionBy("stratum").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), F.col("o_orderkey")
+    )
+    ranked = o.select(
+        F.col("o_orderpriority").alias("stratum"), "o_orderkey"
+    ).withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(alloc), "stratum")
+        .where(F.col("rk") <= F.col("k_alloc"))
+        .select("stratum", "k_alloc", "o_orderkey", "rk")
     )

@@ -82,6 +82,8 @@ CROSS_JOIN_OK = {
     # broadcast attached to the one-row CI order-statistics frame
     "text_pmi_collocations",  # one-row corpus-token-total broadcast
     # against the frequent-bigram table
+    "sample_neyman_allocation",  # one-row total-weight broadcast over
+    # the 5-row per-stratum allocation table
     "ml_naive_bayes_lang_confusion",  # class-cardinality-bounded
     # (|langs| rows) prior/floor-constants broadcast cross: every test
     # doc scores against each class by design, same shape as
@@ -153,6 +155,10 @@ GLOBAL_WINDOW_OK = {
     # maxima (~25 rows, bounded by the price range); every window over
     # raw parts is partitioned by bucket or price
     "sort_pareto_frontier_parts",
+    # stats_sprt_sequential_test: the LLR walk is cumulative over the
+    # post-aggregation DAILY series (calendar-bounded, <=2.6k rows at
+    # any SF), never the event fact table
+    "stats_sprt_sequential_test",
 }
 
 # windowspecdefinition(<first arg is a sort order>) == empty partition
