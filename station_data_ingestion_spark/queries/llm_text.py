@@ -1411,3 +1411,81 @@ def text_readability_flesch(spark, sf_dir):
             F.sum("sylls").cast("long").alias("syllables"),
         )
     )
+
+
+_GT_ORACLE = """
+WITH arr AS (
+  SELECT string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+tok AS (
+  SELECT array_to_string(w[i:i+2], ' ') AS tok
+  FROM arr, LATERAL (SELECT UNNEST(range(1, len(w) - 1)) AS i) t
+),
+freqs AS (SELECT tok, COUNT(*) AS r FROM tok GROUP BY tok),
+coc AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS s_r FROM freqs GROUP BY r),
+n AS (SELECT SUM(r * s_r) AS total FROM coc)
+SELECT a.r, a.s_r, b.s_r AS s_r1,
+       ROUND((a.r + 1) * b.s_r * 1.0 / a.s_r, 6) AS r_star,
+       ROUND(a.s_r * a.r * 1.0 / (SELECT total FROM n), 9) AS raw_mass
+FROM coc a JOIN coc b ON b.r = a.r + 1
+WHERE a.r <= 5
+"""
+
+
+@query(
+    "text_good_turing_smoothing",
+    _GT_ORACLE,
+    doc="Good-Turing smoothing over word TRIGRAMS (the sparse event "
+    "space): count-of-counts and r* = (r+1) S(r+1)/S(r) for r <= 5.",
+)
+def text_good_turing_smoothing(spark, sf_dir):
+    """Good-Turing smoothing — the classical LM mass-reallocation for
+    rare events: tokens seen r times behave as if seen
+    r* = (r+1) S(r+1)/S(r) times, where S(r) is the COUNT-OF-COUNTS
+    (how many distinct tokens occur exactly r times). Two chained
+    map-side-combined aggregations (token freqs -> frequency
+    histogram) collapse the corpus to a handful of (r, S_r) rows; the
+    self-join on r+1 is over that tiny histogram. Ratios are fixed
+    double expressions over exact integers, rounded. Complements
+    Kneser-Ney (text_bigram_kneser_ney) with the count-based
+    smoothing family. The event space is word TRIGRAMS — unigrams in
+    this corpus are all high-frequency, and Good-Turing's subject is
+    precisely the sparse tail that n-gram spaces produce; trigrams come
+    from pure array ops (slice inside transform), no window, no
+    self-join."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    freqs = (
+        d.select(F.split("text", " ").alias("w"))
+        .where(F.size("w") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2),"
+                    " i -> array_join(slice(w, i, 3), ' '))"
+                )
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    coc = freqs.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("s_r"))
+    coc = coc.localCheckpoint(eager=True)  # tiny histogram, reused 3x
+    total = coc.agg(F.sum(F.col("r") * F.col("s_r")).alias("total"))
+    nxt = coc.select((F.col("r") - 1).alias("r"), F.col("s_r").alias("s_r1"))
+    return (
+        coc.where(F.col("r") <= 5)
+        .join(nxt, "r")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "r",
+            "s_r",
+            "s_r1",
+            F.round(
+                (F.col("r") + 1) * F.col("s_r1") * 1.0 / F.col("s_r"), 6
+            ).alias("r_star"),
+            F.round(
+                F.col("s_r") * F.col("r") * 1.0 / F.col("total"), 9
+            ).alias("raw_mass"),
+        )
+    )

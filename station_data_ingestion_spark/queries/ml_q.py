@@ -397,3 +397,127 @@ def ml_decision_stump_gini(spark, sf_dir):
         )
         .limit(1)
     )
+
+
+_ALS_LAM_MICRO = 100000  # lambda = 0.1 in (milli^2 = 1e-6) factor units
+
+_ALS_ORACLE = f"""
+WITH r AS (
+  SELECT o_custkey AS u, l_partkey AS i,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS rt
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+yf AS (
+  SELECT i,
+         CAST(CAST(('0x' || substr(md5('f1_' || i), 1, 8)) AS UBIGINT)
+              % 2001 AS BIGINT) - 1000 AS y1m,
+         CAST(CAST(('0x' || substr(md5('f2_' || i), 1, 8)) AS UBIGINT)
+              % 2001 AS BIGINT) - 1000 AS y2m
+  FROM (SELECT DISTINCT i FROM r)
+),
+ne AS (
+  SELECT r.u,
+         CAST(COUNT(*) AS BIGINT) AS n_items,
+         SUM(y1m * y1m) AS a11, SUM(y1m * y2m) AS a12,
+         SUM(y2m * y2m) AS a22,
+         SUM(rt * y1m) AS b1, SUM(rt * y2m) AS b2
+  FROM r JOIN yf ON r.i = yf.i GROUP BY r.u
+),
+sv AS (
+  SELECT u, n_items,
+         (a11 + {_ALS_LAM_MICRO}) * (a22 + {_ALS_LAM_MICRO}) - a12 * a12
+           AS det,
+         (a22 + {_ALS_LAM_MICRO}) * b1 - a12 * b2 AS n1,
+         (a11 + {_ALS_LAM_MICRO}) * b2 - a12 * b1 AS n2
+  FROM ne
+)
+SELECT u AS custkey, n_items,
+       ROUND(CAST(n1 AS DOUBLE) / det * 1000.0, 6) AS u1,
+       ROUND(CAST(n2 AS DOUBLE) / det * 1000.0, 6) AS u2
+FROM sv
+ORDER BY ROUND(CAST(n1 AS DOUBLE) / det * 1000.0, 6) DESC, custkey ASC
+LIMIT 20
+"""
+
+
+@query(
+    "ml_als_user_factors_k2",
+    _ALS_ORACLE,
+    doc="One ALS half-step (k=2): per-user ridge solve against "
+    "md5-seeded item factors — exact-integer normal equations, "
+    "closed-form 2x2 inverse.",
+)
+def ml_als_user_factors_k2(spark, sf_dir):
+    """One half-step of Alternating Least Squares (the matrix-
+    factorization recommender primitive): item factors are fixed
+    (deterministic md5-seeded milli-integers — the 'previous
+    iteration'), and each user's factor vector solves the k=2 ridge
+    normal equations (Y'Y + lambda I) u = Y'r in closed form. The
+    accumulation phase — A's three distinct entries and b's two —
+    is one exact-integer aggregation over the rating rows (map-side
+    combined, shuffled once on user), and the 2x2 solve is a fixed
+    per-row expression: numerators and determinant stay exact bigints,
+    the single final division is the only double (rounded 6dp,
+    custkey tiebreak). This IS how distributed ALS scales: per-entity
+    k x k sufficient statistics via aggregation, tiny dense solve per
+    row — never a materialized user x item matrix. k beyond closed
+    form moves the solve into an Arrow-batched numpy stage (the
+    linreg/PCA pattern); the aggregation shape is unchanged."""
+    t = load(spark, sf_dir, "orders", "lineitem")
+    r = (
+        t["lineitem"]
+        .select("l_orderkey", "l_partkey", "l_quantity")
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i")
+        )
+        .agg(F.sum(F.round("l_quantity").cast("long")).alias("rt"))
+    )
+    h = lambda pre: (  # noqa: E731
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(pre), F.col("i").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 2001
+        - 1000
+    )
+    yf = r.select("i").distinct().select(
+        "i", h("f1_").alias("y1m"), h("f2_").alias("y2m")
+    )
+    ne = (
+        r.join(yf, "i")
+        .groupBy("u")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.col("y1m") * F.col("y1m")).alias("a11"),
+            F.sum(F.col("y1m") * F.col("y2m")).alias("a12"),
+            F.sum(F.col("y2m") * F.col("y2m")).alias("a22"),
+            F.sum(F.col("rt") * F.col("y1m")).alias("b1"),
+            F.sum(F.col("rt") * F.col("y2m")).alias("b2"),
+        )
+    )
+    lam = F.lit(_ALS_LAM_MICRO)
+    sv = ne.select(
+        "u",
+        "n_items",
+        ((F.col("a11") + lam) * (F.col("a22") + lam) - F.col("a12") * F.col("a12")).alias("det"),
+        ((F.col("a22") + lam) * F.col("b1") - F.col("a12") * F.col("b2")).alias("n1"),
+        ((F.col("a11") + lam) * F.col("b2") - F.col("a12") * F.col("b1")).alias("n2"),
+    )
+    u1 = F.round(F.col("n1").cast("double") / F.col("det") * 1000.0, 6)
+    u2 = F.round(F.col("n2").cast("double") / F.col("det") * 1000.0, 6)
+    return (
+        sv.select(
+            F.col("u").alias("custkey"),
+            "n_items",
+            u1.alias("u1"),
+            u2.alias("u2"),
+        )
+        .orderBy(F.col("u1").desc(), F.col("custkey").asc())
+        .limit(20)
+    )

@@ -82,6 +82,8 @@ CROSS_JOIN_OK = {
     # broadcast attached to the one-row CI order-statistics frame
     "text_pmi_collocations",  # one-row corpus-token-total broadcast
     # against the frequent-bigram table
+    "text_good_turing_smoothing",  # one-row corpus-token-total broadcast
+    # over the <=6-row count-of-counts histogram
     "sample_neyman_allocation",  # one-row total-weight broadcast over
     # the 5-row per-stratum allocation table
     "ml_naive_bayes_lang_confusion",  # class-cardinality-bounded
