@@ -1290,3 +1290,98 @@ def events_burst_detection_minutes(spark, sf_dir):
             F.round(z, 6).alias("poisson_z"),
         )
     )
+
+
+_UCB_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, event_type AS arm,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT d, arm,
+         SUM(n) OVER (PARTITION BY arm ORDER BY d) AS n_i,
+         SUM(cents) OVER (PARTITION BY arm ORDER BY d) AS cents_i
+  FROM daily
+),
+tot AS (SELECT d, SUM(n_i) AS n FROM cum GROUP BY d),
+scored AS (
+  SELECT c.d, c.arm, c.n_i, t.n,
+         ROUND(c.cents_i / (100.0 * c.n_i)
+               + sqrt(2.0 * CAST(ROUND(ln(t.n) * 1000000) AS BIGINT)
+                      / 1000000.0 / c.n_i), 6) AS ucb
+  FROM cum c JOIN tot t ON c.d = t.d
+),
+pick AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY d
+                               ORDER BY ucb DESC, arm ASC) AS rn
+  FROM scored
+)
+SELECT strftime(d, '%Y-%m-%d') AS day, arm AS chosen_arm,
+       ucb, CAST(n_i AS BIGINT) AS n_arm, CAST(n AS BIGINT) AS n_total
+FROM pick WHERE rn = 1
+"""
+
+
+@query(
+    "events_ucb1_arm_selection",
+    _UCB_ORACLE,
+    doc="UCB1 bandit replay: per-day cumulative mean + exploration "
+    "bonus per event-type arm, argmax selection with arm tiebreak.",
+)
+def events_ucb1_arm_selection(spark, sf_dir):
+    """UCB1 multi-armed-bandit replay — which arm the
+    optimism-under-uncertainty policy would pick each day, given the
+    history so far: score_i = mean_i + sqrt(2 ln n / n_i) over the
+    per-arm cumulative value means. The ln is snapped to integer
+    micro-nats before the sqrt (one rounding point, same on both
+    engines); counts and cent sums are exact integers from ONE daily
+    aggregation pass, cumulated by arm-partitioned windows (the day
+    total needs no window at all — it is the sum of the per-arm
+    cumulatives regrouped by day). Argmax per day with arm tiebreak.
+    The fact scan happens once; everything after is the
+    days x arms grid."""
+    e = load(spark, sf_dir, "events")["events"]
+    daily = e.groupBy(
+        F.to_date("ts").alias("d"), F.col("event_type").alias("arm")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    wa = (
+        Window.partitionBy("arm")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = daily.select(
+        "d",
+        "arm",
+        F.sum("n").over(wa).alias("n_i"),
+        F.sum("cents").over(wa).alias("cents_i"),
+    )
+    tot = cum.groupBy("d").agg(F.sum("n_i").alias("n"))
+    ln_micro = F.round(F.log(F.col("n").cast("double")) * 1000000).cast("long")
+    scored = cum.join(tot, "d").select(
+        "d",
+        "arm",
+        "n_i",
+        "n",
+        F.round(
+            F.col("cents_i") / (100.0 * F.col("n_i"))
+            + F.sqrt(2.0 * ln_micro / 1000000.0 / F.col("n_i")),
+            6,
+        ).alias("ucb"),
+    )
+    wp = Window.partitionBy("d").orderBy(F.col("ucb").desc(), F.col("arm").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") == 1)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("arm").alias("chosen_arm"),
+            "ucb",
+            F.col("n_i").cast("long").alias("n_arm"),
+            F.col("n").cast("long").alias("n_total"),
+        )
+    )

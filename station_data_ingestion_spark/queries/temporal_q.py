@@ -974,3 +974,114 @@ def ts_holt_linear_bounded_backtest(spark, sf_dir):
             "abs_err"
         ),
     )
+
+
+_CONF_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders
+  WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
+  GROUP BY 1
+),
+fc AS (
+  SELECT d, cents, LAG(cents, 7) OVER (ORDER BY d) AS pred FROM daily
+),
+cal AS (
+  SELECT ABS(cents - pred) AS r FROM fc
+  WHERE pred IS NOT NULL AND d < DATE '1997-07-01'
+),
+ranked AS (
+  SELECT r, ROW_NUMBER() OVER (ORDER BY r, r) AS rk,
+         COUNT(*) OVER () AS n_cal
+  FROM cal
+),
+qh AS (
+  SELECT r AS q_hat, n_cal FROM ranked
+  WHERE rk = CAST(CEIL((n_cal + 1) * 0.9) AS BIGINT)
+),
+test AS (
+  SELECT ABS(cents - pred) AS r FROM fc
+  WHERE pred IS NOT NULL AND d >= DATE '1997-07-01'
+)
+SELECT CAST(q.n_cal AS BIGINT) AS n_cal,
+       CAST(q.q_hat AS BIGINT) AS q_hat_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(COUNT(*) FILTER (WHERE t.r <= q.q_hat) AS BIGINT) AS n_covered,
+       ROUND(COUNT(*) FILTER (WHERE t.r <= q.q_hat) * 1.0 / COUNT(*), 6)
+         AS coverage
+FROM test t CROSS JOIN qh q GROUP BY q.n_cal, q.q_hat
+"""
+
+
+@query(
+    "ts_conformal_interval_backtest",
+    _CONF_ORACLE,
+    doc="Split-conformal prediction interval around a seasonal-naive "
+    "forecast: exact order-statistic quantile on the calibration "
+    "half, coverage audit on the test half.",
+)
+def ts_conformal_interval_backtest(spark, sf_dir):
+    """SPLIT-CONFORMAL prediction intervals — the
+    distribution-free way to attach a calibrated interval to ANY point
+    forecast: the 90% interval half-width q_hat is the
+    ceil((n+1)*0.9)-th smallest absolute residual on a held-out
+    calibration window (an exact ORDER STATISTIC, no distributional
+    assumption), and the test-window coverage audits the guarantee
+    (>= 90% by exchangeability). Forecaster here: seasonal-naive
+    lag-7 over the 1997 daily revenue series. Every quantity is an
+    exact integer (cent residuals, rank positions); the single
+    division is the final coverage ratio. All windows run over the
+    calendar-bounded post-aggregation daily series; the one-row q_hat
+    broadcasts onto the test residuals."""
+    o = load(spark, sf_dir, "orders")["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    )
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    wd = Window.orderBy("d")
+    fc = daily.select(
+        "d", "cents", F.lag("cents", 7).over(wd).alias("pred")
+    ).where(F.col("pred").isNotNull())
+    split = F.lit("1997-07-01").cast("date")
+    cal = fc.where(F.col("d") < split).select(
+        F.abs(F.col("cents") - F.col("pred")).alias("r")
+    )
+    wr = Window.orderBy("r", "r")
+    ranked = cal.select(
+        "r",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_cal"),
+    )
+    qh = ranked.where(
+        F.col("rk") == F.ceil((F.col("n_cal") + 1) * 0.9).cast("long")
+    ).select(F.col("r").alias("q_hat"), "n_cal")
+    test = fc.where(F.col("d") >= split).select(
+        F.abs(F.col("cents") - F.col("pred")).alias("r")
+    )
+    return (
+        test.crossJoin(F.broadcast(qh))
+        .groupBy("n_cal", "q_hat")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.count(F.when(F.col("r") <= F.col("q_hat"), 1))
+            .cast("long")
+            .alias("n_covered"),
+        )
+        .select(
+            F.col("n_cal").cast("long").alias("n_cal"),
+            F.col("q_hat").cast("long").alias("q_hat_cents"),
+            "n_test",
+            "n_covered",
+            F.round(F.col("n_covered") * 1.0 / F.col("n_test"), 6).alias(
+                "coverage"
+            ),
+        )
+    )

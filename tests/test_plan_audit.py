@@ -82,6 +82,8 @@ CROSS_JOIN_OK = {
     # broadcast attached to the one-row CI order-statistics frame
     "text_pmi_collocations",  # one-row corpus-token-total broadcast
     # against the frequent-bigram table
+    "ts_conformal_interval_backtest",  # one-row q_hat order-statistic
+    # broadcast over the test-window residuals
     "text_good_turing_smoothing",  # one-row corpus-token-total broadcast
     # over the <=6-row count-of-counts histogram
     "sample_neyman_allocation",  # one-row total-weight broadcast over
@@ -157,6 +159,9 @@ GLOBAL_WINDOW_OK = {
     # maxima (~25 rows, bounded by the price range); every window over
     # raw parts is partitioned by bucket or price
     "sort_pareto_frontier_parts",
+    # ts_conformal_interval_backtest: lag-7 + residual ranking over the
+    # calendar-bounded post-aggregation daily series (<=365 rows)
+    "ts_conformal_interval_backtest",
     # stats_sprt_sequential_test: the LLR walk is cumulative over the
     # post-aggregation DAILY series (calendar-bounded, <=2.6k rows at
     # any SF), never the event fact table
