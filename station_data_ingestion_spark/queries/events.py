@@ -1385,3 +1385,218 @@ def events_ucb1_arm_selection(spark, sf_dir):
             F.col("n").cast("long").alias("n_total"),
         )
     )
+
+
+_MK_CHANNELS = ("click", "error", "signup", "view")
+_MK_K = 20  # fixed value-iteration depth (documented truncation)
+
+
+def _markov_oracle() -> str:
+    drops = "\n  UNION ALL\n".join(
+        f"""  SELECT 'drop_{c}' AS variant, s,
+         CASE WHEN t = '{c}' THEN 'null' ELSE t END AS t,
+         SUM(p) AS p
+  FROM pm_full WHERE s <> '{c}' GROUP BY 1, 2, 3"""
+        for c in _MK_CHANNELS
+    )
+    head = f"""
+WITH ev AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+fp AS (
+  SELECT user_id, MIN(rn) AS prn FROM ev
+  WHERE event_type = 'purchase' GROUP BY 1
+),
+j AS MATERIALIZED (
+  SELECT e.user_id, e.event_type, e.rn, f.prn IS NOT NULL AS conv
+  FROM ev e LEFT JOIN fp f USING (user_id)
+  WHERE f.prn IS NULL OR e.rn < f.prn
+),
+alltr AS (
+  SELECT 'start' AS s, event_type AS t FROM j WHERE rn = 1
+  UNION ALL
+  SELECT 'start', 'conv' FROM fp WHERE prn = 1
+  UNION ALL
+  SELECT s, t FROM (
+    SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY rn) AS s,
+           event_type AS t
+    FROM j) WHERE s IS NOT NULL
+  UNION ALL
+  SELECT s, t FROM (
+    SELECT event_type AS s,
+           CASE WHEN conv THEN 'conv' ELSE 'null' END AS t,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn DESC) AS re
+    FROM j) WHERE re = 1
+),
+cm AS (SELECT s, t, CAST(COUNT(*) AS BIGINT) AS c FROM alltr GROUP BY 1, 2),
+outd AS (SELECT s, SUM(c) AS o FROM cm GROUP BY 1),
+pm_full AS (
+  SELECT 'full' AS variant, cm.s, cm.t, (cm.c * 1000000) // outd.o AS p
+  FROM cm JOIN outd ON cm.s = outd.s
+),
+pm AS MATERIALIZED (
+  SELECT variant, s, t, p FROM pm_full
+  UNION ALL
+{drops}
+),
+v0 AS MATERIALIZED (
+  SELECT DISTINCT variant, s, CAST(0 AS BIGINT) AS v FROM pm
+)"""
+    steps = []
+    for k in range(1, _MK_K + 1):
+        steps.append(f""",
+v{k} AS MATERIALIZED (
+  SELECT m.variant, m.s,
+         SUM(m.p * CASE WHEN m.t = 'conv' THEN 1000000
+                        WHEN m.t = 'null' THEN 0
+                        ELSE COALESCE(v.v, 0) END) // 1000000 AS v
+  FROM pm m LEFT JOIN v{k - 1} v ON v.variant = m.variant AND v.s = m.t
+  GROUP BY m.variant, m.s
+)""")
+    tail = f""",
+res AS (
+  SELECT REPLACE(d.variant, 'drop_', '') AS channel,
+         f.v AS p_full_micro, d.v AS p_drop_micro,
+         GREATEST(CAST(0 AS BIGINT),
+                  1000000 - (d.v * 1000000) // f.v) AS removal_micro
+  FROM v{_MK_K} d
+  JOIN v{_MK_K} f ON f.variant = 'full' AND f.s = 'start'
+  WHERE d.s = 'start' AND d.variant <> 'full'
+),
+tot AS (SELECT SUM(removal_micro) AS tr FROM res)
+SELECT channel,
+       CAST(p_full_micro AS BIGINT) AS p_full_micro,
+       CAST(p_drop_micro AS BIGINT) AS p_drop_micro,
+       CAST(removal_micro AS BIGINT) AS removal_micro,
+       CAST(CASE WHEN tot.tr = 0 THEN 0
+                 ELSE (removal_micro * 1000000) // tot.tr END AS BIGINT)
+         AS share_ppm
+FROM res, tot"""
+    return head + "".join(steps) + tail
+
+
+@query(
+    "events_markov_removal_attribution",
+    _markov_oracle(),
+    doc="Markov-chain attribution: removal effect per channel from a "
+    "20-step exact-integer value iteration over the journey chain.",
+)
+def events_markov_removal_attribution(spark, sf_dir):
+    """MARKOV-CHAIN ATTRIBUTION (removal effects) — the principled
+    multi-touch alternative to last-click: user journeys (event
+    sequences up to first purchase) define a transition matrix over
+    channel states plus start/conv/null absorbers; each channel's
+    credit is how much the start->conv absorption probability DROPS
+    when that channel's state is removed (its inbound mass redirected
+    to null). Absorption probabilities come from a fixed 20-step value
+    iteration in exact micro-integer arithmetic (documented
+    truncation of the infinite-horizon solve; probabilities and
+    iteration identical on both engines — the oracle unrolls the same
+    20 steps as CTE layers). Scale split: journey extraction and
+    transition counting are the distributed part (two user-partitioned
+    windows + one aggregation over the fact table); the chain itself
+    is ENUM-BOUNDED (<= 8 states x 5 variants), so the value iteration
+    runs on collected metadata — the same bounded-state pattern as the
+    sketch folds. Outputs are all integers (micro-probabilities, ppm
+    shares): no float crosses the engine boundary."""
+    e = load(spark, sf_dir, "events")["events"]
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = e.select(
+        "user_id", "event_type", F.row_number().over(wu).alias("rn")
+    )
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("prn"))
+    )
+    j = (
+        ev.join(fp, "user_id", "left")
+        .where(F.col("prn").isNull() | (F.col("rn") < F.col("prn")))
+        .select(
+            "user_id", "event_type", "rn", F.col("prn").isNotNull().alias("conv")
+        )
+    )
+    wj = Window.partitionBy("user_id").orderBy("rn")
+    wl = Window.partitionBy("user_id").orderBy(F.col("rn").desc())
+    firsts = j.where(F.col("rn") == 1).select(
+        F.lit("start").alias("s"), F.col("event_type").alias("t")
+    )
+    direct = fp.where(F.col("prn") == 1).select(
+        F.lit("start").alias("s"), F.lit("conv").alias("t")
+    )
+    mids = (
+        j.withColumn("prev", F.lag("event_type").over(wj))
+        .where(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("s"), F.col("event_type").alias("t"))
+    )
+    lasts = (
+        j.withColumn("re", F.row_number().over(wl))
+        .where(F.col("re") == 1)
+        .select(
+            F.col("event_type").alias("s"),
+            F.when(F.col("conv"), F.lit("conv")).otherwise(F.lit("null")).alias("t"),
+        )
+    )
+    cm_rows = (
+        firsts.unionByName(direct)
+        .unionByName(mids)
+        .unionByName(lasts)
+        .groupBy("s", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()  # enum-bounded: <= (|channels|+1)^2 + absorber edges
+    )
+    # --- driver-side exact-integer chain math over the tiny matrix ---
+    counts: dict = {}
+    for r in cm_rows:
+        counts[(r["s"], r["t"])] = int(r["c"])
+    outd: dict = {}
+    for (s, _t), c in counts.items():
+        outd[s] = outd.get(s, 0) + c
+    pm: dict = {}
+    full = {(s, t): (c * 1000000) // outd[s] for (s, t), c in counts.items()}
+    pm["full"] = full
+    for ch in _MK_CHANNELS:
+        dropped: dict = {}
+        for (s, t), p in full.items():
+            if s == ch:
+                continue
+            t2 = "null" if t == ch else t
+            dropped[(s, t2)] = dropped.get((s, t2), 0) + p
+        pm[f"drop_{ch}"] = dropped
+
+    def absorb(mat: dict) -> dict:
+        states = {s for s, _ in mat}
+        v = {s: 0 for s in states}
+        for _ in range(_MK_K):
+            nv = {}
+            for s in states:
+                acc = 0
+                for (ss, t), p in mat.items():
+                    if ss != s:
+                        continue
+                    val = 1000000 if t == "conv" else 0 if t == "null" else v.get(t, 0)
+                    acc += p * val
+                nv[s] = acc // 1000000
+            v = nv
+        return v
+
+    p_start = {var: absorb(mat).get("start", 0) for var, mat in pm.items()}
+    p_full = p_start["full"]
+    res = []
+    for ch in _MK_CHANNELS:
+        pd = p_start[f"drop_{ch}"]
+        rem = max(0, 1000000 - (pd * 1000000) // p_full)
+        res.append((ch, p_full, pd, rem))
+    tr = sum(r[3] for r in res)
+    out = [
+        (ch, pf, pd, rem, 0 if tr == 0 else (rem * 1000000) // tr)
+        for ch, pf, pd, rem in res
+    ]
+    return spark.createDataFrame(
+        out,
+        "channel string, p_full_micro long, p_drop_micro long, "
+        "removal_micro long, share_ppm long",
+    )

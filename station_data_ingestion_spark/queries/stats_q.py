@@ -2996,3 +2996,104 @@ def sample_neyman_allocation(spark, sf_dir):
         .where(F.col("rk") <= F.col("k_alloc"))
         .select("stratum", "k_alloc", "o_orderkey", "rk")
     )
+
+
+_PCORR_ORACLE = """
+WITH q AS (
+  SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS z
+  FROM lineitem
+),
+m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(z AS HUGEINT)) AS DOUBLE) AS sz,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(z AS HUGEINT) * z) AS DOUBLE) AS szz,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x AS HUGEINT) * z) AS DOUBLE) AS sxz,
+         CAST(SUM(CAST(y AS HUGEINT) * z) AS DOUBLE) AS syz
+  FROM q
+),
+r AS (
+  SELECT n,
+         (n * sxy - sx * sy)
+           / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS rxy,
+         (n * sxz - sx * sz)
+           / sqrt((n * sxx - sx * sx) * (n * szz - sz * sz)) AS rxz,
+         (n * syz - sy * sz)
+           / sqrt((n * syy - sy * sy) * (n * szz - sz * sz)) AS ryz
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(rxy, 6) AS r_xy, ROUND(rxz, 6) AS r_xz,
+       ROUND(ryz, 6) AS r_yz,
+       ROUND((rxy - rxz * ryz)
+             / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 6) AS r_xy_given_z
+FROM r
+"""
+
+
+@query(
+    "stats_partial_correlation",
+    _PCORR_ORACLE,
+    doc="First-order partial correlation r_xy.z (quantity~price "
+    "controlling for discount) from one pass of exact integer moments.",
+)
+def stats_partial_correlation(spark, sf_dir):
+    """Partial correlation — the dependence between quantity and
+    extended price once discount is CONTROLLED FOR:
+    r_xy.z = (r_xy - r_xz r_yz) / sqrt((1-r_xz^2)(1-r_yz^2)). One
+    aggregation pass of nine exact integer raw moments (associative,
+    partition-independent), then a fixed IEEE expression — same family
+    as the correlation matrix, extended to the confounder-adjusted
+    coefficient every observational analysis actually needs."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    q = li.select(
+        F.round("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("z"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = q.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec("x")).cast("double").alias("sx"),
+        F.sum(dec("y")).cast("double").alias("sy"),
+        F.sum(dec("z")).cast("double").alias("sz"),
+        F.sum(dec("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(dec("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(dec("z") * F.col("z")).cast("double").alias("szz"),
+        F.sum(dec("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(dec("x") * F.col("z")).cast("double").alias("sxz"),
+        F.sum(dec("y") * F.col("z")).cast("double").alias("syz"),
+    )
+    corr = lambda sab, sa, sb, saa, sbb: (  # noqa: E731
+        (F.col("n") * F.col(sab) - F.col(sa) * F.col(sb))
+        / F.sqrt(
+            (F.col("n") * F.col(saa) - F.col(sa) * F.col(sa))
+            * (F.col("n") * F.col(sbb) - F.col(sb) * F.col(sb))
+        )
+    )
+    r = m.select(
+        "n",
+        corr("sxy", "sx", "sy", "sxx", "syy").alias("rxy"),
+        corr("sxz", "sx", "sz", "sxx", "szz").alias("rxz"),
+        corr("syz", "sy", "sz", "syy", "szz").alias("ryz"),
+    )
+    return r.select(
+        F.col("n").cast("long").alias("n"),
+        F.round("rxy", 6).alias("r_xy"),
+        F.round("rxz", 6).alias("r_xz"),
+        F.round("ryz", 6).alias("r_yz"),
+        F.round(
+            (F.col("rxy") - F.col("rxz") * F.col("ryz"))
+            / F.sqrt(
+                (1 - F.col("rxz") * F.col("rxz"))
+                * (1 - F.col("ryz") * F.col("ryz"))
+            ),
+            6,
+        ).alias("r_xy_given_z"),
+    )
