@@ -135,6 +135,18 @@ HEADLINE = [
     "stats_isotonic_regression_pava",
     "text_rake_keyphrases",
     "sim_pq_adc_topk",
+    # r8 continuation-session flagship additions: the KMV distinct
+    # sketch (partials-only shuffle), Markov removal-effect attribution
+    # (two user windows + transition agg + enum-bounded driver chain),
+    # multinomial naive Bayes (two token aggregations + vocab-broadcast
+    # scoring), and ALS half-step user factors (ratings agg + integer
+    # normal equations). The other new stats/sampling queries stay
+    # gate-only: sub-second post-aggregation shapes already represented
+    # by their families.
+    "sketch_kmv_distinct_union",
+    "events_markov_removal_attribution",
+    "ml_naive_bayes_lang_confusion",
+    "ml_als_user_factors_k2",
 ]
 
 
