@@ -510,6 +510,19 @@ def bench_scale_probe(spark, sf_dir, timings: dict[str, float], k: int = 10) -> 
             "snapshot_row_tracking_read",
             "stats_isotonic_regression_pava",
             "sim_pq_adc_topk",
+            # continuation-session heavy families: KMV (the 10x replica
+            # SATURATES the k=4096 sketch -- this times the estimator
+            # path, partial state stays k-bounded), Markov attribution
+            # (transition counting scales with events; the chain stays
+            # enum-bounded), naive Bayes (vocab x10 via the per-replica
+            # word salt -- the broadcast model table grows linearly but
+            # stays tiny), ALS (per-user rating rows x10; distinct
+            # (u,i) pairs saturate at users x items, so sub-linear
+            # readings are benign)
+            "sketch_kmv_distinct_union",
+            "events_markov_removal_attribution",
+            "ml_naive_bayes_lang_confusion",
+            "ml_als_user_factors_k2",
         ):
             if not isinstance(timings.get(name), float):
                 if name not in QUERIES:
