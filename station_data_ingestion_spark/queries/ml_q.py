@@ -521,3 +521,218 @@ def ml_als_user_factors_k2(spark, sf_dir):
         .orderBy(F.col("u1").desc(), F.col("custkey").asc())
         .limit(20)
     )
+
+
+_CV_FOLDS = 5
+
+_CV_ORACLE = f"""
+WITH pts AS (
+  SELECT vec_id % {_CV_FOLDS} AS fold, f,
+         CAST(ROUND(emb[f + 1] * {_Q}) AS BIGINT) AS q,
+         CAST(label % 2 AS BIGINT) AS y
+  FROM (SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+               label
+        FROM embeddings),
+       UNNEST(generate_series(0, {_STUMP_FEATS - 1})) AS t(f)
+),
+cells_all AS (
+  SELECT f, q, COUNT(*) AS cnt, SUM(y) AS pos FROM pts GROUP BY 1, 2
+),
+cells_fold AS (
+  SELECT fold, f, q, COUNT(*) AS cnt, SUM(y) AS pos FROM pts GROUP BY 1, 2, 3
+),
+train_cells AS (
+  SELECT k.fold, a.f, a.q,
+         a.cnt - COALESCE(cf.cnt, 0) AS cnt,
+         a.pos - COALESCE(cf.pos, 0) AS pos
+  FROM cells_all a
+  CROSS JOIN (SELECT UNNEST(range({_CV_FOLDS})) AS fold) k
+  LEFT JOIN cells_fold cf
+    ON cf.fold = k.fold AND cf.f = a.f AND cf.q = a.q
+  WHERE a.cnt - COALESCE(cf.cnt, 0) > 0
+),
+tot AS (
+  SELECT fold, f, SUM(cnt) AS n, SUM(pos) AS p FROM train_cells GROUP BY 1, 2
+),
+cum AS (
+  SELECT fold, f, q,
+         SUM(cnt) OVER (PARTITION BY fold, f ORDER BY q) AS nl,
+         SUM(pos) OVER (PARTITION BY fold, f ORDER BY q) AS pl
+  FROM train_cells
+),
+cand AS (
+  SELECT c.fold, c.f, c.q, c.nl, c.pl,
+         t.n - c.nl AS nr, t.p - c.pl AS pr, t.n
+  FROM cum c JOIN tot t ON c.fold = t.fold AND c.f = t.f
+  WHERE c.nl < t.n
+),
+scored AS (
+  SELECT fold, f, q, nl, nr, pl, pr,
+         ROUND((CAST(pl * pl + (nl - pl) * (nl - pl) AS DOUBLE) / nl
+                + CAST(pr * pr + (nr - pr) * (nr - pr) AS DOUBLE) / nr)
+               / n, 9) AS purity
+  FROM cand
+),
+best AS (
+  SELECT fold, f, q,
+         CASE WHEN 2 * pl > nl THEN 1 ELSE 0 END AS pred_left,
+         CASE WHEN 2 * pr > nr THEN 1 ELSE 0 END AS pred_right
+  FROM scored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY fold
+                             ORDER BY purity DESC, f ASC, q ASC) = 1
+),
+eval AS (
+  SELECT p.fold,
+         CASE WHEN (p.q <= b.q AND p.y = b.pred_left)
+                OR (p.q > b.q AND p.y = b.pred_right)
+              THEN 1 ELSE 0 END AS correct
+  FROM pts p JOIN best b ON p.fold = b.fold AND p.f = b.f
+)
+SELECT e.fold AS fold,
+       CAST(b.f AS BIGINT) AS feature, b.q AS threshold_micro,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(e.correct) AS BIGINT) AS n_correct,
+       ROUND(SUM(e.correct) * 1.0 / COUNT(*), 6) AS accuracy
+FROM eval e JOIN best b ON e.fold = b.fold
+GROUP BY e.fold, b.f, b.q
+"""
+
+
+@query(
+    "ml_cv_stump_accuracy",
+    _CV_ORACLE,
+    doc="5-fold cross-validated decision stump: per-fold training "
+    "histograms by INCLUSION-EXCLUSION (all-minus-fold), held-out "
+    "accuracy per fold.",
+)
+def ml_cv_stump_accuracy(spark, sf_dir):
+    """K-FOLD CROSS-VALIDATION as a first-class distributed op,
+    applied to the decision stump: fold-k training counts are derived
+    by INCLUSION-EXCLUSION (global histogram minus fold-k's histogram)
+    — the data is scanned ONCE for all folds instead of once per fold,
+    which is the trick that makes distributed CV affordable (the naive
+    per-fold rescan is k scans). Each fold's best split (same
+    exact-integer Gini argmax as ml_decision_stump_gini, zero-count
+    cells excluded from both engines' candidate sets) then scores its
+    own held-out rows with majority-class leaves; accuracy is the only
+    final double. State: cells x folds, data-bounded like every
+    histogram tree learner."""
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    pts = e.select(
+        (F.col("vec_id") % _CV_FOLDS).alias("fold"),
+        F.posexplode(F.slice(F.col("embedding"), 1, _STUMP_FEATS)).alias(
+            "f", "x"
+        ),
+        (F.col("label") % 2).cast("long").alias("y"),
+    ).select(
+        "fold",
+        "f",
+        F.round(F.col("x").cast("double") * _Q).cast("long").alias("q"),
+        "y",
+    )
+    pts = pts.localCheckpoint(eager=True)  # feeds cells + eval
+    cells_all = pts.groupBy("f", "q").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    )
+    cells_fold = pts.groupBy("fold", "f", "q").agg(
+        F.count(F.lit(1)).alias("cnt_f"), F.sum("y").alias("pos_f")
+    )
+    folds = spark.range(_CV_FOLDS).select(F.col("id").alias("fold"))
+    train = (
+        cells_all.crossJoin(F.broadcast(folds))
+        .join(cells_fold, ["fold", "f", "q"], "left")
+        .select(
+            "fold",
+            "f",
+            "q",
+            (F.col("cnt") - F.coalesce(F.col("cnt_f"), F.lit(0))).alias("cnt"),
+            (F.col("pos") - F.coalesce(F.col("pos_f"), F.lit(0))).alias("pos"),
+        )
+        .where(F.col("cnt") > 0)
+    )
+    tot = train.groupBy("fold", "f").agg(
+        F.sum("cnt").alias("n"), F.sum("pos").alias("p")
+    )
+    w = (
+        Window.partitionBy("fold", "f")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = train.select(
+        "fold",
+        "f",
+        "q",
+        F.sum("cnt").over(w).alias("nl"),
+        F.sum("pos").over(w).alias("pl"),
+    )
+    cand = (
+        cum.join(tot, ["fold", "f"])
+        .withColumn("nr", F.col("n") - F.col("nl"))
+        .withColumn("pr", F.col("p") - F.col("pl"))
+        .where(F.col("nl") < F.col("n"))
+    )
+    purity = F.round(
+        (
+            (
+                F.col("pl") * F.col("pl")
+                + (F.col("nl") - F.col("pl")) * (F.col("nl") - F.col("pl"))
+            ).cast("double")
+            / F.col("nl")
+            + (
+                F.col("pr") * F.col("pr")
+                + (F.col("nr") - F.col("pr")) * (F.col("nr") - F.col("pr"))
+            ).cast("double")
+            / F.col("nr")
+        )
+        / F.col("n"),
+        9,
+    )
+    wb = Window.partitionBy("fold").orderBy(
+        F.col("purity").desc(), F.col("f").asc(), F.col("q").asc()
+    )
+    best = (
+        cand.withColumn("purity", purity)
+        .withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") == 1)
+        .select(
+            "fold",
+            F.col("f").alias("bf"),
+            F.col("q").alias("bq"),
+            F.when(2 * F.col("pl") > F.col("nl"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("pred_left"),
+            F.when(2 * F.col("pr") > F.col("nr"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("pred_right"),
+        )
+    )
+    ev = pts.join(
+        F.broadcast(best),
+        (pts["fold"] == best["fold"]) & (pts["f"] == F.col("bf")),
+    ).select(
+        pts["fold"].alias("fold"),
+        "bf",
+        "bq",
+        F.when(
+            ((F.col("q") <= F.col("bq")) & (F.col("y") == F.col("pred_left")))
+            | ((F.col("q") > F.col("bq")) & (F.col("y") == F.col("pred_right"))),
+            1,
+        )
+        .otherwise(0)
+        .alias("correct"),
+    )
+    return ev.groupBy("fold", "bf", "bq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum("correct").cast("long").alias("n_correct"),
+        F.round(F.sum("correct") * 1.0 / F.count(F.lit(1)), 6).alias(
+            "accuracy"
+        ),
+    ).select(
+        "fold",
+        F.col("bf").cast("long").alias("feature"),
+        F.col("bq").alias("threshold_micro"),
+        "n_test",
+        "n_correct",
+        "accuracy",
+    )

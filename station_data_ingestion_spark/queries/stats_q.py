@@ -3097,3 +3097,214 @@ def stats_partial_correlation(spark, sf_dir):
             6,
         ).alias("r_xy_given_z"),
     )
+
+
+_KAPPA_ORACLE = """
+WITH lab AS (
+  SELECT CASE WHEN value >= 40 THEN 1 ELSE 0 END AS a,
+         CASE WHEN event_type IN ('purchase', 'click') THEN 1 ELSE 0 END
+           AS b
+  FROM events
+),
+cells AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (WHERE a = 1 AND b = 1) AS BIGINT) AS n11,
+         CAST(COUNT(*) FILTER (WHERE a = 1 AND b = 0) AS BIGINT) AS n10,
+         CAST(COUNT(*) FILTER (WHERE a = 0 AND b = 1) AS BIGINT) AS n01,
+         CAST(COUNT(*) FILTER (WHERE a = 0 AND b = 0) AS BIGINT) AS n00
+  FROM lab
+)
+SELECT n, n11, n10, n01, n00,
+       ROUND((1.0 * n * (n11 + n00) - (1.0 * (n11 + n10) * (n11 + n01)
+              + 1.0 * (n01 + n00) * (n10 + n00)))
+             / (1.0 * n * n - (1.0 * (n11 + n10) * (n11 + n01)
+                + 1.0 * (n01 + n00) * (n10 + n00))), 6) AS kappa
+FROM cells
+"""
+
+
+@query(
+    "stats_cohens_kappa",
+    _KAPPA_ORACLE,
+    doc="Cohen's kappa agreement between two derived binary raters "
+    "from one exact contingency pass.",
+)
+def stats_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa — chance-corrected agreement between two raters
+    (here: two derived binary labelings of the same events; in a
+    training-data pipeline, two annotators or a model vs. gold).
+    kappa = (p_o - p_e) / (1 - p_e) computed from the four exact
+    contingency cells of ONE aggregation pass, algebraically cleared
+    of denominators so the only division is the final one (fixed IEEE
+    over exact integers, rounded). Complements McNemar (which tests
+    marginal DISAGREEMENT) with the agreement coefficient itself."""
+    e = load(spark, sf_dir, "events")["events"]
+    lab = e.select(
+        F.when(F.col("value") >= 40, 1).otherwise(0).alias("a"),
+        F.when(F.col("event_type").isin("purchase", "click"), 1)
+        .otherwise(0)
+        .alias("b"),
+    )
+    c = lab.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when((F.col("a") == 1) & (F.col("b") == 1), 1))
+        .cast("long")
+        .alias("n11"),
+        F.count(F.when((F.col("a") == 1) & (F.col("b") == 0), 1))
+        .cast("long")
+        .alias("n10"),
+        F.count(F.when((F.col("a") == 0) & (F.col("b") == 1), 1))
+        .cast("long")
+        .alias("n01"),
+        F.count(F.when((F.col("a") == 0) & (F.col("b") == 0), 1))
+        .cast("long")
+        .alias("n00"),
+    )
+    pe_num = (
+        1.0 * (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        + 1.0 * (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    )
+    return c.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(
+            (1.0 * F.col("n") * (F.col("n11") + F.col("n00")) - pe_num)
+            / (1.0 * F.col("n") * F.col("n") - pe_num),
+            6,
+        ).alias("kappa"),
+    )
+
+
+_GRANGER_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS y,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+lagged AS (
+  SELECT y, LAG(y) OVER (ORDER BY d) AS yl, LAG(x) OVER (ORDER BY d) AS xl
+  FROM daily
+),
+p AS (SELECT y, yl, xl FROM lagged WHERE yl IS NOT NULL),
+m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(yl AS HUGEINT)) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(xl AS HUGEINT)) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(yl AS HUGEINT) * yl) AS DOUBLE) AS s11,
+         CAST(SUM(CAST(xl AS HUGEINT) * xl) AS DOUBLE) AS s22,
+         CAST(SUM(CAST(yl AS HUGEINT) * xl) AS DOUBLE) AS s12,
+         CAST(SUM(CAST(y AS HUGEINT) * yl) AS DOUBLE) AS sy1,
+         CAST(SUM(CAST(y AS HUGEINT) * xl) AS DOUBLE) AS sy2
+  FROM p
+),
+c AS (
+  SELECT n,
+         syy - sy * sy / n AS tss,
+         s11 - s1 * s1 / n AS a11,
+         s22 - s2 * s2 / n AS a22,
+         s12 - s1 * s2 / n AS a12,
+         sy1 - sy * s1 / n AS b1,
+         sy2 - sy * s2 / n AS b2
+  FROM m
+),
+fit AS (
+  SELECT n, tss,
+         b1 * b1 / a11 AS ess_r,
+         (a22 * b1 * b1 - 2 * a12 * b1 * b2 + a11 * b2 * b2)
+           / (a11 * a22 - a12 * a12) AS ess_f
+  FROM c
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       ROUND(ess_r / tss, 6) AS r2_restricted,
+       ROUND(ess_f / tss, 6) AS r2_full,
+       ROUND((ess_f - ess_r) / (tss - ess_f) * (n - 3), 6) AS f_stat
+FROM fit
+"""
+
+
+@query(
+    "ts_granger_lite_orders",
+    _GRANGER_ORACLE,
+    doc="Granger-style lag-1 test: does yesterday's order COUNT "
+    "explain today's revenue beyond yesterday's revenue? Closed-form "
+    "two-regressor OLS from exact moments, F statistic.",
+)
+def ts_granger_lite_orders(spark, sf_dir):
+    """Granger-causality (lite, lag-1): regress today's revenue on
+    yesterday's revenue alone (restricted) and on yesterday's revenue
+    + yesterday's ORDER COUNT (full); the F statistic on the explained
+    sum-of-squares gain says whether the count series carries
+    predictive information beyond revenue's own history — the standard
+    lead-indicator screen. Both fits are CLOSED FORM from one pass of
+    exact integer cross-moments over the lagged daily series (2x2
+    normal equations expanded by Cramer's rule — no iteration, no
+    matrix library), so the only doubles are the final fixed
+    expressions. Windows run over the calendar-bounded post-agg
+    series."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y"),
+        F.count(F.lit(1)).cast("long").alias("x"),
+    )
+    wd = Window.orderBy("d")
+    p = (
+        daily.select(
+            "y",
+            F.lag("y").over(wd).alias("yl"),
+            F.lag("x").over(wd).alias("xl"),
+        )
+        .where(F.col("yl").isNotNull())
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = p.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec("y")).cast("double").alias("sy"),
+        F.sum(dec("yl")).cast("double").alias("s1"),
+        F.sum(dec("xl")).cast("double").alias("s2"),
+        F.sum(dec("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(dec("yl") * F.col("yl")).cast("double").alias("s11"),
+        F.sum(dec("xl") * F.col("xl")).cast("double").alias("s22"),
+        F.sum(dec("yl") * F.col("xl")).cast("double").alias("s12"),
+        F.sum(dec("y") * F.col("yl")).cast("double").alias("sy1"),
+        F.sum(dec("y") * F.col("xl")).cast("double").alias("sy2"),
+    )
+    c = m.select(
+        "n",
+        (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")).alias("tss"),
+        (F.col("s11") - F.col("s1") * F.col("s1") / F.col("n")).alias("a11"),
+        (F.col("s22") - F.col("s2") * F.col("s2") / F.col("n")).alias("a22"),
+        (F.col("s12") - F.col("s1") * F.col("s2") / F.col("n")).alias("a12"),
+        (F.col("sy1") - F.col("sy") * F.col("s1") / F.col("n")).alias("b1"),
+        (F.col("sy2") - F.col("sy") * F.col("s2") / F.col("n")).alias("b2"),
+    )
+    fit = c.select(
+        "n",
+        "tss",
+        (F.col("b1") * F.col("b1") / F.col("a11")).alias("ess_r"),
+        (
+            (
+                F.col("a22") * F.col("b1") * F.col("b1")
+                - 2 * F.col("a12") * F.col("b1") * F.col("b2")
+                + F.col("a11") * F.col("b2") * F.col("b2")
+            )
+            / (F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12"))
+        ).alias("ess_f"),
+    )
+    return fit.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(F.col("ess_r") / F.col("tss"), 6).alias("r2_restricted"),
+        F.round(F.col("ess_f") / F.col("tss"), 6).alias("r2_full"),
+        F.round(
+            (F.col("ess_f") - F.col("ess_r"))
+            / (F.col("tss") - F.col("ess_f"))
+            * (F.col("n") - 3),
+            6,
+        ).alias("f_stat"),
+    )
