@@ -88,6 +88,9 @@ CROSS_JOIN_OK = {
     # over the <=6-row count-of-counts histogram
     "sample_neyman_allocation",  # one-row total-weight broadcast over
     # the 5-row per-stratum allocation table
+    "ml_cv_stump_accuracy",  # 5-row fold-id broadcast cross onto the
+    # value-cell histogram: the inclusion-exclusion trick that scans
+    # the data ONCE for all folds instead of once per fold
     "ml_naive_bayes_lang_confusion",  # class-cardinality-bounded
     # (|langs| rows) prior/floor-constants broadcast cross: every test
     # doc scores against each class by design, same shape as
@@ -162,6 +165,9 @@ GLOBAL_WINDOW_OK = {
     # ts_conformal_interval_backtest: lag-7 + residual ranking over the
     # calendar-bounded post-aggregation daily series (<=365 rows)
     "ts_conformal_interval_backtest",
+    # ts_granger_lite_orders: lag-1 alignment over the calendar-bounded
+    # post-aggregation daily series
+    "ts_granger_lite_orders",
     # stats_sprt_sequential_test: the LLR walk is cumulative over the
     # post-aggregation DAILY series (calendar-bounded, <=2.6k rows at
     # any SF), never the event fact table
