@@ -3308,3 +3308,150 @@ def ts_granger_lite_orders(spark, sf_dir):
             6,
         ).alias("f_stat"),
     )
+
+
+_CAPTURE_ORACLE = """
+WITH s1 AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+),
+s2 AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+),
+cells AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n1,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n2,
+         (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM s1 JOIN s2 USING (user_id)) AS m
+)
+SELECT n1, n2, m,
+       CAST(((n1 + 1) * (n2 + 1)) // (m + 1) - 1 AS BIGINT)
+         AS chapman_estimate,
+       (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+         AS true_population
+FROM cells
+"""
+
+
+@query(
+    "stats_capture_recapture",
+    _CAPTURE_ORACLE,
+    doc="Chapman capture-recapture population estimate from two "
+    "event-type capture occasions, vs the true distinct count.",
+)
+def stats_capture_recapture(spark, sf_dir):
+    """CAPTURE-RECAPTURE population estimation (Chapman's
+    bias-corrected Lincoln-Petersen): treat two event types as capture
+    occasions; users seen in both are the recaptures, and
+    N = (n1+1)(n2+1)/(m+1) - 1 estimates the total population — the
+    classical trick for estimating the size of a set you can only
+    sample (dedup-cluster counts, crawl frontier size, error classes).
+    INTEGER division keeps the estimate engine-exact; the true
+    distinct count rides along so the gate also audits the estimator's
+    bias on this corpus. Plan: two distinct-sets (map-side partial
+    distinct), one semi-overlap count on user_id, zero windows."""
+    e = load(spark, sf_dir, "events")["events"]
+    s1 = e.where(F.col("event_type") == "click").select("user_id").distinct()
+    s2 = e.where(F.col("event_type") == "view").select("user_id").distinct()
+    n1 = s1.count()
+    n2 = s2.count()
+    m = s1.join(s2, "user_id").count()
+    true_pop = e.select("user_id").distinct().count()
+    est = ((n1 + 1) * (n2 + 1)) // (m + 1) - 1
+    return spark.createDataFrame(
+        [(n1, n2, m, est, true_pop)],
+        "n1 long, n2 long, m long, chapman_estimate long, "
+        "true_population long",
+    )
+
+
+_JACK_ORACLE = """
+WITH x AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y,
+         CAST(ROUND(l_quantity) AS BIGINT) AS x
+  FROM lineitem
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(y AS HUGEINT)) AS BIGINT) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT)) AS BIGINT) AS sx
+  FROM x
+),
+loo AS (
+  SELECT t.n,
+         CAST(ROUND((t.sy - x.y) * 1000000000.0 / (t.sx - x.x))
+              AS BIGINT) AS r_nano
+  FROM x CROSS JOIN tot t
+),
+agg AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(CAST(r_nano AS HUGEINT)) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(r_nano AS HUGEINT) * r_nano) AS DOUBLE) AS s2
+  FROM loo GROUP BY n
+)
+SELECT n,
+       ROUND((SELECT sy * 1.0 / sx FROM tot), 9) AS ratio,
+       ROUND(sqrt((n - 1.0) / n * (s2 - s1 * s1 / n)) / 1000000000.0, 9)
+         AS jackknife_se
+FROM agg
+"""
+
+
+@query(
+    "stats_jackknife_ratio_se",
+    _JACK_ORACLE,
+    doc="Jackknife standard error of the revenue/quantity ratio "
+    "estimator: leave-one-out ratios quantized to nano units, one "
+    "variance pass.",
+)
+def stats_jackknife_ratio_se(spark, sf_dir):
+    """JACKKNIFE variance for a NONLINEAR estimator (the ratio
+    price-per-unit = sum(price)/sum(quantity), whose variance no
+    closed form covers): each row's leave-one-out ratio
+    R_i = (S_y - y_i)/(S_x - x_i) comes from broadcasting the two
+    totals back over the scan — the inclusion-exclusion trick that
+    makes all n replicates ONE pass instead of n. Every R_i is the
+    same IEEE division on both engines, quantized to integer nano
+    units BEFORE the variance aggregation (associative), so the
+    jackknife SE sqrt((n-1)/n * sum((R_i - Rbar)^2)) is
+    engine-exact. Deterministic resampling inference without any
+    randomness — complements the md5-seeded bootstrap."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    x = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+        F.round("l_quantity").cast("long").alias("x"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    tot = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec("y")).cast("long").alias("sy"),
+        F.sum(dec("x")).cast("long").alias("sx"),
+    )
+    loo = x.crossJoin(F.broadcast(tot)).select(
+        "n",
+        F.round(
+            (F.col("sy") - F.col("y"))
+            * 1000000000.0
+            / (F.col("sx") - F.col("x"))
+        )
+        .cast("long")
+        .alias("r_nano"),
+        "sy",
+        "sx",
+    )
+    agg = loo.groupBy("n", "sy", "sx").agg(
+        F.sum(dec("r_nano")).cast("double").alias("s1"),
+        F.sum(dec("r_nano") * F.col("r_nano")).cast("double").alias("s2"),
+    )
+    return agg.select(
+        "n",
+        F.round(F.col("sy") * 1.0 / F.col("sx"), 9).alias("ratio"),
+        F.round(
+            F.sqrt(
+                (F.col("n") - 1.0)
+                / F.col("n")
+                * (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            )
+            / 1000000000.0,
+            9,
+        ).alias("jackknife_se"),
+    )

@@ -88,6 +88,9 @@ CROSS_JOIN_OK = {
     # over the <=6-row count-of-counts histogram
     "sample_neyman_allocation",  # one-row total-weight broadcast over
     # the 5-row per-stratum allocation table
+    "stats_jackknife_ratio_se",  # one-row (n, sy, sx) totals broadcast
+    # back over the scan: the inclusion-exclusion trick that makes all
+    # n leave-one-out replicates ONE pass
     "ml_cv_stump_accuracy",  # 5-row fold-id broadcast cross onto the
     # value-cell histogram: the inclusion-exclusion trick that scans
     # the data ONCE for all folds instead of once per fold
