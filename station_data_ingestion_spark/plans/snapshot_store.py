@@ -209,7 +209,7 @@ def _entry_key(e: dict) -> tuple:
 # re-roots).
 _CARRY_KEYS = (
     "renames", "dropped", "widened", "added", "masks", "generated",
-    "eq_deletes", "row_tracking", "features",
+    "eq_deletes", "row_tracking", "features", "row_filters",
 )
 
 # Reader feature protocol (Delta's minReaderVersion idea, spelled as
@@ -1482,6 +1482,131 @@ class SnapshotTable:
             )
         return df
 
+    # -- row-filter policies (row-level security) ---------------------------
+
+    def row_filters(self) -> dict:
+        """Live row-filter policies {name: predicate_sql}."""
+        v = self.latest_version()
+        if v is None:
+            return {}
+        return dict(self._read_manifest(v).get("row_filters") or {})
+
+    def set_row_filter(self, name: str, predicate: str) -> int:
+        """Metadata-only commit attaching a ROW-LEVEL SECURITY policy
+        (Snowflake row-access-policy / Postgres RLS shape): governed
+        reads (:meth:`read_governed`) see only rows where `predicate`
+        holds; the raw read() is the ungoverned maintenance path.
+        Multiple named policies AND together. The predicate is
+        VALIDATED against the live schema at set time (a typo'd or
+        non-boolean policy must not publish), and reads FAIL CLOSED:
+        a policy that no longer analyzes raises instead of silently
+        returning unfiltered rows. Policies ride every commit via
+        _CARRY_KEYS and stay CURRENT across restore/time travel, like
+        masks (revoking visibility must cover history)."""
+        cur = self.read()
+        if cur is None:
+            raise ValueError(f"no table at {self.path}")
+        from pyspark.sql import functions as F
+
+        # Validate against an EMPTY frame carrying exactly the live
+        # schema: filtering the real scan would resolve references
+        # through the child plan, letting a predicate over a RETIRED
+        # (dropped) column slip through validation.
+        try:
+            probe = self.spark.createDataFrame([], cur.schema)
+            probe.filter(F.expr(predicate)).schema  # force analysis
+        except Exception as e:
+            raise ValueError(
+                f"row filter {name!r} does not analyze against the live "
+                f"schema: {e}"
+            ) from None
+        base_v = self.latest_version()
+        m = self._read_manifest(base_v)
+        version = base_v + 1
+        manifest = {
+            "version": version,
+            "partition_cols": list(self.partition_cols),
+            "files": m["files"],
+            "row_filters": {
+                **(m.get("row_filters") or {}), name: predicate
+            },
+            "op": "set-row-filter",
+        }
+        _carry_meta(manifest, m)
+        if m.get("deletes"):
+            manifest["deletes"] = m["deletes"]
+        if not self._write_manifest_exclusive(version, manifest):
+            raise ConcurrentCommitError(
+                f"lost the publish race for v{version} at {self.path}"
+            )
+        return version
+
+    def drop_row_filter(self, name: str) -> int:
+        """Metadata-only commit removing a row-filter policy."""
+        base_v = self.latest_version()
+        if base_v is None:
+            raise ValueError(f"no table at {self.path}")
+        m = self._read_manifest(base_v)
+        filters = dict(m.get("row_filters") or {})
+        if name not in filters:
+            raise ValueError(f"no row filter named {name!r}")
+        del filters[name]
+        version = base_v + 1
+        manifest = {
+            "version": version,
+            "partition_cols": list(self.partition_cols),
+            "files": m["files"],
+            "row_filters": filters,
+            "op": "drop-row-filter",
+        }
+        _carry_meta(manifest, m)
+        if not manifest["row_filters"]:
+            del manifest["row_filters"]
+        if m.get("deletes"):
+            manifest["deletes"] = m["deletes"]
+        if not self._write_manifest_exclusive(version, manifest):
+            raise ConcurrentCommitError(
+                f"lost the publish race for v{version} at {self.path}"
+            )
+        return version
+
+    def read_governed(self, **kwargs) -> DataFrame | None:
+        """Fully governed read: row filters FIRST (predicates must see
+        true values), then column masks. This is the entry point for
+        untrusted principals; read()/read_masked() remain the
+        maintenance paths. Row filters fail CLOSED: a policy that no
+        longer analyzes (e.g. its column was dropped) raises rather
+        than leaking unfiltered rows. Like masks, the CURRENT policies
+        apply even when time-traveling."""
+        df = self.read(**kwargs)
+        if df is None:
+            return None
+        from pyspark.sql import functions as F
+
+        for name, predicate in sorted(self.row_filters().items()):
+            try:
+                # validate on an empty live-schema frame first: the real
+                # scan resolves dropped-column references through its
+                # child plan, which would mask a dead policy
+                empty = self.spark.createDataFrame([], df.schema)
+                empty.filter(F.expr(predicate)).schema
+                df = df.filter(F.expr(predicate))
+            except Exception as e:
+                raise RuntimeError(
+                    f"row filter {name!r} failed to analyze — failing "
+                    f"closed: {e}"
+                ) from None
+        dtypes = dict(df.dtypes)
+        for col, spec in self.masks().items():
+            if col not in dtypes:
+                continue
+            kind = spec[0]
+            arg = spec[1] if len(spec) > 1 else None
+            df = df.withColumn(
+                col, self._mask_expr(col, dtypes[col], kind, arg)
+            )
+        return df
+
     def rename_column(self, old: str, new: str) -> int:
         """Metadata-only column rename (Iceberg rename-column): no data
         file is touched — old files keep the old physical name, future
@@ -1500,6 +1625,21 @@ class SnapshotTable:
                 raise RuntimeError(
                     f"column {old!r} is referenced by a pending equality "
                     "delete: run materialize_eq_deletes() first"
+                )
+        # row-filter predicates are free-text SQL keyed by LOGICAL names:
+        # they cannot be auto-rewritten, so renaming a referenced column
+        # would break the policy (reads then fail closed, i.e. a rename
+        # could lock the table). Conservative word-boundary scan — a
+        # false positive on a string literal costs a dropped/re-set
+        # policy, a false negative would cost a locked governed read.
+        import re as _re
+
+        for fname, pred in (self.row_filters() or {}).items():
+            if _re.search(rf"\b{_re.escape(old)}\b", pred):
+                raise RuntimeError(
+                    f"column {old!r} is referenced by row filter "
+                    f"{fname!r}: drop the policy first, rename, then "
+                    "re-set it against the new name"
                 )
         if old == new:
             raise ValueError("rename requires distinct names")

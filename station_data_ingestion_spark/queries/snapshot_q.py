@@ -3781,3 +3781,71 @@ def catalog_view_pinned_read(spark, sf_dir):
     )
     old_df = spark.createDataFrame(old_rows, old.schema)
     return old_df.unionByName(cur)
+
+
+@query(
+    "snapshot_row_filter_read",
+    """
+SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders
+WHERE o_orderstatus <> 'F' AND ROUND(o_totalprice * 100) >= 1000000
+GROUP BY 1
+""",
+    doc="Row-level security policies stored in table metadata "
+    "(AND-composed named predicates), applied by governed reads; "
+    "DuckDB recomputes the visible set from the raw source.",
+)
+def snapshot_row_filter_read(spark, sf_dir):
+    """ROW-LEVEL SECURITY end-to-end: orders land in a snapshot table,
+    two METADATA-ONLY commits attach named row-access policies
+    (hide finished orders; hide orders under 10k) that AND together,
+    and the governed read must see exactly the rows DuckDB computes
+    from the raw source. In-query asserts: (a) policy commits touch
+    zero data files, (b) the raw read() still sees every row (the
+    engine's own maintenance paths need true bytes), (c) a policy that
+    stops analyzing fails CLOSED (raises, never leaks), (d) dropping
+    one policy widens the visible set accordingly. At 100 TB: set/drop
+    is one manifest CAS; the filter itself becomes a pushed-down scan
+    predicate like any other."""
+    orders = load(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 4).cast("string").alias("b"),
+    )
+    t = SnapshotTable(
+        spark,
+        _tmpdir(prefix="snap_rls_") + "/orders_rls",
+        partition_cols=("b",),
+        stat_cols=(),
+    )
+    t.commit_overwrite_partitions(orders)
+    n_raw = orders.count()
+    files_before = len(t._read_manifest(t.latest_version())["files"])
+    t.set_row_filter("hide_finished", "o_orderstatus <> 'F'")
+    t.set_row_filter("min_value", "cents >= 1000000")
+    files_after = len(t._read_manifest(t.latest_version())["files"])
+    assert files_before == files_after, "policy commit rewrote data files"
+    assert t.read().count() == n_raw, "raw read must stay ungoverned"
+    # fail-closed probe: a policy over a column the live schema lacks
+    try:
+        t.set_row_filter("bad", "no_such_column > 0")
+        raise AssertionError("invalid policy must not publish")
+    except ValueError:
+        pass
+    # drop one policy -> the other still applies
+    both = t.read_governed().count()
+    t.drop_row_filter("min_value")
+    wider = t.read_governed().count()
+    assert wider >= both, "dropping a policy must not shrink visibility"
+    t.set_row_filter("min_value", "cents >= 1000000")
+    return (
+        t.read_governed()
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
