@@ -396,3 +396,49 @@ def source_fixed_width_roundtrip(spark, sf_dir):
         .cast("long")
         .alias("n_null"),
     )
+
+
+def _staged_lineitem_orc(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir, "orc")
+    if key not in _STAGED:
+        li = load(spark, sf_dir, "lineitem")["lineitem"].select(
+            "l_orderkey", "l_linestatus", "l_quantity", "l_extendedprice"
+        )
+        d = tempfile.mkdtemp(prefix="orc_src_")
+        # zlib is ORC's default codec; set it explicitly so the staged
+        # bytes exercise the compressed read path deterministically
+        li.repartition(4).write.option("compression", "zlib").orc(
+            f"{d}/lineitem"
+        )
+        _STAGED[key] = d
+    return f"{_STAGED[key]}/lineitem"
+
+
+@query(
+    "source_orc_roundtrip",
+    """
+SELECT l_linestatus AS status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM lineitem GROUP BY 1
+""",
+)
+def source_orc_roundtrip(spark, sf_dir):
+    """ORC source round-trip: the lineitem slice lands as zlib ORC
+    (the other big columnar format a lake ingests beside parquet) and
+    reads back through Spark's native vectorized ORC reader with
+    filters/pruning intact; the aggregate must match DuckDB on the
+    original parquet — a reader bug (codec, type mapping, null
+    handling) is a gate red. The projection below keeps only 2 of the
+    4 staged columns: ORC's ReadSchema pruning is exercised, not just
+    decoded."""
+    path = _staged_lineitem_orc(spark, sf_dir)
+    df = spark.read.orc(path)
+    return df.groupBy(F.col("l_linestatus").alias("status")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.round("l_quantity").cast("long")).cast("long").alias("qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
