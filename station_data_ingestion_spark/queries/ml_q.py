@@ -736,3 +736,245 @@ def ml_cv_stump_accuracy(spark, sf_dir):
         "n_correct",
         "accuracy",
     )
+
+
+_AUC_ORACLE = f"""
+WITH pts AS (
+  SELECT CAST(ROUND(emb[1] * {_Q}) AS BIGINT) AS s,
+         CAST(label % 2 AS BIGINT) AS y
+  FROM (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+               label
+        FROM embeddings)
+),
+cells AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(y) AS BIGINT) AS pos
+  FROM pts GROUP BY s
+),
+cum AS (
+  SELECT s, cnt, pos, SUM(cnt) OVER (ORDER BY s) AS cum_n FROM cells
+),
+tot AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS n1,
+         CAST(SUM(cnt) - SUM(pos) AS BIGINT) AS n0
+  FROM cells
+),
+r AS (
+  SELECT CAST(SUM(pos * (2 * (cum_n - cnt) + cnt + 1)) AS BIGINT) AS r2
+  FROM cum
+)
+SELECT t.n1, t.n0,
+       CAST(r.r2 - t.n1 * (t.n1 + 1) AS BIGINT) AS auc_num,
+       ROUND(CAST(r.r2 - t.n1 * (t.n1 + 1) AS DOUBLE)
+             / (2.0 * t.n1 * t.n0), 6) AS auc
+FROM r, tot t
+"""
+
+
+@query(
+    "ml_roc_auc_exact",
+    _AUC_ORACLE,
+    doc="Exact tie-corrected ROC AUC via the rank-sum identity "
+    "AUC = (R1 - n1(n1+1)/2)/(n1*n0), doubled ranks keep it integer.",
+)
+def ml_roc_auc_exact(spark, sf_dir):
+    """Exact ROC AUC — the standard classifier-quality number —
+    computed by the rank-sum identity (AUC is the Mann-Whitney U
+    statistic normalized): scores collapse to a value histogram, the
+    tie-corrected average rank of each distinct score is
+    (2*below + count + 1)/2, and doubling clears the fraction so the
+    whole numerator stays an exact integer. The cumulative count comes
+    from the distributed two-phase prefix scan
+    (operators/prefix_sum.py) — NO global window touches the
+    histogram, so the plan survives a score column with billions of
+    distinct values. The only double is the final normalization.
+    Scorer under test: embedding dim 0 against label parity (any score
+    column slots in)."""
+    from station_data_ingestion_spark.operators.prefix_sum import (
+        ordered_prefix_sum,
+    )
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    pts = e.select(
+        F.round(F.col("embedding")[0].cast("double") * _Q)
+        .cast("long")
+        .alias("s"),
+        (F.col("label") % 2).cast("long").alias("y"),
+    )
+    cells = pts.groupBy("s").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    )
+    cum = ordered_prefix_sum(cells, ["s"], "cnt", out_col="cum_n")
+    r = cum.agg(
+        F.sum(
+            F.col("pos")
+            * (2 * (F.col("cum_n") - F.col("cnt")) + F.col("cnt") + 1)
+        )
+        .cast("long")
+        .alias("r2")
+    )
+    tot = cells.agg(
+        F.sum("pos").cast("long").alias("n1"),
+        (F.sum("cnt") - F.sum("pos")).cast("long").alias("n0"),
+    )
+    return (
+        r.crossJoin(F.broadcast(tot))
+        .select(
+            "n1",
+            "n0",
+            (F.col("r2") - F.col("n1") * (F.col("n1") + 1))
+            .cast("long")
+            .alias("auc_num"),
+            F.round(
+                (F.col("r2") - F.col("n1") * (F.col("n1") + 1)).cast("double")
+                / (2.0 * F.col("n1") * F.col("n0")),
+                6,
+            ).alias("auc"),
+        )
+    )
+
+
+_LIFT_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+tc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+hb AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT)
+              % {_FH_BUCKETS} AS BIGINT) AS bucket,
+         CASE WHEN CAST(('0x' || substr(md5(tok), 9, 1)) AS UBIGINT) < 8
+              THEN cnt ELSE -cnt END AS signed_cnt
+  FROM tc
+),
+feat AS (SELECT doc_id, bucket, SUM(signed_cnt) AS f FROM hb GROUP BY 1, 2),
+wt AS (
+  SELECT b AS bucket,
+         CAST(CAST(('0x' || substr(md5('w' || b), 1, 8)) AS UBIGINT)
+              % 2001 AS BIGINT) - 1000 AS w
+  FROM UNNEST(generate_series(0, {_FH_BUCKETS - 1})) AS t(b)
+),
+score AS (
+  SELECT f.doc_id, CAST(SUM(f.f * wt.w) AS BIGINT) AS score,
+         MAX(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS y
+  FROM feat f JOIN wt USING (bucket)
+  JOIN documents d ON d.doc_id = f.doc_id
+  GROUP BY f.doc_id
+),
+ranked AS (
+  SELECT y, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rk,
+         COUNT(*) OVER () AS n, SUM(y) OVER () AS npos
+  FROM score
+),
+dec AS (
+  SELECT ((rk - 1) * 10) // n AS decile,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         MAX(n) AS n, MAX(npos) AS npos
+  FROM ranked GROUP BY 1
+),
+g AS (
+  SELECT decile, n_docs, n_pos,
+         SUM(n_pos) OVER (ORDER BY decile) AS cum_pos,
+         SUM(n_docs) OVER (ORDER BY decile) AS cum_docs,
+         n, npos
+  FROM dec
+)
+SELECT CAST(decile AS BIGINT) AS decile, n_docs, n_pos,
+       CAST(cum_pos AS BIGINT) AS cum_pos,
+       CAST((cum_pos * n * 1000000) // (cum_docs * npos) AS BIGINT)
+         AS lift_ppm
+FROM g
+"""
+
+
+@query(
+    "ml_lift_gains_deciles",
+    _LIFT_ORACLE,
+    doc="Decile lift/gains table for the feature-hash scorer against "
+    "the lang='en' target — integer ppm lift, distributed ranking.",
+)
+def ml_lift_gains_deciles(spark, sf_dir):
+    """LIFT & GAINS table — how model evaluation actually ships in
+    targeting/ranking systems: rank every doc by the (integer)
+    feature-hash score, cut into score deciles, and report each
+    decile's positive concentration vs the base rate as integer ppm
+    lift. The global rank comes from the distributed two-phase prefix
+    scan over (score desc, doc_id) — no single-partition window on the
+    per-doc frame, which GROWS with the corpus (the decile frame the
+    final cumulative window touches is 10 rows, frozen by
+    construction). Everything through the lift is exact integer
+    division."""
+    from station_data_ingestion_spark.operators.prefix_sum import (
+        ordered_prefix_sum,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    tc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    u32 = lambda c, a, n: F.conv(F.substring(F.md5(c), a, n), 16, 10).cast(  # noqa: E731
+        "long"
+    )
+    hb = tc.select(
+        "doc_id",
+        (u32(F.col("tok"), 1, 8) % _FH_BUCKETS).alias("bucket"),
+        F.when(u32(F.col("tok"), 9, 1) < 8, F.col("cnt"))
+        .otherwise(-F.col("cnt"))
+        .alias("signed_cnt"),
+    )
+    feat = hb.groupBy("doc_id", "bucket").agg(F.sum("signed_cnt").alias("f"))
+    wt = spark.range(_FH_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        (u32(F.concat(F.lit("w"), F.col("id")), 1, 8) % 2001 - 1000).alias("w"),
+    )
+    score = (
+        feat.join(F.broadcast(wt), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("f") * F.col("w")).cast("long").alias("score"))
+        .join(
+            d.select(
+                "doc_id",
+                F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+            ),
+            "doc_id",
+        )
+        .withColumn("neg", -F.col("score"))
+    )
+    ranked = ordered_prefix_sum(
+        score, ["neg", "doc_id"], F.lit(1), out_col="rk"
+    )
+    # corpus totals: one-row broadcast (n docs, n positives)
+    tot = score.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("npos"),
+    )
+    dec = (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn("decile", F.expr("(rk - 1) * 10 div n"))
+        .groupBy("decile", "n", "npos")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("y").cast("long").alias("n_pos"),
+        )
+    )
+    wd = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    g = dec.select(
+        "decile",
+        "n_docs",
+        "n_pos",
+        F.sum("n_pos").over(wd).alias("cum_pos"),
+        F.sum("n_docs").over(wd).alias("cum_docs"),
+        "n",
+        "npos",
+    )
+    return g.select(
+        F.col("decile").cast("long").alias("decile"),
+        "n_docs",
+        "n_pos",
+        F.col("cum_pos").cast("long").alias("cum_pos"),
+        F.expr("cum_pos * n * 1000000 div (cum_docs * npos)")
+        .cast("long")
+        .alias("lift_ppm"),
+    )

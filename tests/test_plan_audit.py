@@ -88,6 +88,10 @@ CROSS_JOIN_OK = {
     # over the <=6-row count-of-counts histogram
     "sample_neyman_allocation",  # one-row total-weight broadcast over
     # the 5-row per-stratum allocation table
+    "ml_roc_auc_exact",  # one-row (n1, n0) class-totals broadcast onto
+    # the one-row rank-sum aggregate
+    "ml_lift_gains_deciles",  # one-row (n, npos) corpus-totals broadcast
+    # onto the ranked stream for decile assignment
     "stats_jackknife_ratio_se",  # one-row (n, sy, sx) totals broadcast
     # back over the scan: the inclusion-exclusion trick that makes all
     # n leave-one-out replicates ONE pass
@@ -168,6 +172,10 @@ GLOBAL_WINDOW_OK = {
     # ts_conformal_interval_backtest: lag-7 + residual ranking over the
     # calendar-bounded post-aggregation daily series (<=365 rows)
     "ts_conformal_interval_backtest",
+    # ml_lift_gains_deciles: the final cumulative-gains window runs over
+    # the DECILE frame (10 rows by construction); the per-doc ranking
+    # itself goes through operators/prefix_sum.py, never a global window
+    "ml_lift_gains_deciles",
     # ts_granger_lite_orders: lag-1 alignment over the calendar-bounded
     # post-aggregation daily series
     "ts_granger_lite_orders",
