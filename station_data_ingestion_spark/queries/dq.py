@@ -806,3 +806,79 @@ def dq_expectation_suite_report(spark, sf_dir):
         },
     ]
     return evaluate_expectations(o, rules)
+
+
+_FD_ORACLE = """
+WITH denorm AS (
+  SELECT o_custkey, c_name, c_nationkey,
+         CAST(o_orderdate AS DATE) AS od
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+fd1 AS (
+  SELECT 'o_custkey->c_name' AS fd,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(COUNT(*) FILTER (WHERE nv > 1) AS BIGINT) AS n_violating
+  FROM (SELECT o_custkey, COUNT(DISTINCT c_name) AS nv
+        FROM denorm GROUP BY 1)
+),
+fd2 AS (
+  SELECT 'o_custkey->c_nationkey' AS fd,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(COUNT(*) FILTER (WHERE nv > 1) AS BIGINT) AS n_violating
+  FROM (SELECT o_custkey, COUNT(DISTINCT c_nationkey) AS nv
+        FROM denorm GROUP BY 1)
+),
+fd3 AS (
+  SELECT 'o_custkey->order_date' AS fd,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(COUNT(*) FILTER (WHERE nv > 1) AS BIGINT) AS n_violating
+  FROM (SELECT o_custkey, COUNT(DISTINCT od) AS nv
+        FROM denorm GROUP BY 1)
+)
+SELECT * FROM fd1 UNION ALL SELECT * FROM fd2 UNION ALL SELECT * FROM fd3
+"""
+
+
+@query(
+    "dq_functional_dependency_audit",
+    _FD_ORACLE,
+    doc="Functional-dependency audit over a denormalized join: keys "
+    "whose dependent takes >1 distinct value violate the FD.",
+)
+def dq_functional_dependency_audit(spark, sf_dir):
+    """FUNCTIONAL-DEPENDENCY audit — the denormalization-drift check:
+    in a flattened orders x customer frame, `o_custkey -> c_name` and
+    `-> c_nationkey` MUST hold (violations mean the join or an SCD
+    backfill corrupted the denorm), while `-> order_date` is expected
+    to fail for any repeat customer — auditing a known-false FD keeps
+    the checker honest (an auditor that never fires is untested). One
+    pass per FD over the same shuffled key: countDistinct per key,
+    count of keys with >1. At 100 TB each FD is one map-side-combined
+    aggregation; the three share the join scan."""
+    t = load(spark, sf_dir, "orders", "customer")
+    denorm = (
+        t["orders"]
+        .select("o_custkey", F.col("o_orderdate").cast("date").alias("od"))
+        .join(
+            t["customer"].select(
+                F.col("c_custkey"), "c_name", "c_nationkey"
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    def fd(name, dep):
+        per_key = denorm.groupBy("o_custkey").agg(
+            F.countDistinct(dep).alias("nv")
+        )
+        return per_key.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.count(F.when(F.col("nv") > 1, 1)).cast("long").alias(
+                "n_violating"
+            ),
+        )
+    return (
+        fd("o_custkey->c_name", "c_name")
+        .unionByName(fd("o_custkey->c_nationkey", "c_nationkey"))
+        .unionByName(fd("o_custkey->order_date", "od"))
+    )

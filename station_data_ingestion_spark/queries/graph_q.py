@@ -913,3 +913,69 @@ def graph_personalized_pagerank(spark, sf_dir):
             ).alias("rank"),
         )
     return rank
+
+
+@query(
+    "graph_mean_aggregation_layer",
+    _COPURCHASE_EDGES_SQL
+    + """,
+adj AS (
+  SELECT a AS u, b AS w FROM e UNION ALL SELECT b, a FROM e
+),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY u),
+agg AS (
+  SELECT adj.u AS node,
+         CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+         CAST(SUM(nd.d) AS BIGINT) AS neigh_deg_sum,
+         (SUM(nd.d) * 1000000) // COUNT(*) AS mean_micro
+  FROM adj JOIN deg nd ON adj.w = nd.u
+  GROUP BY adj.u
+)
+SELECT a.node, d.d AS own_degree, a.n_neighbors, a.neigh_deg_sum,
+       CAST(a.mean_micro AS BIGINT) AS neigh_deg_mean_micro
+FROM agg a JOIN deg d ON a.node = d.u
+ORDER BY a.neigh_deg_sum DESC, a.node ASC LIMIT 25
+""",
+    doc="One mean-aggregation message-passing layer (GraphSAGE shape): "
+    "each node averages its neighbors' degree feature; integer micro "
+    "mean.",
+)
+def graph_mean_aggregation_layer(spark, sf_dir):
+    """One MESSAGE-PASSING layer (the GraphSAGE-mean shape that
+    underlies GNN feature pipelines): every node aggregates its
+    neighbors' feature — here the degree, the canonical structural
+    feature — by mean. On Spark this is exactly one edge-to-feature
+    join plus one destination aggregation, the same two-shuffle
+    skeleton as a PageRank iteration; stacking L layers = L of these.
+    The mean is integer micro-division (exact on both engines); output
+    is the top-25 nodes by aggregate with node tiebreak. Feature
+    vectors beyond scalars ride the same plan with array columns
+    (F.aggregate elementwise sums)."""
+    e = _copurchase_edges(spark, sf_dir)
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("w")).unionByName(
+        e.select(F.col("b").alias("u"), F.col("a").alias("w"))
+    ).localCheckpoint(eager=True)
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    nd = deg.select(F.col("u").alias("w"), F.col("d").alias("wd"))
+    agg = (
+        adj.join(nd, "w")
+        .groupBy("u")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+            F.sum("wd").cast("long").alias("neigh_deg_sum"),
+        )
+    )
+    return (
+        agg.join(deg, "u")
+        .select(
+            F.col("u").alias("node"),
+            F.col("d").alias("own_degree"),
+            "n_neighbors",
+            "neigh_deg_sum",
+            F.expr("neigh_deg_sum * 1000000 div n_neighbors")
+            .cast("long")
+            .alias("neigh_deg_mean_micro"),
+        )
+        .orderBy(F.col("neigh_deg_sum").desc(), F.col("node").asc())
+        .limit(25)
+    )
