@@ -3455,3 +3455,236 @@ def stats_jackknife_ratio_se(spark, sf_dir):
             9,
         ).alias("jackknife_se"),
     )
+
+
+_WILCOXON_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(SUM(CASE WHEN event_type = 'click'
+                       THEN CAST(ROUND(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN event_type = 'view'
+                       THEN CAST(ROUND(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS b
+  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+),
+diffs AS (
+  SELECT a - b AS dv, ABS(a - b) AS ad FROM daily WHERE a <> b
+),
+cells AS (
+  SELECT ad, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(COUNT(*) FILTER (WHERE dv > 0) AS BIGINT) AS pos
+  FROM diffs GROUP BY ad
+),
+cum AS (
+  SELECT ad, cnt, pos, SUM(cnt) OVER (ORDER BY ad) AS cum_n FROM cells
+),
+w AS (
+  SELECT CAST(SUM(pos * (2 * (cum_n - cnt) + cnt + 1)) AS BIGINT) AS w2,
+         CAST(SUM(cnt) AS BIGINT) AS n
+  FROM cum
+)
+SELECT n, CAST(w2 AS BIGINT) AS w_plus_x2,
+       ROUND((w2 - n * (n + 1) / 2.0 * 1.0)
+             / sqrt(n * (n + 1) * (2 * n + 1) / 6.0 * 1.0), 6) AS z
+FROM w
+"""
+
+
+@query(
+    "stats_wilcoxon_signed_rank",
+    _WILCOXON_ORACLE,
+    doc="Wilcoxon signed-rank test on paired daily click vs view "
+    "totals: doubled tie-corrected ranks keep W+ an exact integer.",
+)
+def stats_wilcoxon_signed_rank(spark, sf_dir):
+    """Wilcoxon SIGNED-RANK test — the paired nonparametric twin of
+    Mann-Whitney (which this registry already ships for the unpaired
+    case): daily click and view cent totals pair by day, zero
+    differences drop (Wilcoxon's rule), |d| ranks come from the value
+    histogram with tie-corrected average ranks DOUBLED so W+ stays an
+    exact integer (same identity as ml_roc_auc_exact), and the normal
+    approximation z = (W+ - n(n+1)/4)/sqrt(n(n+1)(2n+1)/24) is the
+    fixed final double (expressed with doubled W to clear the /4). The
+    ranking runs over the post-aggregation daily-difference histogram,
+    calendar-bounded."""
+    e = load(spark, sf_dir, "events")["events"]
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = (
+        e.where(F.col("event_type").isin("click", "view"))
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", cents).otherwise(0)
+            ).alias("a"),
+            F.sum(
+                F.when(F.col("event_type") == "view", cents).otherwise(0)
+            ).alias("b"),
+        )
+    )
+    diffs = daily.where(F.col("a") != F.col("b")).select(
+        (F.col("a") - F.col("b")).alias("dv"),
+        F.abs(F.col("a") - F.col("b")).alias("ad"),
+    )
+    cells = diffs.groupBy("ad").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count(F.when(F.col("dv") > 0, 1)).alias("pos"),
+    )
+    wc = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cells.select(
+        "ad", "cnt", "pos", F.sum("cnt").over(wc).alias("cum_n")
+    )
+    w = cum.agg(
+        F.sum(
+            F.col("pos")
+            * (2 * (F.col("cum_n") - F.col("cnt")) + F.col("cnt") + 1)
+        )
+        .cast("long")
+        .alias("w2"),
+        F.sum("cnt").cast("long").alias("n"),
+    )
+    return w.select(
+        "n",
+        F.col("w2").alias("w_plus_x2"),
+        F.round(
+            (F.col("w2") - F.col("n") * (F.col("n") + 1) / 2.0 * 1.0)
+            / F.sqrt(
+                F.col("n")
+                * (F.col("n") + 1)
+                * (2 * F.col("n") + 1)
+                / 6.0
+                * 1.0
+            ),
+            6,
+        ).alias("z"),
+    )
+
+
+_CEM_ORACLE = """
+WITH users AS (
+  SELECT user_id,
+         CAST(CASE WHEN COUNT(*) FILTER (WHERE event_type = 'signup') >= 14
+              THEN 1 ELSE 0 END AS BIGINT) AS t,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(ROUND(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS x
+  FROM events GROUP BY user_id
+),
+b AS (SELECT t, y, x // 5 AS bucket FROM users),
+cells AS (
+  SELECT bucket,
+         CAST(SUM(t) AS BIGINT) AS nt,
+         CAST(COUNT(*) - SUM(t) AS BIGINT) AS nc,
+         CAST(SUM(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT) AS syt,
+         CAST(SUM(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT) AS syc
+  FROM b GROUP BY bucket
+),
+matched AS (
+  SELECT bucket, nt, nc, syt, syc,
+         CAST(ROUND(nt * (syt * 1.0 * nc - syc * 1.0 * nt)
+                    * 1000000.0 / (nt * 1.0 * nc)) AS BIGINT)
+           AS term_micro
+  FROM cells WHERE nt > 0 AND nc > 0
+),
+naive AS (
+  SELECT SUM(CASE WHEN t = 1 THEN y ELSE 0 END) * 1.0 / SUM(t)
+           - SUM(CASE WHEN t = 0 THEN y ELSE 0 END) * 1.0
+             / (COUNT(*) - SUM(t)) AS nd
+  FROM users
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_matched_buckets,
+       CAST(SUM(nt) AS BIGINT) AS n_treated_matched,
+       ROUND(SUM(term_micro) / 1000000.0 / SUM(nt), 4) AS att_cents,
+       (SELECT ROUND(nd, 4) FROM naive) AS naive_diff_cents
+FROM matched
+"""
+
+
+@query(
+    "stats_cem_att",
+    _CEM_ORACLE,
+    doc="Coarsened exact matching: treated/control balanced within "
+    "coarsened-covariate buckets, treated-weighted ATT vs the naive "
+    "difference.",
+)
+def stats_cem_att(spark, sf_dir):
+    """COARSENED EXACT MATCHING (Iacus-King-Porro) — the causal
+    estimate the naive group difference gets wrong when treatment
+    correlates with activity: users coarsen into covariate buckets
+    (view count div 5), buckets containing BOTH treated (heavy
+    signup activity, >= 14 events — nearly every user has SOME signup
+    in this corpus, so presence alone has no control group)
+    and control users contribute their within-bucket outcome gap
+    weighted by treated count, and ATT = the treated-weighted mean of
+    those gaps. Each bucket's gap is one exact rational
+    (syt*nc - syc*nt)/(nt*nc) quantized to micro-cents BEFORE the
+    cross-bucket sum (engine-identical; a raw double sum would be
+    accumulation-order-dependent), and the naive unmatched difference
+    rides along to show the adjustment. Completes the causal family
+    (diff-in-diff, CUPED) with matching. One user aggregation, one
+    bucket aggregation — both map-side combined."""
+    e = load(spark, sf_dir, "events")["events"]
+    cents = F.round(F.col("value") * 100).cast("long")
+    users = e.groupBy("user_id").agg(
+        F.when(
+            F.count(F.when(F.col("event_type") == "signup", 1)) >= 14, 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("t"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+        F.count(F.when(F.col("event_type") == "view", 1))
+        .cast("long")
+        .alias("x"),
+    )
+    b = users.select("t", "y", F.expr("x div 5").alias("bucket"))
+    cells = b.groupBy("bucket").agg(
+        F.sum("t").cast("long").alias("nt"),
+        (F.count(F.lit(1)) - F.sum("t")).cast("long").alias("nc"),
+        F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("syt"),
+        F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("syc"),
+    )
+    matched = cells.where((F.col("nt") > 0) & (F.col("nc") > 0)).withColumn(
+        "term_micro",
+        F.round(
+            F.col("nt")
+            * (F.col("syt") * 1.0 * F.col("nc") - F.col("syc") * 1.0 * F.col("nt"))
+            * 1000000.0
+            / (F.col("nt") * 1.0 * F.col("nc"))
+        ).cast("long"),
+    )
+    naive = users.agg(
+        (
+            F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0))
+            * 1.0
+            / F.sum("t")
+            - F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0))
+            * 1.0
+            / (F.count(F.lit(1)) - F.sum("t"))
+        ).alias("nd")
+    )
+    return (
+        matched.agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched_buckets"),
+            F.sum("nt").cast("long").alias("n_treated_matched"),
+            F.round(
+                F.sum("term_micro") / 1000000.0 / F.sum("nt"), 4
+            ).alias("att_cents"),
+        )
+        .crossJoin(F.broadcast(naive))
+        .select(
+            "n_matched_buckets",
+            "n_treated_matched",
+            "att_cents",
+            F.round(F.col("nd"), 4).alias("naive_diff_cents"),
+        )
+    )

@@ -88,6 +88,8 @@ CROSS_JOIN_OK = {
     # over the <=6-row count-of-counts histogram
     "sample_neyman_allocation",  # one-row total-weight broadcast over
     # the 5-row per-stratum allocation table
+    "stats_cem_att",  # one-row naive-difference broadcast attached to
+    # the one-row matched-ATT aggregate
     "ml_roc_auc_exact",  # one-row (n1, n0) class-totals broadcast onto
     # the one-row rank-sum aggregate
     "ml_lift_gains_deciles",  # one-row (n, npos) corpus-totals broadcast
@@ -176,6 +178,9 @@ GLOBAL_WINDOW_OK = {
     # the DECILE frame (10 rows by construction); the per-doc ranking
     # itself goes through operators/prefix_sum.py, never a global window
     "ml_lift_gains_deciles",
+    # stats_wilcoxon_signed_rank: rank cumulation over the
+    # post-aggregation daily-difference histogram (calendar-bounded)
+    "stats_wilcoxon_signed_rank",
     # ts_granger_lite_orders: lag-1 alignment over the calendar-bounded
     # post-aggregation daily series
     "ts_granger_lite_orders",
