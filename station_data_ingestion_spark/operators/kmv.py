@@ -127,10 +127,17 @@ def kmv_sketches(df: DataFrame, key_col: str, group_col: str, k: int) -> DataFra
             {"grp": [pdf["grp"].iloc[0]], "hashes": [merged.tobytes()]}
         )
 
+    # NULL semantics match SQL COUNT(DISTINCT): null keys are dropped
+    # before hashing (they would otherwise stringify to 'None'/'nan' and
+    # count as a spurious distinct value). Null GROUP BY keys are also
+    # dropped here -- pandas groupby would silently discard them anyway,
+    # so making the filter explicit keeps the sketch deterministic;
+    # callers needing SQL's NULL group must coalesce the group column
+    # to a sentinel before sketching.
     narrow = df.select(
         F.col(group_col).cast("string").alias("grp"),
         F.col(key_col).alias("k"),
-    )
+    ).where(F.col("grp").isNotNull() & F.col("k").isNotNull())
     return (
         narrow.mapInPandas(partials, _PARTIAL_SCHEMA)
         .groupBy("grp")

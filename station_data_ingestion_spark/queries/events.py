@@ -1460,8 +1460,10 @@ v{k} AS MATERIALIZED (
 res AS (
   SELECT REPLACE(d.variant, 'drop_', '') AS channel,
          f.v AS p_full_micro, d.v AS p_drop_micro,
-         GREATEST(CAST(0 AS BIGINT),
-                  1000000 - (d.v * 1000000) // f.v) AS removal_micro
+         CASE WHEN f.v = 0 THEN CAST(0 AS BIGINT)
+              ELSE GREATEST(CAST(0 AS BIGINT),
+                            1000000 - (d.v * 1000000) // f.v)
+         END AS removal_micro
   FROM v{_MK_K} d
   JOIN v{_MK_K} f ON f.variant = 'full' AND f.s = 'start'
   WHERE d.s = 'start' AND d.variant <> 'full'
@@ -1588,7 +1590,10 @@ def events_markov_removal_attribution(spark, sf_dir):
     res = []
     for ch in _MK_CHANNELS:
         pd = p_start[f"drop_{ch}"]
-        rem = max(0, 1000000 - (pd * 1000000) // p_full)
+        # zero-conversion corpus -> p_full == 0; removal effect is
+        # defined as 0 there (nothing to remove), mirroring the oracle's
+        # CASE WHEN f.v = 0 guard.
+        rem = 0 if p_full == 0 else max(0, 1000000 - (pd * 1000000) // p_full)
         res.append((ch, p_full, pd, rem))
     tr = sum(r[3] for r in res)
     out = [

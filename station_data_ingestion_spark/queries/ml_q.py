@@ -881,7 +881,8 @@ g AS (
 )
 SELECT CAST(decile AS BIGINT) AS decile, n_docs, n_pos,
        CAST(cum_pos AS BIGINT) AS cum_pos,
-       CAST((cum_pos * n * 1000000) // (cum_docs * npos) AS BIGINT)
+       CAST((CAST(cum_pos AS HUGEINT) * n * 1000000)
+            // (CAST(cum_docs AS HUGEINT) * npos) AS BIGINT)
          AS lift_ppm
 FROM g
 """
@@ -974,7 +975,13 @@ def ml_lift_gains_deciles(spark, sf_dir):
         "n_docs",
         "n_pos",
         F.col("cum_pos").cast("long").alias("cum_pos"),
-        F.expr("cum_pos * n * 1000000 div (cum_docs * npos)")
+        # decimal(38,0) intermediate: cum_pos*n*1e6 overflows int64 past
+        # ~3M docs (Spark non-ANSI would wrap silently, DuckDB errors);
+        # the quotient itself is <= 1e7 so the final long cast is safe.
+        F.expr(
+            "cast(cum_pos as decimal(38,0)) * n * 1000000"
+            " div (cast(cum_docs as decimal(38,0)) * npos)"
+        )
         .cast("long")
         .alias("lift_ppm"),
     )

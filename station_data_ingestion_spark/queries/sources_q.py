@@ -430,9 +430,9 @@ def source_orc_roundtrip(spark, sf_dir):
     reads back through Spark's native vectorized ORC reader with
     filters/pruning intact; the aggregate must match DuckDB on the
     original parquet — a reader bug (codec, type mapping, null
-    handling) is a gate red. The projection below keeps only 2 of the
-    4 staged columns: ORC's ReadSchema pruning is exercised, not just
-    decoded."""
+    handling) is a gate red. The projection below keeps 3 of the 4
+    staged columns (l_orderkey is pruned): ORC's ReadSchema pruning is
+    exercised, not just decoded."""
     path = _staged_lineitem_orc(spark, sf_dir)
     df = spark.read.orc(path)
     return df.groupBy(F.col("l_linestatus").alias("status")).agg(
