@@ -704,6 +704,66 @@ def bench_snapshot_read_isolated(spark, sf_dir, timings: dict[str, object]) -> N
 
     timings["snapshot_dv_read_tax"] = timed_median(dv_read)
 
+    # -- governance-feature read paths, build outside the clock ---------
+    # (VERDICT r8 #4): the gate queries snapshot_row_tracking_read /
+    # snapshot_equality_delete_read are e2e by design (commit + mutate +
+    # assert + read) so their bench identity was workload-dominated.
+    # Here each table is built ONCE and only the governed READ is timed:
+    # row-id attach is a broadcast filename->row_base map over the scan,
+    # eq-delete apply is a sequence-gated broadcast anti-join.
+    from station_data_ingestion_spark.plans.snapshot_store import SnapshotTable
+    from station_data_ingestion_spark.queries.snapshot_q import _tmpdir
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.lit(1).alias("batch"),
+    )
+    rt = SnapshotTable(
+        spark, _tmpdir(prefix="bench_rt_") + "/orders_rt",
+        partition_cols=("batch",), stat_cols=("o_orderkey",),
+    )
+    rt.commit_overwrite_partitions(
+        orders, cluster_by=("o_orderkey",), cluster_partitions=8
+    )
+    rt.enable_row_tracking()
+    rt.update_where(F.col("o_custkey") % 7 == 0, {"cents": F.col("cents") + 5})
+    rt.delete_where_dv(F.col("o_custkey") % 10 == 4)
+
+    def rt_read():
+        materialize(
+            rt.read(with_row_ids=True)
+            .groupBy((F.col("_row_id") % 8).alias("id_bucket"))
+            .agg(F.count("*").alias("n"), F.sum("cents").alias("cents"))
+        )
+
+    timings["snapshot_row_tracking_read_only"] = timed_median(rt_read)
+
+    eq = SnapshotTable(
+        spark, _tmpdir(prefix="bench_eq_") + "/orders_eq",
+        partition_cols=("batch",), stat_cols=("o_custkey",),
+    )
+    eq.commit_overwrite_partitions(orders)
+    eq.delete_where_eq(
+        orders.filter(F.col("o_custkey") % 10 == 3).select("o_orderkey")
+    )
+    eq.commit_overwrite_partitions(
+        orders.filter(F.col("o_custkey") % 20 == 3).select(
+            "o_orderkey", "o_custkey",
+            (F.col("cents") + 11).alias("cents"), F.lit(2).alias("batch"),
+        )
+    )
+
+    def eq_read():
+        materialize(
+            eq.read()
+            .groupBy("batch")
+            .agg(F.count("*").alias("n"), F.sum("cents").alias("cents"))
+        )
+
+    timings["snapshot_eq_delete_read_only"] = timed_median(eq_read)
+
 
 def _iter_dates(n_days):
     from datetime import date, timedelta
@@ -796,7 +856,24 @@ def main() -> None:
             }
         except Exception as e:  # noqa: BLE001
             out["pipeline_e2e"] = {"error": f"{type(e).__name__}: {e}"[:500]}
-    out["history_delta"] = _record_history(out)
+    hd, hist_entry, hist_path = _diff_history(out)
+    # Self-adjudication (VERDICT r8 #1): three rounds of >=2x flags have
+    # dissolved under post-hoc isolated reruns (r4 q5/q9, r6
+    # ingest_merge_replace, r8's thirteen) -- contention leaks through
+    # even a median-of-3 when neighbouring stages share the JVM heap and
+    # page cache. So the instrument now adjudicates itself: every stage
+    # whose median is >=2x its history value is re-run at END of run,
+    # isolated (cooldown sleep + cache clear + JVM GC, no concurrent
+    # stage), fresh median-of-3, and the artifact records BOTH numbers
+    # plus a noise|real verdict. History stores the steady-state rerun
+    # for noise verdicts so a noisy sample can't ratchet next round's
+    # baseline.
+    if isinstance(hd, dict) and hd.get("regressed_2x"):
+        _adjudicate_regressions(spark, sf_dir, hd, hist_entry)
+    if isinstance(hd, dict):
+        hd.pop("prev_queries", None)
+    out["history_delta"] = hd
+    _append_history(hist_entry, hist_path)
     # Full artifact to a deterministic path: the driver's BENCH_r{N}.json
     # keeps only a 2000-char stdout TAIL, which cannot hold the full
     # per-query JSON (r5/r6 artifacts stored parsed: null). The file is
@@ -842,12 +919,14 @@ def main() -> None:
     sys.stdout.flush()
 
 
-def _record_history(out: dict) -> dict | None:
-    """Append this run to .benchmarks/history.jsonl and diff vs the last
-    comparable run (same sf), so cross-round judges can compare per-query
-    without tail archaeology (BENCH_r02 was a crash artifact and r1
-    predates three headline stages -- totals alone are not comparable).
-    Never fails the bench."""
+def _diff_history(out: dict) -> tuple[dict | None, dict | None, str | None]:
+    """Build this run's history entry and diff it vs the last comparable
+    run (same sf), WITHOUT appending yet -- adjudication may substitute
+    steady-state reruns into the entry first. Returns (delta, entry,
+    path); all None on any failure (observability must not fail the
+    bench). Cross-round judges compare per-query without tail
+    archaeology (BENCH_r02 was a crash artifact and r1 predates three
+    headline stages -- totals alone are not comparable)."""
     try:
         here = os.path.dirname(os.path.abspath(__file__))
         hist_dir = os.path.join(here, ".benchmarks")
@@ -871,10 +950,8 @@ def _record_history(out: dict) -> dict | None:
                 k: v for k, v in out["queries"].items() if isinstance(v, float)
             },
         }
-        with open(path, "a", encoding="utf-8") as f:
-            f.write(json.dumps(entry) + "\n")
         if prev is None:
-            return None
+            return None, entry, path
         common = set(entry["queries"]) & set(prev.get("queries", {}))
         prev_total = round(sum(prev["queries"][q] for q in common), 3)
         cur_total = round(sum(entry["queries"][q] for q in common), 3)
@@ -883,7 +960,7 @@ def _record_history(out: dict) -> dict | None:
             for q in common
             if prev["queries"][q] > 0
         }
-        return {
+        delta = {
             "prev_ts": prev.get("ts"),
             "common_queries": len(common),
             "prev_total_common": prev_total,
@@ -891,9 +968,97 @@ def _record_history(out: dict) -> dict | None:
             "ratio": round(cur_total / prev_total, 3) if prev_total else None,
             "regressed_2x": {q: r for q, r in ratios.items() if r >= 2.0},
             "improved_2x": {q: r for q, r in ratios.items() if r <= 0.5},
+            "prev_queries": {q: prev["queries"][q] for q in common},
         }
+        return delta, entry, path
+    except Exception:  # noqa: BLE001
+        return None, None, None
+
+
+def _append_history(entry: dict | None, path: str | None) -> None:
+    if entry is None or path is None:
+        return
+    try:
+        with open(path, "a", encoding="utf-8") as f:
+            f.write(json.dumps(entry) + "\n")
     except Exception:  # noqa: BLE001 -- observability must not fail the bench
-        return None
+        pass
+
+
+# Stages produced by bench_snapshot_read_isolated (re-runnable as a unit).
+_SNAPSHOT_ISOLATED_STAGES = frozenset({
+    "snapshot_ranged_read_only", "snapshot_full_scan_agg",
+    "snapshot_delete_cow", "snapshot_delete_dv", "snapshot_dv_read_tax",
+    "snapshot_row_tracking_read_only", "snapshot_eq_delete_read_only",
+})
+
+
+def _adjudicate_regressions(spark, sf_dir, hd: dict, hist_entry: dict | None) -> None:
+    """Re-measure every >=2x-flagged stage in isolation and attach a
+    noise|real verdict to the artifact (VERDICT r8 #1).
+
+    Isolation = end-of-run (no concurrent stage in this process), a
+    cooldown sleep, a cache clear, and an explicit JVM GC before each
+    rerun; then a fresh median-of-3. Verdict: rerun/prev < 1.5 is
+    `noise` (the in-run sample was contention), >= 1.5 is `real` (the
+    regression reproduces when isolated). For noise verdicts the
+    history entry is updated to the rerun median so the noisy sample
+    does not become next round's baseline."""
+    prev_q = hd.get("prev_queries") or {}
+    adjudication: dict[str, dict] = {}
+    ingest_rerun: dict | None = None
+    snapshot_rerun: dict | None = None
+    for q, flag_ratio in sorted(hd.get("regressed_2x", {}).items()):
+        rec: dict = {
+            "prev": prev_q.get(q),
+            "flagged": (hist_entry or {}).get("queries", {}).get(q),
+            "flag_ratio": flag_ratio,
+        }
+        try:
+            time.sleep(3.0)
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+            if q in QUERIES:
+                rerun = timed_median(
+                    lambda q=q: materialize(QUERIES[q].fn(spark, sf_dir)), n=3
+                )
+            elif q.startswith("ingest_"):
+                if ingest_rerun is None:
+                    ingest_rerun = {}
+                    bench_ingestion(spark, ingest_rerun)
+                rerun = ingest_rerun.get(q)
+            elif q in _SNAPSHOT_ISOLATED_STAGES:
+                if snapshot_rerun is None:
+                    snapshot_rerun = {}
+                    bench_snapshot_read_isolated(spark, sf_dir, snapshot_rerun)
+                rerun = snapshot_rerun.get(q)
+            else:
+                rerun = None
+        except Exception as e:  # noqa: BLE001 -- adjudication must not fail the bench
+            rec["error"] = f"{type(e).__name__}: {e}"[:200]
+            rerun = None
+        if isinstance(rerun, float) and prev_q.get(q):
+            rr = round(rerun / prev_q[q], 2)
+            rec["rerun_median3"] = rerun
+            rec["rerun_ratio"] = rr
+            rec["verdict"] = "noise" if rr < 1.5 else "real"
+            if rec["verdict"] == "noise" and hist_entry is not None:
+                hist_entry["queries"][q] = rerun
+        else:
+            rec["verdict"] = "unadjudicated"
+        adjudication[q] = rec
+    hd["adjudication"] = adjudication
+    hd.pop("prev_queries", None)
+    # regressed_2x keeps its ratio map shape but now names the verdict
+    # inline so the compact driver tail shows adjudicated flags directly.
+    hd["regressed_2x"] = {
+        q: f"{r}x->" + (
+            f"{adjudication[q].get('rerun_ratio')}x {adjudication[q]['verdict']}"
+            if "rerun_ratio" in adjudication[q]
+            else adjudication[q]["verdict"]
+        )
+        for q, r in hd["regressed_2x"].items()
+    }
 
 
 if __name__ == "__main__":
