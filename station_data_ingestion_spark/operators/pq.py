@@ -87,13 +87,21 @@ def pq_encode(df: DataFrame, books: np.ndarray) -> DataFrame:
     )
 
 
-def pq_adc_scores(
-    encoded: DataFrame, queries: list[tuple[int, np.ndarray]],
+def pq_dist_tables(
+    queries: list[tuple[int, np.ndarray]],
     books: np.ndarray,
-) -> DataFrame:
-    """ADC approximate L2^2 of every (query, corpus row) pair — one
-    Arrow pass over the encoded corpus with the per-query (m, k)
-    lookup tables broadcast in the closure."""
+    quantize_micro: int | None = None,
+) -> list[tuple[int, np.ndarray]]:
+    """Per-query (m, k) ADC lookup tables: entry [j, c] is the L2^2
+    distance between the query's j-th sub-vector and codeword c.
+
+    ``quantize_micro`` rounds each entry to integer micro-units
+    (rint(dist * quantize_micro) as int64). Integer tables make the
+    downstream ADC sum EXACT and engine-independent — candidate-set
+    cutoffs then agree bit-for-bit between Spark and a SQL oracle
+    summing the same table, which float accumulation order cannot
+    guarantee. Distances here are O(100), so micro-units stay well
+    inside both double-exactness and int64."""
     m, k, sub = books.shape
     tables = []
     for qid, qv in queries:
@@ -101,7 +109,24 @@ def pq_adc_scores(
         for j in range(m):
             qs = qv[j * sub : (j + 1) * sub]
             t[j] = ((books[j] - qs[None, :]) ** 2).sum(1)
+        if quantize_micro:
+            t = np.rint(t * quantize_micro).astype(np.int64)
         tables.append((qid, t))
+    return tables
+
+
+def pq_adc_scores(
+    encoded: DataFrame, queries: list[tuple[int, np.ndarray]],
+    books: np.ndarray,
+    quantize_micro: int | None = None,
+) -> DataFrame:
+    """ADC approximate L2^2 of every (query, corpus row) pair — one
+    Arrow pass over the encoded corpus with the per-query (m, k)
+    lookup tables broadcast in the closure. With ``quantize_micro`` the
+    tables are integer micro-units and ``adc`` is an exact long (see
+    pq_dist_tables)."""
+    m, k, sub = books.shape
+    tables = pq_dist_tables(queries, books, quantize_micro)
 
     def run(batches):
         import pandas as pd
@@ -123,4 +148,5 @@ def pq_adc_scores(
                 )
             yield pd.concat(out)
 
-    return encoded.mapInPandas(run, "q_id long, c_id long, adc double")
+    adc_type = "long" if quantize_micro else "double"
+    return encoded.mapInPandas(run, f"q_id long, c_id long, adc {adc_type}")

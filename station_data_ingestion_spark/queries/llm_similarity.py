@@ -1364,7 +1364,51 @@ def sim_srp_lsh_neardup_pairs(spark, sf_dir):
     )
 
 
-@query("sim_pq_adc_topk", None)
+# PQ gate fixture: the only non-SQL-expressible step is k-means codebook
+# training, so the query exports its (deterministic) training products —
+# integer-quantized per-query ADC lookup tables and the exploded corpus
+# codes — as tiny parquet fixtures, and the oracle replays ADC scoring +
+# exact rerank in pure SQL over them (same situation as linreg's
+# Cramer-rule oracle: train outside SQL, verify the search inside it).
+# Single-writer assumption: the Spark query runs before its oracle (the
+# driver compares side-by-side per query), overwriting the fixed path.
+_PQ_FIXTURE_DIR = "/tmp/spark_graft_pq_fixture"
+
+_PQ_ORACLE = f"""
+WITH adc AS (
+  SELECT t.q_id, c.c_id, SUM(t.dist_micro) AS adc
+  FROM read_parquet('{_PQ_FIXTURE_DIR}/pq_codes.parquet/*.parquet') c
+  JOIN read_parquet('{_PQ_FIXTURE_DIR}/adc_tables.parquet/*.parquet') t
+    ON t.m = c.m AND t.j = c.j
+  GROUP BY 1, 2
+), cand AS (
+  SELECT q_id, c_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY adc ASC, c_id ASC) AS rn
+  FROM adc
+), q AS (
+  SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+), c2 AS (
+  SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id >= 5
+), scored AS (
+  SELECT cand.q_id, cand.c_id,
+         ROUND({_COS_SQL.format(a='qv', b='cv')}, 6) AS cosine
+  FROM cand
+  JOIN q ON q.q_id = cand.q_id
+  JOIN c2 ON c2.c_id = cand.c_id
+  WHERE cand.rn <= 50
+), ranked AS (
+  SELECT q_id, c_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, c_id ASC) AS rk
+  FROM scored
+)
+SELECT q_id, CAST(rk AS BIGINT) AS "rank", c_id, cosine
+FROM ranked WHERE rk <= 3
+"""
+
+
+@query("sim_pq_adc_topk", _PQ_ORACLE)
 def sim_pq_adc_topk(spark, sf_dir):
     """ANN via PRODUCT QUANTIZATION + ADC (Jegou et al. 2011): 64-dim
     vectors compress to 8 one-byte-ish codes (8 subspaces x 16-codeword
@@ -1373,13 +1417,16 @@ def sim_pq_adc_topk(spark, sf_dir):
     row — one Arrow pass, no pairwise join — then the top-50 ADC
     candidates rerank EXACTLY by cosine and the top-3 ship. The memory
     story is the point at 100 TB: 64 floats -> 8 codes is a 32x corpus
-    compression, so the candidate scan reads codes, not vectors. No SQL
-    oracle (recall < 1 by construction, like IVF/LSH); pytest asserts
-    recall against the exact brute-force top-k."""
+    compression, so the candidate scan reads codes, not vectors. ADC
+    runs on integer micro-unit lookup tables so the candidate cutoff is
+    bit-exact; the tables + exploded codes export as parquet fixtures
+    and the SQL oracle replays scoring + rerank over them (pytest
+    separately asserts recall against the exact brute-force top-k)."""
     import numpy as np
 
     from station_data_ingestion_spark.operators.pq import (
         pq_adc_scores,
+        pq_dist_tables,
         pq_encode,
         pq_train,
     )
@@ -1392,7 +1439,27 @@ def sim_pq_adc_topk(spark, sf_dir):
         (int(r["vec_id"]), np.array(r["embedding"], dtype=np.float64))
         for r in e.filter(F.col("vec_id") < 5).collect()
     ]
-    adc = pq_adc_scores(encoded, queries, books)
+    adc = pq_adc_scores(encoded, queries, books, quantize_micro=1_000_000)
+    # fixture export for the SQL oracle: exploded codes (c_id, m, j) and
+    # the per-query integer lookup tables (q_id, m, j, dist_micro) —
+    # 5*8*16 = 640 rows + 8 rows/corpus vector; coalesce(1), it's tiny
+    encoded.select(
+        F.col("vec_id").alias("c_id"),
+        F.posexplode("codes").alias("m", "j"),
+    ).coalesce(1).write.mode("overwrite").parquet(
+        _PQ_FIXTURE_DIR + "/pq_codes.parquet"
+    )
+    spark.createDataFrame(
+        [
+            (qid, mi, ji, int(t[mi, ji]))
+            for qid, t in pq_dist_tables(queries, books, quantize_micro=1_000_000)
+            for mi in range(t.shape[0])
+            for ji in range(t.shape[1])
+        ],
+        "q_id long, m int, j int, dist_micro long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        _PQ_FIXTURE_DIR + "/adc_tables.parquet"
+    )
     # top-50 ADC candidates per query (deterministic tiebreak), exact
     # cosine rerank, top-3 — same two-phase shape as IVF probe rerank
     from pyspark.sql import Window
@@ -1421,11 +1488,16 @@ def sim_pq_adc_topk(spark, sf_dir):
         .select(
             "q_id",
             "c_id",
-            (_dot("qe", "ce") / (F.col("qn") * F.col("cn"))).alias("cos"),
+            # rank on the 6-dp ROUND like sim_brute_topk: the rounded
+            # value is engine-identical, so the rerank order (and hence
+            # the hash) agrees with the oracle at near-tie boundaries
+            F.round(
+                _dot("qe", "ce") / (F.col("qn") * F.col("cn")), 6
+            ).alias("cosine"),
         )
     )
     w2 = Window.partitionBy("q_id").orderBy(
-        F.col("cos").desc(), F.col("c_id").asc()
+        F.col("cosine").desc(), F.col("c_id").asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w2))
@@ -1434,6 +1506,6 @@ def sim_pq_adc_topk(spark, sf_dir):
             "q_id",
             F.col("rank").cast("long").alias("rank"),
             "c_id",
-            F.round("cos", 6).alias("cosine"),
+            "cosine",
         )
     )
