@@ -765,6 +765,125 @@ def bench_snapshot_read_isolated(spark, sf_dir, timings: dict[str, object]) -> N
     timings["snapshot_eq_delete_read_only"] = timed_median(eq_read)
 
 
+def bench_pipeline_governed(
+    spark, timings: dict[str, object],
+    n_stations: int = 1000, n_days: int = 731,
+) -> None:
+    """Governance tax on the reference's own workload (VERDICT r8 #6):
+    the full ingest->merge->read pipeline run twice through the SAME
+    snapshot-store merge path (plans/runner._merge_into_table) -- once
+    plain (snap_pipe_*), once with row tracking enabled and a live
+    equality-delete batch pending (gov_pipe_*). Stage pairs are
+    single-shot on an identical matrix, so gov/snap per-stage ratios
+    ARE the governance read/commit tax: the replace merge reads the
+    target through the eq-delete anti-join, and a second post-replace
+    eq-delete batch keeps the read_back governed too."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from station_data_ingestion_spark.plans.jobspec import DataItemSpec
+    from station_data_ingestion_spark.plans.runner import (
+        OBS_PARTITION_COLS,
+        _merge_into_table,
+        read_obs_table,
+    )
+    from station_data_ingestion_spark.plans.snapshot_store import SnapshotTable
+    from station_data_ingestion_spark.sources.wide_csv import ingest_wide_csv
+
+    # identical matrix generation to bench_ingestion (same seed/order)
+    rng = np.random.default_rng(42)
+    values = np.round(rng.uniform(0, 40, size=(n_stations, n_days)), 2)
+    na_mask = rng.random((n_stations, n_days)) < 0.03
+    dates = [f"X{y:04d}.{m:02d}.{d:02d}" for y, m, d in _iter_dates(n_days)]
+
+    def write_csv(path, vals):
+        with open(path, "w", encoding="utf-8") as f:
+            f.write("SKN," + ",".join(dates) + "\n")
+            for i in range(vals.shape[0]):
+                row = np.where(na_mask[i], "NA", vals[i].astype(str))
+                f.write(f"{i}.{i % 10}," + ",".join(row) + "\n")
+
+    tmp = tempfile.mkdtemp(prefix="bench_gov_")
+    try:
+        from datetime import date, timedelta
+
+        end = date(2022, 1, 1) + timedelta(days=n_days - 1)
+        spec = DataItemSpec(
+            files=[], datatype="temperature", period="day", fill="raw",
+            start_date="2022-01-01", end_date=end.isoformat(),
+        )
+        write_csv(f"{tmp}/a.csv", values)
+        mutated = values.copy()
+        mut_mask = rng.random((n_stations, n_days)) < 0.10
+        mutated[mut_mask] = np.round(mutated[mut_mask] + 1.11, 2)
+        write_csv(f"{tmp}/b.csv", mutated)
+        obs, _ = ingest_wide_csv(spark, f"{tmp}/a.csv", spec)
+        obs = obs.persist()
+        materialize(obs)
+        obs2, _ = ingest_wide_csv(spark, f"{tmp}/b.csv", spec)
+        obs2 = obs2.persist()
+        materialize(obs2)
+        # prime codegen/JIT for the merge+commit path so the first timed
+        # variant (plain) doesn't absorb warm-up the second one skips
+        _merge_into_table(
+            spark, obs.limit(5_000), spec, f"{tmp}/warm_target"
+        )
+        for tag, governed in (("snap_pipe_", False), ("gov_pipe_", True)):
+            target = f"{tmp}/{tag}target"
+
+            min_created = int(n_stations * n_days * 0.9)
+
+            def create(target=target):
+                stats = _merge_into_table(spark, obs, spec, target)
+                assert stats.replaced == 0 and stats.created > min_created
+
+            timings[f"{tag}merge_create"] = timed_median(create, n=1)
+            snap = SnapshotTable(spark, target, OBS_PARTITION_COLS)
+            if governed:
+                # governance state, built OUTSIDE the timed stages:
+                # stable row ids + a pending CDC key-retirement batch
+                snap.enable_row_tracking()
+                keys = (
+                    obs.filter(F.col("station_id").endswith(".3"))
+                    .select(*spec.key_fields)
+                    .distinct()
+                )
+                snap.delete_where_eq(keys)
+
+            def replace(target=target, governed=governed):
+                stats = _merge_into_table(spark, obs2, spec, target)
+                # governed: the eq-delete retired the .3 stations' keys,
+                # so the replace merge re-CREATES them (later sequence
+                # survives the delete) — plain sees zero creates
+                assert stats.replaced > 0 and (governed or stats.created == 0)
+
+            timings[f"{tag}merge_replace"] = timed_median(replace, n=1)
+            if governed:
+                # post-replace batch so read_back also reads through a
+                # LIVE eq-delete anti-join (CDC keeps arriving)
+                snap.delete_where_eq(
+                    obs.filter(F.col("station_id").endswith(".7"))
+                    .select(*spec.key_fields)
+                    .distinct()
+                )
+
+            def read_back(target=target):
+                materialize(
+                    read_obs_table(spark, target, spec)
+                    .groupBy("station_id")
+                    .agg(F.count("*").alias("n"), F.avg("value").alias("avg"))
+                )
+
+            timings[f"{tag}read_back"] = timed_median(read_back, n=1)
+        obs.unpersist()
+        obs2.unpersist()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _iter_dates(n_days):
     from datetime import date, timedelta
 
@@ -856,6 +975,26 @@ def main() -> None:
             }
         except Exception as e:  # noqa: BLE001
             out["pipeline_e2e"] = {"error": f"{type(e).__name__}: {e}"[:500]}
+    # Governance-tax pipeline pair (opt-in, local artifact): same merge
+    # path twice — plain snapshot store vs row tracking + live eq-delete
+    # batches. Per-stage gov/snap ratios are the governance tax.
+    if os.environ.get("SPARK_GRAFT_PIPELINE_GOV", "0") == "1":
+        try:
+            gov: dict[str, float] = {}
+            bench_pipeline_governed(spark, gov)
+            pairs = {
+                s: {
+                    "snap": gov.get(f"snap_pipe_{s}"),
+                    "gov": gov.get(f"gov_pipe_{s}"),
+                }
+                for s in ("merge_create", "merge_replace", "read_back")
+            }
+            for s, p in pairs.items():
+                if p["snap"] and p["gov"]:
+                    p["tax_ratio"] = round(p["gov"] / p["snap"], 3)
+            out["pipeline_governed"] = {"stages": gov, "pairs": pairs}
+        except Exception as e:  # noqa: BLE001
+            out["pipeline_governed"] = {"error": f"{type(e).__name__}: {e}"[:500]}
     hd, hist_entry, hist_path = _diff_history(out)
     # Self-adjudication (VERDICT r8 #1): three rounds of >=2x flags have
     # dissolved under post-hoc isolated reruns (r4 q5/q9, r6

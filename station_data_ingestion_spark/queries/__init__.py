@@ -26,7 +26,9 @@ from station_data_ingestion_spark.queries import (  # noqa: F401
     setops,
     sketch_q,
     snapshot_q,
+    snapshot_q2,
     sources_q,
+    stats_infer_q,
     stats_q,
     streaming_q,
     temporal_q,

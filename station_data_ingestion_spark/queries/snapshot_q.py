@@ -1934,1985 +1934,3 @@ def snapshot_hidden_partition_read(spark, sf_dir):
             money_sum(F.col("o_totalprice")).alias("total_price"),
         )
     )
-
-
-@query(
-    "snapshot_cdf_replication",
-    """
-WITH final AS (
-  SELECT o_orderkey, o_orderstatus,
-         CASE WHEN o_orderkey % 5 = 0
-              THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) + 777
-              ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS cents
-  FROM orders WHERE o_orderkey % 7 <> 0
-)
-SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(cents) AS BIGINT) AS cents
-FROM final GROUP BY o_orderstatus
-""",
-)
-def snapshot_cdf_replication(spark, sf_dir):
-    """CDC REPLICATION over the change feed: an independent replica
-    table is built PURELY from the source's recorded feed — each
-    commit's rows become upsert/delete ops applied through the
-    three-branch merge, commit by commit, bootstrap included (v1's
-    inserts synthesize from its added files). After replay the replica
-    must equal the source EXACTLY (asserted in-query, both exceptAll
-    directions) — the Delta/Debezium downstream-sync pattern, and the
-    strongest end-to-end witness that the feed is complete: any lost or
-    duplicated row diverges the replica. Oracle recomputes the final
-    state from scratch."""
-    from station_data_ingestion_spark.operators.merge import merge_apply_ops
-
-    o = load(spark, sf_dir, "orders")["orders"].select(
-        "o_orderkey",
-        "o_orderstatus",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-        (F.col("o_custkey") % 4).alias("bucket"),
-    )
-    src = SnapshotTable(
-        spark,
-        _tmpdir(prefix="cdf_repl_") + "/src",
-        partition_cols=("bucket",),
-        stat_cols=(),
-    )
-    src.commit_overwrite_partitions(o.filter(F.col("bucket") < 3))
-    src.commit_overwrite_partitions(o.filter(F.col("bucket") == 3))
-    src.update_where(F.col("o_orderkey") % 5 == 0, {"cents": F.col("cents") + 777})
-    src.delete_where(F.col("o_orderkey") % 7 == 0)
-    v_hi = src.latest_version()
-
-    feed = src.read_change_feed(0, to_version=v_hi)
-    replica = SnapshotTable(
-        spark,
-        _tmpdir(prefix="cdf_repl_") + "/replica",
-        partition_cols=("bucket",),
-        stat_cols=(),
-    )
-    keys = ["o_orderkey"]
-    cols = ["o_orderkey", "o_orderstatus", "cents", "bucket"]
-    for v in range(1, v_hi + 1):
-        batch = feed.filter(F.col("_commit_version") == v)
-        ops = batch.filter(
-            F.col("_change_type").isin("insert", "update_postimage", "delete")
-        ).select(
-            *cols,
-            F.when(F.col("_change_type") == "delete", F.lit("delete"))
-            .otherwise(F.lit("upsert"))
-            .alias("_op"),
-        )
-        cur = replica.read()
-        target = (
-            cur.select(*cols)
-            if cur is not None
-            else spark.createDataFrame([], ops.drop("_op").schema)
-        )
-        merged = merge_apply_ops(target, ops, keys)
-        replica.commit_overwrite_partitions(merged)
-
-    got, want = replica.read().select(*cols), src.read().select(*cols)
-    drift = got.exceptAll(want).count() + want.exceptAll(got).count()
-    if drift:
-        raise RuntimeError(f"replica drifted from source by {drift} rows")
-    return got.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("cents").cast("long").alias("cents"),
-    )
-
-
-@query(
-    "catalog_txn_multi_table_read",
-    """
-WITH f AS (
-  SELECT o_custkey % 4 AS bucket,
-         CAST(ROUND(o_totalprice * 100) AS BIGINT)
-           + CASE WHEN o_custkey % 4 = 2 THEN 500 ELSE 0 END AS cents
-  FROM orders
-)
-SELECT CAST(bucket AS BIGINT) AS bucket,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(cents) AS BIGINT) AS cents
-FROM f GROUP BY bucket
-""",
-)
-def catalog_txn_multi_table_read(spark, sf_dir):
-    """MULTI-TABLE ATOMIC TRANSACTION (Iceberg REST-catalog style): a
-    fact table and its rollup live under one versioned catalog; a
-    transaction updates BOTH (partition-overwrite of bucket 2 in the
-    fact + the matching rollup row) and publishes ONE catalog manifest
-    flipping both pins at once. The query asserts the invariant a torn
-    read would break — rollup == recompute(fact) — at BOTH the pre-txn
-    snapshot and the post-txn snapshot, then returns the live rollup.
-    A reader that could ever see new-fact/old-rollup (or the reverse)
-    fails the gate. Catalog resolution is one driver-side JSON read; no
-    data-plane cost at any scale."""
-    from station_data_ingestion_spark.plans.catalog import Catalog
-
-    orders = load(spark, sf_dir, "orders")["orders"].select(
-        (F.col("o_custkey") % 4).cast("long").alias("bucket"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-    )
-
-    def rollup_of(df):
-        return df.groupBy("bucket").agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("cents").cast("long").alias("cents"),
-        )
-
-    cat = Catalog(spark, _tmpdir(prefix="snap_catalog_") + "/cat")
-    cat.init()
-    t0 = cat.transaction()
-    t0.create_table(
-        "fact", orders, partition_cols=("bucket",), stat_cols=()
-    )
-    t0.create_table(
-        "rollup", rollup_of(orders), partition_cols=("bucket",), stat_cols=()
-    )
-    t0.commit()
-    s0 = cat.snapshot()
-
-    # the transaction: bump bucket 2 in the fact AND refresh exactly the
-    # rollup row it changes — both become visible in ONE pin flip
-    txn = cat.transaction()
-    bumped = (
-        txn.read("fact", partition={"bucket": "2"})
-        .withColumn("cents", F.col("cents") + 500)
-    )
-    txn.write("fact", bumped)
-    txn.write("rollup", rollup_of(txn.read("fact", partition={"bucket": "2"})))
-    txn.commit()
-    s1 = cat.snapshot()
-
-    def assert_consistent(snap, tag):
-        want = {
-            (r["bucket"], r["n"], r["cents"])
-            for r in rollup_of(snap.read("fact")).collect()
-        }
-        got = {
-            (r["bucket"], r["n"], r["cents"])
-            for r in snap.read("rollup").collect()
-        }
-        if got != want:
-            raise RuntimeError(
-                f"torn multi-table read at {tag}: rollup != recompute(fact)"
-            )
-
-    assert_consistent(s0, "pre-txn snapshot")
-    assert_consistent(s1, "post-txn snapshot")
-    # partition-column values survive as strings by store design
-    return s1.read("rollup").select(
-        F.col("bucket").cast("long").alias("bucket"), "n", "cents"
-    )
-
-
-@query(
-    "snapshot_dv_delete_read",
-    """
-WITH o AS (
-  SELECT o_custkey % 4 AS bucket,
-         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
-  FROM orders WHERE o_custkey % 10 <> 7
-)
-SELECT CAST(bucket AS BIGINT) AS bucket,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(cents) AS BIGINT) AS cents
-FROM o GROUP BY bucket
-""",
-)
-def snapshot_dv_delete_read(spark, sf_dir):
-    """MERGE-ON-READ DELETE (Delta deletion vectors / Iceberg positional
-    deletes): the delete writes only the matches' (file, row-position)
-    coordinates — O(deleted rows), kilobytes at any table size — and
-    readers anti-join the tiny DV set instead of paying file rewrites.
-    The query asserts the merge-on-read contract IN-QUERY: after the
-    delete, every data file keeps its exact pre-delete identity (a
-    rewrite sneaking in fails the gate), and time travel to the
-    pre-delete version still counts every row. Oracle: the filtered
-    aggregate over the source."""
-    orders = load(spark, sf_dir, "orders")["orders"].select(
-        "o_custkey",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-        (F.col("o_custkey") % 4).alias("bucket"),
-    )
-    t = SnapshotTable(
-        spark,
-        _tmpdir(prefix="snap_dv_") + "/orders_dv",
-        partition_cols=("bucket",),
-        stat_cols=("o_custkey",),
-    )
-    t.commit_overwrite_partitions(orders)
-    v0 = t.latest_version()
-    pre_files = sorted(
-        e["path"] for e in t._read_manifest(v0)["files"]
-    )
-    n_total = t.read().count()
-    t.delete_where_dv(F.col("o_custkey") % 10 == 7)
-    v1 = t.latest_version()
-    post_files = sorted(e["path"] for e in t._read_manifest(v1)["files"])
-    if post_files != pre_files:
-        raise RuntimeError(
-            "DV delete rewrote data files — merge-on-read contract broken"
-        )
-    if t.read(version=v0).count() != n_total:
-        raise RuntimeError("time travel to pre-delete version lost rows")
-    return (
-        t.read()
-        .groupBy(F.col("bucket").cast("long").alias("bucket"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("cents").cast("long").alias("cents"),
-        )
-    )
-
-
-@query(
-    "matview_incremental_catalog_refresh",
-    """
-WITH f AS (
-  SELECT o_orderstatus AS st,
-         CAST(ROUND(o_totalprice * 100) AS BIGINT)
-           + CASE WHEN o_custkey % 4 = 1 THEN 250 ELSE 0 END AS cents
-  FROM orders
-)
-SELECT st, CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(cents) AS BIGINT) AS cents
-FROM f GROUP BY st
-""",
-)
-def matview_incremental_catalog_refresh(spark, sf_dir):
-    """INCREMENTAL MATERIALIZED VIEW, transactionally consistent: the
-    capstone composition of three r6 engine pieces. A per-status rollup
-    of an orders fact is created in a catalog transaction; the fact then
-    absorbs an APPEND (change feed synthesized from added files) and a
-    partition overwrite with RECORDED pre/post images (write-time CDF);
-    ``refresh()`` walks the PINNED version chain only, rolls the deltas
-    into the view with retract/add IVM — the fact is never rescanned —
-    and publishes view + refresh cursor in ONE atomic pin flip. The
-    query asserts in-query that a PRE-refresh snapshot is still
-    internally consistent (its view equals a recompute of the fact AT
-    THE CURSOR IT CARRIES — the invariant a torn refresh would break)
-    and returns the refreshed view. Oracle: straight SQL over orders
-    with the same mutation applied."""
-    from station_data_ingestion_spark.operators.matview import (
-        MaterializedView,
-    )
-    from station_data_ingestion_spark.plans.catalog import Catalog
-
-    orders = load(spark, sf_dir, "orders")["orders"].select(
-        F.col("o_orderkey").alias("k"),
-        "o_custkey",
-        F.col("o_orderstatus").alias("st"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-        (F.col("o_custkey") % 4).cast("string").alias("bucket"),
-    )
-    cat = Catalog(spark, _tmpdir(prefix="snap_mv_") + "/cat")
-    cat.init()
-    t0 = cat.transaction()
-    t0.create_table(
-        "fact",
-        orders.filter(F.col("bucket") != "3"),
-        partition_cols=("bucket",),
-        stat_cols=(),
-    )
-    t0.commit()
-    mv = MaterializedView(
-        cat, "fact_by_st", "fact",
-        group_cols=["st"], sum_cols={"cents": "cents"}, key_cols=["k"],
-    )
-    mv.create()
-
-    # mutation 1: pure append of the missing bucket (insert synthesis)
-    t1 = cat.transaction()
-    t1.write("fact", orders.filter(F.col("bucket") == "3"))
-    t1.commit()
-    # mutation 2: bump bucket 1 with recorded pre/post images
-    t2 = cat.transaction()
-    old = t2.read("fact", partition={"bucket": "1"}).select(
-        "k", "o_custkey", "st", "cents", "bucket"
-    )
-    new = old.withColumn("cents", F.col("cents") + 250)
-    changes = old.withColumn(
-        "_change_type", F.lit("update_preimage")
-    ).unionByName(new.withColumn("_change_type", F.lit("update_postimage")))
-    t2.write("fact", new, changes=changes)
-    t2.commit()
-
-    stale = cat.snapshot()
-    if mv.staleness() != 2:
-        raise RuntimeError("staleness must count both unabsorbed commits")
-    mv.refresh()
-
-    def agg_of(df):
-        return {
-            (r["st"], r["n_rows"], r["cents"])
-            for r in df.groupBy("st")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_rows"),
-                F.sum("cents").cast("long").alias("cents"),
-            )
-            .collect()
-        }
-
-    # torn-refresh invariant at the PRE-refresh snapshot: its view must
-    # equal a recompute of the fact at the cursor it carries
-    cursor = int(stale.props("fact_by_st")["mv_cursor"])
-    want = agg_of(stale.table("fact").read(version=cursor))
-    got = {
-        (r["st"], r["n_rows"], r["cents"])
-        for r in stale.read("fact_by_st").collect()
-    }
-    if got != want:
-        raise RuntimeError("stale snapshot view/cursor torn")
-    s = cat.snapshot()
-    if agg_of(s.read("fact")) != {
-        (r["st"], r["n_rows"], r["cents"])
-        for r in s.read("fact_by_st").collect()
-    }:
-        raise RuntimeError("refreshed view drifted from recompute")
-    return s.read("fact_by_st").select("st", "n_rows", "cents")
-
-
-@query(
-    "rollup_streaming_cdf_incremental",
-    """
-WITH o AS (
-  SELECT o_orderkey, o_custkey, o_orderstatus AS st,
-         CAST(ROUND(o_totalprice * 100) AS BIGINT)
-           + CASE WHEN o_custkey % 100 < 5 THEN 333 ELSE 0 END AS cents
-  FROM orders
-)
-SELECT st, CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(cents) AS BIGINT) AS cents
-FROM o WHERE o_custkey % 100 < 95
-GROUP BY st
-""",
-)
-def rollup_streaming_cdf_incremental(spark, sf_dir):
-    """Streaming CDF consumer: a rollup maintained from a CHANGE-FEED
-    CURSOR through commits read_appends cannot serve — a pure append
-    (insert synthesis), a copy-on-write UPDATE (recorded pre/post
-    images), and a MERGE-ON-READ DV delete — each delivery is
-    change_feed_to_diff -> apply_agg_delta; the fact table is never
-    rescanned after bootstrap. Feed-volume boundedness is asserted
-    in-query (each delivery carries at most the touched rows, never
-    the table), and the final rollup must equal the full-recompute
-    oracle — insert/update/delete arithmetic all have to land
-    exactly."""
-    from station_data_ingestion_spark.operators.ivm import (
-        apply_agg_delta,
-        change_feed_to_diff,
-    )
-
-    orders = load(spark, sf_dir, "orders")["orders"].select(
-        F.col("o_orderkey").alias("k"),
-        "o_custkey",
-        F.col("o_orderstatus").alias("st"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-        (F.col("o_custkey") % 4).cast("string").alias("bucket"),
-    )
-    t = SnapshotTable(
-        spark,
-        _tmpdir(prefix="snap_cdfstream_") + "/orders_cdfs",
-        partition_cols=("bucket",),
-        stat_cols=(),
-    )
-    n_rows = orders.count()
-
-    def deliver(cursor, agg):
-        v = t.latest_version()
-        feed = t.read_change_feed(cursor, to_version=v)
-        if feed is None:
-            return v, agg
-        if feed.count() > n_rows // 2 and cursor > 1:
-            raise RuntimeError(
-                "change delivery is table-sized — cursor rescan?"
-            )
-        diff = change_feed_to_diff(feed, ["k"], ["st", "cents"])
-        return v, apply_agg_delta(
-            agg, diff, ["st"], {"cents": "cents"}
-        ).localCheckpoint(eager=True)
-
-    # bootstrap: empty aggregate, then the v1 commit arrives as inserts
-    empty = spark.createDataFrame(
-        [], "st string, n_rows long, cents long"
-    )
-    t.commit_overwrite_partitions(orders.filter(F.col("bucket") != "3"))
-    cursor, agg = deliver(0, empty)
-    # pure append
-    t.commit_overwrite_partitions(orders.filter(F.col("bucket") == "3"))
-    cursor, agg = deliver(cursor, agg)
-    # copy-on-write UPDATE with recorded pre/post images
-    t.update_where(
-        F.col("o_custkey") % 100 < 5, {"cents": F.col("cents") + 333}
-    )
-    cursor, agg = deliver(cursor, agg)
-    # merge-on-read DV delete
-    t.delete_where_dv(F.col("o_custkey") % 100 >= 95)
-    cursor, agg = deliver(cursor, agg)
-    return agg.select("st", "n_rows", "cents")
-
-
-@query(
-    "matview_join_delta_refresh",
-    """
-WITH f AS (
-  SELECT o_orderkey AS k, o_custkey AS ck,
-         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
-  FROM orders
-  WHERE NOT (o_orderkey % 13 = 0 AND o_custkey % 4 = 1)
-),
-d AS (
-  SELECT c_custkey AS ck2,
-         CASE WHEN c_custkey % 10 = 2 THEN 'PROMO'
-              ELSE c_mktsegment END AS seg
-  FROM customer
-)
-SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(cents) AS BIGINT) AS cents
-FROM f JOIN d ON f.ck = d.ck2
-GROUP BY seg
-""",
-)
-def matview_join_delta_refresh(spark, sf_dir):
-    """Materialized JOIN view maintained by DELTA-JOIN algebra (the
-    Materialize/DBSP incremental join): V = fact JOIN dim is created in
-    a catalog transaction, then the fact absorbs an APPEND and a
-    recorded DELETE while the dim absorbs a recorded segment UPDATE —
-    and one ``refresh()`` rolls all three through
-    d(A JOIN B) = dA JOIN B_new + A_old JOIN dB (signs multiply, the
-    cross term cancels exactly), publishing the view and BOTH base
-    cursors in one atomic pin flip. Neither base is ever rejoined. The
-    query asserts in-query (via distributed row-hash signatures, no
-    collect) that the PRE-refresh snapshot still satisfies the two-base
-    torn-refresh invariant — its view equals A(cursor_a) JOIN
-    B(cursor_b) — and that the refreshed view equals a full rejoin.
-    Oracle: plain SQL join of the mutated sources."""
-    from station_data_ingestion_spark.operators.matview import (
-        MaterializedJoinView,
-    )
-    from station_data_ingestion_spark.plans.catalog import Catalog
-
-    orders = load(spark, sf_dir, "orders")["orders"].select(
-        F.col("o_orderkey").alias("k"),
-        F.col("o_custkey").alias("ck"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-        (F.col("o_custkey") % 4).cast("string").alias("bucket"),
-    )
-    cust = load(spark, sf_dir, "customer")["customer"].select(
-        F.col("c_custkey").alias("ck2"),
-        F.col("c_mktsegment").alias("seg"),
-        (F.col("c_custkey") % 2).cast("string").alias("dp"),
-    )
-    cat = Catalog(spark, _tmpdir(prefix="snap_jmv_") + "/cat")
-    cat.init()
-    t0 = cat.transaction()
-    t0.create_table(
-        "fact",
-        orders.filter(F.col("bucket") != "3"),
-        partition_cols=("bucket",),
-        stat_cols=(),
-    )
-    t0.create_table("dim", cust, partition_cols=("dp",), stat_cols=())
-    t0.commit()
-    jv = MaterializedJoinView(
-        cat, "fact_dim", "fact", "dim",
-        on=[("ck", "ck2")],
-        a_cols=["k", "ck", "cents"],
-        b_cols=["ck2", "seg"],
-        a_key=["k"], b_key=["ck2"],
-    )
-    jv.create()
-
-    # mutation 1: fact append (insert synthesis from added files)
-    t1 = cat.transaction()
-    t1.write("fact", orders.filter(F.col("bucket") == "3"))
-    t1.commit()
-    # mutation 2: dim segment update, recorded pre/post (dp="0" only)
-    t2 = cat.transaction()
-    d_old = t2.read("dim", partition={"dp": "0"}).select(
-        "ck2", "seg", "dp"
-    )
-    d_new = d_old.withColumn(
-        "seg",
-        F.when(F.col("ck2") % 10 == 2, F.lit("PROMO")).otherwise(
-            F.col("seg")
-        ),
-    )
-    d_changes = d_old.withColumn(
-        "_change_type", F.lit("update_preimage")
-    ).unionByName(
-        d_new.withColumn("_change_type", F.lit("update_postimage"))
-    )
-    t2.write("dim", d_new, changes=d_changes)
-    t2.commit()
-    # mutation 3: fact recorded delete inside bucket "1"
-    t3 = cat.transaction()
-    f_old = t3.read("fact", partition={"bucket": "1"}).select(
-        "k", "ck", "cents", "bucket"
-    )
-    keep = f_old.filter(F.col("k") % 13 != 0)
-    f_changes = f_old.filter(F.col("k") % 13 == 0).withColumn(
-        "_change_type", F.lit("delete")
-    )
-    t3.write("fact", keep, changes=f_changes)
-    t3.commit()
-
-    stale = cat.snapshot()
-    if jv.staleness() != 3:
-        raise RuntimeError("staleness must count all unabsorbed commits")
-    jv.refresh()
-    if jv.staleness() != 0:
-        raise RuntimeError("refresh did not advance both cursors")
-
-    view_cols = ["k", "ck", "cents", "ck2", "seg"]
-
-    def sig(df):
-        row = (
-            df.select(
-                F.xxhash64(*view_cols).cast("decimal(38,0)").alias("h")
-            )
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum("h").alias("s"),
-            )
-            .collect()[0]
-        )
-        return (row["n"], row["s"])
-
-    def rejoin(f, d):
-        return f.join(d, f["ck"] == d["ck2"]).select(*view_cols)
-
-    # two-base torn-refresh invariant at the PRE-refresh snapshot
-    p = stale.props("fact_dim")
-    ca, cb = int(p["mv_cursor_a"]), int(p["mv_cursor_b"])
-    want = sig(
-        rejoin(
-            stale.table("fact").read(version=ca),
-            stale.table("dim").read(version=cb),
-        )
-    )
-    if sig(stale.read("fact_dim").select(*view_cols)) != want:
-        raise RuntimeError("stale snapshot view/cursors torn")
-    s = cat.snapshot()
-    if sig(s.read("fact_dim").select(*view_cols)) != sig(
-        rejoin(s.read("fact"), s.read("dim"))
-    ):
-        raise RuntimeError("refreshed view drifted from full rejoin")
-    return (
-        s.read("fact_dim")
-        .groupBy("seg")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.sum("cents").cast("long").alias("cents"),
-        )
-    )
-
-
-@query(
-    "snapshot_branch_fast_forward_read",
-    """
-WITH o AS (
-  SELECT o_custkey % 4 AS bucket,
-         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
-  FROM orders WHERE o_orderkey % 11 <> 0
-)
-SELECT CAST(bucket AS BIGINT) AS bucket,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(cents) AS BIGINT) AS cents
-FROM o GROUP BY bucket
-""",
-)
-def snapshot_branch_fast_forward_read(spark, sf_dir):
-    """BRANCHES AND TAGS (Iceberg refs): an ETL branch forks the table
-    (zero-copy shallow clone under the table's own tree), absorbs an
-    append AND a copy-on-write delete in full isolation — main readers
-    see nothing — then FAST-FORWARD publishes the branch head as main's
-    next version by renaming branch-local files into main's data tree
-    (metadata moves, no bytes copied) and consumes the branch. A TAG
-    pinned before the fork keeps the original version readable through
-    a zero-retention vacuum (ref-pinned liveness). The query asserts
-    isolation, divergence-free publish, tag survival, and post-vacuum
-    integrity in-query; the oracle is plain SQL with the branch's
-    mutations applied."""
-    orders = load(spark, sf_dir, "orders")["orders"].select(
-        F.col("o_orderkey").alias("k"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-        (F.col("o_custkey") % 4).cast("string").alias("bucket"),
-    )
-    t = SnapshotTable(
-        spark,
-        _tmpdir(prefix="snap_branch_") + "/orders_br",
-        partition_cols=("bucket",),
-        stat_cols=("k",),
-    )
-    t.commit_overwrite_partitions(orders.filter(F.col("bucket") != "3"))
-    n_initial = t.read().count()
-    t.tag("base")
-    br = t.create_branch("etl")
-    br.commit_overwrite_partitions(orders.filter(F.col("bucket") == "3"))
-    br.delete_where(F.col("k") % 11 == 0)
-    if t.latest_version() != 1 or t.read().count() != n_initial:
-        raise RuntimeError("branch writes leaked into main")
-    t.fast_forward("etl")
-    if t.branches():
-        raise RuntimeError("fast-forward must consume the branch")
-    t.vacuum(older_than_sec=0.0)
-    if t.read(ref="base").count() != n_initial:
-        raise RuntimeError("tagged version lost rows after vacuum")
-    return (
-        t.read()
-        .groupBy(F.col("bucket").cast("long").alias("bucket"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("cents").cast("long").alias("cents"),
-        )
-    )
-
-
-@query(
-    "snapshot_stream_rate_limited_appends",
-    """
-SELECT o_orderstatus, COUNT(*) AS n_orders,
-       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-         AS cents
-FROM orders GROUP BY o_orderstatus
-""",
-)
-def snapshot_stream_rate_limited_appends(spark, sf_dir):
-    """RATE-LIMITED streaming source (Delta maxFilesPerTrigger): three
-    multi-file append commits are consumed through the bounded cursor
-    with a 3-file budget — the walk splits WITHIN commits (a dict
-    cursor with a file offset is asserted to appear) and every batch is
-    asserted to scan at most the budget's file count, which is what
-    keeps the first micro-batch of a 100 TB backfill bounded by the
-    budget instead of the table's history. The union of all bounded
-    batches must equal the full table (oracle: plain aggregate)."""
-    base = load(spark, sf_dir, "orders")["orders"].select(
-        F.col("o_orderkey").alias("k"),
-        "o_orderstatus",
-        "o_totalprice",
-        (F.col("o_orderkey") % 3).cast("string").alias("batch"),
-    )
-    t = SnapshotTable(
-        spark,
-        _tmpdir(prefix="snap_rate_") + "/orders_rate",
-        partition_cols=("batch",),
-        stat_cols=(),
-    )
-    for b in ("0", "1", "2"):
-        t.commit_overwrite_partitions(
-            base.filter(F.col("batch") == b).repartition(4)
-        )
-    out = None
-    cursor = None
-    batches = 0
-    saw_mid_commit_cursor = False
-    while True:
-        df, cursor = t.read_appends_bounded(cursor, max_files=3)
-        if df is None:
-            break
-        batches += 1
-        saw_mid_commit_cursor |= isinstance(cursor, dict)
-        n_files = (
-            df.select(F.col("_metadata.file_path")).distinct().count()
-        )
-        if n_files > 3:
-            raise RuntimeError(
-                f"batch scanned {n_files} files past the 3-file budget"
-            )
-        out = df if out is None else out.unionByName(df)
-    if cursor != t.latest_version():
-        raise RuntimeError("drained cursor must rest at the latest version")
-    if not saw_mid_commit_cursor:
-        raise RuntimeError(
-            "the budget never split a commit — mid-commit cursor untested"
-        )
-    if batches <= 3:
-        raise RuntimeError(
-            "12 files under a 3-file budget must take >3 batches"
-        )
-    return out.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n_orders"),
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
-            "cents"
-        ),
-    )
-
-
-@query(
-    "matview_join_agg_incremental",
-    """
-WITH f AS (
-  SELECT o_orderkey AS k, o_custkey AS ck,
-         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
-  FROM orders
-  WHERE NOT (o_orderkey % 13 = 0 AND o_custkey % 4 = 1)
-),
-d AS (
-  SELECT c_custkey AS ck2,
-         CASE WHEN c_custkey % 10 = 2 THEN 'PROMO'
-              ELSE c_mktsegment END AS seg
-  FROM customer
-)
-SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(cents) AS BIGINT) AS cents
-FROM f JOIN d ON f.ck = d.ck2
-GROUP BY seg
-""",
-)
-def matview_join_agg_incremental(spark, sf_dir):
-    """AGGREGATE-OVER-JOIN IVM — the Materialize composition: a
-    revenue-by-segment view over fact JOIN dim is maintained from both
-    bases' change feeds while the JOIN ITSELF IS NEVER MATERIALIZED —
-    signed delta pairs aggregate straight to a per-group delta
-    (operators/ivm.join_agg_delta) that merges into the group-sized
-    view. State is O(segments); the same three mutations as
-    matview_join_delta_refresh (fact append, dim recorded update, fact
-    recorded delete) are absorbed by one refresh, and the refreshed
-    view is asserted in-query to equal a full rejoin-and-aggregate.
-    Oracle: identical SQL to the join-view variant — two maintenance
-    strategies, one certified answer."""
-    from station_data_ingestion_spark.operators.matview import (
-        MaterializedJoinAggView,
-    )
-    from station_data_ingestion_spark.plans.catalog import Catalog
-
-    orders = load(spark, sf_dir, "orders")["orders"].select(
-        F.col("o_orderkey").alias("k"),
-        F.col("o_custkey").alias("ck"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-        (F.col("o_custkey") % 4).cast("string").alias("bucket"),
-    )
-    cust = load(spark, sf_dir, "customer")["customer"].select(
-        F.col("c_custkey").alias("ck2"),
-        F.col("c_mktsegment").alias("seg"),
-        (F.col("c_custkey") % 2).cast("string").alias("dp"),
-    )
-    cat = Catalog(spark, _tmpdir(prefix="snap_jamv_") + "/cat")
-    cat.init()
-    t0 = cat.transaction()
-    t0.create_table(
-        "fact",
-        orders.filter(F.col("bucket") != "3"),
-        partition_cols=("bucket",),
-        stat_cols=(),
-    )
-    t0.create_table("dim", cust, partition_cols=("dp",), stat_cols=())
-    t0.commit()
-    jv = MaterializedJoinAggView(
-        cat, "rev_by_seg", "fact", "dim",
-        on=[("ck", "ck2")],
-        a_cols=["k", "ck", "cents"],
-        b_cols=["ck2", "seg"],
-        a_key=["k"], b_key=["ck2"],
-        group_cols=["seg"], sum_cols={"cents": "cents"},
-    )
-    jv.create()
-
-    t1 = cat.transaction()
-    t1.write("fact", orders.filter(F.col("bucket") == "3"))
-    t1.commit()
-    t2 = cat.transaction()
-    d_old = t2.read("dim", partition={"dp": "0"}).select("ck2", "seg", "dp")
-    d_new = d_old.withColumn(
-        "seg",
-        F.when(F.col("ck2") % 10 == 2, F.lit("PROMO")).otherwise(
-            F.col("seg")
-        ),
-    )
-    d_changes = d_old.withColumn(
-        "_change_type", F.lit("update_preimage")
-    ).unionByName(
-        d_new.withColumn("_change_type", F.lit("update_postimage"))
-    )
-    t2.write("dim", d_new, changes=d_changes)
-    t2.commit()
-    t3 = cat.transaction()
-    f_old = t3.read("fact", partition={"bucket": "1"}).select(
-        "k", "ck", "cents", "bucket"
-    )
-    keep = f_old.filter(F.col("k") % 13 != 0)
-    f_changes = f_old.filter(F.col("k") % 13 == 0).withColumn(
-        "_change_type", F.lit("delete")
-    )
-    t3.write("fact", keep, changes=f_changes)
-    t3.commit()
-
-    if jv.staleness() != 3:
-        raise RuntimeError("staleness must count all unabsorbed commits")
-    jv.refresh()
-    if jv.staleness() != 0:
-        raise RuntimeError("refresh did not advance both cursors")
-
-    s = cat.snapshot()
-    f, d = s.read("fact"), s.read("dim")
-    want = {
-        (r["seg"], r["n_rows"], r["cents"])
-        for r in f.join(d, f["ck"] == d["ck2"])
-        .groupBy("seg")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.sum("cents").cast("long").alias("cents"),
-        )
-        .collect()
-    }
-    got = {
-        (r["seg"], r["n_rows"], r["cents"])
-        for r in s.read("rev_by_seg").select(
-            "seg", "n_rows", "cents"
-        ).collect()
-    }
-    if got != want:
-        raise RuntimeError("agg-over-join view drifted from recompute")
-    return s.read("rev_by_seg").select("seg", "n_rows", "cents")
-
-
-@query(
-    "snapshot_drop_partition_retention",
-    """
-WITH o AS (
-  SELECT o_custkey % 4 AS bucket,
-         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
-  FROM orders WHERE o_custkey % 4 <> 2
-)
-SELECT CAST(bucket AS BIGINT) AS bucket,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(cents) AS BIGINT) AS cents
-FROM o GROUP BY bucket
-""",
-)
-def snapshot_drop_partition_retention(spark, sf_dir):
-    """METADATA-ONLY DROP PARTITION — the retention/archival primitive:
-    expiring partition bucket=2 unreferences its files in one manifest
-    commit. Asserted in-query: the data directory's parquet population
-    is BYTE-IDENTICAL before and after (zero data I/O — at 100 TB the
-    drop costs one JSON write), time travel to the pre-drop version
-    still counts every row, and the change feed across the drop
-    honestly refuses (row-level deletes underivable without scanning —
-    the Delta restore contract; record_changes=True buys them). Oracle:
-    the filtered aggregate."""
-    import os
-
-    from station_data_ingestion_spark.plans.snapshot_store import (
-        ChangeFeedUnavailableError,
-    )
-
-    orders = load(spark, sf_dir, "orders")["orders"].select(
-        F.col("o_orderkey").alias("k"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-        (F.col("o_custkey") % 4).cast("string").alias("bucket"),
-    )
-    root = _tmpdir(prefix="snap_droppart_") + "/orders_ret"
-    t = SnapshotTable(
-        spark, root, partition_cols=("bucket",), stat_cols=()
-    )
-    t.commit_overwrite_partitions(orders)
-    n_total = t.read().count()
-
-    def data_files():
-        out = []
-        for dirpath, _dirs, names in os.walk(f"{root}/data"):
-            out.extend(
-                os.path.join(dirpath, n)
-                for n in names
-                if n.endswith(".parquet")
-            )
-        return sorted(out)
-
-    before = data_files()
-    v1 = t.latest_version()
-    t.drop_partitions({"bucket": "2"})
-    if data_files() != before:
-        raise RuntimeError("drop_partitions touched data files")
-    if t.read(version=v1).count() != n_total:
-        raise RuntimeError("time travel to pre-drop version lost rows")
-    try:
-        t.read_change_feed(v1)
-    except ChangeFeedUnavailableError:
-        pass
-    else:
-        raise RuntimeError(
-            "change feed across an unrecorded drop must refuse"
-        )
-    return (
-        t.read()
-        .groupBy(F.col("bucket").cast("long").alias("bucket"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("cents").cast("long").alias("cents"),
-        )
-    )
-
-
-@query(
-    "stream_branch_publish_replay",
-    """
-SELECT event_type, COUNT(*) AS n_events,
-       SUM(CAST(ROUND(value * 10000) AS BIGINT)) / 10000.0 AS total_value
-FROM events GROUP BY event_type
-""",
-)
-def stream_branch_publish_replay(spark, sf_dir):
-    """BRANCH-PUBLISH streaming ingestion (streaming/branch_stream.py)
-    — the branch generalization of WAP: the replay source interleaves
-    clean events with poisoned rows (negated values, re-keyed ids) IN
-    THE SAME FILES, so batch-level abort would throw away good rows.
-    Each micro-batch forks a branch, lands there, gets its bad rows
-    DELETED on the branch (row-level correction, copy-on-write), and
-    fast-forward publishes append+cleanse as ONE atomic metadata flip.
-    The final table must equal the clean source (same oracle as the
-    WAP replay — two quality-gate strategies, one certified answer),
-    and the in-query asserts require every batch to have published and
-    the cleanse to have removed rows."""
-    import time as _time
-
-    from station_data_ingestion_spark.queries.registry import (
-        ensure_session_confs,
-    )
-    from station_data_ingestion_spark.streaming.branch_stream import (
-        run_branch_publish_stream,
-    )
-
-    ensure_session_confs(spark)
-    events = load(spark, sf_dir, "events")["events"]
-    tmp = _tmpdir(prefix="snap_brstream_")
-    poisoned = events.select(
-        (F.col("event_id") + 1000000000).alias("event_id"),
-        "ts",
-        "user_id",
-        "event_type",
-        (F.col("value") * -1 - 1).alias("value"),
-        "props",
-    ).select(*events.columns)
-    # poison INTERLEAVED with clean rows (one union, same files): a
-    # whole-batch abort would lose the clean rows too — only row-level
-    # correction passes this source
-    events.unionByName(poisoned).repartition(8).write.parquet(
-        f"{tmp}/src"
-    )
-    _time.sleep(0.2)
-    t = SnapshotTable(
-        spark, f"{tmp}/tbl", partition_cols=("batch_id",), stat_cols=()
-    )
-    t.commit_overwrite_partitions(
-        events.limit(0).withColumn("batch_id", F.lit("bootstrap"))
-    )
-    stats: dict = {}
-    stream = (
-        spark.readStream.schema(events.schema)
-        .option("maxFilesPerTrigger", 3)
-        .parquet(f"{tmp}/src")
-    )
-    q = run_branch_publish_stream(
-        stream, t, f"{tmp}/ckpt", F.col("value") < 0, stats=stats
-    )
-    q.awaitTermination()
-    if stats.get("published", 0) < 2:
-        raise RuntimeError("replay must publish multiple batches")
-    if stats.get("cleansed_rows", 0) == 0:
-        raise RuntimeError("the cleanse must have removed poisoned rows")
-    if t.branches():
-        raise RuntimeError("every batch branch must be consumed")
-    out = t.read()
-    if out.filter(F.col("value") < 0).count() != 0:
-        raise RuntimeError("a poisoned row reached the published table")
-    return out.groupBy("event_type").agg(
-        F.count("*").alias("n_events"),
-        (
-            F.sum(F.round(F.col("value") * 10000).cast("long")) / 10000.0
-        ).alias("total_value"),
-    )
-
-
-@query(
-    "snapshot_tpch_refresh_functions",
-    """
-WITH o AS (
-  SELECT o_orderkey AS k, o_orderstatus AS st
-  FROM orders WHERE o_orderkey % 17 <> 0
-  UNION ALL
-  SELECT o_orderkey + 2000000000, o_orderstatus
-  FROM orders WHERE o_orderkey % 19 = 0
-),
-l AS (
-  SELECT l_orderkey AS k,
-         CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
-           AS rev
-  FROM lineitem WHERE l_orderkey % 17 <> 0
-  UNION ALL
-  SELECT l_orderkey + 2000000000,
-         CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
-  FROM lineitem WHERE l_orderkey % 19 = 0
-)
-SELECT o.st, CAST(COUNT(*) AS BIGINT) AS n_items,
-       CAST(SUM(l.rev) AS BIGINT) AS revenue
-FROM o JOIN l ON o.k = l.k
-GROUP BY o.st
-""",
-)
-def snapshot_tpch_refresh_functions(spark, sf_dir):
-    """TPC-H REFRESH FUNCTIONS (RF1 insert / RF2 delete) through the
-    transactional store — the benchmark's own maintenance workload, the
-    part single-shot query engines skip: RF1 appends a new-sales batch
-    (re-keyed orders + their lineitems) to BOTH tables; RF2 deletes an
-    old-sales key range from both with write-time-recorded change
-    images. The revenue-by-status join over the maintained tables must
-    equal plain SQL with the same mutations — cascade consistency
-    across two tables certified, and both deletes ride the engine's
-    file-bounded copy-on-write path (only partitions holding matches
-    rewrite). [reference: TPC-H spec section 2.5 RF1/RF2 — absent from
-    the reference implementation]"""
-    t = load(spark, sf_dir, "orders", "lineitem")
-    orders = t["orders"].select(
-        F.col("o_orderkey").alias("k"),
-        F.col("o_orderstatus").alias("st"),
-        (F.col("o_orderkey") % 8).cast("string").alias("b"),
-    )
-    items = t["lineitem"].select(
-        F.col("l_orderkey").alias("k"),
-        F.round(
-            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
-        )
-        .cast("long")
-        .alias("rev"),
-        (F.col("l_orderkey") % 8).cast("string").alias("b"),
-    )
-    base = _tmpdir(prefix="snap_rf_")
-    to = SnapshotTable(
-        spark, f"{base}/orders", partition_cols=("b",), stat_cols=()
-    )
-    tl = SnapshotTable(
-        spark, f"{base}/lineitem", partition_cols=("b",), stat_cols=()
-    )
-    to.commit_overwrite_partitions(orders)
-    tl.commit_overwrite_partitions(items)
-    # RF1: new-sales batch lands under its own partition (pure append)
-    rf1_o = orders.filter(F.col("k") % 19 == 0).select(
-        (F.col("k") + 2000000000).alias("k"), "st", F.lit("new").alias("b")
-    )
-    rf1_l = items.filter(F.col("k") % 19 == 0).select(
-        (F.col("k") + 2000000000).alias("k"), "rev", F.lit("new").alias("b")
-    )
-    to.commit_overwrite_partitions(rf1_o)
-    tl.commit_overwrite_partitions(rf1_l)
-    # RF2: old-sales delete cascades across both tables (scoped to the
-    # original key range — new-sales keys live above 2e9)
-    rf2 = (F.col("k") % 17 == 0) & (F.col("k") < 2000000000)
-    to.delete_where(rf2)
-    tl.delete_where(rf2)
-    ops = [h["op"] for h in to.history()]
-    if ops != ["overwrite-partitions", "overwrite-partitions", "delete"]:
-        raise RuntimeError(f"unexpected maintenance history: {ops}")
-    o = to.read().select("k", "st")
-    l = tl.read().select("k", "rev")
-    return o.join(l, "k").groupBy("st").agg(
-        F.count(F.lit(1)).cast("long").alias("n_items"),
-        F.sum("rev").cast("long").alias("revenue"),
-    )
-
-
-@query(
-    "snapshot_add_column_default_read",
-    """
-WITH base AS (
-  SELECT o_orderkey,
-         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
-         CAST(o_orderkey % 4 AS VARCHAR) AS bucket
-  FROM orders WHERE o_orderkey % 2 = 0
-), incoming AS (
-  SELECT o_orderkey + 1000000000 AS o_orderkey,
-         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
-         'n' || CAST(o_orderkey % 4 AS VARCHAR) AS bucket,
-         CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE 'web' END AS channel
-  FROM orders WHERE o_orderkey % 5 = 0
-), unioned AS (
-  SELECT o_orderkey, cents, bucket, 'store' AS channel FROM base
-  UNION ALL
-  SELECT o_orderkey, cents, bucket, channel FROM incoming
-)
-SELECT COALESCE(channel, '<null>') AS channel,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(cents) AS BIGINT) AS cents
-FROM unioned GROUP BY 1
-""",
-)
-def snapshot_add_column_default_read(spark, sf_dir):
-    """Metadata-only ADD COLUMN WITH INITIAL DEFAULT (Delta column
-    defaults / Iceberg initial-default): files already in the table
-    read the default through a per-entry fill tag — NO data file is
-    rewritten — while rows appended after the add keep their physical
-    values, INCLUDING genuine NULLs (the case plain mergeSchema
-    null-fill cannot represent: here '<null>' rows must stay distinct
-    from 'store' defaults or the gate fails). In-query asserts: the
-    add commit leaves the file set untouched, and time travel to the
-    pre-add version does not see the column."""
-    o = load(spark, sf_dir, "orders")["orders"].select(
-        "o_orderkey",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-        (F.col("o_orderkey") % 4).cast("string").alias("bucket"),
-    )
-    base = o.filter(F.col("o_orderkey") % 2 == 0)
-    incoming = (
-        o.filter(F.col("o_orderkey") % 5 == 0)
-        .select(
-            (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
-            "cents",
-            F.concat(F.lit("n"), F.col("bucket")).alias("bucket"),
-            F.when(F.col("o_orderkey") % 3 == 0, F.lit(None)).otherwise(
-                F.lit("web")
-            ).cast("string").alias("channel"),
-        )
-    )
-    t = SnapshotTable(
-        spark,
-        _tmpdir(prefix="snap_addcol_") + "/orders_addcol",
-        partition_cols=("bucket",),
-        stat_cols=("o_orderkey",),
-    )
-    t.commit_overwrite_partitions(base)
-    v1 = t.latest_version()
-    files_v1 = {e["path"] for e in t._read_manifest(v1)["files"]}
-    v2 = t.add_column("channel", "string", default="store")
-    files_v2 = {e["path"] for e in t._read_manifest(v2)["files"]}
-    if files_v1 != files_v2:
-        raise RuntimeError("ADD COLUMN must be metadata-only")
-    if "channel" in t.read(version=v1).columns:
-        raise RuntimeError("pre-add version must not see the column")
-    t.commit_overwrite_partitions(incoming)
-    return (
-        t.read()
-        .groupBy(
-            F.coalesce(F.col("channel"), F.lit("<null>")).alias("channel")
-        )
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("cents").cast("long").alias("cents"),
-        )
-    )
-
-
-@query(
-    "snapshot_type_widening_read",
-    """
-WITH base AS (
-  SELECT o_orderkey,
-         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
-         CAST(o_orderkey % 4 AS VARCHAR) AS bucket
-  FROM orders WHERE o_orderkey % 2 = 0
-), incoming AS (
-  SELECT o_orderkey + 1000000000 AS o_orderkey,
-         CAST(ROUND(o_totalprice * 100) AS BIGINT) + 5000000000 AS cents,
-         'n' || CAST(o_orderkey % 4 AS VARCHAR) AS bucket
-  FROM orders WHERE o_orderkey % 7 = 0
-), unioned AS (
-  SELECT * FROM base UNION ALL SELECT * FROM incoming
-)
-SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(cents) AS BIGINT) AS cents,
-       CAST(MAX(cents) AS BIGINT) AS max_cents
-FROM unioned GROUP BY bucket
-""",
-)
-def snapshot_type_widening_read(spark, sf_dir):
-    """Metadata-only TYPE WIDENING (Delta type widening): the cents
-    column starts as INT (all values fit int32), widens to BIGINT with
-    ZERO data I/O, and rows appended afterwards carry values ABOVE the
-    int32 range — the exact case that forces the widen. Parquet
-    mergeSchema refuses int32/int64 conflicts, so pre-widen files scan
-    in their own tagged group and cast after read while post-widen
-    files are physically wide (the shared write path aligns them).
-    In-query asserts: the widen commit leaves the file set untouched,
-    the pre-widen version still reads int, and the live schema reads
-    bigint."""
-    o = load(spark, sf_dir, "orders")["orders"].select(
-        "o_orderkey",
-        F.round(F.col("o_totalprice") * 100).cast("int").alias("cents"),
-        (F.col("o_orderkey") % 4).cast("string").alias("bucket"),
-    )
-    base = o.filter(F.col("o_orderkey") % 2 == 0)
-    incoming = o.filter(F.col("o_orderkey") % 7 == 0).select(
-        (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
-        (F.col("cents").cast("bigint") + 5000000000).alias("cents"),
-        F.concat(F.lit("n"), F.col("bucket")).alias("bucket"),
-    )
-    t = SnapshotTable(
-        spark,
-        _tmpdir(prefix="snap_widen_") + "/orders_widen",
-        partition_cols=("bucket",),
-        stat_cols=("o_orderkey",),
-    )
-    t.commit_overwrite_partitions(base)
-    v1 = t.latest_version()
-    if dict(t.read().dtypes)["cents"] != "int":
-        raise RuntimeError("fixture must start narrow")
-    files_v1 = {e["path"] for e in t._read_manifest(v1)["files"]}
-    v2 = t.widen_column("cents", "bigint")
-    if {e["path"] for e in t._read_manifest(v2)["files"]} != files_v1:
-        raise RuntimeError("TYPE WIDENING must be metadata-only")
-    if dict(t.read(version=v1).dtypes)["cents"] != "int":
-        raise RuntimeError("time travel must keep the narrow type")
-    t.commit_overwrite_partitions(incoming)
-    out = t.read()
-    if dict(out.dtypes)["cents"] != "bigint":
-        raise RuntimeError("live schema must read the widened type")
-    return out.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("cents").cast("long").alias("cents"),
-        F.max("cents").cast("long").alias("max_cents"),
-    )
-
-
-@query(
-    "snapshot_column_masking_read",
-    """
-WITH m AS (
-  SELECT sha256(c_name) AS name_tok,
-         '****' || right(CAST(c_mktsegment AS VARCHAR), 3) AS seg,
-         CAST(FLOOR(CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT) AS DOUBLE)
-                    / 10000) * 10000 AS BIGINT) AS bal_bucket
-  FROM customer
-)
-SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_customers,
-       CAST(COUNT(DISTINCT name_tok) AS BIGINT) AS n_name_tokens,
-       MIN(name_tok) AS min_name_token,
-       CAST(SUM(bal_bucket) AS BIGINT) AS bal_bucket_sum
-FROM m GROUP BY seg
-""",
-    doc="Column-level masking policies (hash/partial/bucket/nullify) "
-    "stored in table metadata, applied by governed reads; DuckDB "
-    "recomputes the masked values from the raw source.",
-)
-def snapshot_column_masking_read(spark, sf_dir):
-    """Column-mask governance end-to-end: customers land in a snapshot
-    table, then METADATA-ONLY commits attach policies — sha256
-    tokenization on the name (deterministic: equality semantics
-    survive masking), partial redaction on the segment, k-anonymity
-    bucketing on the balance, full nullification on the nation key —
-    and a governed read (read_masked) must produce exactly the masked
-    values DuckDB computes from the raw source. In-query asserts:
-    (a) mask commits touch zero data files, (b) the raw read() is
-    untouched (engine maintenance paths need true bytes), (c) the
-    nullified column reads all-NULL through governance. Policies ride
-    the manifest (_CARRY_KEYS), so at 100 TB set/drop is one manifest
-    CAS — no rewrite of a single parquet byte."""
-    cust = load(spark, sf_dir, "customer")["customer"].select(
-        F.col("c_custkey").alias("k"),
-        F.col("c_name").alias("name"),
-        F.col("c_mktsegment").alias("seg"),
-        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
-        F.col("c_nationkey").cast("long").alias("nat"),
-        (F.col("c_custkey") % 4).cast("string").alias("b"),
-    )
-    t = SnapshotTable(
-        spark,
-        _tmpdir(prefix="snap_mask_") + "/cust_masked",
-        partition_cols=("b",),
-        stat_cols=(),
-    )
-    t.commit_overwrite_partitions(cust)
-    files_before = {e["path"] for e in t._read_manifest(t.latest_version())["files"]}
-    t.set_column_mask("name", "hash")
-    t.set_column_mask("seg", "partial", 3)
-    t.set_column_mask("bal_cents", "bucket", 10000)
-    t.set_column_mask("nat", "nullify")
-    files_after = {e["path"] for e in t._read_manifest(t.latest_version())["files"]}
-    if files_before != files_after:
-        raise RuntimeError("mask commits must be metadata-only")
-    if t.read().filter(F.col("nat").isNull()).count() != 0:
-        raise RuntimeError("raw read() must stay unmasked")
-    gov = t.read_masked()
-    if gov.filter(F.col("nat").isNotNull()).count() != 0:
-        raise RuntimeError("nullify mask leaked values")
-    return gov.groupBy("seg").agg(
-        F.count(F.lit(1)).cast("long").alias("n_customers"),
-        F.countDistinct("name").cast("long").alias("n_name_tokens"),
-        F.min("name").alias("min_name_token"),
-        F.sum("bal_cents").cast("long").alias("bal_bucket_sum"),
-    )
-
-
-@query(
-    "snapshot_bitemporal_asof_read",
-    """
-WITH t1 AS (
-  SELECT o_custkey AS c, EXTRACT(year FROM o_orderdate) AS y, COUNT(*) AS n
-  FROM orders GROUP BY 1, 2
-),
-p1 AS (
-  SELECT c, n FROM (
-    SELECT c, n, ROW_NUMBER() OVER (PARTITION BY c ORDER BY y DESC) AS rn
-    FROM t1 WHERE y <= 1997) WHERE rn = 1
-),
-t2 AS (
-  SELECT o_custkey AS c, EXTRACT(year FROM o_orderdate) AS y, COUNT(*) AS n
-  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1, 2
-),
-p2 AS (
-  SELECT c, n FROM (
-    SELECT c, n, ROW_NUMBER() OVER (PARTITION BY c ORDER BY y DESC) AS rn
-    FROM t2 WHERE y <= 1997) WHERE rn = 1
-)
-SELECT 'v1' AS sys, CAST(n AS BIGINT) AS tier,
-       CAST(COUNT(*) AS BIGINT) AS n_customers
-FROM p1 GROUP BY n
-UNION ALL
-SELECT 'latest' AS sys, CAST(n AS BIGINT) AS tier,
-       CAST(COUNT(*) AS BIGINT) AS n_customers
-FROM p2 GROUP BY n
-""",
-    doc="Bitemporal point query: transaction time = snapshot version "
-    "(time travel), valid time = SCD2 ranges; a correcting re-publish "
-    "changes what the system believes about the same past instant.",
-)
-def snapshot_bitemporal_asof_read(spark, sf_dir):
-    """BITEMPORAL as-of: 'what did the system believe AT COMMIT V about
-    the customer's tier VALID AT 1997-07-01?' Valid time lives in the
-    rows (SCD2 valid_from/valid_to built with one lead() per customer);
-    transaction time lives in the snapshot store (every publish is a
-    version). Publish 1 derives tier history from ALL orders; publish 2
-    is a CORRECTION (tiers recomputed from finished orders only) that
-    REWRITES THE PAST — so the same valid-time instant answers
-    differently under version pin v1 vs latest, which is the whole
-    point of bitemporality: audits replay old beliefs, reports use
-    corrected ones. The oracle re-derives both beliefs from the raw
-    source; the Spark side must get them from the STORE via time
-    travel, proving correction commits never destroy the audit trail."""
-    from pyspark.sql import Window
-
-    orders = load(spark, sf_dir, "orders")["orders"]
-    asof = "1997-07-01"
-
-    def tiers(src):
-        return src.groupBy(
-            F.col("o_custkey").alias("c"),
-            F.year("o_orderdate").alias("y"),
-        ).agg(F.count(F.lit(1)).alias("n"))
-
-    def scd2(yearly):
-        w = Window.partitionBy("c").orderBy("y")
-        nxt = F.lead("y").over(w)
-        return yearly.select(
-            "c",
-            "n",
-            F.to_date(F.concat(F.col("y"), F.lit("-01-01"))).alias(
-                "valid_from"
-            ),
-            F.coalesce(
-                F.to_date(F.concat(nxt, F.lit("-01-01"))),
-                F.to_date(F.lit("9999-01-01")),
-            ).alias("valid_to"),
-            F.lit("h").alias("era"),
-        )
-
-    t = SnapshotTable(
-        spark,
-        _tmpdir(prefix="snap_bitemp_") + "/cust_tiers",
-        partition_cols=("era",),
-        stat_cols=(),
-    )
-    t.commit_overwrite_partitions(scd2(tiers(orders)))
-    v1 = t.latest_version()
-    t.commit_overwrite_partitions(
-        scd2(tiers(orders.filter(F.col("o_orderstatus") == "F")))
-    )
-
-    def valid_at(df):
-        return df.filter(
-            (F.col("valid_from") <= F.lit(asof))
-            & (F.col("valid_to") > F.lit(asof))
-        )
-
-    belief_v1 = valid_at(t.read(version=v1)).select(
-        F.lit("v1").alias("sys"), F.col("n").cast("long").alias("tier")
-    )
-    belief_now = valid_at(t.read()).select(
-        F.lit("latest").alias("sys"), F.col("n").cast("long").alias("tier")
-    )
-    return (
-        belief_v1.unionByName(belief_now)
-        .groupBy("sys", "tier")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
-    )
-
-
-@query(
-    "snapshot_generated_column_read",
-    """
-SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
-       CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-         AS cents
-FROM orders WHERE o_orderkey % 3 IN (1, 2)
-GROUP BY 1
-""",
-    doc="Generated columns: computed at write when omitted, validated "
-    "when supplied (wrong value aborts the commit pre-publish); "
-    "declared by a metadata-only commit.",
-)
-def snapshot_generated_column_read(spark, sf_dir):
-    """GENERATED COLUMN lifecycle under the gate: era 'a' commits
-    before the declaration (the column reads NULL there), the
-    metadata-only declaration attaches o_year = year(o_orderdate),
-    era 'b' OMITS the column (the write path computes it), era 'c'
-    SUPPLIES it correctly (the write path validates it), and a wrong
-    supplied value must abort its commit pre-publish leaving the
-    version untouched — a generated column can never disagree with its
-    expression. The aggregate over the two post-declaration eras must
-    match DuckDB computing the same expression from the raw source."""
-    base = load(spark, sf_dir, "orders")["orders"].select(
-        F.col("o_orderkey").alias("k"),
-        "o_orderdate",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-        (F.col("o_orderkey") % 3).cast("string").alias("era"),
-    )
-    t = SnapshotTable(
-        spark,
-        _tmpdir(prefix="snap_gen_") + "/orders_gen",
-        partition_cols=("era",),
-        stat_cols=(),
-    )
-    t.commit_overwrite_partitions(base.filter(F.col("era") == "0"))
-    t.add_generated_column("o_year", "year(o_orderdate)")
-    t.commit_overwrite_partitions(base.filter(F.col("era") == "1"))
-    t.commit_overwrite_partitions(
-        base.filter(F.col("era") == "2").withColumn(
-            "o_year", F.year("o_orderdate").cast("int")
-        )
-    )
-    v_ok = t.latest_version()
-    try:
-        t.commit_overwrite_partitions(
-            base.filter(F.col("era") == "2").withColumn(
-                "o_year", F.lit(1900).cast("int")
-            )
-        )
-        raise RuntimeError("wrong generated value must abort the commit")
-    except RuntimeError:
-        raise
-    except Exception:
-        pass  # expected: validation raise_error aborted the staging write
-    if t.latest_version() != v_ok:
-        raise RuntimeError("aborted commit must not advance the version")
-    df = t.read()
-    if df.filter((F.col("era") == "0") & F.col("o_year").isNotNull()).count():
-        raise RuntimeError("pre-declaration files must read NULL o_year")
-    return (
-        df.filter(F.col("era").isin("1", "2"))
-        .groupBy(F.col("o_year").cast("long").alias("o_year"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.sum("cents").cast("long").alias("cents"),
-        )
-    )
-
-
-@query(
-    "snapshot_equality_delete_read",
-    """
-WITH base AS (
-  SELECT o_orderkey, o_custkey,
-         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
-         1 AS batch
-  FROM orders
-), survivors AS (
-  SELECT * FROM base WHERE o_custkey % 10 <> 3
-), reinserted AS (
-  SELECT o_orderkey, o_custkey, cents + 11 AS cents, 2 AS batch
-  FROM base WHERE o_custkey % 10 = 3 AND o_custkey % 20 = 3
-), final AS (
-  SELECT * FROM survivors UNION ALL SELECT * FROM reinserted
-)
-SELECT CAST(batch AS BIGINT) AS batch,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(cents) AS BIGINT) AS cents
-FROM final GROUP BY batch
-""",
-)
-def snapshot_equality_delete_read(spark, sf_dir):
-    """MERGE-ON-READ EQUALITY DELETES (Iceberg v2): keys are retired by
-    recording the key tuples themselves — O(keys) write cost with no
-    table scan, how streaming CDC deletes rows it has never read — and
-    readers anti-join them against files whose DATA SEQUENCE NUMBER
-    precedes the delete's. The query exercises the defining semantic
-    IN-QUERY: after deleting every o_custkey%10==3 key, a later append
-    re-inserts half of those keys (cents+11 to make resurrection-vs-
-    reinsert hash-distinguishable) — the appended rows SURVIVE the
-    earlier delete because their files carry a later sequence, while the
-    pre-delete rows stay gone. Also asserts merge-on-read (no data file
-    rewritten by the delete) and that time travel to the pre-delete
-    version still sees every row. At 100 TB the delete write is
-    kilobytes and the read-side cost is one broadcast anti-join; the
-    guard rails (rewrites refuse until materialize_eq_deletes) keep
-    compaction from resurrecting rows. [reference: Iceberg spec v2
-    equality deletes + data sequence numbers]"""
-    orders = load(spark, sf_dir, "orders")["orders"].select(
-        "o_orderkey",
-        "o_custkey",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-        F.lit(1).alias("batch"),
-    )
-    t = SnapshotTable(
-        spark,
-        _tmpdir(prefix="snap_eq_") + "/orders_eq",
-        partition_cols=("batch",),
-        stat_cols=("o_custkey",),
-    )
-    t.commit_overwrite_partitions(orders)
-    v0 = t.latest_version()
-    n_total = t.read().count()
-    pre_files = sorted(e["path"] for e in t._read_manifest(v0)["files"])
-    # retire every key with o_custkey % 10 == 3 — by KEY SET, no scan
-    keys = orders.filter(F.col("o_custkey") % 10 == 3).select(
-        "o_orderkey"
-    )
-    t.delete_where_eq(keys)
-    v1 = t.latest_version()
-    post_files = sorted(e["path"] for e in t._read_manifest(v1)["files"])
-    if post_files != pre_files:
-        raise RuntimeError(
-            "equality delete rewrote data files — merge-on-read broken"
-        )
-    if t.read(version=v0).count() != n_total:
-        raise RuntimeError("time travel to pre-delete version lost rows")
-    # CDC re-insert of HALF the retired keys, post-delete sequence
-    reinsert = orders.filter(
-        (F.col("o_custkey") % 10 == 3) & (F.col("o_custkey") % 20 == 3)
-    ).select(
-        "o_orderkey",
-        "o_custkey",
-        (F.col("cents") + 11).alias("cents"),
-        F.lit(2).alias("batch"),
-    )
-    t.commit_overwrite_partitions(reinsert)
-    return (
-        t.read()
-        .groupBy(F.col("batch").cast("long").alias("batch"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("cents").cast("long").alias("cents"),
-        )
-    )
-
-
-@query(
-    "snapshot_row_tracking_read",
-    """
-WITH base AS (
-  SELECT o_orderkey, o_custkey,
-         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
-         ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS row_id
-  FROM orders
-), updated AS (
-  SELECT o_orderkey, row_id,
-         CASE WHEN o_custkey % 7 = 0 THEN cents + 5 ELSE cents END AS cents,
-         o_custkey
-  FROM base
-), final AS (
-  SELECT * FROM updated WHERE o_custkey % 10 <> 4
-)
-SELECT CAST(row_id % 8 AS BIGINT) AS id_bucket,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(row_id) AS BIGINT) AS id_sum,
-       CAST(SUM(cents) AS BIGINT) AS cents
-FROM final GROUP BY row_id % 8
-""",
-)
-def snapshot_row_tracking_read(spark, sf_dir):
-    """ROW TRACKING (Delta-style stable row ids): ids are allocated as
-    per-file contiguous ranges at commit (id = manifest row_base +
-    parquet row_index — zero storage cost, no physical column) and
-    MATERIALIZED into a physical column only by the rewrites that would
-    otherwise destroy them. The query proves stability end-to-end: a
-    deterministic single-file clustered load fixes id = rank(o_orderkey),
-    an UPDATE rewrite bumps some rows' cents WITHOUT changing their ids,
-    a DV delete retires rows without touching files, and the final
-    id-keyed aggregate only matches the oracle's ROW_NUMBER
-    reconstruction if every surviving row kept its original id through
-    both mutations. At 100 TB the id attach is one broadcast
-    filename->base map over the scan the reader already pays; updates
-    pay one extra int64 column only on the files they rewrite.
-    [reference: Delta row tracking / Iceberg row lineage]"""
-    orders = load(spark, sf_dir, "orders")["orders"].select(
-        "o_orderkey",
-        "o_custkey",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-        F.lit(1).alias("batch"),
-    )
-    t = SnapshotTable(
-        spark,
-        _tmpdir(prefix="snap_rt_") + "/orders_rt",
-        partition_cols=("batch",),
-        stat_cols=("o_orderkey",),
-    )
-    # single clustered file -> ids are exactly rank(o_orderkey) - 1
-    t.commit_overwrite_partitions(
-        orders, cluster_by=("o_orderkey",), cluster_partitions=1
-    )
-    t.enable_row_tracking()
-    ids_before = t.read(with_row_ids=True).select("o_orderkey", "_row_id")
-    t.update_where(
-        F.col("o_custkey") % 7 == 0, {"cents": F.col("cents") + 5}
-    )
-    t.delete_where_dv(F.col("o_custkey") % 10 == 4)
-    after = t.read(with_row_ids=True)
-    # in-query stability assert: every surviving row's id is unchanged
-    moved = (
-        after.select("o_orderkey", "_row_id")
-        .join(
-            ids_before.withColumnRenamed("_row_id", "_id0"), "o_orderkey"
-        )
-        .filter(F.col("_row_id") != F.col("_id0"))
-        .count()
-    )
-    if moved:
-        raise RuntimeError(f"{moved} rows changed row id across rewrites")
-    return after.groupBy(
-        (F.col("_row_id") % 8).cast("long").alias("id_bucket")
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("_row_id").cast("long").alias("id_sum"),
-        F.sum("cents").cast("long").alias("cents"),
-    )
-
-
-@query(
-    "stream_cdc_eq_delete_replay",
-    """
-WITH base AS (
-  SELECT o_orderkey, o_custkey,
-         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
-  FROM orders
-), survivors AS (
-  SELECT o_orderkey, cents, 1 AS batch FROM base WHERE o_custkey % 10 <> 3
-), corrected AS (
-  SELECT o_orderkey, cents + 7 AS cents, 2 AS batch
-  FROM base WHERE o_custkey % 20 = 3
-), final AS (
-  SELECT * FROM survivors UNION ALL SELECT * FROM corrected
-)
-SELECT CAST(batch AS BIGINT) AS batch,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(cents) AS BIGINT) AS cents
-FROM final GROUP BY batch
-""",
-)
-def stream_cdc_eq_delete_replay(spark, sf_dir):
-    """STREAMING CDC APPLY via EQUALITY DELETES: a change feed of
-    (op, key, row) records drains through foreachBatch — each
-    micro-batch retires its 'D' keys with one O(keys) delete_where_eq
-    (no scan of the 600k-row target, the CDC case DVs cannot serve
-    cheaply) and appends its 'I' rows as a new-sequence batch partition.
-    Run 1 loads the initial snapshot; a second checkpointed availableNow
-    run applies ONLY the late correction file (delete %10==3, re-insert
-    half of them corrected) — the re-inserts land AFTER the delete in
-    sequence order, so they survive it, which is the whole point of
-    sequence-numbered equality deletes. The oracle reconstructs the
-    final latest-wins state relationally. At 100 TB each micro-batch
-    costs O(changed keys) write + one manifest CAS; the read side pays
-    one broadcast anti-join until materialize_eq_deletes folds keys in.
-    [reference: Iceberg v2 CDC write pattern]"""
-    from station_data_ingestion_spark.queries.registry import (
-        ensure_session_confs,
-    )
-
-    ensure_session_confs(spark)
-    base = load(spark, sf_dir, "orders")["orders"].select(
-        "o_orderkey",
-        "o_custkey",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-    )
-    tmp = _tmpdir(prefix="stream_cdc_eq_")
-    watch = f"{tmp}/cdc"
-    feed1 = base.select(
-        F.lit("I").alias("op"),
-        "o_orderkey",
-        "cents",
-        F.lit(1).alias("batch"),
-    )
-    feed1.coalesce(4).write.parquet(watch)
-    t = SnapshotTable(
-        spark, f"{tmp}/tbl", partition_cols=("batch",), stat_cols=()
-    )
-
-    def apply_cdc(batch_df, batch_id: int) -> None:
-        dels = batch_df.filter(F.col("op") == "D").select("o_orderkey")
-        if t.read() is not None and dels.limit(1).count():
-            t.delete_where_eq(dels)
-        ins = batch_df.filter(F.col("op") == "I").drop("op")
-        if ins.limit(1).count():
-            t.commit_overwrite_partitions(ins)
-
-    def drain():
-        q = (
-            spark.readStream.schema(feed1.schema)
-            .parquet(watch)
-            .writeStream.foreachBatch(apply_cdc)
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-
-    drain()
-    deletes = base.filter(F.col("o_custkey") % 10 == 3).select(
-        F.lit("D").alias("op"),
-        "o_orderkey",
-        F.lit(None).cast("long").alias("cents"),
-        F.lit(2).alias("batch"),
-    )
-    reinserts = base.filter(F.col("o_custkey") % 20 == 3).select(
-        F.lit("I").alias("op"),
-        "o_orderkey",
-        (F.col("cents") + 7).alias("cents"),
-        F.lit(2).alias("batch"),
-    )
-    deletes.unionByName(reinserts).coalesce(1).write.mode("append").parquet(
-        watch
-    )
-    drain()
-    return (
-        t.read()
-        .groupBy(F.col("batch").cast("long").alias("batch"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("cents").cast("long").alias("cents"),
-        )
-    )
-
-
-@query(
-    "catalog_view_pinned_read",
-    """
-WITH fact AS (
-  SELECT o_orderkey, o_custkey % 20 AS seg,
-         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents, 1 AS p
-  FROM orders
-), dim AS (
-  SELECT DISTINCT o_custkey % 20 AS seg,
-         CASE WHEN o_custkey % 40 = o_custkey % 20
-              THEN 'alpha' ELSE 'beta' END AS grp
-  FROM orders
-), v1 AS (
-  SELECT d.grp, COUNT(*) AS n, SUM(f.cents) AS cents
-  FROM fact f JOIN dim d ON f.seg = d.seg GROUP BY d.grp
-), v2 AS (
-  SELECT d.grp, COUNT(*) AS n,
-         SUM(CASE WHEN f.o_orderkey % 4 = 0
-                  THEN f.cents + 9 ELSE f.cents END) AS cents
-  FROM fact f JOIN dim d ON f.seg = d.seg GROUP BY d.grp
-)
-SELECT 'pinned' AS snap, grp, CAST(n AS BIGINT) AS n,
-       CAST(cents AS BIGINT) AS cents FROM v1
-UNION ALL
-SELECT 'current', grp, CAST(n AS BIGINT), CAST(cents AS BIGINT) FROM v2
-""",
-)
-def catalog_view_pinned_read(spark, sf_dir):
-    """CATALOG VIEWS with snapshot-pinned resolution: a logical view
-    (SQL text in the catalog document, validated at CREATE time,
-    flipped atomically with the pins) joins a fact to a dimension. A
-    second transaction then rewrites the fact (+9 cents on every 4th
-    order); the query reads the SAME view through BOTH catalog
-    snapshots — the old snapshot's view must still compute the
-    pre-update answer (its tables resolve at their pinned versions),
-    the new one sees the update. That is the lakehouse-view contract:
-    a view over N tables is as transactionally consistent as the
-    snapshot it's read through. [reference: Iceberg view spec /
-    Delta views over pinned catalogs]"""
-    from station_data_ingestion_spark.plans.catalog import Catalog
-
-    o = load(spark, sf_dir, "orders")["orders"]
-    fact = o.select(
-        "o_orderkey",
-        (F.col("o_custkey") % 20).alias("seg"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-        F.lit(1).alias("p"),
-    )
-    dim = (
-        o.select(
-            (F.col("o_custkey") % 20).alias("seg"),
-            F.when(
-                F.col("o_custkey") % 40 == F.col("o_custkey") % 20,
-                F.lit("alpha"),
-            )
-            .otherwise(F.lit("beta"))
-            .alias("grp"),
-        )
-        .distinct()
-        .withColumn("p", F.lit(1))
-    )
-    cat = Catalog(spark, _tmpdir(prefix="cat_view_") + "/cat")
-    cat.init()
-    txn = cat.transaction()
-    txn.create_table("fact", fact, partition_cols=("p",))
-    txn.create_table("dim", dim, partition_cols=("p",))
-    txn.create_view(
-        "seg_rollup",
-        "SELECT d.grp, COUNT(*) AS n, SUM(f.cents) AS cents "
-        "FROM fact f JOIN dim d ON f.seg = d.seg GROUP BY d.grp",
-    )
-    v1 = txn.commit()
-    pinned = cat.snapshot(v1)
-    txn2 = cat.transaction()
-    txn2.write(
-        "fact",
-        fact.withColumn(
-            "cents",
-            F.when(
-                F.col("o_orderkey") % 4 == 0, F.col("cents") + 9
-            ).otherwise(F.col("cents")),
-        ),
-    )
-    v2 = txn2.commit()
-    old = pinned.read_view("seg_rollup").select(
-        F.lit("pinned").alias("snap"),
-        "grp",
-        F.col("n").cast("long").alias("n"),
-        F.col("cents").cast("long").alias("cents"),
-    )
-    # collect the pinned answer BEFORE re-registering temp views for the
-    # current snapshot (read_view registration is session-global)
-    old_rows = old.collect()
-    cur = cat.snapshot(v2).read_view("seg_rollup").select(
-        F.lit("current").alias("snap"),
-        "grp",
-        F.col("n").cast("long").alias("n"),
-        F.col("cents").cast("long").alias("cents"),
-    )
-    old_df = spark.createDataFrame(old_rows, old.schema)
-    return old_df.unionByName(cur)
-
-
-@query(
-    "snapshot_row_filter_read",
-    """
-SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-         AS cents
-FROM orders
-WHERE o_orderstatus <> 'F' AND ROUND(o_totalprice * 100) >= 1000000
-GROUP BY 1
-""",
-    doc="Row-level security policies stored in table metadata "
-    "(AND-composed named predicates), applied by governed reads; "
-    "DuckDB recomputes the visible set from the raw source.",
-)
-def snapshot_row_filter_read(spark, sf_dir):
-    """ROW-LEVEL SECURITY end-to-end: orders land in a snapshot table,
-    two METADATA-ONLY commits attach named row-access policies
-    (hide finished orders; hide orders under 10k) that AND together,
-    and the governed read must see exactly the rows DuckDB computes
-    from the raw source. In-query asserts: (a) policy commits touch
-    zero data files, (b) the raw read() still sees every row (the
-    engine's own maintenance paths need true bytes), (c) a policy that
-    stops analyzing fails CLOSED (raises, never leaks), (d) dropping
-    one policy widens the visible set accordingly. At 100 TB: set/drop
-    is one manifest CAS; the filter itself becomes a pushed-down scan
-    predicate like any other."""
-    orders = load(spark, sf_dir, "orders")["orders"].select(
-        "o_orderkey",
-        "o_orderstatus",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-        (F.col("o_orderkey") % 4).cast("string").alias("b"),
-    )
-    t = SnapshotTable(
-        spark,
-        _tmpdir(prefix="snap_rls_") + "/orders_rls",
-        partition_cols=("b",),
-        stat_cols=(),
-    )
-    t.commit_overwrite_partitions(orders)
-    n_raw = orders.count()
-    files_before = len(t._read_manifest(t.latest_version())["files"])
-    t.set_row_filter("hide_finished", "o_orderstatus <> 'F'")
-    t.set_row_filter("min_value", "cents >= 1000000")
-    files_after = len(t._read_manifest(t.latest_version())["files"])
-    assert files_before == files_after, "policy commit rewrote data files"
-    assert t.read().count() == n_raw, "raw read must stay ungoverned"
-    # fail-closed probe: a policy over a column the live schema lacks
-    try:
-        t.set_row_filter("bad", "no_such_column > 0")
-        raise AssertionError("invalid policy must not publish")
-    except ValueError:
-        pass
-    # drop one policy -> the other still applies
-    both = t.read_governed().count()
-    t.drop_row_filter("min_value")
-    wider = t.read_governed().count()
-    assert wider >= both, "dropping a policy must not shrink visibility"
-    t.set_row_filter("min_value", "cents >= 1000000")
-    return (
-        t.read_governed()
-        .groupBy(F.col("o_orderstatus").alias("status"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.sum("cents").cast("long").alias("cents"),
-        )
-    )
-
-
-@query(
-    "stream_kmv_distinct_replay",
-    """
-SELECT event_type AS key,
-       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
-FROM events GROUP BY 1
-""",
-    doc="Streaming incrementally-maintained KMV distinct sketches: "
-    "per-batch partials committed to a snapshot table, duplicated "
-    "input AND a fresh-checkpoint re-run cannot change the folded "
-    "answer (sketch union is idempotent).",
-)
-def stream_kmv_distinct_replay(spark, sf_dir):
-    """Streaming COUNT(DISTINCT) via table-maintained KMV sketches
-    (streaming/kmv_stream.py): events arrive in micro-batches (two
-    full staged copies — every user hash arrives at least twice), each
-    batch commits its per-group bottom-k partials, and the live answer
-    folds all partials. The replay then RESTARTS with a brand-new
-    checkpoint over the same source, re-ingesting everything under new
-    batch ids — and the folded answer still equals COUNT(DISTINCT),
-    because KMV merge is set union: at-least-once delivery is
-    sufficient BY ALGEBRA, no exactly-once machinery needed. The gate
-    compares against DuckDB's exact per-type distinct counts (k=4096
-    far above any test-SF NDV, so the sketch is in its exact regime)."""
-    from station_data_ingestion_spark.queries.registry import (
-        ensure_session_confs,
-    )
-    from station_data_ingestion_spark.streaming.kmv_stream import (
-        kmv_distinct_estimates,
-        run_kmv_stream,
-    )
-
-    ensure_session_confs(spark)
-    events = load(spark, sf_dir, "events")["events"].select(
-        "user_id", "event_type"
-    )
-    tmp = _tmpdir(prefix="snap_kmvstream_")
-    events.repartition(4).write.parquet(f"{tmp}/src")
-    events.repartition(4).write.mode("append").parquet(f"{tmp}/src")
-    t = SnapshotTable(
-        spark, f"{tmp}/tbl", partition_cols=("batch_id",), stat_cols=()
-    )
-    k = 4096
-    stream = (
-        spark.readStream.schema(events.schema)
-        .option("maxFilesPerTrigger", 3)
-        .parquet(f"{tmp}/src")
-    )
-    q = run_kmv_stream(stream, t, f"{tmp}/ckpt", "user_id", "event_type", k)
-    q.awaitTermination()
-    first = kmv_distinct_estimates(t, k)
-    # fresh checkpoint = new deployment: everything re-ingests under new
-    # batch ids; union idempotence must keep the answer identical
-    stream2 = (
-        spark.readStream.schema(events.schema)
-        .option("maxFilesPerTrigger", 5)
-        .parquet(f"{tmp}/src")
-    )
-    q2 = run_kmv_stream(
-        stream2, t, f"{tmp}/ckpt2", "user_id", "event_type", k
-    )
-    q2.awaitTermination()
-    second = kmv_distinct_estimates(t, k)
-    assert first == second, "sketch union must absorb a full re-ingest"
-    return spark.createDataFrame(second, "key string, distinct_users long")

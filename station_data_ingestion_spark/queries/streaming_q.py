@@ -624,3 +624,76 @@ def stream_late_data_audit_replay(spark, sf_dir):
             f"predict {expect_dropped}"
         )
     return out1.unionByName(out2)
+
+
+# Moved from snapshot_q.py (pure move, registry name unchanged): a
+# streaming replay that maintains KMV sketches in a snapshot table.
+from station_data_ingestion_spark.plans.snapshot_store import SnapshotTable
+from station_data_ingestion_spark.queries.snapshot_q import _tmpdir
+
+
+@query(
+    "stream_kmv_distinct_replay",
+    """
+SELECT event_type AS key,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+FROM events GROUP BY 1
+""",
+    doc="Streaming incrementally-maintained KMV distinct sketches: "
+    "per-batch partials committed to a snapshot table, duplicated "
+    "input AND a fresh-checkpoint re-run cannot change the folded "
+    "answer (sketch union is idempotent).",
+)
+def stream_kmv_distinct_replay(spark, sf_dir):
+    """Streaming COUNT(DISTINCT) via table-maintained KMV sketches
+    (streaming/kmv_stream.py): events arrive in micro-batches (two
+    full staged copies — every user hash arrives at least twice), each
+    batch commits its per-group bottom-k partials, and the live answer
+    folds all partials. The replay then RESTARTS with a brand-new
+    checkpoint over the same source, re-ingesting everything under new
+    batch ids — and the folded answer still equals COUNT(DISTINCT),
+    because KMV merge is set union: at-least-once delivery is
+    sufficient BY ALGEBRA, no exactly-once machinery needed. The gate
+    compares against DuckDB's exact per-type distinct counts (k=4096
+    far above any test-SF NDV, so the sketch is in its exact regime)."""
+    from station_data_ingestion_spark.queries.registry import (
+        ensure_session_confs,
+    )
+    from station_data_ingestion_spark.streaming.kmv_stream import (
+        kmv_distinct_estimates,
+        run_kmv_stream,
+    )
+
+    ensure_session_confs(spark)
+    events = load(spark, sf_dir, "events")["events"].select(
+        "user_id", "event_type"
+    )
+    tmp = _tmpdir(prefix="snap_kmvstream_")
+    events.repartition(4).write.parquet(f"{tmp}/src")
+    events.repartition(4).write.mode("append").parquet(f"{tmp}/src")
+    t = SnapshotTable(
+        spark, f"{tmp}/tbl", partition_cols=("batch_id",), stat_cols=()
+    )
+    k = 4096
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 3)
+        .parquet(f"{tmp}/src")
+    )
+    q = run_kmv_stream(stream, t, f"{tmp}/ckpt", "user_id", "event_type", k)
+    q.awaitTermination()
+    first = kmv_distinct_estimates(t, k)
+    # fresh checkpoint = new deployment: everything re-ingests under new
+    # batch ids; union idempotence must keep the answer identical
+    stream2 = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 5)
+        .parquet(f"{tmp}/src")
+    )
+    q2 = run_kmv_stream(
+        stream2, t, f"{tmp}/ckpt2", "user_id", "event_type", k
+    )
+    q2.awaitTermination()
+    second = kmv_distinct_estimates(t, k)
+    assert first == second, "sketch union must absorb a full re-ingest"
+    return spark.createDataFrame(second, "key string, distinct_users long")
