@@ -979,3 +979,143 @@ def graph_mean_aggregation_layer(spark, sf_dir):
         .orderBy(F.col("neigh_deg_sum").desc(), F.col("node").asc())
         .limit(25)
     )
+
+
+_HITS_ITERS = 3
+
+
+def _hits_oracle() -> str:
+    head = f"""
+WITH edges AS (
+  SELECT DISTINCT o_custkey AS u, l_suppkey AS v
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+hubs0 AS (SELECT DISTINCT u, CAST({_SCALE} AS HUGEINT) AS h FROM edges)"""
+    steps = []
+    for i in range(1, _HITS_ITERS + 1):
+        steps.append(f""",
+araw{i} AS (
+  SELECT e.v, CAST(SUM(h.h) AS HUGEINT) AS s
+  FROM edges e JOIN hubs{i - 1} h ON e.u = h.u GROUP BY e.v
+),
+auth{i} AS (
+  SELECT v, CAST(s * {_SCALE} // (SELECT SUM(s) FROM araw{i}) AS HUGEINT)
+           AS a
+  FROM araw{i}
+),
+hraw{i} AS (
+  SELECT e.u, CAST(SUM(a.a) AS HUGEINT) AS s
+  FROM edges e JOIN auth{i} a ON e.v = a.v GROUP BY e.u
+),
+hubs{i} AS (
+  SELECT u, CAST(s * {_SCALE} // (SELECT SUM(s) FROM hraw{i}) AS HUGEINT)
+           AS h
+  FROM hraw{i}
+)"""
+        )
+    tail = f"""
+, top_a AS (
+  SELECT 'authority' AS kind, v AS node, CAST(a AS BIGINT) AS score,
+         ROW_NUMBER() OVER (ORDER BY a DESC, v ASC) AS rk
+  FROM auth{_HITS_ITERS}
+), top_h AS (
+  SELECT 'hub' AS kind, u AS node, CAST(h AS BIGINT) AS score,
+         ROW_NUMBER() OVER (ORDER BY h DESC, u ASC) AS rk
+  FROM hubs{_HITS_ITERS}
+)
+SELECT kind, CAST(rk AS BIGINT) AS rk, node, score FROM top_a WHERE rk <= 10
+UNION ALL
+SELECT kind, CAST(rk AS BIGINT) AS rk, node, score FROM top_h WHERE rk <= 10
+"""
+    return head + "".join(steps) + tail
+
+
+@query("graph_hits_hubs_authorities", _hits_oracle())
+def graph_hits_hubs_authorities(spark, sf_dir):
+    """HITS (Kleinberg) on the directed customer->supplier purchase
+    graph: 3 mutual-reinforcement iterations — authority(v) = sum of
+    hub scores buying from v, hub(u) = sum of authority scores u buys
+    from — with SUM-normalization each half-step in scaled INTEGER
+    arithmetic (the PageRank pattern: integer division makes every
+    iteration bit-identical on any engine/partitioning; the float
+    L2-normalized variant would be unverifiable). Each half-step is
+    one join + one aggregation shuffle on node id; the normalizer is a
+    one-row broadcast. Ships the top-10 hubs and authorities under a
+    deterministic (score DESC, node) order."""
+    t = load(spark, sf_dir, "orders", "lineitem")
+    edges = (
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("u"), F.col("l_suppkey").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    hubs = edges.select("u").distinct().withColumn(
+        "h", F.lit(_SCALE).cast("decimal(38,0)")
+    )
+    auth = None
+    for _ in range(_HITS_ITERS):
+        araw = (
+            edges.join(hubs, "u")
+            .groupBy("v")
+            .agg(F.sum(dec(F.col("h"))).alias("s"))
+        )
+        atot = araw.agg(F.sum("s").alias("tot"))
+        auth = araw.crossJoin(F.broadcast(atot)).select(
+            "v",
+            (dec(F.col("s")) * F.lit(_SCALE).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")  # exact: s <= n*SCALE, SCALE=1e12
+            .alias("num"),
+            "tot",
+        ).select(
+            "v", F.expr("num div tot").cast("decimal(38,0)").alias("a")
+        )
+        hraw = (
+            edges.join(auth, "v")
+            .groupBy("u")
+            .agg(F.sum(dec(F.col("a"))).alias("s"))
+        )
+        htot = hraw.agg(F.sum("s").alias("tot"))
+        hubs = hraw.crossJoin(F.broadcast(htot)).select(
+            "u",
+            F.expr(f"(s * {_SCALE}) div tot")
+            .cast("decimal(38,0)")
+            .alias("h"),
+        )
+    from pyspark.sql import Window
+
+    # top-10 via orderBy+limit = TakeOrderedAndProject (distributed
+    # per-partition partial top-k, no global window over the node
+    # frame); the rank attach is a window over the 10-row RESULT only
+    wa = Window.orderBy(F.col("a").desc(), F.col("v").asc())
+    wh = Window.orderBy(F.col("h").desc(), F.col("u").asc())
+    top_a = (
+        auth.orderBy(F.col("a").desc(), F.col("v").asc())
+        .limit(10)
+        .withColumn("rk", F.row_number().over(wa))
+        .select(
+            F.lit("authority").alias("kind"),
+            F.col("rk").cast("long").alias("rk"),
+            F.col("v").alias("node"),
+            F.col("a").cast("long").alias("score"),
+        )
+    )
+    top_h = (
+        hubs.orderBy(F.col("h").desc(), F.col("u").asc())
+        .limit(10)
+        .withColumn("rk", F.row_number().over(wh))
+        .select(
+            F.lit("hub").alias("kind"),
+            F.col("rk").cast("long").alias("rk"),
+            F.col("u").alias("node"),
+            F.col("h").cast("long").alias("score"),
+        )
+    )
+    return top_a.unionByName(top_h)

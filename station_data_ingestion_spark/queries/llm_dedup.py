@@ -1378,3 +1378,38 @@ def dedup_qgram_ed2_partnames(spark, sf_dir):
         F.col("nb").alias("name_b"),
         F.levenshtein("na", "nb").cast("long").alias("edit_distance"),
     )
+
+
+@query(
+    "dedup_levenshtein_adjacent_histogram",
+    """
+WITH p AS (SELECT p_partkey AS k, p_name AS nm FROM part),
+pairs AS (
+  SELECT a.nm AS na, b.nm AS nb
+  FROM p a JOIN p b ON b.k = a.k + 1
+)
+SELECT CAST(LEAST(levenshtein(na, nb), 30) AS BIGINT) AS dist,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY 1
+""",
+)
+def dedup_levenshtein_adjacent_histogram(spark, sf_dir):
+    """Edit-distance histogram over ADJACENT part-name pairs (key k
+    joined to k+1): certifies Spark's native JVM levenshtein against
+    DuckDB's native implementation — two codebases we didn't write
+    agreeing cell-for-cell on ~N string pairs is a strong independent
+    check of the primitive the fuzzy-dedup family (SymSpell ED<=2,
+    q-gram blocking) builds on. The pair frame is LINEAR by
+    construction (a shifted-key equi-join, not a self-cross), so the
+    certification scales with the corpus; distances cap at 30 to keep
+    the histogram bounded."""
+    p = load(spark, sf_dir, "part")["part"].select(
+        F.col("p_partkey").alias("k"), F.col("p_name").alias("nm")
+    )
+    b = p.select((F.col("k") - 1).alias("k"), F.col("nm").alias("nb"))
+    pairs = p.join(b, "k").select(
+        F.least(F.levenshtein("nm", "nb"), F.lit(30)).alias("dist")
+    )
+    return pairs.groupBy("dist").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    ).select(F.col("dist").cast("long").alias("dist"), "n_pairs")

@@ -1509,3 +1509,242 @@ def sim_pq_adc_topk(spark, sf_dir):
             "cosine",
         )
     )
+
+
+# rank-position discount table, integer micro-units: round(1e6/log2(i+1)).
+# HARDCODED identically in the Spark plan and the oracle so neither
+# engine's log2 is in the loop; IDCG@10 = their sum = 4,543,560.
+_DISC_MICRO = (
+    1000000, 630930, 500000, 430677, 386853,
+    356207, 333333, 315465, 301030, 289065,
+)
+_IDCG10 = sum(_DISC_MICRO)
+_DISC_CASE_SQL = "CASE rk_pre " + " ".join(
+    f"WHEN {i + 1} THEN {d}" for i, d in enumerate(_DISC_MICRO)
+) + " END"
+
+_RANKEVAL_ORACLE = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 5),
+c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings
+      WHERE vec_id >= 5),
+scored AS (
+  SELECT q_id, c_id,
+         ROUND({_COS_SQL.format(a='qv', b='cv')}, 6) AS sim_full,
+         ROUND({_COS_SQL.format(a='qv[1:16]', b='cv[1:16]')}, 6) AS sim_pre
+  FROM q, c
+), ranked AS (
+  SELECT q_id, c_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY sim_full DESC, c_id) AS rk_full,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY sim_pre DESC, c_id) AS rk_pre
+  FROM scored
+), sys AS (
+  SELECT q_id, rk_pre, CASE WHEN rk_full <= 10 THEN 1 ELSE 0 END AS rel,
+         SUM(CASE WHEN rk_full <= 10 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY q_id ORDER BY rk_pre) AS hits,
+         {_DISC_CASE_SQL} AS disc
+  FROM ranked WHERE rk_pre <= 10
+)
+SELECT q_id,
+       CAST(SUM(rel) AS BIGINT) AS n_hits,
+       CAST(SUM(rel * disc) * 1000000 // {_IDCG10} AS BIGINT) AS ndcg_ppm,
+       CAST(COALESCE(1000000 // MIN(CASE WHEN rel = 1 THEN rk_pre END), 0)
+            AS BIGINT) AS mrr_ppm,
+       CAST(SUM(rel * (hits * 1000000 // rk_pre)) // 10 AS BIGINT)
+         AS ap10_ppm
+FROM sys GROUP BY q_id
+"""
+
+
+@query("sim_ndcg_mrr_map_eval", _RANKEVAL_ORACLE)
+def sim_ndcg_mrr_map_eval(spark, sf_dir):
+    """Retrieval-quality metrics — NDCG@10, MRR, MAP@10 — for the
+    16-dim matryoshka-prefix ranking against the full-vector exact
+    top-10 as binary relevance: the standard offline eval harness every
+    retrieval change ships through. Both rankings come from ONE scored
+    pass (same broadcast query cross as the recall audit); the metric
+    arithmetic is ALL integers — hardcoded micro-unit discounts (so no
+    engine's log2 is in the loop), integer-division MRR and AP — so
+    the per-query rows hash bit-for-bit. Output is query-bounded (5
+    rows) however large the corpus."""
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    pre = lambda col: F.slice(F.col(col), 1, 16)  # noqa: E731
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        _norm("embedding").alias("qn"),
+        _norm(pre("embedding")).alias("qn_p"),
+    )
+    c = e.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("cv"),
+        _norm("embedding").alias("cn"),
+        _norm(pre("embedding")).alias("cn_p"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "q_id",
+        "c_id",
+        F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6).alias(
+            "sim_full"
+        ),
+        F.round(
+            _dot(pre("qv"), pre("cv")) / (F.col("qn_p") * F.col("cn_p")), 6
+        ).alias("sim_pre"),
+    )
+    pw = Window.partitionBy("q_id")
+    ranked = scored.select(
+        "q_id",
+        F.row_number()
+        .over(pw.orderBy(F.col("sim_full").desc(), F.col("c_id")))
+        .alias("rk_full"),
+        F.row_number()
+        .over(pw.orderBy(F.col("sim_pre").desc(), F.col("c_id")))
+        .alias("rk_pre"),
+    )
+    disc = F.element_at(
+        F.array(*[F.lit(d) for d in _DISC_MICRO]), F.col("rk_pre")
+    )
+    sys_t = (
+        ranked.filter(F.col("rk_pre") <= 10)
+        .withColumn("rel", F.when(F.col("rk_full") <= 10, 1).otherwise(0))
+        .withColumn(
+            "hits",
+            F.sum("rel").over(pw.orderBy("rk_pre")),
+        )
+        .withColumn("disc", disc)
+    )
+    return sys_t.groupBy("q_id").agg(
+        F.sum("rel").cast("long").alias("n_hits"),
+        F.expr(f"sum(rel * disc) * 1000000 div {_IDCG10}")
+        .cast("long")
+        .alias("ndcg_ppm"),
+        F.coalesce(
+            F.expr("1000000 div min(case when rel = 1 then rk_pre end)"),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("mrr_ppm"),
+        F.expr("sum(rel * (hits * 1000000 div rk_pre)) div 10")
+        .cast("long")
+        .alias("ap10_ppm"),
+    )
+
+
+_SILH_ORACLE = f"""
+WITH ex AS (
+  SELECT vec_id, label,
+         unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS d
+  FROM embeddings
+), cent AS (
+  SELECT label, d, CAST(SUM(CAST(ROUND(x * 1000000000) AS BIGINT))
+                        AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ex GROUP BY 1, 2
+), carr AS (
+  SELECT label AS clabel,
+         list(s * 1.0 / n / 1000000000.0 ORDER BY d) AS cv
+  FROM cent GROUP BY label
+), v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xv
+  FROM embeddings
+), d2 AS (
+  SELECT v.vec_id, v.label, c.clabel,
+         list_dot_product(v.xv, v.xv)
+         - 2 * list_dot_product(v.xv, c.cv)
+         + list_dot_product(c.cv, c.cv) AS dist2
+  FROM v, carr c
+), ab AS (
+  SELECT vec_id, label,
+         MAX(CASE WHEN clabel = label THEN dist2 END) AS a,
+         MIN(CASE WHEN clabel <> label THEN dist2 END) AS b
+  FROM d2 GROUP BY 1, 2
+), s AS (
+  SELECT vec_id, label,
+         CAST(ROUND((b - a) / GREATEST(a, b) * 1000000) AS BIGINT)
+           AS s_micro
+  FROM ab
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(s_micro) // COUNT(*) AS BIGINT) AS mean_silhouette_micro
+FROM s GROUP BY label
+"""
+
+
+@query("sim_simplified_silhouette", _SILH_ORACLE)
+def sim_simplified_silhouette(spark, sf_dir):
+    """Simplified (centroid-based) silhouette per label cluster — the
+    O(n·k) clustering-quality score production uses when the classical
+    O(n²) silhouette is unpayable: a = squared distance to OWN label
+    centroid, b = min over other centroids, s = (b-a)/max(a,b).
+    Centroids are exact-integer nano-unit sums per (label, dim) (so the
+    mean is engine- and partitioning-independent), distances expand as
+    dot(x,x) - 2·dot(x,c) + dot(c,c) with index-order accumulation on
+    both engines, and per-row silhouettes round to integer micro-units
+    BEFORE the per-label integer mean. One centroid broadcast (k x dim
+    doubles) over one corpus scan — no pairwise join at any scale."""
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("d", "x")
+    )
+    cent = ex.groupBy("label", "d").agg(
+        F.sum(F.round(F.col("x") * 1000000000).cast("long")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    carr = (
+        cent.groupBy(F.col("label").alias("clabel"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("d", "s", "n"))
+            ).alias("pairs")
+        )
+        .select(
+            "clabel",
+            F.transform(
+                "pairs",
+                lambda p: p["s"] * 1.0 / p["n"] / 1000000000.0,
+            ).alias("cv"),
+        )
+    )
+    v = e.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("xv"),
+    )
+    d2 = v.crossJoin(F.broadcast(carr)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        (
+            _dot("xv", "xv")
+            - 2 * _dot("xv", "cv")
+            + _dot("cv", "cv")
+        ).alias("dist2"),
+    )
+    ab = d2.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("clabel") == F.col("label"), F.col("dist2"))).alias(
+            "a"
+        ),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("dist2"))).alias(
+            "b"
+        ),
+    )
+    s = ab.select(
+        "label",
+        F.round(
+            (F.col("b") - F.col("a"))
+            / F.greatest(F.col("a"), F.col("b"))
+            * 1000000
+        )
+        .cast("long")
+        .alias("s_micro"),
+    )
+    return s.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("sum(s_micro) div count(1)")
+        .cast("long")
+        .alias("mean_silhouette_micro"),
+    )

@@ -985,3 +985,230 @@ def ml_lift_gains_deciles(spark, sf_dir):
         .cast("long")
         .alias("lift_ppm"),
     )
+
+
+_KNN_LOO_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (
+  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+), pairs AS (
+  SELECT a.vec_id AS q, a.label AS ql, b.vec_id AS c, b.label AS cl,
+         ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+), top5 AS (
+  SELECT q, ql, cl,
+         ROW_NUMBER() OVER (PARTITION BY q ORDER BY sim DESC, c) AS rk
+  FROM pairs
+), votes AS (
+  SELECT q, ql, cl, COUNT(*) AS cnt FROM top5 WHERE rk <= 5 GROUP BY 1, 2, 3
+), pred AS (
+  SELECT q, ql, cl AS pred,
+         ROW_NUMBER() OVER (PARTITION BY q ORDER BY cnt DESC, cl ASC) AS pr
+  FROM votes
+)
+SELECT CAST(ql AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN pred = ql THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST(SUM(CASE WHEN pred = ql THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS acc_ppm
+FROM pred WHERE pr = 1 GROUP BY ql
+"""
+
+
+@query("ml_knn_loo_accuracy", _KNN_LOO_ORACLE)
+def ml_knn_loo_accuracy(spark, sf_dir):
+    """5-NN leave-one-out label accuracy over the embedding corpus —
+    the zero-training sanity eval of embedding quality (if 5-NN can't
+    recover labels, no downstream head will). The distributed shape is
+    block x broadcast-matrix: the eval corpus (bounded — an eval
+    harness samples; the unbounded-scale retrieval paths are IVF/PQ)
+    broadcasts once as one float64 matrix inside the closure, and each
+    Arrow batch scores itself against it with ONE matmul, taking top-5
+    under the oracle's exact (round(sim,6) DESC, id ASC) key and
+    voting majority-with-smallest-label-tiebreak via bincount/argmax.
+    Per-label accuracy rows in integer ppm."""
+    import numpy as np
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    ref = e.select("vec_id", "label", "embedding").collect()
+    ref_ids = np.array([r["vec_id"] for r in ref], dtype=np.int64)
+    ref_lab = np.array([r["label"] for r in ref], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in ref], dtype=np.float64)
+    nrm = np.linalg.norm(mat, axis=1)
+    n_lab = int(ref_lab.max()) + 1
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(list(pdf["embedding"]), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            labs = pdf["label"].to_numpy(dtype=np.int64)
+            sims = np.round(
+                (x @ mat.T) / np.outer(np.linalg.norm(x, axis=1), nrm), 6
+            )
+            # a vector is not its own neighbor
+            self_mask = ids[:, None] == ref_ids[None, :]
+            sims[self_mask] = -np.inf
+            preds = np.empty(len(ids), dtype=np.int64)
+            for i in range(len(ids)):
+                order = np.lexsort((ref_ids, -sims[i]))[:5]
+                counts = np.bincount(ref_lab[order], minlength=n_lab)
+                preds[i] = int(np.argmax(counts))
+            yield pd.DataFrame(
+                {"label": labs, "correct": (preds == labs).astype(np.int64)}
+            )
+
+    per = e.select("vec_id", "label", "embedding").mapInPandas(
+        run, "label long, correct long"
+    )
+    return per.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("correct").cast("long").alias("n_correct"),
+        F.expr("sum(correct) * 1000000 div count(1)")
+        .cast("long")
+        .alias("acc_ppm"),
+    )
+
+
+_PRF_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+tc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+hb AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT)
+              % {_FH_BUCKETS} AS BIGINT) AS bucket,
+         CASE WHEN CAST(('0x' || substr(md5(tok), 9, 1)) AS UBIGINT) < 8
+              THEN cnt ELSE -cnt END AS signed_cnt
+  FROM tc
+),
+feat AS (
+  SELECT doc_id, bucket, SUM(signed_cnt) AS f FROM hb GROUP BY 1, 2
+),
+wt AS (
+  SELECT b AS bucket,
+         CAST(CAST(('0x' || substr(md5('w' || b), 1, 8)) AS UBIGINT)
+              % 2001 AS BIGINT) - 1000 AS w
+  FROM UNNEST(generate_series(0, {_FH_BUCKETS - 1})) AS t(b)
+),
+score AS (
+  SELECT fe.doc_id, CAST(SUM(fe.f * w) AS BIGINT) AS score,
+         MAX(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS y
+  FROM feat fe JOIN wt USING (bucket)
+  JOIN documents d ON d.doc_id = fe.doc_id
+  GROUP BY fe.doc_id
+),
+cm AS (
+  SELECT CAST(SUM(CASE WHEN score >= 0 AND y = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN score >= 0 AND y = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN score < 0 AND y = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS fn,
+         CAST(SUM(CASE WHEN score < 0 AND y = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS tn
+  FROM score
+)
+SELECT tp, fp, fn, tn,
+       CAST(tp * 1000000 // (tp + fp) AS BIGINT) AS precision_ppm,
+       CAST(tp * 1000000 // (tp + fn) AS BIGINT) AS recall_ppm,
+       CAST(2 * tp * 1000000 // (2 * tp + fp + fn) AS BIGINT) AS f1_ppm,
+       CAST(ROUND((tp * 1.0 * tn - fp * 1.0 * fn)
+                  / sqrt((tp + fp) * 1.0 * (tp + fn)
+                         * (tn + fp) * (tn + fn)) * 1000000) AS BIGINT)
+         AS mcc_micro
+FROM cm
+"""
+
+
+@query("ml_precision_recall_f1_mcc", _PRF_ORACLE)
+def ml_precision_recall_f1_mcc(spark, sf_dir):
+    """Thresholded-classifier evaluation: the feature-hash scorer
+    predicts lang='en' at score >= 0, and the 2x2 confusion collapses
+    to precision / recall / F1 (integer ppm via integer division) and
+    Matthews correlation (one IEEE sqrt over exact integer cell
+    products — the balanced metric that doesn't inflate under class
+    skew). Complements ml_roc_auc_exact (threshold-free) and
+    ml_lift_gains_deciles (ranking): together they are the standard
+    offline eval triad. One aggregation to a single 2x2 row; every
+    upstream step is the exact-bigint hashing pipeline."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    tc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    u32 = lambda c, a, n: F.conv(F.substring(F.md5(c), a, n), 16, 10).cast(  # noqa: E731
+        "long"
+    )
+    hb = tc.select(
+        "doc_id",
+        (u32(F.col("tok"), 1, 8) % _FH_BUCKETS).alias("bucket"),
+        F.when(u32(F.col("tok"), 9, 1) < 8, F.col("cnt"))
+        .otherwise(-F.col("cnt"))
+        .alias("signed_cnt"),
+    )
+    feat = hb.groupBy("doc_id", "bucket").agg(F.sum("signed_cnt").alias("f"))
+    wt = spark.range(_FH_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        (u32(F.concat(F.lit("w"), F.col("id")), 1, 8) % 2001 - 1000).alias("w"),
+    )
+    score = (
+        feat.join(F.broadcast(wt), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("f") * F.col("w")).cast("long").alias("score"))
+        .join(
+            d.select(
+                "doc_id",
+                F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+            ),
+            "doc_id",
+        )
+    )
+    cm = score.agg(
+        F.sum(F.when((F.col("score") >= 0) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when((F.col("score") >= 0) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when((F.col("score") < 0) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when((F.col("score") < 0) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+    )
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    return cm.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr("tp * 1000000 div (tp + fp)").cast("long").alias(
+            "precision_ppm"
+        ),
+        F.expr("tp * 1000000 div (tp + fn)").cast("long").alias("recall_ppm"),
+        F.expr("2 * tp * 1000000 div (2 * tp + fp + fn)")
+        .cast("long")
+        .alias("f1_ppm"),
+        F.round(
+            (dbl(F.col("tp")) * dbl(F.col("tn")) - dbl(F.col("fp")) * dbl(F.col("fn")))
+            / F.sqrt(
+                (dbl(F.col("tp")) + dbl(F.col("fp")))
+                * (dbl(F.col("tp")) + dbl(F.col("fn")))
+                * (dbl(F.col("tn")) + dbl(F.col("fp")))
+                * (dbl(F.col("tn")) + dbl(F.col("fn")))
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("mcc_micro"),
+    )

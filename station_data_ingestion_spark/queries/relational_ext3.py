@@ -946,3 +946,106 @@ def pivot_dynamic_discovered(spark, sf_dir):
         F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("o_cents"),
         F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("p_cents"),
     )
+
+
+@query(
+    "sql_relational_division",
+    """
+WITH segs AS (SELECT COUNT(DISTINCT c_mktsegment) AS k FROM customer),
+cov AS (
+  SELECT c_nationkey AS nk, COUNT(DISTINCT c_mktsegment) AS got
+  FROM customer GROUP BY 1
+)
+SELECT n.n_name AS nation, CAST(cov.got AS BIGINT) AS n_segments
+FROM cov JOIN nation n ON n.n_nationkey = cov.nk
+WHERE cov.got = (SELECT k FROM segs)
+""",
+)
+def sql_relational_division(spark, sf_dir):
+    """RELATIONAL DIVISION (the 'FOR ALL' query SQL never got a keyword
+    for): nations whose customer base spans EVERY market segment. The
+    set-containment join compiles to the standard count-distinct
+    reformulation — per-divisor-group distinct count equals the
+    divisor's cardinality — which is one aggregation plus a one-row
+    broadcast, instead of the textbook double-NOT-EXISTS whose nested
+    anti-joins explode at scale."""
+    t = load(spark, sf_dir, "customer", "nation")
+    k = (
+        t["customer"]
+        .agg(F.countDistinct("c_mktsegment").alias("k"))
+    )
+    cov = t["customer"].groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.countDistinct("c_mktsegment").alias("got")
+    )
+    return (
+        cov.crossJoin(F.broadcast(k))
+        .filter(F.col("got") == F.col("k"))
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("nk") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("got").cast("long").alias("n_segments"),
+        )
+    )
+
+
+@query(
+    "sql_correlated_exists_counts",
+    """
+SELECT n.n_name AS nation,
+       CAST(SUM(CASE WHEN EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT') THEN 1 ELSE 0 END)
+            AS BIGINT) AS with_urgent,
+       CAST(SUM(CASE WHEN NOT EXISTS (
+              SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+              THEN 1 ELSE 0 END) AS BIGINT) AS never_ordered
+FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+""",
+)
+def sql_correlated_exists_counts(spark, sf_dir):
+    """Correlated EXISTS / NOT EXISTS per nation: customers with at
+    least one urgent order, and customers who never ordered. The
+    Spark plan is what EXISTS should decorrelate to — one LEFT SEMI
+    and one LEFT ANTI join on the customer key (each a single shuffle,
+    no per-row subquery) — flag columns from the two joins feed one
+    aggregation; the oracle keeps the literal correlated form so
+    DuckDB's decorrelation independently certifies the rewrite."""
+    t = load(spark, sf_dir, "customer", "nation", "orders")
+    c = t["customer"].select("c_custkey", "c_nationkey")
+    urgent = (
+        t["orders"]
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    with_urgent = c.join(
+        urgent, c["c_custkey"] == urgent["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_nationkey").withColumn("flag_u", F.lit(1))
+    never = c.join(
+        t["orders"].select("o_custkey"),
+        c["c_custkey"] == F.col("o_custkey"),
+        "left_anti",
+    ).select("c_custkey", "c_nationkey").withColumn("flag_n", F.lit(1))
+    flags = (
+        c.join(with_urgent.select("c_custkey", "flag_u"), "c_custkey", "left")
+        .join(never.select("c_custkey", "flag_n"), "c_custkey", "left")
+    )
+    return (
+        flags.join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.coalesce(F.col("flag_u"), F.lit(0)))
+            .cast("long")
+            .alias("with_urgent"),
+            F.sum(F.coalesce(F.col("flag_n"), F.lit(0)))
+            .cast("long")
+            .alias("never_ordered"),
+        )
+    )

@@ -1085,3 +1085,100 @@ def ts_conformal_interval_backtest(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "ts_pinball_loss_p90_backtest",
+    """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         ((CAST(o_orderdate AS DATE) - DATE '1992-01-06') % 7) + 1 AS dow,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1, 2
+), train AS (
+  SELECT dow, cents FROM daily
+  WHERE d >= DATE '1995-01-01' AND d < DATE '1996-01-01'
+), f AS (
+  -- exact P90 order statistic per dow: value at rank ceil(0.9 * n)
+  SELECT dow, cents AS p90 FROM (
+    SELECT dow, cents,
+           ROW_NUMBER() OVER (PARTITION BY dow ORDER BY cents) AS rn,
+           COUNT(*) OVER (PARTITION BY dow) AS n
+    FROM train
+  ) WHERE rn = CAST(CEIL(0.9 * n) AS BIGINT)
+), test AS (
+  SELECT dow, cents FROM daily
+  WHERE d >= DATE '1996-01-01' AND d < DATE '1997-01-01'
+)
+SELECT t.dow AS dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(MAX(f.p90) AS BIGINT) AS p90_cents,
+       CAST(SUM(CASE WHEN t.cents >= f.p90 THEN 9 * (t.cents - f.p90)
+                     ELSE (f.p90 - t.cents) END) AS BIGINT)
+         AS pinball_x10_sum,
+       CAST(SUM(CASE WHEN t.cents >= f.p90 THEN 9 * (t.cents - f.p90)
+                     ELSE (f.p90 - t.cents) END) // COUNT(*) AS BIGINT)
+         AS pinball_x10_mean
+FROM test t JOIN f ON f.dow = t.dow
+GROUP BY t.dow
+""",
+)
+def ts_pinball_loss_p90_backtest(spark, sf_dir):
+    """Quantile-forecast evaluation with PINBALL (quantile) loss: the
+    per-weekday empirical P90 of 1995 daily revenue forecasts 1996, and
+    the asymmetric loss q·(y-f)⁺ + (1-q)·(f-y)⁺ scores it — the metric
+    that makes quantile forecasts comparable (a P90 that never exceeds
+    pays 9x when demand does). All integer: the P90 is an exact order
+    statistic off the bounded per-dow daily frame, losses are x10-scaled
+    integer cents so the asymmetric weights stay exact, and the mean is
+    integer division. The forecast table is 7 rows — a broadcast join
+    against the test year however large the corpus."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")["orders"]
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d"),
+        (
+            F.expr("datediff(cast(o_orderdate as date), date'1992-01-06') % 7")
+            + 1
+        ).alias("dow"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    train = daily.filter(
+        (F.col("d") >= F.lit("1995-01-01")) & (F.col("d") < F.lit("1996-01-01"))
+    )
+    w = Window.partitionBy("dow").orderBy("cents")
+    f = (
+        train.select(
+            "dow",
+            "cents",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("dow")).alias("n"),
+        )
+        .filter(F.col("rn") == F.ceil(0.9 * F.col("n")).cast("long"))
+        .select("dow", F.col("cents").alias("p90"))
+    )
+    test = daily.filter(
+        (F.col("d") >= F.lit("1996-01-01")) & (F.col("d") < F.lit("1997-01-01"))
+    )
+    loss = F.when(
+        F.col("cents") >= F.col("p90"), 9 * (F.col("cents") - F.col("p90"))
+    ).otherwise(F.col("p90") - F.col("cents"))
+    return (
+        test.join(F.broadcast(f), "dow")
+        .groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.max("p90").cast("long").alias("p90_cents"),
+            F.sum(loss).cast("long").alias("pinball_x10_sum"),
+            F.expr(
+                "sum(case when cents >= p90 then 9 * (cents - p90) "
+                "else p90 - cents end) div count(1)"
+            )
+            .cast("long")
+            .alias("pinball_x10_mean"),
+        )
+    )

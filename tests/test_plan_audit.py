@@ -104,6 +104,17 @@ CROSS_JOIN_OK = {
     # (|langs| rows) prior/floor-constants broadcast cross: every test
     # doc scores against each class by design, same shape as
     # sim_nearest_centroid_confusion
+    "stats_mood_median_test",  # one-row grand-median order-statistic
+    # broadcast over the fact scan (the jackknife totals shape)
+    "stats_hodges_lehmann_shift",  # calendar-bounded day-pair cross
+    # (<=366 x 366 at any SF, the Theil-Sen/Kendall family) plus a
+    # one-row target-rank broadcast over the difference frame
+    "sim_ndcg_mrr_map_eval",  # same 5-query broadcast cross as
+    # sim_brute_topk/sim_matryoshka_prefix_recall, scored once
+    "sim_simplified_silhouette",  # label-cardinality-bounded centroid
+    # broadcast cross (k x dim doubles), the nearest-centroid shape
+    "graph_hits_hubs_authorities",  # one-row sum-normalizer broadcast
+    # per HITS half-step (the PageRank meta-scalar shape)
 }
 
 # Iterative/stateful queries that execute eagerly during plan
@@ -188,6 +199,15 @@ GLOBAL_WINDOW_OK = {
     # post-aggregation DAILY series (calendar-bounded, <=2.6k rows at
     # any SF), never the event fact table
     "stats_sprt_sequential_test",
+    # stats_trimmed_winsorized_means: the offset window runs over the
+    # per-GROUP totals frame (one row per order priority, bounded by
+    # group cardinality); the value ranking itself is the distinct-value
+    # frame through operators/prefix_sum.py
+    "stats_trimmed_winsorized_means",
+    # graph_hits_hubs_authorities: rank attach over the 10-row
+    # TakeOrderedAndProject RESULT (the node-frame top-k itself is the
+    # distributed orderBy+limit, never a global window)
+    "graph_hits_hubs_authorities",
 }
 
 # windowspecdefinition(<first arg is a sort order>) == empty partition
