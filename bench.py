@@ -147,6 +147,16 @@ HEADLINE = [
     "events_markov_removal_attribution",
     "ml_naive_bayes_lang_confusion",
     "ml_als_user_factors_k2",
+    # r9 flagship additions: k-sample rank test (prefix-scan ranking at
+    # k=3), the retrieval-eval metric stack (one scored pass, two
+    # rankings), kNN-LOO (block x broadcast-matrix matmul — the dense
+    # numeric shape), and integer HITS (6 join+agg shuffles + two
+    # TakeOrderedAndProject). The other r9 queries stay gate-only:
+    # sub-second post-aggregation shapes already represented.
+    "stats_kruskal_wallis",
+    "sim_ndcg_mrr_map_eval",
+    "ml_knn_loo_accuracy",
+    "graph_hits_hubs_authorities",
 ]
 
 

@@ -1605,3 +1605,84 @@ def events_markov_removal_attribution(spark, sf_dir):
         "channel string, p_full_micro long, p_drop_micro long, "
         "removal_micro long, share_ppm long",
     )
+
+
+@query(
+    "stats_cochran_q_event_types",
+    """
+WITH pc AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT CAST(SUM(c) // COUNT(*) AS BIGINT) AS mu FROM pc
+), inc AS (
+  SELECT user_id, event_type FROM pc, m WHERE c > m.mu
+), rtot AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS r FROM inc GROUP BY user_id
+), ctot AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c FROM inc GROUP BY 1
+), s AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ctot) AS k,
+         (SELECT CAST(SUM(c) AS HUGEINT) FROM ctot) AS n,
+         (SELECT CAST(SUM(c * c) AS HUGEINT) FROM ctot) AS sc2,
+         (SELECT CAST(SUM(r * r) AS HUGEINT) FROM rtot) AS sr2
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+       CASE WHEN k * n - sr2 = 0 THEN 0.0
+            ELSE ROUND((k - 1) * 1.0 * (k * sc2 - n * n)
+                       / (k * n - sr2), 6) END AS cochran_q
+FROM s
+""",
+)
+def stats_cochran_q_event_types(spark, sf_dir):
+    """Cochran's Q over binary user x event-type HEAVY-ENGAGEMENT
+    incidence (per-pair count strictly above the global per-pair mean,
+    an sf-adaptive threshold — bare presence is degenerate here: every
+    user touches every type, making kN = ΣR_i²): do the k event types
+    have equal heavy-engagement reach, treating each USER as their own
+    block? (The k-treatment extension of McNemar — right when per-user
+    propensity varies wildly, which a pooled chi-square confounds.)
+    One count pass + one-row mean broadcast to the incidence frame,
+    then the denominator-cleared identity Q = (k-1)(k·ΣC_j² − N²) /
+    (kN − ΣR_i²) — totals and squares are exact integers, one guarded
+    IEEE division at the end (0 when the design is degenerate). Users
+    with all-zero rows drop out of Q by algebra."""
+    e = load(spark, sf_dir, "events")["events"]
+    pc = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    m = pc.agg(F.expr("sum(c) div count(1)").alias("mu"))
+    inc = (
+        pc.crossJoin(F.broadcast(m))
+        .filter(F.col("c") > F.col("mu"))
+        .select("user_id", "event_type")
+        .localCheckpoint(eager=True)
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    ctot = inc.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    rtot = inc.groupBy("user_id").agg(F.count(F.lit(1)).alias("r"))
+    cs = ctot.agg(
+        dec(F.count(F.lit(1))).alias("k"),
+        dec(F.sum("c")).alias("n"),
+        F.sum(dec(F.col("c")) * dec(F.col("c"))).alias("sc2"),
+    )
+    rs = rtot.agg(F.sum(dec(F.col("r")) * dec(F.col("r"))).alias("sr2"))
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    return cs.crossJoin(F.broadcast(rs)).select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        F.when(
+            F.col("k") * F.col("n") - F.col("sr2") == 0, F.lit(0.0)
+        )
+        .otherwise(
+            F.round(
+                dbl(F.col("k") - 1)
+                * dbl(
+                    F.col("k") * F.col("sc2") - F.col("n") * F.col("n")
+                )
+                / dbl(F.col("k") * F.col("n") - F.col("sr2")),
+                6,
+            )
+        )
+        .alias("cochran_q"),
+    )

@@ -986,7 +986,7 @@ _HITS_ITERS = 3
 
 def _hits_oracle() -> str:
     head = f"""
-WITH edges AS (
+WITH edges AS MATERIALIZED (
   SELECT DISTINCT o_custkey AS u, l_suppkey AS v
   FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 ),
@@ -994,23 +994,23 @@ hubs0 AS (SELECT DISTINCT u, CAST({_SCALE} AS HUGEINT) AS h FROM edges)"""
     steps = []
     for i in range(1, _HITS_ITERS + 1):
         steps.append(f""",
-araw{i} AS (
+araw{i} AS MATERIALIZED (
   SELECT e.v, CAST(SUM(h.h) AS HUGEINT) AS s
   FROM edges e JOIN hubs{i - 1} h ON e.u = h.u GROUP BY e.v
 ),
-auth{i} AS (
-  SELECT v, CAST(s * {_SCALE} // (SELECT SUM(s) FROM araw{i}) AS HUGEINT)
-           AS a
-  FROM araw{i}
+atot{i} AS (SELECT CAST(SUM(s) AS HUGEINT) AS tot FROM araw{i}),
+auth{i} AS MATERIALIZED (
+  SELECT v, CAST(s * {_SCALE} // t.tot AS HUGEINT) AS a
+  FROM araw{i}, atot{i} t
 ),
-hraw{i} AS (
+hraw{i} AS MATERIALIZED (
   SELECT e.u, CAST(SUM(a.a) AS HUGEINT) AS s
   FROM edges e JOIN auth{i} a ON e.v = a.v GROUP BY e.u
 ),
-hubs{i} AS (
-  SELECT u, CAST(s * {_SCALE} // (SELECT SUM(s) FROM hraw{i}) AS HUGEINT)
-           AS h
-  FROM hraw{i}
+htot{i} AS (SELECT CAST(SUM(s) AS HUGEINT) AS tot FROM hraw{i}),
+hubs{i} AS MATERIALIZED (
+  SELECT u, CAST(s * {_SCALE} // t.tot AS HUGEINT) AS h
+  FROM hraw{i}, htot{i} t
 )"""
         )
     tail = f"""
@@ -1062,30 +1062,36 @@ def graph_hits_hubs_authorities(spark, sf_dir):
     )
     auth = None
     for _ in range(_HITS_ITERS):
+        # eager checkpoint per half-step: araw/hraw each feed BOTH the
+        # normalizer scalar and the scaled scores — without cutting the
+        # lineage the shared subtree re-executes 2x per level (2^6 by
+        # iteration 3; measured 23s -> ~3s at sf0.1). The normalizer is
+        # a driver-side scalar off the checkpointed frame (PageRank's
+        # node-count pattern: graph META, not data), embedded as a
+        # literal so each half-step stays one join + one aggregation.
         araw = (
             edges.join(hubs, "u")
             .groupBy("v")
             .agg(F.sum(dec(F.col("h"))).alias("s"))
+            .localCheckpoint(eager=True)
         )
-        atot = araw.agg(F.sum("s").alias("tot"))
-        auth = araw.crossJoin(F.broadcast(atot)).select(
+        atot = int(araw.agg(F.sum("s")).collect()[0][0])
+        auth = araw.select(
             "v",
-            (dec(F.col("s")) * F.lit(_SCALE).cast("decimal(38,0)"))
-            .cast("decimal(38,0)")  # exact: s <= n*SCALE, SCALE=1e12
-            .alias("num"),
-            "tot",
-        ).select(
-            "v", F.expr("num div tot").cast("decimal(38,0)").alias("a")
+            F.expr(f"(s * {_SCALE}) div {atot}")
+            .cast("decimal(38,0)")
+            .alias("a"),
         )
         hraw = (
             edges.join(auth, "v")
             .groupBy("u")
             .agg(F.sum(dec(F.col("a"))).alias("s"))
+            .localCheckpoint(eager=True)
         )
-        htot = hraw.agg(F.sum("s").alias("tot"))
-        hubs = hraw.crossJoin(F.broadcast(htot)).select(
+        htot = int(hraw.agg(F.sum("s")).collect()[0][0])
+        hubs = hraw.select(
             "u",
-            F.expr(f"(s * {_SCALE}) div tot")
+            F.expr(f"(s * {_SCALE}) div {htot}")
             .cast("decimal(38,0)")
             .alias("h"),
         )

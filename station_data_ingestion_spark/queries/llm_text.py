@@ -1489,3 +1489,139 @@ def text_good_turing_smoothing(spark, sf_dir):
             ).alias("raw_mass"),
         )
     )
+
+
+_TR_SCALE = 10**12
+_TR_ITERS = 3
+_TR_MIN_COUNT = 5
+
+
+def _textrank_oracle() -> str:
+    head = f"""
+WITH tok AS (
+  SELECT doc_id, tok, pos FROM (
+    SELECT doc_id,
+           unnest(string_split(lower(text), ' ')) AS tok,
+           generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+    FROM documents
+  ) WHERE tok <> ''
+), adj AS (
+  SELECT a.tok AS t1, b.tok AS t2
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.tok <> b.tok
+), und AS (
+  SELECT LEAST(t1, t2) AS a, GREATEST(t1, t2) AS b,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM adj GROUP BY 1, 2 HAVING COUNT(*) >= {_TR_MIN_COUNT}
+), edges AS (
+  SELECT a AS src, b AS dst, w FROM und
+  UNION ALL
+  SELECT b AS src, a AS dst, w FROM und
+), strength AS (SELECT src, CAST(SUM(w) AS BIGINT) AS s FROM edges GROUP BY src),
+nodes AS (SELECT src AS node FROM strength),
+meta AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+r0 AS (SELECT node, {_TR_SCALE} // m.n AS rank FROM nodes, meta m)"""
+    steps = []
+    for i in range(1, _TR_ITERS + 1):
+        steps.append(f""",
+r{i} AS (
+  SELECT nd.node,
+         (15 * {_TR_SCALE}) // (100 * m.n)
+           + (85 * COALESCE(c.s, 0)) // 100 AS rank
+  FROM nodes nd CROSS JOIN meta m
+  LEFT JOIN (
+    SELECT e.dst, SUM((r.rank * e.w) // st.s) AS s
+    FROM edges e
+    JOIN r{i - 1} r ON e.src = r.node
+    JOIN strength st ON e.src = st.src
+    GROUP BY e.dst
+  ) c ON c.dst = nd.node
+)""")
+    tail = f"""
+SELECT CAST(rk AS BIGINT) AS rk, node AS token, CAST(rank AS BIGINT) AS score
+FROM (
+  SELECT node, rank,
+         ROW_NUMBER() OVER (ORDER BY rank DESC, node ASC) AS rk
+  FROM r{_TR_ITERS}
+) WHERE rk <= 20
+"""
+    return head + "".join(steps) + tail
+
+
+@query("text_textrank_keywords", _textrank_oracle())
+def text_textrank_keywords(spark, sf_dir):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): adjacent-
+    token co-occurrence edges (undirected, count-weighted, pruned below
+    5 co-occurrences) ranked by 3 WEIGHTED PageRank iterations in
+    scaled integer arithmetic — contribution = rank * w // strength(u),
+    so every iteration is bit-identical on any engine/partitioning
+    (the graph family's integer-PageRank pattern, now edge-weighted).
+    Top-20 keywords via TakeOrderedAndProject under (score DESC,
+    token). Each iteration is one join + one aggregation shuffle on the
+    token id; the corpus is touched once to build edges."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    nxt = tok.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("tok").alias("tok2")
+    )
+    und = (
+        tok.join(nxt, ["doc_id", "pos"])
+        .filter(F.col("tok") != F.col("tok2"))
+        .select(
+            F.least("tok", "tok2").alias("a"),
+            F.greatest("tok", "tok2").alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _TR_MIN_COUNT)
+    )
+    edges = (
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+        .unionByName(
+            und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+        )
+        .localCheckpoint(eager=True)
+    )
+    strength = edges.groupBy("src").agg(F.sum("w").alias("s"))
+    est = edges.join(strength, "src").localCheckpoint(eager=True)
+    nodes = strength.select(F.col("src").alias("node")).localCheckpoint(
+        eager=True
+    )
+    n = nodes.count()
+    base = (15 * _TR_SCALE) // (100 * n)
+    rank = nodes.withColumn("rank", F.lit(_TR_SCALE // n))
+    for _ in range(_TR_ITERS):
+        contrib = (
+            est.join(rank, est["src"] == rank["node"])
+            .select(
+                "dst", F.expr("(rank * w) div s").alias("share")
+            )
+            .groupBy("dst")
+            .agg(F.sum("share").alias("s85"))
+        )
+        rank = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr("85 * coalesce(s85, 0) div 100")
+                ).alias("rank"),
+            )
+        )
+    from pyspark.sql import Window
+
+    w20 = Window.orderBy(F.col("rank").desc(), F.col("node").asc())
+    return (
+        rank.orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(20)
+        .withColumn("rk", F.row_number().over(w20))
+        .select(
+            F.col("rk").cast("long").alias("rk"),
+            F.col("node").alias("token"),
+            F.col("rank").cast("long").alias("score"),
+        )
+    )

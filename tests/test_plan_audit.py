@@ -115,6 +115,8 @@ CROSS_JOIN_OK = {
     # broadcast cross (k x dim doubles), the nearest-centroid shape
     "graph_hits_hubs_authorities",  # one-row sum-normalizer broadcast
     # per HITS half-step (the PageRank meta-scalar shape)
+    "stats_cochran_q_event_types",  # two one-row broadcasts: the global
+    # per-pair mean threshold and the row-total squares scalar
 }
 
 # Iterative/stateful queries that execute eagerly during plan
@@ -208,6 +210,9 @@ GLOBAL_WINDOW_OK = {
     # TakeOrderedAndProject RESULT (the node-frame top-k itself is the
     # distributed orderBy+limit, never a global window)
     "graph_hits_hubs_authorities",
+    # text_textrank_keywords: same shape — rank attach over the 20-row
+    # TakeOrderedAndProject result
+    "text_textrank_keywords",
 }
 
 # windowspecdefinition(<first arg is a sort order>) == empty partition
