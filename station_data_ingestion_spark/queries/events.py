@@ -1686,3 +1686,77 @@ def stats_cochran_q_event_types(spark, sf_dir):
         )
         .alias("cochran_q"),
     )
+
+
+@query(
+    "events_bot_regularity_audit",
+    """
+WITH g AS (
+  SELECT user_id,
+         date_diff('second',
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap
+  FROM events
+), per_u AS (
+  SELECT user_id, CAST(COUNT(gap) AS HUGEINT) AS ng,
+         CAST(SUM(gap) AS HUGEINT) AS s,
+         CAST(SUM(CAST(gap AS HUGEINT) * gap) AS HUGEINT) AS q
+  FROM g WHERE gap IS NOT NULL GROUP BY user_id
+), scored AS (
+  SELECT user_id,
+         CASE WHEN s = 0 THEN 0
+              ELSE CAST((ng * q - s * s) * 1000000 // (s * s) AS BIGINT)
+         END AS cv2_micro
+  FROM per_u WHERE ng >= 19
+)
+SELECT CAST(LEAST(cv2_micro // 200000, 9) AS BIGINT) AS cv2_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN cv2_micro < 100000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bot_flagged
+FROM scored GROUP BY 1
+""",
+)
+def events_bot_regularity_audit(spark, sf_dir):
+    """Bot detection by inter-arrival REGULARITY — the curation filter
+    a behavioral-training pipeline runs before trusting engagement
+    signals: humans arrive bursty (squared coefficient of variation of
+    gaps >= ~1 for Poisson), schedulers arrive metronomic (cv² ~ 0).
+    Per-user gap moments (n, Σg, Σg²) come from one lag window + one
+    aggregation — cv² = (nΣg² − S²)/S² is a ratio of exact integers,
+    shipped in integer micro-units (zero-gap users are maximally
+    regular by convention). Users need >= 20 events to be scored.
+    Output is the bounded cv² decile histogram with the flagged count
+    (cv² < 0.1) per bucket — the audit artifact, not a per-user dump."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        "user_id",
+        (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")).alias(
+            "gap"
+        ),
+    ).filter(F.col("gap").isNotNull())
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_u = g.groupBy("user_id").agg(
+        dec(F.count("gap")).alias("ng"),
+        dec(F.sum("gap")).alias("s"),
+        F.sum(dec(F.col("gap")) * dec(F.col("gap"))).alias("q"),
+    )
+    scored = per_u.filter(F.col("ng") >= 19).select(
+        F.when(F.col("s") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr("(ng * q - s * s) * 1000000 div (s * s)").cast("long")
+        )
+        .alias("cv2_micro")
+    )
+    return scored.groupBy(
+        F.least(F.expr("cv2_micro div 200000"), F.lit(9).cast("long"))
+        .cast("long")
+        .alias("cv2_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.when(F.col("cv2_micro") < 100000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bot_flagged"),
+    )

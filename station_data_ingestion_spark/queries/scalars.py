@@ -356,3 +356,56 @@ def scalar_edit_distance(spark, sf_dir):
         F.levenshtein("p_name", F.reverse("p_name")).alias("d_palindrome"),
         F.levenshtein("p_brand", "p_type").alias("d_brand_type"),
     )
+
+
+@query(
+    "scalar_url_parse_certification",
+    """
+WITH u AS (
+  SELECT p_partkey,
+         'https://catalog.example.com/' || REPLACE(p_type, ' ', '/')
+           || '?brand=' || REPLACE(p_brand, '#', '%23')
+           || '&size=' || p_size || '#spec' AS url
+  FROM part WHERE p_partkey % 25 = 0
+)
+SELECT p_partkey,
+       'catalog.example.com' AS host,
+       '/' || REPLACE((SELECT p_type FROM part x
+                       WHERE x.p_partkey = u.p_partkey), ' ', '/') AS path,
+       regexp_extract(url, 'brand=([^&#]*)', 1) AS brand_param,
+       regexp_extract(url, '#(.*)$', 1) AS fragment
+FROM u
+""",
+)
+def scalar_url_parse_certification(spark, sf_dir):
+    """URL decomposition: Spark's native parse_url (HOST / PATH /
+    QUERY-parameter extraction / REF) certified against an independent
+    string-op + regex oracle over deterministically synthesized
+    catalog URLs — two unrelated specifications of RFC-3986-ish
+    parsing agreeing per row. parse_url is JVM codegen (UrlCodec), so
+    the per-row cost is constant and the scan stays a single pass;
+    ETL pipelines lean on it for clickstream/referrer columns."""
+    p = load(spark, sf_dir, "part")["part"].filter(
+        F.col("p_partkey") % 25 == 0
+    )
+    u = p.select(
+        "p_partkey",
+        F.concat(
+            F.lit("https://catalog.example.com/"),
+            F.regexp_replace("p_type", " ", "/"),
+            F.lit("?brand="),
+            F.regexp_replace("p_brand", "#", "%23"),
+            F.lit("&size="),
+            F.col("p_size").cast("string"),
+            F.lit("#spec"),
+        ).alias("url"),
+    )
+    return u.select(
+        "p_partkey",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("brand")).alias(
+            "brand_param"
+        ),
+        F.parse_url("url", F.lit("REF")).alias("fragment"),
+    )
