@@ -670,3 +670,69 @@ def pipeline_truncation_loss_curve(spark, sf_dir):
             "CAST(sum(greatest(n - L, 0)) * 1000000 div sum(n) AS BIGINT)"
         ).alias("loss_ppm"),
     )
+
+
+@query(
+    "pipeline_epoch_shard_assignment",
+    """
+WITH d AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5('ep1-' || doc_id), 1, 8)) AS UBIGINT)
+              % 32 AS BIGINT) AS shard,
+         CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT)
+           AS toks
+  FROM documents
+), per AS (
+  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(toks) AS BIGINT) AS tokens
+  FROM d GROUP BY shard
+), tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS t FROM per)
+SELECT shard, n_docs, tokens,
+       CAST(tokens * 10000 // tot.t AS BIGINT) AS share_bp
+FROM per, tot
+""",
+)
+def pipeline_epoch_shard_assignment(spark, sf_dir):
+    """Deterministic epoch sharding — the step that turns a curated
+    corpus into reproducible training shards: shard = md5('ep1-'||id)
+    % 32, so assignment is stable under retries, re-runs and any
+    partitioning (new epoch = new salt, a full reshuffle with zero
+    coordination). Ships the per-shard doc/token balance with integer
+    basis-point shares against a one-row total broadcast — the
+    imbalance audit that decides whether hash sharding suffices or a
+    bin-packing pass is needed. One scan, one aggregation; at 100 TB
+    the shard count rises with the same plan."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ep1-"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    per = (
+        d.select(
+            (u32 % 32).alias("shard"),
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", " ", ""))
+                + 1
+            )
+            .cast("long")
+            .alias("toks"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("toks").cast("long").alias("tokens"),
+        )
+    )
+    tot = per.agg(F.sum("tokens").alias("t"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n_docs",
+        "tokens",
+        F.expr("tokens * 10000 div t").cast("long").alias("share_bp"),
+    )

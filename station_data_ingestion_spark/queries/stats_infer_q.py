@@ -2321,3 +2321,242 @@ def stats_mutual_information_lang_len(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_cells"),
         F.sum(contrib).cast("long").alias("mi_micronats"),
     )
+
+
+@query(
+    "stats_page_trend_test",
+    """
+WITH daily AS (
+  SELECT (CAST(o_orderdate AS DATE) - DATE '1992-01-06') // 7 AS blk,
+         ((CAST(o_orderdate AS DATE) - DATE '1992-01-06') % 7) + 1 AS dow,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders
+  WHERE o_orderdate >= DATE '1992-01-06'
+  GROUP BY 1, 2
+), full_blk AS (
+  SELECT blk FROM daily GROUP BY blk HAVING COUNT(*) = 7
+), d AS (
+  SELECT daily.* FROM daily JOIN full_blk USING (blk)
+), r2 AS (
+  SELECT a.blk, a.dow,
+         SUM(CASE WHEN b.cents < a.cents THEN 2
+                  WHEN b.cents = a.cents THEN 1 ELSE 0 END) + 1 AS r2
+  FROM d a JOIN d b USING (blk) GROUP BY a.blk, a.dow
+), rj AS (
+  SELECT dow, CAST(SUM(r2) AS HUGEINT) AS r2j,
+         CAST(COUNT(*) AS HUGEINT) AS b
+  FROM r2 GROUP BY dow
+), s AS (
+  SELECT CAST(SUM(dow * r2j) AS HUGEINT) AS l2, MAX(b) AS b,
+         CAST(COUNT(*) AS HUGEINT) AS k
+  FROM rj
+)
+SELECT CAST(b AS BIGINT) AS n_blocks, CAST(l2 AS BIGINT) AS page_l_x2,
+       ROUND((6.0 * l2 - 3.0 * b * k * (k + 1) * (k + 1))
+             / ((k * k * k - k) * sqrt(b * 1.0 / (k - 1))), 6) AS z
+FROM s
+""",
+)
+def stats_page_trend_test(spark, sf_dir):
+    """Page's trend test: is there a MONOTONE weekday ordering in daily
+    revenue (Mon < Tue < ... by rank), not just ANY difference
+    (Friedman)? L = Σ_j j·R_j over the same doubled block ranks as
+    stats_friedman_test — exact integers from the bounded 7x7 in-block
+    fan-out — with the normal approximation z computed in one fixed
+    IEEE expression from (L, b, k). Ordered alternatives are the right
+    test when the hypothesis is a trend across ordered treatments."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    daily = (
+        o.filter(F.col("o_orderdate") >= F.lit("1992-01-06"))
+        .groupBy(
+            F.expr("datediff(o_orderdate, date'1992-01-06') div 7").alias(
+                "blk"
+            ),
+            (
+                F.expr("datediff(o_orderdate, date'1992-01-06') % 7") + 1
+            ).alias("dow"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    full_blk = (
+        daily.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") == 7)
+        .select("blk")
+    )
+    d = daily.join(full_blk, "blk")
+    b_side = d.select(F.col("blk"), F.col("cents").alias("bcents"))
+    r2 = (
+        d.join(b_side, "blk")
+        .groupBy("blk", "dow")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("bcents") < F.col("cents"), 2)
+                    .when(F.col("bcents") == F.col("cents"), 1)
+                    .otherwise(0)
+                )
+                + 1
+            ).alias("r2")
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    rj = r2.groupBy("dow").agg(
+        dec(F.sum("r2")).alias("r2j"), dec(F.count(F.lit(1))).alias("b")
+    )
+    s = rj.agg(
+        F.sum(dec(F.col("dow")) * dec(F.col("r2j"))).alias("l2"),
+        F.max("b").alias("b"),
+        dec(F.count(F.lit(1))).alias("k"),
+    )
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    l2, b, k = dbl(F.col("l2")), dbl(F.col("b")), dbl(F.col("k"))
+    # z = (L - E[L]) / sqrt(Var L): E[L] = b·k(k+1)²/4 and
+    # Var(L) = b(k³-k)²/(144(k-1)) (both rank vectors are 1..k), with
+    # L = l2/2 for doubled ranks -> z = (6·l2 - 3bk(k+1)²)/((k³-k)·sqrt(b/(k-1)))
+    return s.select(
+        F.col("b").cast("long").alias("n_blocks"),
+        F.col("l2").cast("long").alias("page_l_x2"),
+        F.round(
+            (6.0 * l2 - 3.0 * b * k * (k + 1) * (k + 1))
+            / ((k * k * k - k) * F.sqrt(b / (k - 1))),
+            6,
+        ).alias("z"),
+    )
+
+
+_RAND_K = 200
+
+
+@query(
+    "stats_randomization_test_diff_means",
+    f"""
+WITH x AS (
+  SELECT o_orderkey AS id,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+  FROM orders
+), obs AS (
+  SELECT (SUM(CASE WHEN y = 1 THEN cents ELSE 0 END) * 1000000)
+           // SUM(y) -
+         (SUM(CASE WHEN y = 0 THEN cents ELSE 0 END) * 1000000)
+           // SUM(1 - y) AS diff_obs_micro,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM x
+), grid AS (
+  SELECT x.id, x.cents, t.k,
+         CASE WHEN substr(md5(t.k || '-' || x.id), 1, 1) < '8'
+              THEN 1 ELSE 0 END AS yk
+  FROM x, UNNEST(generate_series(0, {_RAND_K - 1})) AS t(k)
+), perm AS (
+  SELECT k,
+         (SUM(CASE WHEN yk = 1 THEN cents ELSE 0 END) * 1000000)
+           // SUM(yk) -
+         (SUM(CASE WHEN yk = 0 THEN cents ELSE 0 END) * 1000000)
+           // SUM(1 - yk) AS diff_k
+  FROM grid GROUP BY k
+)
+SELECT o.n, CAST(o.diff_obs_micro AS BIGINT) AS diff_obs_micro,
+       CAST(SUM(CASE WHEN ABS(p.diff_k) >= ABS(o.diff_obs_micro)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+       CAST((SUM(CASE WHEN ABS(p.diff_k) >= ABS(o.diff_obs_micro)
+                      THEN 1 ELSE 0 END) + 1) * 1000000
+            // ({_RAND_K} + 1) AS BIGINT) AS p_ppm
+FROM perm p, obs o GROUP BY o.n, o.diff_obs_micro
+""",
+)
+def stats_randomization_test_diff_means(spark, sf_dir):
+    """Randomization (Monte-Carlo permutation) test for the urgent-vs-
+    rest order-value gap: 200 deterministic md5-seeded Bernoulli
+    relabelings replace the group column, and the p-value is the share
+    of relabeled |mean gaps| at least as extreme as observed (with the
+    +1 'observed counts as a draw' correction). The scale shape is the
+    interesting part: all 200 replicates ride ONE scan — each row
+    explodes into (k, contribution) pairs and map-side partial
+    aggregation collapses them to 200 x partitions rows before the
+    shuffle, so the cost is one wide pass, not 200 jobs. Every
+    replicate's mean gap is integer micro-cents (sums and counts are
+    exact; one integer division each), so the extreme-count and p are
+    bit-identical cross-engine. Bernoulli relabeling approximates the
+    exact permutation null (marginal group sizes vary binomially) —
+    the standard large-N randomization-test trade."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    x = o.select(
+        F.col("o_orderkey").alias("id"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    obs = x.agg(
+        (
+            F.expr(
+                "sum(case when y = 1 then cents else 0 end) * cast(1000000 as decimal(38,0)) div sum(y)"
+            )
+            - F.expr(
+                "sum(case when y = 0 then cents else 0 end) * cast(1000000 as decimal(38,0)) div sum(1 - y)"
+            )
+        ).alias("diff_obs_micro"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    grid = x.select(
+        "id",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_RAND_K - 1))).alias("k"),
+    ).select(
+        "k",
+        "cents",
+        F.when(
+            F.substring(
+                F.md5(F.concat(F.col("k").cast("string"), F.lit("-"), F.col("id").cast("string"))),
+                1,
+                1,
+            )
+            < "8",
+            1,
+        )
+        .otherwise(0)
+        .alias("yk"),
+    )
+    perm = grid.groupBy("k").agg(
+        (
+            F.expr(
+                "sum(case when yk = 1 then cents else 0 end) * cast(1000000 as decimal(38,0)) div sum(yk)"
+            )
+            - F.expr(
+                "sum(case when yk = 0 then cents else 0 end) * cast(1000000 as decimal(38,0)) div sum(1 - yk)"
+            )
+        ).alias("diff_k")
+    )
+    return (
+        perm.crossJoin(F.broadcast(obs))
+        .groupBy("n", "diff_obs_micro")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("diff_k")) >= F.abs(F.col("diff_obs_micro")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_extreme"),
+            F.expr(
+                "(sum(case when abs(diff_k) >= abs(diff_obs_micro) then 1 "
+                f"else 0 end) + 1) * 1000000 div ({_RAND_K} + 1)"
+            )
+            .cast("long")
+            .alias("p_ppm"),
+        )
+        .select(
+            "n",
+            F.col("diff_obs_micro").cast("long").alias("diff_obs_micro"),
+            "n_extreme",
+            "p_ppm",
+        )
+    )

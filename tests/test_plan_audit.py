@@ -117,6 +117,10 @@ CROSS_JOIN_OK = {
     # per HITS half-step (the PageRank meta-scalar shape)
     "stats_cochran_q_event_types",  # two one-row broadcasts: the global
     # per-pair mean threshold and the row-total squares scalar
+    "stats_randomization_test_diff_means",  # one-row observed-gap
+    # broadcast onto the 200-row replicate frame
+    "pipeline_epoch_shard_assignment",  # one-row token-total broadcast
+    # onto the 32-row shard-balance frame
 }
 
 # Iterative/stateful queries that execute eagerly during plan
