@@ -248,3 +248,101 @@ def events_longest_daily_streak(spark, sf_dir):
     return best.groupBy(F.col("longest").alias("longest_streak")).agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+@query(
+    "events_funnel_time_to_convert_quantiles",
+    """
+WITH s AS (
+  SELECT user_id, MIN(ts) AS s_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+  SELECT s.user_id,
+         date_diff('second', s.s_ts, MIN(e.ts)) AS lat
+  FROM s JOIN events e
+    ON e.user_id = s.user_id AND e.event_type = 'purchase'
+       AND e.ts >= s.s_ts
+  GROUP BY s.user_id, s.s_ts
+),
+pv AS (SELECT lat, CAST(COUNT(*) AS BIGINT) AS c FROM p GROUP BY lat),
+pc AS (
+  SELECT lat, c, SUM(c) OVER (ORDER BY lat) AS cum,
+         SUM(c) OVER () AS n
+  FROM pv
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+       CAST(MAX(CASE WHEN cum - c < (n + 1) // 2 AND (n + 1) // 2 <= cum
+                     THEN lat END) AS BIGINT) AS p50_sec,
+       CAST(MAX(CASE WHEN cum - c < (9 * n + 9) // 10
+                      AND (9 * n + 9) // 10 <= cum
+                     THEN lat END) AS BIGINT) AS p90_sec
+FROM pc
+""",
+)
+def events_funnel_time_to_convert_quantiles(spark, sf_dir):
+    """Time-to-convert distribution for the signup -> first-purchase
+    funnel: exact P50/P90 latency in seconds — the numbers a growth
+    team actually quotes (mean latency is useless under the long
+    tail). Latencies come from the same min-agg forward-join funnel
+    idiom (no per-user sequence scan); the quantiles are exact order
+    statistics (ceil(q·n) ranks) read off the DISTINCT-LATENCY
+    histogram through the two-phase prefix scan, so no global per-user
+    ranking window exists at any corpus size."""
+    from station_data_ingestion_spark.operators.prefix_sum import (
+        ordered_prefix_sum,
+    )
+
+    e = load(spark, sf_dir, "events")["events"]
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = (
+        s.join(
+            e.filter(F.col("event_type") == "purchase").select(
+                F.col("user_id").alias("uid"), "ts"
+            ),
+            (F.col("uid") == s["user_id"]) & (F.col("ts") >= F.col("s_ts")),
+        )
+        .groupBy("user_id", "s_ts")
+        .agg(F.min("ts").alias("p_ts"))
+        .select(
+            (F.col("p_ts").cast("long") - F.col("s_ts").cast("long")).alias(
+                "lat"
+            )
+        )
+    )
+    pv = p.groupBy("lat").agg(F.count(F.lit(1)).alias("c"))
+    pc = ordered_prefix_sum(pv, ["lat"], "c", out_col="cum")
+    tot = pc.agg(F.sum("c").alias("n"))
+    ranks = tot.select(
+        "n",
+        F.expr("(n + 1) div 2").alias("r50"),
+        F.expr("(9 * n + 9) div 10").alias("r90"),
+    )
+    return (
+        pc.crossJoin(F.broadcast(ranks))
+        .agg(
+            F.max("n").cast("long").alias("n_converted"),
+            F.max(
+                F.when(
+                    (F.col("cum") - F.col("c") < F.col("r50"))
+                    & (F.col("r50") <= F.col("cum")),
+                    F.col("lat"),
+                )
+            )
+            .cast("long")
+            .alias("p50_sec"),
+            F.max(
+                F.when(
+                    (F.col("cum") - F.col("c") < F.col("r90"))
+                    & (F.col("r90") <= F.col("cum")),
+                    F.col("lat"),
+                )
+            )
+            .cast("long")
+            .alias("p90_sec"),
+        )
+    )

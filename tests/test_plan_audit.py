@@ -121,6 +121,8 @@ CROSS_JOIN_OK = {
     # broadcast onto the 200-row replicate frame
     "pipeline_epoch_shard_assignment",  # one-row token-total broadcast
     # onto the 32-row shard-balance frame
+    "events_funnel_time_to_convert_quantiles",  # one-row quantile-rank
+    # broadcast over the distinct-latency histogram
 }
 
 # Iterative/stateful queries that execute eagerly during plan
