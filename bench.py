@@ -888,6 +888,14 @@ def bench_pipeline_governed(
                 )
 
             timings[f"{tag}read_back"] = timed_median(read_back, n=1)
+            if governed:
+                # the merge-on-read remedy: fold pending eq-deletes into
+                # rewritten files (Iceberg's compaction), then re-time
+                # the same read — the read tax should collapse to ~plain
+                snap.materialize_eq_deletes()
+                timings[f"{tag}read_back_compacted"] = timed_median(
+                    read_back, n=1
+                )
         obs.unpersist()
         obs2.unpersist()
     finally:
