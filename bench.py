@@ -533,6 +533,18 @@ def bench_scale_probe(spark, sf_dir, timings: dict[str, float], k: int = 10) -> 
             "events_markov_removal_attribution",
             "ml_naive_bayes_lang_confusion",
             "ml_als_user_factors_k2",
+            # r9 heavy families: kNN-LOO (corpus x10 on BOTH sides of
+            # the block-x-matrix matmul -> expect ~10x per-unit read of
+            # the quadratic core, bounded because the eval corpus is),
+            # HITS (edge frame x10, 6 join+agg rounds), the 200-replicate
+            # randomization test (the one-wide-pass claim under 10x),
+            # TextRank (co-occurrence edges x10 via the word salt), and
+            # the bot-regularity audit (per-user windows x10 users)
+            "ml_knn_loo_accuracy",
+            "graph_hits_hubs_authorities",
+            "stats_randomization_test_diff_means",
+            "text_textrank_keywords",
+            "events_bot_regularity_audit",
         ):
             if not isinstance(timings.get(name), float):
                 if name not in QUERIES:
