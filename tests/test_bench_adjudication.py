@@ -1,0 +1,93 @@
+"""The bench's self-adjudication logic (VERDICT r8 #1) — unit-tested
+without Spark so the instrument itself is under test: verdict
+thresholds, history substitution for noise, the unadjudicatable path,
+and the compact regressed_2x rendering.
+"""
+
+import json
+import types
+
+import bench
+
+
+class _FakeSpark:
+    """Just enough surface for _adjudicate_regressions' cooldown."""
+
+    class _Catalog:
+        def clearCache(self):
+            pass
+
+    class _Jvm:
+        class System:  # noqa: D106
+            @staticmethod
+            def gc():
+                pass
+
+    class _SC:
+        pass
+
+    catalog = _Catalog()
+    sparkContext = _SC()
+    sparkContext._jvm = _Jvm()
+
+
+def _run(monkeypatch, rerun_seconds, query="q_fake"):
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setattr(bench, "timed_median", lambda fn, n=3: rerun_seconds)
+    monkeypatch.setattr(bench, "materialize", lambda df: None)
+    monkeypatch.setitem(
+        bench.QUERIES, query, types.SimpleNamespace(fn=lambda s, d: None)
+    )
+    hd = {
+        "regressed_2x": {query: 2.5},
+        "prev_queries": {query: 1.0},
+    }
+    hist = {"queries": {query: 2.5}}
+    bench._adjudicate_regressions(_FakeSpark(), "/nowhere", hd, hist)
+    return hd, hist, query
+
+
+def test_noise_verdict_substitutes_history(monkeypatch):
+    hd, hist, q = _run(monkeypatch, rerun_seconds=1.1)
+    rec = hd["adjudication"][q]
+    assert rec["verdict"] == "noise"
+    assert rec["rerun_ratio"] == 1.1
+    # steady-state rerun replaces the contended sample in history
+    assert hist["queries"][q] == 1.1
+    # compact rendering carries the verdict inline
+    assert hd["regressed_2x"][q] == "2.5x->1.1x noise"
+
+
+def test_real_verdict_keeps_history(monkeypatch):
+    hd, hist, q = _run(monkeypatch, rerun_seconds=2.4)
+    rec = hd["adjudication"][q]
+    assert rec["verdict"] == "real"
+    # a confirmed regression must NOT be laundered out of history
+    assert hist["queries"][q] == 2.5
+    assert hd["regressed_2x"][q] == "2.5x->2.4x real"
+
+
+def test_unknown_stage_is_unadjudicated(monkeypatch):
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    hd = {"regressed_2x": {"mystery": 3.0}, "prev_queries": {}}
+    hist = {"queries": {"mystery": 3.0}}
+    bench._adjudicate_regressions(_FakeSpark(), "/nowhere", hd, hist)
+    assert hd["adjudication"]["mystery"]["verdict"] == "unadjudicated"
+    assert hd["regressed_2x"]["mystery"] == "3.0x->unadjudicated"
+
+
+def test_diff_and_append_history(tmp_path, monkeypatch):
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    out1 = {"sf": 0.1, "value": 10.0, "queries": {"a": 10.0}}
+    hd, entry, path = bench._diff_history(out1)
+    assert hd is None and entry["queries"] == {"a": 10.0}
+    bench._append_history(entry, path)
+    out2 = {"sf": 0.1, "value": 25.0, "queries": {"a": 25.0}}
+    hd2, entry2, path2 = bench._diff_history(out2)
+    assert hd2["regressed_2x"] == {"a": 2.5}
+    assert hd2["prev_queries"] == {"a": 10.0}
+    # the history file holds exactly one valid JSON line so far
+    lines = open(path).read().strip().splitlines()
+    assert len(lines) == 1 and json.loads(lines[0])["value"] == 10.0
