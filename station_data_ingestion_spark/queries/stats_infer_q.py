@@ -2560,3 +2560,90 @@ def stats_randomization_test_diff_means(spark, sf_dir):
             "p_ppm",
         )
     )
+
+
+@query(
+    "stats_siegel_repeated_medians",
+    """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS xc
+  FROM orders GROUP BY 1
+), p AS (
+  SELECT a.d AS di, b.d AS dj,
+         ROUND((b.xc - a.xc) * 1.0 / (b.d - a.d), 6) AS slope
+  FROM daily a JOIN daily b ON b.d <> a.d
+), med_i AS (
+  SELECT di, slope AS mi FROM (
+    SELECT di, slope,
+           ROW_NUMBER() OVER (PARTITION BY di ORDER BY slope, dj) AS rn,
+           COUNT(*) OVER (PARTITION BY di) AS cnt
+    FROM p
+  ) WHERE rn = (cnt + 1) // 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       MAX(mi) FILTER (WHERE rn = (cnt + 1) // 2)
+         AS slope_cents_per_day
+FROM (
+  SELECT mi, ROW_NUMBER() OVER (ORDER BY mi, di) AS rn,
+         COUNT(*) OVER () AS cnt, di
+  FROM med_i
+)
+""",
+)
+def stats_siegel_repeated_medians(spark, sf_dir):
+    """Siegel repeated-medians slope for the daily-revenue trend: the
+    median over points of each point's median pairwise slope — 50%
+    breakdown (vs Theil-Sen's 29%), the estimator that stands when a
+    THIRD of the days are corrupted. Same scale shape as Theil-Sen:
+    the pair frame is CALENDAR-bounded (<=2.4k x 2.4k at any SF), so
+    both median layers run over bounded windows after the one
+    fact-bounded daily aggregation. Slopes are 6-dp-rounded exact-cent
+    ratios and both medians are exact LOWER order statistics (no
+    interpolation), so the result hashes bit-for-bit cross-engine."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")["orders"]
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("xc")
+    )
+    a = daily.select(F.col("d").alias("di"), F.col("xc").alias("xi"))
+    b = daily.select(F.col("d").alias("dj"), F.col("xc").alias("xj"))
+    p = a.join(F.broadcast(b), F.col("dj") != F.col("di")).select(
+        "di",
+        "dj",
+        F.round(
+            (F.col("xj") - F.col("xi"))
+            * 1.0
+            / F.datediff(F.col("dj"), F.col("di")),
+            6,
+        ).alias("slope"),
+    )
+    wi = Window.partitionBy("di").orderBy("slope", "dj")
+    med_i = (
+        p.select(
+            "di",
+            "slope",
+            F.row_number().over(wi).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("di")).alias("cnt"),
+        )
+        .filter(F.col("rn") == F.expr("(cnt + 1) div 2"))
+        .select("di", F.col("slope").alias("mi"))
+    )
+    wg = Window.orderBy("mi", "di")
+    return (
+        med_i.select(
+            "mi",
+            "di",
+            F.row_number().over(wg).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("cnt"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(cnt + 1) div 2"), F.col("mi")
+                )
+            ).alias("slope_cents_per_day"),
+        )
+    )

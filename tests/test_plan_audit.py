@@ -123,6 +123,8 @@ CROSS_JOIN_OK = {
     # onto the 32-row shard-balance frame
     "events_funnel_time_to_convert_quantiles",  # one-row quantile-rank
     # broadcast over the distinct-latency histogram
+    "stats_siegel_repeated_medians",  # calendar-bounded day-pair cross
+    # (the Theil-Sen/Kendall family)
 }
 
 # Iterative/stateful queries that execute eagerly during plan
@@ -219,6 +221,10 @@ GLOBAL_WINDOW_OK = {
     # text_textrank_keywords: same shape — rank attach over the 20-row
     # TakeOrderedAndProject result
     "text_textrank_keywords",
+    # stats_siegel_repeated_medians: the outer median ranks the <=2.4k
+    # per-day medians (calendar-bounded frame); the inner median is
+    # partitioned by day
+    "stats_siegel_repeated_medians",
 }
 
 # windowspecdefinition(<first arg is a sort order>) == empty partition
