@@ -578,6 +578,17 @@ def bench_scale_probe(spark, sf_dir, timings: dict[str, float], k: int = 10) -> 
                     f"t_{k}x": round(t_k, 3),
                     "per_unit_ratio": round(t_k / (k * timings_1x), 2),
                 }
+                if name == "ml_knn_loo_accuracy":
+                    # leave-one-out is O(n²) in the EVAL corpus by
+                    # definition (both matmul sides replicate), so the
+                    # probe's linear yardstick reads ~k here. Annotate
+                    # rather than hide: the op is eval-bounded (a
+                    # harness samples its eval set); IVF/PQ/LSH are the
+                    # unbounded-corpus retrieval paths.
+                    probe[name]["expected_superlinear"] = (
+                        "LOO is quadratic in the eval corpus; "
+                        "per_unit ~ k is the correct reading"
+                    )
                 skew = _heaviest_stage_skew(spark, marker)
                 if skew:
                     probe[name]["skew"] = skew
