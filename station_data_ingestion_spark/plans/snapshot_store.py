@@ -33,6 +33,7 @@ ingestion loop [reference: README.md:41-43] made concurrent-reader-safe.
 from __future__ import annotations
 
 import json
+import os
 import uuid
 import weakref
 
@@ -135,6 +136,131 @@ def _list_parquet_rel(spark: SparkSession, root: str) -> list[str]:
         p = it.next().getPath().toString()
         if p.endswith(".parquet"):
             out.append(p.removeprefix(prefix))
+    return out
+
+
+# Footer-stats fast path: per-file min/max read from parquet FOOTERS
+# instead of re-scanning staged data with a Spark job (Iceberg collects
+# the same stats writer-side; the footer already holds them). The fast
+# path is correctness-gated per column type: anything whose footer
+# bounds could diverge from an exact scan falls back to the scan —
+#  - FLOAT/DOUBLE: parquet writers EXCLUDE NaN from min/max while a
+#    Spark scan orders NaN above +inf, so a footer bound could wrongly
+#    prune a file whose NaN rows match a range;
+#  - DECIMAL / INT96 / unsigned ints: representation mismatch risk;
+#  - long BINARY values: parquet-mr drops stats past ~4 KB
+#    (has_min_max=False), which the gate below treats as "fall back".
+# Values that survive the gate are bit-identical to what the scan path
+# collects (str/int/bool/date), so pruning semantics are unchanged.
+_FOOTER_DISTRIBUTED_THRESHOLD = 256
+
+
+def _footer_one_file(abs_path: str, cols: list[str]) -> dict | None:
+    """Min/max/null-safe stats for ONE parquet file, from its footer.
+    Returns {col: [mn, mx], "__rows": n} or None = "cannot certify,
+    use the exact scan". Runs driver-side or inside an executor task."""
+    import pyarrow.parquet as _pq
+
+    p = abs_path
+    if p.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        p = unquote(urlparse(p).path)
+    try:
+        md = _pq.ParquetFile(p).metadata
+    except Exception:  # noqa: BLE001 -- unreadable footer => exact scan
+        return None
+    # column name -> list of (statistics, rg_rows) across row groups
+    per_col: dict[str, list] = {c: [] for c in cols}
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        seen = set()
+        for i in range(rg.num_columns):
+            c = rg.column(i)
+            name = c.path_in_schema
+            if name in per_col:
+                per_col[name].append((c, rg.num_rows))
+                seen.add(name)
+        for name in cols:
+            if name not in seen:
+                per_col[name].append((None, rg.num_rows))
+    out: dict = {"__rows": int(md.num_rows)}
+    for name in cols:
+        mn = mx = None
+        for c, rg_rows in per_col[name]:
+            if c is None:
+                return None  # column absent from a row group
+            ok, lo_v, hi_v = _footer_rg_bounds(c, rg_rows)
+            if not ok:
+                return None
+            if lo_v is not None and (mn is None or lo_v < mn):
+                mn = lo_v
+            if hi_v is not None and (mx is None or hi_v > mx):
+                mx = hi_v
+        out[name] = [mn, mx]
+    return out
+
+
+def _footer_rg_bounds(col_md, rg_rows: int):
+    """(ok, min, max) for one column chunk; ok=False => fall back."""
+    st = col_md.statistics
+    if st is None:
+        return False, None, None
+    if not st.has_min_max:
+        # an all-null chunk legitimately has no bounds; anything else
+        # (e.g. >4 KB binary values) is a dropped-stats case
+        if st.null_count is not None and st.null_count == rg_rows:
+            return True, None, None
+        return False, None, None
+    pt = col_md.physical_type
+    lt = getattr(st.logical_type, "type", "NONE")
+    if pt == "BYTE_ARRAY" and lt == "STRING":
+        pass
+    elif pt in ("INT32", "INT64") and lt in ("NONE", "DATE"):
+        pass
+    elif pt in ("INT32", "INT64") and lt == "INT":
+        if not getattr(st.logical_type, "is_signed", False):
+            return False, None, None
+    elif pt == "BOOLEAN" and lt == "NONE":
+        pass
+    else:  # FLOAT/DOUBLE (NaN), DECIMAL, INT96, UUID, ...
+        return False, None, None
+    return True, st.min, st.max
+
+
+def _footer_stats_distributed(
+    spark: SparkSession, abs_paths: list[str], cols: list[str]
+) -> list[dict | None]:
+    """The same footer read fanned out as ONE Spark job over the FILE
+    LIST (not the data): at 100 TB a commit stages thousands of files
+    and the footer reads are the parallel part — each task opens only
+    footers, never row data."""
+    import pandas as pd
+
+    cols_b = list(cols)
+
+    def read_batch(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "i": pdf["i"],
+                    "stats": [
+                        json.dumps(
+                            _footer_one_file(p, cols_b), default=str
+                        )
+                        for p in pdf["p"]
+                    ],
+                }
+            )
+
+    n = len(abs_paths)
+    src = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(abs_paths)], "i int, p string"
+    ).repartition(min(n, 64))
+    rows = src.mapInPandas(read_batch, "i int, stats string").collect()
+    out: list[dict | None] = [None] * n
+    for r in rows:
+        out[r["i"]] = json.loads(r["stats"])
     return out
 
 
@@ -2296,6 +2422,74 @@ class SnapshotTable:
 
     # -- write -------------------------------------------------------------
 
+    def _footer_stats(
+        self, staging: str, rels: list[str], cols: list[str]
+    ) -> dict[str, dict] | None:
+        """Stats from parquet footers instead of a data re-scan.
+
+        Returns the same {rel: {col: [mn,mx], "__rows": n}} shape as the
+        scan path, or None when ANY file/column can't be certified from
+        its footer (type outside the allowlist, dropped stats, a stat
+        col that only exists as a partition directory) — the caller then
+        runs the exact Spark scan. Small commits read footers on the
+        driver; big ones fan out over the FILE LIST as one Spark job.
+        ``SPARK_GRAFT_FOOTER_STATS=0`` force-disables the fast path."""
+        if os.environ.get("SPARK_GRAFT_FOOTER_STATS", "1") == "0":
+            return None
+        # stat cols encoded as hive partition dirs never appear in the
+        # footer; only the scan (which infers them from the path) sees
+        # them, so bail before opening anything
+        want = [c for c in cols if c not in self.partition_cols]
+        if len(want) != len(cols):
+            return None
+        root = staging.rstrip("/")
+        abs_paths = [f"{root}/{r}" for r in rels]
+        try:
+            if len(abs_paths) <= _FOOTER_DISTRIBUTED_THRESHOLD:
+                per_file = [_footer_one_file(p, want) for p in abs_paths]
+            else:
+                per_file = _footer_stats_distributed(
+                    self.spark, abs_paths, want
+                )
+        except Exception:  # noqa: BLE001 -- any footer trouble => scan
+            return None
+        out: dict[str, dict] = {}
+        for rel, st in zip(rels, per_file):
+            if st is None:
+                return None
+            entry = {
+                c: [
+                    _json_safe_stat(st[c][0], lo=True),
+                    _json_safe_stat(st[c][1], lo=False),
+                ]
+                for c in want
+            }
+            entry["__rows"] = st["__rows"]
+            out[rel] = entry
+        return out
+
+    def _count_written(self, root: str) -> int:
+        """Exact row count of a just-written parquet dir from footer
+        metadata (num_rows is always present — no stats gate needed),
+        zero Spark jobs; scan fallback if any footer won't open."""
+        rels = _list_parquet_rel(self.spark, root)
+        if not rels:
+            return 0
+        try:
+            import pyarrow.parquet as _pq
+
+            total = 0
+            for rel in rels:
+                p = f"{root.rstrip('/')}/{rel}"
+                if p.startswith("file:"):
+                    from urllib.parse import unquote, urlparse
+
+                    p = unquote(urlparse(p).path)
+                total += _pq.ParquetFile(p).metadata.num_rows
+            return int(total)
+        except Exception:  # noqa: BLE001
+            return self.spark.read.parquet(root).count()
+
     def _file_stats(self, staging: str, cols: list[str]) -> dict[str, dict]:
         """Per-staged-file min/max of `cols` (one small Spark job).
 
@@ -2309,8 +2503,12 @@ class SnapshotTable:
 
         from pyspark.sql import functions as F
 
-        if not _list_parquet_rel(self.spark, staging):
+        rels = _list_parquet_rel(self.spark, staging)
+        if not rels:
             return {}  # zero-row commit stages no files
+        footer = self._footer_stats(staging, rels, cols)
+        if footer is not None:
+            return footer
         df = self.spark.read.parquet(staging)
         present = [c for c in cols if c in df.columns]
         # row count always rides along (reserved "__rows" key): it makes
@@ -2884,13 +3082,19 @@ class SnapshotTable:
         if base_v is None:
             raise ValueError(f"no table at {self.path}")
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        matched = self.read(version=base_v, _lineage=True).filter(
-            F.coalesce(cond, F.lit(False))
+        matched = (
+            self.read(version=base_v, _lineage=True)
+            .filter(F.coalesce(cond, F.lit(False)))
+            # one compute for DV write + count + CDF (update_where_dv's
+            # pattern): the checkpoint materializes only the MATCHED
+            # rows — O(deleted), the same bound as the DV itself — and
+            # saves a second full-table scan for the change feed
+            .localCheckpoint(eager=True)
         )
         tok = uuid.uuid4().hex
         dv_path = f"{self.path}/{_DELETES}/{tok}"
         matched.select("_dv_file", "_dv_row").write.parquet(dv_path)
-        n = self.spark.read.parquet(dv_path).count()
+        n = self._count_written(dv_path)
         if n == 0:
             fs, p, jvm = _fs(self.spark, dv_path)
             fs.delete(p, True)
@@ -2935,7 +3139,7 @@ class SnapshotTable:
         tok = uuid.uuid4().hex
         dv_path = f"{self.path}/{_DELETES}/{tok}"
         matched.select("_dv_file", "_dv_row").write.parquet(dv_path)
-        n = self.spark.read.parquet(dv_path).count()
+        n = self._count_written(dv_path)
         if n == 0:
             fs, p, _ = _fs(self.spark, dv_path)
             fs.delete(p, True)

@@ -30,6 +30,7 @@ from station_data_ingestion_spark.queries import (  # noqa: F401
     sources_q,
     stats_infer_q,
     stats_q,
+    stats_rank_q,
     streaming_q,
     temporal_q,
     udx,

@@ -1019,20 +1019,48 @@ FROM pred WHERE pr = 1 GROUP BY ql
 
 
 @query("ml_knn_loo_accuracy", _KNN_LOO_ORACLE)
-def ml_knn_loo_accuracy(spark, sf_dir):
+def ml_knn_loo_accuracy(
+    spark,
+    sf_dir,
+    max_eval_rows: int = 100_000,
+    sample_over_budget: bool = False,
+):
     """5-NN leave-one-out label accuracy over the embedding corpus —
     the zero-training sanity eval of embedding quality (if 5-NN can't
     recover labels, no downstream head will). The distributed shape is
-    block x broadcast-matrix: the eval corpus (bounded — an eval
-    harness samples; the unbounded-scale retrieval paths are IVF/PQ)
-    broadcasts once as one float64 matrix inside the closure, and each
-    Arrow batch scores itself against it with ONE matmul, taking top-5
-    under the oracle's exact (round(sim,6) DESC, id ASC) key and
-    voting majority-with-smallest-label-tiebreak via bincount/argmax.
-    Per-label accuracy rows in integer ppm."""
+    block x broadcast-matrix: the eval corpus broadcasts once as one
+    float64 matrix inside the closure, and each Arrow batch scores
+    itself against it with ONE matmul, taking top-5 under the oracle's
+    exact (round(sim,6) DESC, id ASC) key and voting majority-with-
+    smallest-label-tiebreak via bincount/argmax. Per-label accuracy
+    rows in integer ppm.
+
+    LOO is O(n^2) by definition and the reference matrix lives on the
+    driver, so the eval corpus is BUDGETED, not assumed bounded
+    (semantic_near_pairs_auto's alarm pattern): past ``max_eval_rows``
+    the query raises loudly, or — with ``sample_over_budget=True`` —
+    down-samples deterministically (md5 bottom-k on vec_id, so every
+    run and engine sees the same sample) to the budget. Unbudgeted
+    full-corpus retrieval belongs to the IVF/PQ/LSH paths."""
     import numpy as np
 
     e = load(spark, sf_dir, "embeddings")["embeddings"]
+    n_corpus = e.count()
+    if n_corpus > max_eval_rows:
+        if not sample_over_budget:
+            raise RuntimeError(
+                f"ml_knn_loo_accuracy: eval corpus has {n_corpus} rows, "
+                f"over the max_eval_rows={max_eval_rows} budget — LOO is "
+                "quadratic and broadcasts the corpus to the driver. "
+                "Raise max_eval_rows, pass sample_over_budget=True for a "
+                "deterministic md5 down-sample, or use the IVF/PQ/LSH "
+                "retrieval paths for unbounded corpora."
+            )
+        e = (
+            e.orderBy(F.md5(F.col("vec_id").cast("string")))
+            .limit(int(max_eval_rows))
+            .localCheckpoint(eager=False)
+        )
     ref = e.select("vec_id", "label", "embedding").collect()
     ref_ids = np.array([r["vec_id"] for r in ref], dtype=np.int64)
     ref_lab = np.array([r["label"] for r in ref], dtype=np.int64)
