@@ -164,6 +164,22 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def job_overhead_ms(spark, n: int = 5) -> float:
+    """Median wall clock of a trivial 1-partition count — the box's
+    per-Spark-job scheduling constant. Multi-job stages (the snapshot
+    store runs ~10 actions per commit+read cycle) scale with THIS
+    number, not with data volume; r9's 'real' snapshot regressions
+    reproduced on a box whose job constant had tripled while the code
+    was untouched. Publishing it with every run lets a cross-round
+    reader separate plan regressions from environment drift."""
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        spark.range(1000).count()
+        ts.append((time.perf_counter() - t0) * 1000)
+    return round(sorted(ts)[n // 2], 1)
+
+
 def timed_median(fn, n: int = 3) -> float:
     """Median-of-n wall clock for one stage.
 
@@ -567,16 +583,17 @@ def bench_scale_probe(spark, sf_dir, timings: dict[str, float], k: int = 10) -> 
                 # min of two shots — same first-run/stall rationale as
                 # the ingest probe (pack read 0.63 vs 1.6 per-unit on
                 # back-to-back sessions from one-shot noise)
-                t0 = time.perf_counter()
-                materialize(QUERIES[name].fn(spark, tmp))
-                t_k = time.perf_counter() - t0
-                t0 = time.perf_counter()
-                materialize(QUERIES[name].fn(spark, tmp))
-                t_k = min(t_k, time.perf_counter() - t0)
+                shots_k = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    materialize(QUERIES[name].fn(spark, tmp))
+                    shots_k.append(round(time.perf_counter() - t0, 3))
+                t_k = min(shots_k)
                 probe[name] = {
                     "t_1x": timings_1x,
                     f"t_{k}x": round(t_k, 3),
                     "per_unit_ratio": round(t_k / (k * timings_1x), 2),
+                    "shots": shots_k,
                 }
                 if name == "ml_knn_loo_accuracy":
                     # leave-one-out is O(n²) in the EVAL corpus by
@@ -606,6 +623,39 @@ def bench_scale_probe(spark, sf_dir, timings: dict[str, float], k: int = 10) -> 
                         probe[name]["replication"] = st
             except Exception as e:  # noqa: BLE001
                 probe[name] = {"error": f"{type(e).__name__}: {e}"[:500]}
+        # Probe self-adjudication (r9 VERDICT #3): a super-linear probe
+        # reading gets the same treatment as a >=2x headline flag —
+        # re-measured isolated (cooldown + cache clear + JVM GC,
+        # median-of-3) while the 10x corpus still exists, with a
+        # noise|real verdict recorded in-artifact. Bar: per-unit <= 1.2
+        # after isolation reads as linear-within-tolerance (single-shot
+        # probes on a shared box wobble ~20%); annotated
+        # expected-superlinear stages (kNN-LOO) are exempt by design.
+        for name, rec in probe.items():
+            if (
+                not isinstance(rec, dict)
+                or "per_unit_ratio" not in rec
+                or rec["per_unit_ratio"] <= 1.0
+                or "expected_superlinear" in rec
+            ):
+                continue
+            try:
+                time.sleep(3.0)
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+                rerun = timed_median(
+                    lambda name=name: materialize(
+                        QUERIES[name].fn(spark, tmp)
+                    ),
+                    n=3,
+                )
+                pu = round(rerun / (k * rec["t_1x"]), 2)
+                rec["rerun_median3"] = rerun
+                rec["rerun_per_unit"] = pu
+                rec["verdict"] = "noise" if pu <= 1.2 else "real"
+            except Exception as e:  # noqa: BLE001
+                rec["verdict"] = "unadjudicated"
+                rec["adjudication_error"] = f"{type(e).__name__}: {e}"[:200]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return probe
@@ -657,6 +707,54 @@ def bench_scale_probe_ingest(spark, timings: dict, k: int = 10) -> dict:
             "shots": vals,
             "per_unit_min": round(vals[0] / (k * timings[s]), 2),
         }
+    # Ingest-probe self-adjudication (r9 VERDICT #3): BENCH_r09 published
+    # merge_replace 2.24 per-unit off one contended shot while the clean
+    # sf1 run read 0.14. A super-linear MEDIAN whose min shot is already
+    # linear is contention by inspection; otherwise one isolated rerun
+    # (cooldown + cache clear + JVM GC, 3 fresh single shots) settles it.
+    flagged = [
+        s
+        for s in need
+        if isinstance(probe.get(s), dict)
+        and probe[s]["per_unit_ratio"] > 1.0
+    ]
+    if flagged:
+        if all(probe[s]["per_unit_min"] <= 1.0 for s in flagged):
+            for s in flagged:
+                probe[s]["verdict"] = "noise (min shot linear)"
+        else:
+            try:
+                time.sleep(3.0)
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+                rerun_shots: list[dict[str, float]] = []
+                for _ in range(3):
+                    one: dict[str, float] = {}
+                    bench_ingestion(
+                        spark, one, n_stations=1000 * k,
+                        single_shot=True, prefix="ingest_",
+                    )
+                    rerun_shots.append(one)
+                for s in flagged:
+                    vals = sorted(
+                        b[s] for b in rerun_shots
+                        if isinstance(b.get(s), float)
+                    )
+                    if not vals:
+                        probe[s]["verdict"] = "unadjudicated"
+                        continue
+                    pu = round(vals[0] / (k * timings[s]), 2)
+                    probe[s]["rerun_shots"] = vals
+                    probe[s]["rerun_per_unit_min"] = pu
+                    probe[s]["verdict"] = (
+                        "noise" if pu <= 1.2 else "real"
+                    )
+            except Exception as e:  # noqa: BLE001
+                for s in flagged:
+                    probe[s].setdefault("verdict", "unadjudicated")
+                    probe[s]["adjudication_error"] = (
+                        f"{type(e).__name__}: {e}"[:200]
+                    )
     return probe
 
 
@@ -944,6 +1042,7 @@ def main() -> None:
     spark.range(0, 1000, 1, 32).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
+    jo_start = job_overhead_ms(spark)
 
     # Fault isolation: one broken query must degrade the artifact, not
     # zero it (BENCH_r02 died whole on a single AnalysisException). Each
@@ -1036,7 +1135,19 @@ def main() -> None:
             out["pipeline_governed"] = {"stages": gov, "pairs": pairs}
         except Exception as e:  # noqa: BLE001
             out["pipeline_governed"] = {"error": f"{type(e).__name__}: {e}"[:500]}
+    # the box's per-job constant, start and end of run: the denominator
+    # for cross-round comparisons of multi-job (snapshot/commit) stages
+    out["job_overhead_ms"] = {
+        "start": jo_start,
+        "end": job_overhead_ms(spark),
+    }
     hd, hist_entry, hist_path = _diff_history(out)
+    if hist_entry is not None:
+        hist_entry["job_overhead_ms"] = out["job_overhead_ms"]
+    if isinstance(hd, dict):
+        prev_jo = (hd.get("prev_job_overhead_ms") or {}).get("start")
+        if prev_jo:
+            hd["job_overhead_ratio"] = round(jo_start / prev_jo, 2)
     # Self-adjudication (VERDICT r8 #1): three rounds of >=2x flags have
     # dissolved under post-hoc isolated reruns (r4 q5/q9, r6
     # ingest_merge_replace, r8's thirteen) -- contention leaks through
@@ -1080,14 +1191,16 @@ def main() -> None:
         p = out.get(probe_key)
         if isinstance(p, dict):
             compact[short] = {
-                n: d.get("per_unit_ratio", "err")
-                for n, d in p.items()
+                n: _probe_compact(d) for n, d in p.items()
                 if isinstance(d, dict)
             }
     hd = out.get("history_delta")
     if isinstance(hd, dict):
         compact["history_ratio"] = hd.get("ratio")
         compact["regressed_2x"] = hd.get("regressed_2x")
+        if hd.get("job_overhead_ratio") is not None:
+            compact["job_overhead_ratio"] = hd["job_overhead_ratio"]
+    compact["job_ms"] = out.get("job_overhead_ms", {}).get("start")
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # stay inside the driver's 2000-char tail
         for trim in ("errors", "probe_10x", "regressed_2x"):
@@ -1097,6 +1210,22 @@ def main() -> None:
                 break
     sys.stdout.write("\n" + line + "\n")
     sys.stdout.flush()
+
+
+def _probe_compact(d: dict):
+    """One driver-tail cell per probe stage: the per-unit ratio, plus
+    the adjudication verdict inline when one was reached — so a
+    super-linear reading can never ship unannotated (r9 VERDICT #3)."""
+    r = d.get("per_unit_ratio")
+    if r is None:
+        return "err"
+    if "expected_superlinear" in d:
+        return f"{r} expected-quadratic"
+    if "verdict" in d:
+        rerun = d.get("rerun_per_unit", d.get("rerun_per_unit_min"))
+        arrow = f"->{rerun}" if rerun is not None else ""
+        return f"{r}{arrow} {d['verdict']}"
+    return r
 
 
 def _diff_history(out: dict) -> tuple[dict | None, dict | None, str | None]:
@@ -1149,6 +1278,7 @@ def _diff_history(out: dict) -> tuple[dict | None, dict | None, str | None]:
             "regressed_2x": {q: r for q, r in ratios.items() if r >= 2.0},
             "improved_2x": {q: r for q, r in ratios.items() if r <= 0.5},
             "prev_queries": {q: prev["queries"][q] for q in common},
+            "prev_job_overhead_ms": prev.get("job_overhead_ms"),
         }
         return delta, entry, path
     except Exception:  # noqa: BLE001
@@ -1224,6 +1354,18 @@ def _adjudicate_regressions(spark, sf_dir, hd: dict, hist_entry: dict | None) ->
             rec["verdict"] = "noise" if rr < 1.5 else "real"
             if rec["verdict"] == "noise" and hist_entry is not None:
                 hist_entry["queries"][q] = rerun
+            elif rec["verdict"] == "real":
+                # a real verdict on a box whose per-job constant also
+                # grew is (at least partly) environment, not plan — say
+                # so next to the verdict instead of leaving the reader
+                # to cross-reference (r9's two 'real' snapshot flags
+                # were exactly this)
+                jor = hd.get("job_overhead_ratio")
+                if isinstance(jor, (int, float)) and jor >= 1.5:
+                    rec["environment_note"] = (
+                        f"box per-job overhead is {jor}x the previous "
+                        "run's — multi-job stages scale with it"
+                    )
         else:
             rec["verdict"] = "unadjudicated"
         adjudication[q] = rec

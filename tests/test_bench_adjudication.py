@@ -91,3 +91,52 @@ def test_diff_and_append_history(tmp_path, monkeypatch):
     # the history file holds exactly one valid JSON line so far
     lines = open(path).read().strip().splitlines()
     assert len(lines) == 1 and json.loads(lines[0])["value"] == 10.0
+
+
+def test_probe_compact_rendering():
+    assert bench._probe_compact({}) == "err"
+    assert bench._probe_compact({"per_unit_ratio": 0.4}) == 0.4
+    assert (
+        bench._probe_compact(
+            {"per_unit_ratio": 17.8, "expected_superlinear": "LOO"}
+        )
+        == "17.8 expected-quadratic"
+    )
+    assert (
+        bench._probe_compact(
+            {"per_unit_ratio": 2.2, "rerun_per_unit": 0.9,
+             "verdict": "noise"}
+        )
+        == "2.2->0.9 noise"
+    )
+    assert (
+        bench._probe_compact(
+            {"per_unit_ratio": 2.2, "rerun_per_unit_min": 1.6,
+             "verdict": "real"}
+        )
+        == "2.2->1.6 real"
+    )
+    assert (
+        bench._probe_compact(
+            {"per_unit_ratio": 1.4, "verdict": "noise (min shot linear)"}
+        )
+        == "1.4 noise (min shot linear)"
+    )
+
+
+def test_real_verdict_carries_environment_note(monkeypatch):
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setattr(bench, "timed_median", lambda fn, n=3: 2.4)
+    monkeypatch.setattr(bench, "materialize", lambda df: None)
+    monkeypatch.setitem(
+        bench.QUERIES, "q_env", types.SimpleNamespace(fn=lambda s, d: None)
+    )
+    hd = {
+        "regressed_2x": {"q_env": 2.5},
+        "prev_queries": {"q_env": 1.0},
+        "job_overhead_ratio": 2.1,
+    }
+    bench._adjudicate_regressions(_FakeSpark(), "/nowhere", hd, {"queries": {}})
+    rec = hd["adjudication"]["q_env"]
+    assert rec["verdict"] == "real"
+    assert "2.1x" in rec["environment_note"]

@@ -92,3 +92,18 @@ def test_registry_modules_exist_and_oracles_nonempty():
         assert os.path.exists(os.path.join(REPO, mod)), f"{name}: {mod} gone"
         if qd.oracle is not None:
             assert "SELECT" in qd.oracle.upper(), f"{name}: oracle not SQL"
+
+
+def test_capability_index_in_sync():
+    """CAPABILITIES.md is generated from the registry; a stale count
+    means someone added queries without regenerating the user map."""
+    path = os.path.join(REPO, "CAPABILITIES.md")
+    assert os.path.exists(path), "run tools/gen_capability_index.py"
+    text = open(path, encoding="utf-8").read()
+    n_rows = sum(1 for line in text.splitlines() if line.startswith("| `"))
+    assert n_rows == len(QUERIES), (
+        f"CAPABILITIES.md lists {n_rows} queries, registry has "
+        f"{len(QUERIES)} — regenerate with tools/gen_capability_index.py"
+    )
+    n_oracle = sum(1 for q in QUERIES.values() if q.oracle)
+    assert f"**{len(QUERIES)} queries, {n_oracle} with DuckDB oracles**" in text
