@@ -129,7 +129,7 @@ HEADLINE = [
     # through an UPDATE rewrite + DV delete), the distributed-minimax
     # isotonic regression (|days|^2/2 grid + per-j suffix-min windows),
     # RAKE keyphrase extraction (two corpus shuffles), and PQ+ADC ANN
-    # (24 sampled k-means fits + one-pass table-lookup scoring)
+    # (fused-Lloyd sampled codebook training + one-pass table-lookup scoring)
     "snapshot_equality_delete_read",
     "snapshot_row_tracking_read",
     "stats_isotonic_regression_pava",
@@ -530,7 +530,7 @@ def bench_scale_probe(spark, sf_dir, timings: dict[str, float], k: int = 10) -> 
             # (O(keys) write + broadcast anti-join read — sub-linear by
             # design), row tracking (one UPDATE rewrite + id-attach
             # reads), isotonic regression (grid is calendar-bounded, so
-            # 10x data should be ~flat), and PQ ANN (24 k-means fits on
+            # 10x data should be ~flat), and PQ ANN (fused-Lloyd codebook training on
             # a hash sample + one-pass ADC)
             "snapshot_equality_delete_read",
             "snapshot_row_tracking_read",
