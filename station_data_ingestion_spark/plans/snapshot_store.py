@@ -3225,7 +3225,7 @@ class SnapshotTable:
             tok = uuid.uuid4().hex
             dv_path = f"{self.path}/{_DELETES}/{tok}"
             matched.select("_dv_file", "_dv_row").write.parquet(dv_path)
-            n_dv = self.spark.read.parquet(dv_path).count()
+            n_dv = self._count_written(dv_path)
             pre = matched.drop("_dv_file", "_dv_row").withColumn(
                 "_change_type", F.lit("update_preimage")
             )
@@ -3552,7 +3552,7 @@ class SnapshotTable:
         keyset = keys.distinct()
         tok = f"eq-{uuid.uuid4().hex}"
         keyset.coalesce(1).write.parquet(f"{self.path}/{_DELETES}/{tok}")
-        n = self.spark.read.parquet(f"{self.path}/{_DELETES}/{tok}").count()
+        n = self._count_written(f"{self.path}/{_DELETES}/{tok}")
         base_m = self._read_manifest(base_v)
         dseq = int(base_m.get("seq_hwm") or 0) + 1
         # CDF capture: the rows this delete retires are exactly the
