@@ -34,8 +34,21 @@ def _certification_counts() -> dict[str, int]:
     green rows across the committed CORRECTNESS_r*.json artifacts and
     sorting least-certified-first rotates the sample automatically each
     round: never-sampled and previously-errored queries go to the front,
-    already-certified ones cycle to the back. A no_oracle rows-only row
-    counts as certified -- it is that query's strongest driver check.
+    already-certified ones cycle to the back.
+
+    A no_oracle rows-only row counts as certified ONLY while the query
+    still has no oracle -- for a rows-only-by-design query that row is
+    its strongest possible driver check, but once the query gains a SQL
+    oracle (e.g. sim_pq_adc_topk, rows-only when sampled in r8, full
+    oracle since r9) the stale rows-only row no longer certifies it: the
+    new oracle has never been driver-checked, so the query re-fronts in
+    the next sample automatically (VERDICT r10 item #1).
+
+    Sample-budget policy (VERDICT r10 item #7): with certification debt
+    at zero, the prefix the driver takes is spent on (a) any query whose
+    oracle is newer than its last sample -- the rule above zeroes its
+    count, putting it first -- then (b) least-certified, so every query
+    keeps cycling through the gate with at most ~(registry/50)-round lag.
     """
     counts: dict[str, int] = {}
     here = os.path.dirname(os.path.abspath(__file__))
@@ -46,10 +59,13 @@ def _certification_counts() -> dict[str, int]:
         except (OSError, ValueError):
             continue
         for name, r in rows.items():
-            ok = bool(r.get("rows_match")) or (
-                r.get("err") == "no_oracle" and r.get("spark_rows") is not None
+            qd = QUERIES.get(name)
+            rows_only_ok = (
+                r.get("err") == "no_oracle"
+                and r.get("spark_rows") is not None
+                and (qd is None or qd.oracle is None)
             )
-            if ok:
+            if bool(r.get("rows_match")) or rows_only_ok:
                 counts[name] = counts.get(name, 0) + 1
     return counts
 

@@ -21,6 +21,8 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
+from station_data_ingestion_spark.operators.kmeans import _dist2 as _km_dist2
+
 
 
 def pq_train(
@@ -102,12 +104,10 @@ def _pq_assign_partials(books: np.ndarray):
             js, cs, ns, ss = [], [], [], []
             for j in range(m):
                 xs = x[:, j * sub : (j + 1) * sub]
-                d = (
-                    (xs * xs).sum(1)[:, None]
-                    - 2.0 * xs @ books[j].T
-                    + (books[j] * books[j]).sum(1)[None, :]
-                )
-                lab = d.argmin(1)
+                # same clamped distance as kmeans_fit's _dist2 so ties
+                # under near-zero round-off resolve identically to the
+                # per-subspace path (ADVICE r10)
+                lab = _km_dist2(xs, books[j]).argmin(1)
                 for c in np.unique(lab):
                     sel = xs[lab == c]
                     js.append(j)

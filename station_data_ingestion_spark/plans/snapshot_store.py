@@ -201,9 +201,182 @@ def _footer_one_file(abs_path: str, cols: list[str]) -> dict | None:
     return out
 
 
+# Footer-SCHEMA cache: merged-schema reads (schema evolution) used to
+# run Spark's mergeSchema inference, which opens EVERY live footer on
+# EVERY read of an evolved table — O(files) work per read at 100-TB
+# scale. Data files in this store are immutable (commits only ever add
+# new paths), so each footer's schema is read ONCE per process, cached
+# by (path, size, mtime), merged driver-side, and handed to the reader
+# as an explicit .schema(...) — Spark then skips footer inference
+# entirely; missing columns null-fill exactly as mergeSchema does
+# (VERDICT r10 item #2). Correctness gate mirrors the footer-stats one:
+# any arrow type outside the unambiguous allowlist (timestamps, INT96,
+# decimals, unsigned ints, ...) or any same-name type conflict falls
+# back to mergeSchema, byte-for-byte the old behavior.
+# ``SPARK_GRAFT_FOOTER_SCHEMA=0`` force-disables the fast path.
+_FOOTER_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def _local_path(abs_path: str) -> str:
+    p = abs_path
+    if p.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        p = unquote(urlparse(p).path)
+    return p
+
+
+def _footer_schema_key(p: str) -> tuple:
+    try:
+        st = os.stat(p)
+        return (p, st.st_size, st.st_mtime_ns)
+    except OSError:
+        # non-stat-able storage: immutability makes path-only identity
+        # sound (a manifest path is never rewritten in place)
+        return (p,)
+
+
+def _read_footer_schema(abs_path: str):
+    """Arrow schema of one parquet file, or None if unreadable."""
+    import pyarrow.parquet as _pq
+
+    try:
+        return _pq.ParquetFile(_local_path(abs_path)).schema_arrow
+    except Exception:  # noqa: BLE001 -- unreadable footer => fall back
+        return None
+
+
+def _footer_schemas_distributed(spark, abs_paths: list[str]) -> list:
+    """Footer-schema reads fanned out as ONE job over the FILE LIST,
+    same shape as _footer_stats_distributed: each task opens footers
+    only, ships schemas back as serialized Arrow IPC."""
+    import base64
+
+    import pandas as pd
+    import pyarrow as pa
+
+    def read_batch(it):
+        for pdf in it:
+            out = []
+            for p in pdf["p"]:
+                s = _read_footer_schema(p)
+                out.append(
+                    None
+                    if s is None
+                    else base64.b64encode(
+                        s.serialize().to_pybytes()
+                    ).decode()
+                )
+            yield pd.DataFrame({"i": pdf["i"], "schema": out})
+
+    n = len(abs_paths)
+    src = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(abs_paths)], "i int, p string"
+    ).repartition(min(n, 64))
+    rows = src.mapInPandas(read_batch, "i int, schema string").collect()
+    out: list = [None] * n
+    for r in rows:
+        if r["schema"] is not None:
+            out[r["i"]] = pa.ipc.read_schema(
+                pa.BufferReader(base64.b64decode(r["schema"]))
+            )
+    return out
+
+
+def _spark_type_of_arrow(t):
+    """Arrow type -> Spark type for the unambiguous subset; None =
+    cannot certify, caller falls back to mergeSchema inference."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    if pa.types.is_boolean(t):
+        return T.BooleanType()
+    if pa.types.is_int8(t):
+        return T.ByteType()
+    if pa.types.is_int16(t):
+        return T.ShortType()
+    if pa.types.is_int32(t):
+        return T.IntegerType()
+    if pa.types.is_int64(t):
+        return T.LongType()
+    if pa.types.is_float32(t):
+        return T.FloatType()
+    if pa.types.is_float64(t):
+        return T.DoubleType()
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return T.StringType()
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return T.BinaryType()
+    if pa.types.is_date32(t):
+        return T.DateType()
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        elem = _spark_type_of_arrow(t.value_type)
+        return None if elem is None else T.ArrayType(elem)
+    if pa.types.is_struct(t):
+        fields = []
+        for i in range(t.num_fields):
+            f = t.field(i)
+            ft = _spark_type_of_arrow(f.type)
+            if ft is None:
+                return None
+            fields.append(T.StructField(f.name, ft))
+        return T.StructType(fields)
+    return None  # timestamps, INT96, decimal, unsigned, dict, ...
+
+
+def _merged_footer_schema(spark, abs_paths: list[str]):
+    """Explicit Spark schema for a group of immutable parquet files, or
+    None => use mergeSchema. First-seen field order over the group's
+    path order matches mergeSchema's in-order fold; same-name fields
+    must agree EXACTLY on arrow type (widen groups already split
+    int32/int64, so a conflict here means "not certifiable")."""
+    from pyspark.sql import types as T
+
+    if os.environ.get("SPARK_GRAFT_FOOTER_SCHEMA", "1") == "0":
+        return None
+    keys = [_footer_schema_key(_local_path(p)) for p in abs_paths]
+    missing = [
+        (i, p)
+        for i, (p, k) in enumerate(zip(abs_paths, keys))
+        if k not in _FOOTER_SCHEMA_CACHE
+    ]
+    if missing:
+        if len(missing) <= _FOOTER_DISTRIBUTED_THRESHOLD:
+            fetched = [_read_footer_schema(p) for _, p in missing]
+        else:
+            fetched = _footer_schemas_distributed(
+                spark, [p for _, p in missing]
+            )
+        for (i, _), s in zip(missing, fetched):
+            if s is None:
+                return None
+            _FOOTER_SCHEMA_CACHE[keys[i]] = s
+    order: list[str] = []
+    types: dict[str, object] = {}
+    for k in keys:
+        s = _FOOTER_SCHEMA_CACHE[k]
+        for f in s:
+            if f.name not in types:
+                order.append(f.name)
+                types[f.name] = f.type
+            elif not types[f.name].equals(f.type):
+                return None  # same-name type conflict: fall back
+    fields = []
+    for name in order:
+        st = _spark_type_of_arrow(types[name])
+        if st is None:
+            return None
+        fields.append(T.StructField(name, st))
+    return T.StructType(fields)
+
+
 def _footer_rg_bounds(col_md, rg_rows: int):
     """(ok, min, max) for one column chunk; ok=False => fall back."""
     st = col_md.statistics
+    if rg_rows == 0:
+        # an empty row group (pyarrow writes empty tables as one 0-row
+        # group with no statistics) trivially has no bounds
+        return True, None, None
     if st is None:
         return False, None, None
     if not st.has_min_max:
@@ -1279,11 +1452,16 @@ class SnapshotTable:
 
             dfs = []
             for (_, base, fill, widen), paths in sorted(groups.items()):
-                d = (
-                    self.spark.read.option("basePath", base)
-                    .option("mergeSchema", "true")
-                    .parquet(*paths)
-                )
+                reader = self.spark.read.option("basePath", base)
+                # cached-footer explicit schema: zero footer opens on a
+                # warm read; partition columns are still discovered from
+                # the hive paths and appended (string-typed, inference
+                # off); missing data columns null-fill like mergeSchema
+                merged = _merged_footer_schema(self.spark, paths)
+                if merged is not None:
+                    d = reader.schema(merged).parquet(*paths)
+                else:
+                    d = reader.option("mergeSchema", "true").parquet(*paths)
                 for col, spec_ in json.loads(fill).items():
                     filled = F.lit(spec_["v"]).cast(spec_["t"])
                     if col in d.columns:
@@ -1743,9 +1921,9 @@ class SnapshotTable:
         chain — raises instead), and partition columns cannot be
         renamed (their name is baked into directory layout and entry
         keys). Cost note: the live-name collision check builds the
-        merged read schema (mergeSchema touches every live footer) — a
-        rename is rare DDL, so exhaustive correctness wins; a
-        footer-schema cache would amortize it on huge tables."""
+        merged read schema; the footer-schema cache (see
+        _merged_footer_schema) amortizes it — each live footer is
+        opened once per process, not once per read."""
         for d in self._eq_deletes():
             if old in d["cols"]:
                 raise RuntimeError(
@@ -2534,6 +2712,16 @@ class SnapshotTable:
                 for c in present
             }
             out[rel]["__rows"] = int(r["__rows"])
+        # A zero-row file (0 row groups) produces no group row, so the
+        # scan would omit it while the footer path emits {.., __rows: 0}.
+        # Emit the footer shape here too: the paths stay bit-identical
+        # and count_rows() keeps working when an empty file is staged
+        # under the scan path (ADVICE r10).
+        for rel in rels:
+            if rel not in out:
+                empty: dict = {c: [None, None] for c in present}
+                empty["__rows"] = 0
+                out[rel] = empty
         return out
 
     def _file_blooms(self, staging: str) -> dict[str, dict]:

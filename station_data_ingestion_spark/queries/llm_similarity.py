@@ -1460,8 +1460,11 @@ def sim_pq_adc_topk(spark, sf_dir):
     # pays the export (bench shots 2..N measure the scan, not the I/O).
     import os as _os
 
-    if _PQ_FIXTURE_KEY[0] != key or not _os.path.isdir(
-        _PQ_FIXTURE_DIR + "/adc_tables.parquet"
+    # both fixture dirs must survive for the skip to be safe — a partial
+    # /tmp cleanup can delete one while the key still matches (ADVICE r10)
+    if _PQ_FIXTURE_KEY[0] != key or not all(
+        _os.path.isdir(_PQ_FIXTURE_DIR + d)
+        for d in ("/adc_tables.parquet", "/pq_codes.parquet")
     ):
         encoded.select(
             F.col("vec_id").alias("c_id"),

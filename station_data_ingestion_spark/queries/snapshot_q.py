@@ -75,10 +75,17 @@ def _orders_snapshot(spark, sf_dir: str) -> SnapshotTable:
     also the honest benchmark shape — repeat timings measure the
     zone-map read path, not a rebuild of an identical immutable table.
     Mutating queries (DV delete, merges) build their own tables."""
-    key = (id(spark), sf_dir)
+    # applicationId + startTime is a stable session identity; id(spark)
+    # can be reused by CPython for a NEW session after the old one is
+    # collected, returning a table bound to a dead JVM (ADVICE r10).
+    sc = spark.sparkContext
+    key = (sc.applicationId, sc.startTime, sf_dir)
     hit = _ORDERS_SNAP_CACHE.get(key)
-    if hit is not None and hit.exists():
-        return hit
+    try:
+        if hit is not None and hit.exists():
+            return hit
+    except Exception:
+        pass  # stopped-session gateway error == cache miss
     orders = load(spark, sf_dir, "orders")["orders"].select(
         "o_orderkey",
         "o_custkey",

@@ -34,6 +34,33 @@ def test_no_oracle_rows_counts_as_certified(tmp_path, monkeypatch):
     assert "rows_only_failed" not in counts
 
 
+def test_stale_rows_only_row_does_not_certify_oracle_upgraded_query(
+    tmp_path, monkeypatch
+):
+    """VERDICT r10 #1: once a query gains a SQL oracle, a rows-only row
+    from before the upgrade no longer certifies it -- the query must
+    re-front in the driver sample so the new oracle gets checked."""
+    import json
+
+    upgraded = next(
+        n for n, qd in entry_mod.QUERIES.items() if qd.oracle is not None
+    )
+    rows_only_by_design = next(
+        n for n, qd in entry_mod.QUERIES.items() if qd.oracle is None
+    )
+    art = {
+        upgraded: {"err": "no_oracle", "spark_rows": 15},
+        rows_only_by_design: {"err": "no_oracle", "spark_rows": 7},
+    }
+    (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(art))
+    monkeypatch.setattr(entry_mod.os.path, "dirname", lambda p: str(tmp_path))
+    counts = entry_mod._certification_counts()
+    assert upgraded not in counts, (
+        "stale rows-only row must NOT certify a query that now has an oracle"
+    )
+    assert counts.get(rows_only_by_design) == 1
+
+
 def test_queries_order_puts_uncertified_first():
     q = entry_mod.queries()
     counts = entry_mod._certification_counts()

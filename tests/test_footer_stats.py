@@ -168,3 +168,30 @@ def test_commit_prunes_identically_under_both_paths(spark, tmp_path):
         finally:
             os.environ.pop("SPARK_GRAFT_FOOTER_STATS", None)
     assert results["1"] == results["0"]
+
+
+def test_zero_row_file_identical_under_both_paths(spark, tmp_path):
+    """A staged ZERO-ROW parquet file (0 row groups) must produce the
+    same manifest entry under footer and scan paths: {col: [None, None],
+    "__rows": 0}. Before the r11 fix the scan path silently omitted the
+    file (groupBy(input_file_name) yields no group row)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    staging = tmp_path / "staging0"
+    staging.mkdir()
+    schema = pa.schema([("k", pa.int64()), ("s", pa.string())])
+    pq.write_table(
+        pa.table({"k": [1, 2, 3], "s": ["a", "b", "c"]}, schema=schema),
+        staging / "full.parquet",
+    )
+    pq.write_table(schema.empty_table(), staging / "empty.parquet")
+    t = SnapshotTable(spark, str(tmp_path / "probe0"), stat_cols=("k",))
+    cols = ["k", "s"]
+    scan = _scan_stats(t, str(staging), cols)
+    footer = t._footer_stats(str(staging), sorted(scan), cols)
+    assert footer is not None
+    assert footer == scan
+    assert scan["empty.parquet"] == {"k": [None, None], "s": [None, None],
+                                     "__rows": 0}
+    assert scan["full.parquet"]["__rows"] == 3
