@@ -3868,15 +3868,29 @@ class SnapshotTable:
             return out
 
         def changes(df, cond, new_df):
-            pre = df.filter(F.coalesce(cond, F.lit(False))).withColumn(
-                "_change_type", F.lit("update_preimage")
+            # ONE scan of the touched files, not a pre/post union of two:
+            # each matching row explodes into its (preimage, postimage)
+            # struct pair. Also pins the correct CDF pairing semantics —
+            # the old post leg re-filtered on TRANSFORMED values, so an
+            # assignment that touched a condition column could emit a
+            # preimage with no matching postimage.
+            cols = df.columns
+            pre = F.struct(
+                *[F.col(c).alias(c) for c in cols],
+                F.lit("update_preimage").alias("_change_type"),
             )
-            post = (
-                apply(df, cond)
-                .filter(F.coalesce(cond, F.lit(False)))
-                .withColumn("_change_type", F.lit("update_postimage"))
+            post = F.struct(
+                *[
+                    (assignments[c] if c in assignments else F.col(c)).alias(c)
+                    for c in cols
+                ],
+                F.lit("update_postimage").alias("_change_type"),
             )
-            return pre.unionByName(post)
+            return (
+                df.filter(F.coalesce(cond, F.lit(False)))
+                .select(F.explode(F.array(pre, post)).alias("_r"))
+                .select("_r.*")
+            )
 
         return self.rewrite_where(
             condition, apply, changes_builder=changes, op="update"

@@ -1438,3 +1438,32 @@ def test_history_records_operation_labels(spark, tmp_path):
         "drop-partitions",
         "restore",
     ]
+
+
+def test_change_feed_update_on_condition_column_pairs_images(spark, tmp_path):
+    """An UPDATE whose assignment changes the CONDITION column must
+    still emit a postimage for every preimage. The old two-leg change
+    builder re-filtered the post leg on transformed values, so a row
+    updated out of the predicate lost its postimage."""
+    t = SnapshotTable(
+        spark, str(tmp_path / "cdf_pair"), partition_cols=("g",),
+        stat_cols=("k",),
+    )
+    t.commit_overwrite_partitions(
+        spark.createDataFrame(
+            [(i, "a", i) for i in range(20)], "k long, g string, v long"
+        )
+    )
+    v1 = t.latest_version()
+    # rows with v < 10 get v += 100 -> they no longer match the predicate
+    t.update_where(F.col("v") < 10, {"v": F.col("v") + 100})
+    feed = t.read_change_feed(v1)
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in feed.groupBy("_change_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert by_type == {"update_preimage": 10, "update_postimage": 10}
+    post = feed.filter("_change_type = 'update_postimage'")
+    assert post.agg(F.min("v"), F.max("v")).first() == (100, 109)
