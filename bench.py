@@ -452,6 +452,68 @@ def _scale_embeddings(spark, sf_dir, tmp: str, k: int) -> None:
     ).write.parquet(f"{tmp}/embeddings.parquet")
 
 
+# Probe stages by FAMILY. The full set runs at sf0.1 (same as always);
+# at sf1 the 10x corpus is effectively sf10 and the full set times out
+# the 90-min box budget (r10 lesson: sf1 shipped headline-only), so
+# ``SPARK_GRAFT_PROBE_PICK=<round>`` selects ONE stage per family —
+# stage[pick % len(family)] — giving every family a true-sf10 probe
+# each round and cycling through every stage within ~4-5 rounds
+# (VERDICT r10 item #4). Comments about why each stage is probe-worthy
+# live in the original r6-r9 round notes; the families:
+PROBE_FAMILIES: dict[str, list[str]] = {
+    "relational": [
+        "q5_local_supplier_revenue",
+        "q9_profit_by_nation_year",
+        "matview_join_delta_refresh",
+    ],
+    "storage": [
+        "snapshot_branch_fast_forward_read",
+        "snapshot_change_feed_read",
+        "snapshot_equality_delete_read",
+        "snapshot_row_tracking_read",
+    ],
+    "dedup": [
+        "dedup_minhash_lsh",
+        "dedup_semantic_clusters",
+        "text_benchmark_contamination",
+    ],
+    "similarity": [
+        "sim_bm25_incremental_index",
+        "sim_pq_adc_topk",
+        "ml_knn_loo_accuracy",
+    ],
+    "graph_events": [
+        "graph_hits_hubs_authorities",
+        "events_markov_removal_attribution",
+        "events_funnel_signup_click_purchase",
+        "events_bot_regularity_audit",
+    ],
+    "stats_ml": [
+        "stats_isotonic_regression_pava",
+        "stats_randomization_test_diff_means",
+        "ml_naive_bayes_lang_confusion",
+        "ml_als_user_factors_k2",
+        "sketch_kmv_distinct_union",
+    ],
+    "text_pack": [
+        "text_textrank_keywords",
+        "pack_sequential_token_bins",
+    ],
+}
+
+
+def _probe_stages() -> tuple[list[str], dict | None]:
+    """(stages to probe, rotation metadata or None for the full set)."""
+    pick = os.environ.get("SPARK_GRAFT_PROBE_PICK")
+    if pick is None:
+        return [s for fam in PROBE_FAMILIES.values() for s in fam], None
+    i = int(pick)
+    stages = {
+        name: fam[i % len(fam)] for name, fam in PROBE_FAMILIES.items()
+    }
+    return list(stages.values()), {"pick": i, "stages": stages}
+
+
 def bench_scale_probe(spark, sf_dir, timings: dict[str, float], k: int = 10) -> dict:
     """10x scale probe over the most expensive stages.
 
@@ -508,60 +570,10 @@ def bench_scale_probe(spark, sf_dir, timings: dict[str, float], k: int = 10) -> 
         scaled("events", ["event_id", "user_id"])
         _scale_embeddings(spark, sf_dir, tmp, k)
 
-        for name in (
-            "q5_local_supplier_revenue",
-            "q9_profit_by_nation_year",
-            "dedup_minhash_lsh",
-            "text_benchmark_contamination",
-            "pack_sequential_token_bins",
-            "events_funnel_signup_click_purchase",
-            # storage path at scale: branch fork -> append + COW delete
-            # on the branch -> metadata fast-forward -> vacuum; write
-            # volume scales with the orders fact, publish is metadata
-            "snapshot_branch_fast_forward_read",
-            # r6 heavy families (r6 verdict #2): the probe-at-largest-SF
-            # rule is what caught the minhash broadcast trap. The two
-            # non-headline stages get their 1x timed here (min of 2).
-            "dedup_semantic_clusters",
-            "snapshot_change_feed_read",
-            "matview_join_delta_refresh",
-            "sim_bm25_incremental_index",
-            # late-r8 heavy families: merge-on-read equality deletes
-            # (O(keys) write + broadcast anti-join read — sub-linear by
-            # design), row tracking (one UPDATE rewrite + id-attach
-            # reads), isotonic regression (grid is calendar-bounded, so
-            # 10x data should be ~flat), and PQ ANN (fused-Lloyd codebook training on
-            # a hash sample + one-pass ADC)
-            "snapshot_equality_delete_read",
-            "snapshot_row_tracking_read",
-            "stats_isotonic_regression_pava",
-            "sim_pq_adc_topk",
-            # continuation-session heavy families: KMV (the 10x replica
-            # SATURATES the k=4096 sketch -- this times the estimator
-            # path, partial state stays k-bounded), Markov attribution
-            # (transition counting scales with events; the chain stays
-            # enum-bounded), naive Bayes (vocab x10 via the per-replica
-            # word salt -- the broadcast model table grows linearly but
-            # stays tiny), ALS (per-user rating rows x10; distinct
-            # (u,i) pairs saturate at users x items, so sub-linear
-            # readings are benign)
-            "sketch_kmv_distinct_union",
-            "events_markov_removal_attribution",
-            "ml_naive_bayes_lang_confusion",
-            "ml_als_user_factors_k2",
-            # r9 heavy families: kNN-LOO (corpus x10 on BOTH sides of
-            # the block-x-matrix matmul -> expect ~10x per-unit read of
-            # the quadratic core, bounded because the eval corpus is),
-            # HITS (edge frame x10, 6 join+agg rounds), the 200-replicate
-            # randomization test (the one-wide-pass claim under 10x),
-            # TextRank (co-occurrence edges x10 via the word salt), and
-            # the bot-regularity audit (per-user windows x10 users)
-            "ml_knn_loo_accuracy",
-            "graph_hits_hubs_authorities",
-            "stats_randomization_test_diff_means",
-            "text_textrank_keywords",
-            "events_bot_regularity_audit",
-        ):
+        stages, rotation = _probe_stages()
+        if rotation is not None:
+            probe["_rotation"] = rotation
+        for name in stages:
             if not isinstance(timings.get(name), float):
                 if name not in QUERIES:
                     probe[name] = {"error": "not a registered query"}

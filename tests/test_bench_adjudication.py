@@ -140,3 +140,25 @@ def test_real_verdict_carries_environment_note(monkeypatch):
     rec = hd["adjudication"]["q_env"]
     assert rec["verdict"] == "real"
     assert "2.1x" in rec["environment_note"]
+
+
+def test_probe_rotation_covers_every_stage(monkeypatch):
+    """SPARK_GRAFT_PROBE_PICK=<round> selects one stage per family;
+    consecutive picks must cycle through EVERY probe stage within
+    max-family-size rounds, and every stage must be a registered query."""
+    full, rot = (
+        monkeypatch.delenv("SPARK_GRAFT_PROBE_PICK", raising=False)
+        or bench._probe_stages()
+    )
+    assert rot is None
+    assert set(full) <= set(bench.QUERIES)
+    assert len(full) == len(set(full))
+    span = max(len(f) for f in bench.PROBE_FAMILIES.values())
+    seen: set[str] = set()
+    for p in range(100, 100 + span):
+        monkeypatch.setenv("SPARK_GRAFT_PROBE_PICK", str(p))
+        stages, meta = bench._probe_stages()
+        assert meta["pick"] == p
+        assert len(stages) == len(bench.PROBE_FAMILIES)
+        seen.update(stages)
+    assert seen == set(full), sorted(set(full) - seen)
