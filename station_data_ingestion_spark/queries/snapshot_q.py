@@ -1736,22 +1736,37 @@ def snapshot_change_feed_read(spark, sf_dir):
             t.read(version=v_now).select(*cols).withColumn("_w", F.lit(-1))
         )
     )
-    drift = (
+    drift_row = (
         weighted.groupBy(*cols)
         .agg(F.sum("_w").alias("_d"))
         .filter(F.col("_d") != 0)
-        .count()
+        .select(
+            F.lit("__drift").alias("change_type"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.lit(0).cast("long").alias("cents"),
+        )
     )
+    agg = feed.groupBy(F.col("_change_type").alias("change_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    # ONE action for verification + result: the drift scalar rides the
+    # same collect as the per-type aggregate (these storage stages are
+    # job-overhead-bound at bench scale, not data-bound)
+    rows = agg.unionByName(drift_row).collect()
+    drift = sum(r["n"] for r in rows if r["change_type"] == "__drift")
     if drift:
         raise RuntimeError(
             f"change feed does not reproduce the target version "
             f"({drift} drifted rows)"
         )
-    return feed.groupBy(
-        F.col("_change_type").alias("change_type")
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("cents").cast("long").alias("cents"),
+    return spark.createDataFrame(
+        [
+            (r["change_type"], r["n"], r["cents"])
+            for r in rows
+            if r["change_type"] != "__drift"
+        ],
+        "change_type string, n long, cents long",
     )
 
 
