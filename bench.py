@@ -180,6 +180,25 @@ def job_overhead_ms(spark, n: int = 5) -> float:
     return round(sorted(ts)[n // 2], 1)
 
 
+def _next_job_id(spark) -> int | None:
+    """Monotone Spark job counter (DAGScheduler.nextJobId); None if the
+    private accessor ever disappears. Job-count deltas separate "this
+    stage runs N actions x the box's per-job constant" from "this stage
+    moves more data" without reading event logs."""
+    try:
+        return int(spark.sparkContext._jsc.sc().dagScheduler().nextJobId())  # noqa: SLF001
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def stage_jobs(spark, j0: int | None, runs: int) -> int | None:
+    """Jobs per single run of a stage that just ran ``runs`` times."""
+    j1 = _next_job_id(spark)
+    if j0 is None or j1 is None or runs <= 0:
+        return None
+    return (j1 - j0) // runs
+
+
 def timed_median(fn, n: int = 3) -> float:
     """Median-of-n wall clock for one stage.
 
@@ -1062,11 +1081,16 @@ def main() -> None:
     # prints; `value` sums the stages that ran.
     timings: dict[str, object] = {}
     errors: dict[str, str] = {}
+    jobs_per_stage: dict[str, int] = {}
     for name in HEADLINE:
         try:
+            j0 = _next_job_id(spark)
             timings[name] = timed_median(
                 lambda name=name: materialize(QUERIES[name].fn(spark, sf_dir))
             )
+            nj = stage_jobs(spark, j0, 3)
+            if nj is not None:
+                jobs_per_stage[name] = nj
         except Exception as e:  # noqa: BLE001 -- keep benching
             timings[name] = {"error": f"{type(e).__name__}: {e}"[:500]}
             errors[name] = timings[name]["error"]
@@ -1153,6 +1177,12 @@ def main() -> None:
         "start": jo_start,
         "end": job_overhead_ms(spark),
     }
+    if jobs_per_stage:
+        # actions-per-run per headline stage: time ~= jobs x
+        # job_overhead_ms for the multi-commit storage stages, so a
+        # cross-round reader can tell "more actions" from "slower box"
+        # at a glance
+        out["stage_jobs"] = jobs_per_stage
     hd, hist_entry, hist_path = _diff_history(out)
     if hist_entry is not None:
         hist_entry["job_overhead_ms"] = out["job_overhead_ms"]
