@@ -3861,13 +3861,24 @@ class SnapshotTable:
         through unchanged)."""
         from pyspark.sql import functions as F
 
+        def _check_assigned(df):
+            unknown = set(assignments) - set(df.columns)
+            if unknown:
+                raise ValueError(
+                    f"UPDATE assigns to unknown column(s) {sorted(unknown)}; "
+                    "add the column first (add_column) — an UPDATE cannot "
+                    "evolve the schema"
+                )
+
         def apply(df, cond):
+            _check_assigned(df)
             out = df
             for col, expr in assignments.items():
                 out = out.withColumn(col, F.when(cond, expr).otherwise(F.col(col)))
             return out
 
         def changes(df, cond, new_df):
+            _check_assigned(df)
             # ONE scan of the touched files, not a pre/post union of two:
             # each matching row explodes into its (preimage, postimage)
             # struct pair. Also pins the correct CDF pairing semantics —

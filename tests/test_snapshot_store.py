@@ -1467,3 +1467,19 @@ def test_change_feed_update_on_condition_column_pairs_images(spark, tmp_path):
     assert by_type == {"update_preimage": 10, "update_postimage": 10}
     post = feed.filter("_change_type = 'update_postimage'")
     assert post.agg(F.min("v"), F.max("v")).first() == (100, 109)
+
+
+def test_update_where_unknown_assignment_column_raises(spark, tmp_path):
+    t = SnapshotTable(
+        spark, str(tmp_path / "upd_unk"), partition_cols=("g",),
+        stat_cols=("k",),
+    )
+    t.commit_overwrite_partitions(
+        spark.createDataFrame([(1, "a", 10)], "k long, g string, v long")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown column"):
+        t.update_where(F.col("k") == 1, {"nope": F.lit(5)})
+    # failed update published nothing
+    assert t.latest_version() == 1
