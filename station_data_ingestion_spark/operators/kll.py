@@ -103,6 +103,30 @@ class KLLSketch:
         return sum(len(l) for l in self.levels)
 
 
+def _sketch_partials_counted(k: int):
+    """Per-partition sketch + exact row count in the SAME Arrow pass:
+    the caller's separate COUNT(*) job folds into the sketch build
+    (r11 — the count is a by-product of a pass we already pay for)."""
+
+    def run(batches):
+        import pandas as pd
+
+        sk = KLLSketch(k)
+        n = 0
+        for pdf in batches:
+            col = pdf.iloc[:, 0]
+            n += len(col)  # row count BEFORE the NaN drop == COUNT(*)
+            sk.update_many(col[col.notna()].to_numpy(dtype=np.float64))
+        yield pd.DataFrame(
+            {
+                "levels": [[list(map(float, l)) for l in sk.levels]],
+                "n": [n],
+            }
+        )
+
+    return run
+
+
 def _sketch_partials(k: int):
     def run(batches):
         import pandas as pd
@@ -152,26 +176,116 @@ def kll_exact_quantiles(
     vals = df.select(F.col(col).cast("double").alias("v")).filter(
         F.col("v").isNotNull()
     )
-    n = vals.count()
+    # ONE Arrow pass builds the sketch AND the exact count (r11: the
+    # separate COUNT(*) job folded into the pass already being paid)
+    rows = vals.mapInPandas(
+        _sketch_partials_counted(k), "levels array<array<double>>, n long"
+    ).collect()
+    sk = KLLSketch(k)
+    n = 0
+    for r in rows:
+        part = KLLSketch(k)
+        part.levels = [list(l) for l in r["levels"]] or [[]]
+        sk.merge(part)
+        n += int(r["n"])
     if n == 0:
         raise ValueError(f"no non-null values in column {col!r}")
-    sk = kll_build(vals, "v", k)
-    out = []
+    targets = []  # (phi, rank, lo, hi)
     for phi in phis:
-        r = math.ceil(phi * n)
-        lo = sk.quantile(max(0.0, phi - delta))
-        hi = sk.quantile(min(1.0, phi + delta))
-        out.append((phi, _exact_rank_in_band(vals, r, lo, hi, buckets, collect_limit)))
+        targets.append(
+            (
+                phi,
+                math.ceil(phi * n),
+                sk.quantile(max(0.0, phi - delta)),
+                sk.quantile(min(1.0, phi + delta)),
+            )
+        )
+    # ONE aggregation verifies every band (below/inside per phi) — the
+    # per-phi band-count jobs shared a full scan each; the conditional
+    # sums share one
+    aggs = []
+    for i, (_, _, lo, hi) in enumerate(targets):
+        aggs.append(F.sum((F.col("v") < F.lit(lo)).cast("long")).alias(f"b{i}"))
+        aggs.append(
+            F.sum(
+                ((F.col("v") >= F.lit(lo)) & (F.col("v") <= F.lit(hi))).cast(
+                    "long"
+                )
+            ).alias(f"i{i}")
+        )
+    row = vals.agg(*aggs).first()
+    counts = [
+        (int(row[f"b{i}"] or 0), int(row[f"i{i}"] or 0))
+        for i in range(len(targets))
+    ]
+    # bands that verified AND are small enough resolve from ONE batched
+    # tagged collect; the rest (sketch miss, oversized band) fall back to
+    # the per-phi refinement loop with their counts already in hand
+    easy = [
+        i
+        for i, ((_, r, _, _), (below, inside)) in enumerate(
+            zip(targets, counts)
+        )
+        if below < r <= below + inside and inside <= collect_limit
+    ]
+    by_band: dict[int, np.ndarray] = {}
+    if easy:
+        tags = F.array_compact(
+            F.array(
+                *[
+                    F.when(
+                        (F.col("v") >= F.lit(targets[i][2]))
+                        & (F.col("v") <= F.lit(targets[i][3])),
+                        F.lit(i),
+                    )
+                    for i in easy
+                ]
+            )
+        )
+        tagged = (
+            vals.select(F.explode(tags).alias("i"), "v")
+            .collect()
+        )
+        grouped: dict[int, list[float]] = {i: [] for i in easy}
+        for rec in tagged:
+            grouped[rec["i"]].append(rec["v"])
+        by_band = {i: np.sort(np.asarray(g)) for i, g in grouped.items()}
+    out = []
+    for i, ((phi, r, lo, hi), (below, inside)) in enumerate(
+        zip(targets, counts)
+    ):
+        if i in by_band:
+            out.append((phi, float(by_band[i][r - below - 1])))
+        else:
+            out.append(
+                (
+                    phi,
+                    _exact_rank_in_band(
+                        vals,
+                        r,
+                        lo,
+                        hi,
+                        buckets,
+                        collect_limit,
+                        precounted=(below, inside),
+                    ),
+                )
+            )
     return out
 
 
 def _exact_rank_in_band(
     vals: DataFrame, r: int, lo: float, hi: float,
     buckets: int, collect_limit: int,
+    precounted: tuple[int, int] | None = None,
 ) -> float:
     """Value at global rank r, given a candidate band [lo, hi]; verifies
-    the band and falls back to the full range if the sketch missed."""
-    below, inside = _band_counts(vals, lo, hi)
+    the band and falls back to the full range if the sketch missed.
+    ``precounted`` = (below, inside) when the caller already verified
+    the band in its batched aggregation (skips one scan)."""
+    below, inside = (
+        precounted if precounted is not None else _band_counts(vals, lo, hi)
+    )
     if not below < r <= below + inside:
         # sketch band missed the rank (delta too tight for k) -- exact
         # fallback, still never a global sort

@@ -42,12 +42,35 @@ def ordered_prefix_sum(
     order given by ``order_cols`` (which must be a unique key), keeping
     the frame distributed. The running sum is inclusive of the current
     row. ``value_col`` must be integral (exactness contract above)."""
-    value = F.col(value_col) if isinstance(value_col, str) else value_col
-    ranged = (
-        df.withColumn("__val", value.cast("long"))
-        .repartitionByRange(num_partitions, *order_cols)
-        .sortWithinPartitions(*order_cols)
+    return ordered_prefix_sums(
+        df, order_cols, {out_col: value_col}, num_partitions
     )
+
+
+def ordered_prefix_sums(
+    df: DataFrame,
+    order_cols: list[str],
+    values: dict[str, str | Column],
+    num_partitions: int = 32,
+) -> DataFrame:
+    """N running sums over ONE total order in ONE pass: ``values`` maps
+    each output column to its integral value expression. Callers that
+    need several cumulative columns over the same order (row number +
+    running total, say) pay one shuffle + one totals collect + one Arrow
+    stage instead of N of each — the fixed costs of the two-phase scan
+    are per-ORDER, not per-column (r11 optimization round; int64 sums
+    stay bit-exact per column exactly as in the single-column form)."""
+    val_cols = {f"__val_{i}": v for i, (_, v) in enumerate(values.items())}
+    out_by_tmp = {
+        f"__val_{i}": out for i, out in enumerate(values)
+    }
+    ranged = df
+    for tmp, v in val_cols.items():
+        value = F.col(v) if isinstance(v, str) else v
+        ranged = ranged.withColumn(tmp, value.cast("long"))
+    ranged = ranged.repartitionByRange(
+        num_partitions, *order_cols
+    ).sortWithinPartitions(*order_cols)
     # eager localCheckpoint, NOT persist: the totals pass and the cumsum
     # pass must see the SAME partitioning (repartitionByRange samples
     # boundaries nondeterministically between actions otherwise).
@@ -59,31 +82,34 @@ def ordered_prefix_sum(
     # ContextCleaner as soon as the returned frame is garbage-collected.
     ranged = ranged.localCheckpoint(eager=True)
     totals = {
-        r["p"]: r["t"]
+        r["p"]: tuple(r[f"t_{tmp}"] or 0 for tmp in val_cols)
         for r in ranged.groupBy(F.spark_partition_id().alias("p"))
-        .agg(F.sum("__val").alias("t"))
+        .agg(*[F.sum(tmp).alias(f"t_{tmp}") for tmp in val_cols])
         .collect()
     }
-    offsets, acc = {}, 0
+    offsets: dict[int, tuple] = {}
+    acc = tuple(0 for _ in val_cols)
     for pid in sorted(totals):
         offsets[pid] = acc
-        acc += totals[pid]
+        acc = tuple(a + t for a, t in zip(acc, totals[pid]))
 
     out_schema = type(df.schema)(
-        [f for f in ranged.schema.fields if f.name != "__val"]
-        + [StructField(out_col, LongType(), True)]
+        [f for f in ranged.schema.fields if f.name not in val_cols]
+        + [StructField(out, LongType(), True) for out in values]
     )
     out_names = [f.name for f in out_schema.fields]
+    tmp_names = list(val_cols)
+    zeros = tuple(0 for _ in val_cols)
 
     def cumsum(batches):
         from pyspark import TaskContext
 
-        acc = offsets.get(TaskContext.get().partitionId(), 0)
+        acc = list(offsets.get(TaskContext.get().partitionId(), zeros))
         for pdf in batches:
-            run = pdf["__val"].cumsum() + acc
-            acc += int(pdf["__val"].sum())
-            out = pdf.drop(columns="__val")
-            out[out_col] = run
+            out = pdf.drop(columns=tmp_names)
+            for j, tmp in enumerate(tmp_names):
+                out[out_by_tmp[tmp]] = pdf[tmp].cumsum() + acc[j]
+                acc[j] += int(pdf[tmp].sum())
             yield out[out_names]
 
     return ranged.mapInPandas(cumsum, out_schema)

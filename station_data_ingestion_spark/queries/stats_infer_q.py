@@ -196,6 +196,7 @@ def stats_kaplan_meier_survival(spark, sf_dir):
     )
     from station_data_ingestion_spark.operators.prefix_sum import (
         ordered_prefix_sum,
+        ordered_prefix_sums,
     )
 
     risk = ordered_prefix_sum(
@@ -221,11 +222,10 @@ def stats_kaplan_meier_survival(spark, sf_dir):
         .alias("ln_micro"),
         F.when(dead, F.lit(1)).otherwise(F.lit(0)).alias("zero_flag"),
     )
-    km = ordered_prefix_sum(
-        terms, ["dur_h"], F.col("ln_micro"), out_col="cum_micro"
-    )
-    km = ordered_prefix_sum(
-        km, ["dur_h"], F.col("zero_flag"), out_col="hit_zero"
+    km = ordered_prefix_sums(
+        terms,
+        ["dur_h"],
+        {"cum_micro": F.col("ln_micro"), "hit_zero": F.col("zero_flag")},
     )
     return km.select(
         F.col("dur_h").cast("long").alias("duration_hours"),
@@ -283,15 +283,18 @@ def stats_isotonic_regression_pava(spark, sf_dir):
     sums divided once, so every compared double is bit-identical across
     engines; min/max never accumulate error."""
     from station_data_ingestion_spark.operators.prefix_sum import (
-        ordered_prefix_sum,
+        ordered_prefix_sums,
     )
 
     o = load(spark, sf_dir, "orders")["orders"]
     daily = o.groupBy("o_orderdate").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y")
     )
-    idx = ordered_prefix_sum(daily, ["o_orderdate"], F.lit(1), out_col="rn")
-    idx = ordered_prefix_sum(idx, ["o_orderdate"], F.col("y"), out_col="ps")
+    # rn and ps share one total order -> one two-phase scan for both
+    # (one shuffle + one totals collect instead of two of each)
+    idx = ordered_prefix_sums(
+        daily, ["o_orderdate"], {"rn": F.lit(1), "ps": F.col("y")}
+    )
     grid = idx.select(
         F.col("rn").alias("k"),
         F.col("ps").alias("psk"),

@@ -1053,7 +1053,7 @@ def stats_ks_two_sample(spark, sf_dir):
     hypothesis-testing family (Mann-Whitney / ANOVA / Welch / chi² /
     KS) on one shared rank-machinery design."""
     from station_data_ingestion_spark.operators.prefix_sum import (
-        ordered_prefix_sum,
+        ordered_prefix_sums,
     )
 
     li = load(spark, sf_dir, "lineitem")["lineitem"]
@@ -1065,12 +1065,10 @@ def stats_ks_two_sample(spark, sf_dir):
         F.sum("is1").cast("long").alias("c1"),
         (F.count(F.lit(1)) - F.sum("is1")).cast("long").alias("c2"),
     )
-    # ONE range-partitioned scan carries both running sums: pack the
-    # pair into a single int64? No — two prefix passes would re-shuffle;
-    # instead run the operator once on c1 and reuse its ordered frame
-    # for c2 via a second pass over the SAME checkpointed partitioning.
-    cum1 = ordered_prefix_sum(pv, ["v"], "c1", out_col="f1")
-    cum = ordered_prefix_sum(cum1, ["v"], "c2", out_col="f2")
+    # ONE range-partitioned scan carries both running sums (the
+    # multi-column operator form: one shuffle, one totals collect,
+    # one Arrow pass for f1 AND f2)
+    cum = ordered_prefix_sums(pv, ["v"], {"f1": "c1", "f2": "c2"})
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     tot = pv.agg(
         F.sum("c1").cast("long").alias("n1t"),
@@ -1446,15 +1444,16 @@ def ts_cusum_changepoint(spark, sf_dir):
     calendar-bounded, so the sort-limit is over <=2.6k rows at any
     SF."""
     from station_data_ingestion_spark.operators.prefix_sum import (
-        ordered_prefix_sum,
+        ordered_prefix_sums,
     )
 
     o = load(spark, sf_dir, "orders")["orders"]
     daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
     )
-    p = ordered_prefix_sum(daily, ["day"], "rev", out_col="pt")
-    p = ordered_prefix_sum(p, ["day"], F.lit(1), out_col="t")
+    p = ordered_prefix_sums(
+        daily, ["day"], {"pt": F.col("rev"), "t": F.lit(1)}
+    )
     tot = daily.agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
         F.sum("rev").cast("decimal(38,0)").alias("tt"),

@@ -59,3 +59,34 @@ def test_keeps_plan_distributed(spark):
     assert "Exchange" not in plan and "hashpartitioning" not in plan
     # and the checkpointed frame really is range-partitioned 8 ways
     assert out.rdd.getNumPartitions() == 8
+
+
+def test_multi_column_equals_two_single_passes(spark):
+    """ordered_prefix_sums fuses N running sums into one pass; each
+    output column must equal its single-column twin exactly (r11: the
+    fixed costs of the two-phase scan are per-order, not per-column)."""
+    from station_data_ingestion_spark.operators.prefix_sum import (
+        ordered_prefix_sums,
+    )
+
+    rows = [(i, (i * 37) % 101, (i * 13) % 7 - 3) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, v long, w long")
+    exp_v = {
+        r["k"]: r["cum"]
+        for r in ordered_prefix_sum(df, ["k"], "v", num_partitions=5).collect()
+    }
+    exp_w = {
+        r["k"]: r["cum"]
+        for r in ordered_prefix_sum(df, ["k"], "w", num_partitions=5).collect()
+    }
+    fused = ordered_prefix_sums(
+        df.repartition(7),
+        ["k"],
+        {"cv": "v", "cw": F.col("w"), "rn": F.lit(1)},
+        num_partitions=5,
+    ).collect()
+    assert {r["k"]: r["cv"] for r in fused} == exp_v
+    assert {r["k"]: r["cw"] for r in fused} == exp_w
+    assert {r["k"]: r["rn"] for r in fused} == {
+        r[0]: i + 1 for i, r in enumerate(sorted(rows))
+    }
