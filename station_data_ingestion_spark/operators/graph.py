@@ -98,9 +98,14 @@ def connected_components(
             ).distinct()
         )
         # fixpoint: the undirected edge set stopped changing. Both sides
-        # are checkpoint-materialized, so the two anti-joins are cheap.
+        # are checkpoint-materialized, so the two anti-joins are cheap —
+        # and both witness probes ride ONE action (union of two limit-1
+        # frames) instead of two count jobs per round.
         changed = (
-            new_e.exceptAll(e).limit(1).count() + e.exceptAll(new_e).limit(1).count()
+            new_e.exceptAll(e)
+            .limit(1)
+            .unionAll(e.exceptAll(new_e).limit(1))
+            .count()
         )
         e = new_e
         if changed == 0:
@@ -216,13 +221,19 @@ def kcore(
     [reference: none — the reference has no graph surface; engine
     breadth row, same family as connected_components/sssp]
     """
+    from pyspark.sql import Observation
+
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # the per-round survivor tally rides each checkpoint action as an
+    # observed metric — one job per round instead of two
+    obs0 = Observation()
     alive = (
         deg.filter(F.col("deg") >= k)
         .select(F.col("src").alias("node"))
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    n_alive = alive.count()
+    n_alive = int(obs0.get["n"])
     for _ in range(max_rounds):
         deg = (
             edges.join(alive.select(F.col("node").alias("src")), "src")
@@ -230,12 +241,14 @@ def kcore(
             .groupBy("src")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
+        obs_r = Observation()
         nxt = (
             deg.filter(F.col("deg") >= k)
             .select(F.col("src").alias("node"))
+            .observe(obs_r, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        n_nxt = nxt.count()
+        n_nxt = int(obs_r.get["n"])
         if n_nxt == n_alive:
             alive = nxt
             break

@@ -41,7 +41,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from station_data_ingestion_spark.operators.kmeans import kmeans_fit
@@ -401,17 +401,29 @@ def semantic_near_pairs_auto(
     the per-size candidate counts (``ladder``)."""
     if not 0.0 < tau < 1.0:
         raise ValueError(f"tau must be in (0, 1), got {tau}")
-    n = df.count()
-    # auto_k clamps UP to 8, so a corpus with fewer vectors than that
-    # must clamp back down or kmeans_fit raises; below 2 vectors there
-    # is no blocking to measure at all — go straight to the k=1 floor
-    k0 = max(1, min(auto_k(n), n))
     vecs = df.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda v: v.cast("double")).alias(
             "embedding"
         ),
     )
+    # ITERATIVE-REUSE checkpoint (guide §5): the measurement machinery
+    # below re-reads this projection ~6x (k-means init + n_iter Lloyd
+    # passes + the ladder evaluation) and the winning blocking reads it
+    # once more — without cutting the lineage every pass re-executes
+    # the caller's full upstream plan (for the gate query that plan is
+    # a self-JOIN). Only the narrow (id, embedding) projection is
+    # pinned, never the caller's frame; n rides the checkpoint action
+    # as an observed metric instead of a separate COUNT job.
+    obs = Observation()
+    vecs = vecs.observe(
+        obs, F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=True)
+    n = int(obs.get["n"])
+    # auto_k clamps UP to 8, so a corpus with fewer vectors than that
+    # must clamp back down or kmeans_fit raises; below 2 vectors there
+    # is no blocking to measure at all — go straight to the k=1 floor
+    k0 = max(1, min(auto_k(n), n))
     if k0 == 1:
         pairs_n = n * (n - 1) // 2
         if max_candidate_pairs is not None and pairs_n > max_candidate_pairs:

@@ -3378,20 +3378,25 @@ class SnapshotTable:
 
         from station_data_ingestion_spark.operators.merge import merge_plan
 
+        from pyspark.sql import Observation
+
         base_v = self.latest_version()
         if base_v is None:
             raise ValueError(f"no table at {self.path}")
         target = self.read(version=base_v)
         plan = merge_plan(target, updates, key_fields, replace=True)
-        plan = plan.localCheckpoint(eager=True)  # classify ONCE
-        counts = {
-            r["_action"]: r["n"]
-            for r in plan.groupBy("_action")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        created = int(counts.get("create", 0))
-        replaced = int(counts.get("replace", 0))
+        # classify ONCE; the created/replaced tallies ride the
+        # checkpoint action as observed metrics instead of a separate
+        # groupBy job over the checkpointed plan
+        obs = Observation()
+        plan = plan.observe(
+            obs,
+            F.sum((F.col("_action") == "create").cast("long")).alias("c"),
+            F.sum((F.col("_action") == "replace").cast("long")).alias("r"),
+        ).localCheckpoint(eager=True)
+        counts = obs.get
+        created = int(counts["c"] or 0)
+        replaced = int(counts["r"] or 0)
         if created == 0 and replaced == 0:
             return {"version": base_v, "created": 0, "replaced": 0}
         data_cols = [c for c in plan.columns if c != "_action"]

@@ -96,8 +96,17 @@ def graph_pagerank_bipartite(spark, sf_dir):
         # persist() entries would outlive the query (r4 VERDICT #3)
         .localCheckpoint(eager=True)
     )
-    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
-    n = nodes.count()
+    from pyspark.sql import Observation
+
+    obs_n = Observation()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .observe(obs_n, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    # node count rides the checkpoint action as an observed metric
+    n = int(obs_n.get["n"])
     # out-degree rides ON the edge rows, joined ONCE outside the loop:
     # each iteration is then exactly one rank join + one dst aggregation
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -884,12 +893,17 @@ def graph_personalized_pagerank(spark, sf_dir):
     # graph metadata scalar, same class as the node count in plain PR
     mn = sn.agg(F.min("nk")).collect()[0][0]
     seeds = sn.where(F.col("nk") == mn).select("snode")
+    from pyspark.sql import Observation
+
+    obs_s = Observation()
     nodes = (
         bare_nodes.join(F.broadcast(seeds), F.col("node") == F.col("snode"), "left")
         .select("node", F.col("snode").isNotNull().alias("is_seed"))
+        .observe(obs_s, F.sum(F.col("is_seed").cast("long")).alias("ns"))
         .localCheckpoint(eager=True)
     )
-    ns = nodes.where("is_seed").count()
+    # seed count rides the checkpoint action as an observed metric
+    ns = int(obs_s.get["ns"] or 0)
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     edeg = edges.join(outdeg, "src").localCheckpoint(eager=True)
     base = (15 * _SCALE) // (100 * ns)
@@ -1056,6 +1070,8 @@ def graph_hits_hubs_authorities(spark, sf_dir):
         .distinct()
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql import Observation
+
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     hubs = edges.select("u").distinct().withColumn(
         "h", F.lit(_SCALE).cast("decimal(38,0)")
@@ -1066,29 +1082,37 @@ def graph_hits_hubs_authorities(spark, sf_dir):
         # normalizer scalar and the scaled scores — without cutting the
         # lineage the shared subtree re-executes 2x per level (2^6 by
         # iteration 3; measured 23s -> ~3s at sf0.1). The normalizer is
-        # a driver-side scalar off the checkpointed frame (PageRank's
-        # node-count pattern: graph META, not data), embedded as a
-        # literal so each half-step stays one join + one aggregation.
+        # a driver-side scalar (PageRank's node-count pattern: graph
+        # META, not data), embedded as a literal so each half-step
+        # stays one join + one aggregation — and it rides the
+        # checkpoint action as an OBSERVED metric (exact decimal sum
+        # over the same rows), so the six per-half-step normalizer
+        # collect jobs of r10 are gone (guide §5: fold scalar actions
+        # into jobs already being paid).
+        obs_a = Observation()
         araw = (
             edges.join(hubs, "u")
             .groupBy("v")
             .agg(F.sum(dec(F.col("h"))).alias("s"))
+            .observe(obs_a, F.sum("s").alias("tot"))
             .localCheckpoint(eager=True)
         )
-        atot = int(araw.agg(F.sum("s")).collect()[0][0])
+        atot = int(obs_a.get["tot"])
         auth = araw.select(
             "v",
             F.expr(f"(s * {_SCALE}) div {atot}")
             .cast("decimal(38,0)")
             .alias("a"),
         )
+        obs_h = Observation()
         hraw = (
             edges.join(auth, "v")
             .groupBy("u")
             .agg(F.sum(dec(F.col("a"))).alias("s"))
+            .observe(obs_h, F.sum("s").alias("tot"))
             .localCheckpoint(eager=True)
         )
-        htot = int(hraw.agg(F.sum("s")).collect()[0][0])
+        htot = int(obs_h.get["tot"])
         hubs = hraw.select(
             "u",
             F.expr(f"(s * {_SCALE}) div {htot}")

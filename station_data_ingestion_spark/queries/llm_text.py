@@ -746,7 +746,7 @@ def text_heaps_law(spark, sf_dir):
     two-phase prefix sum (range repartition + per-partition offsets) —
     no single-partition global window at any step."""
     from station_data_ingestion_spark.operators.prefix_sum import (
-        ordered_prefix_sum,
+        ordered_prefix_sums,
     )
 
     d = load(spark, sf_dir, "documents")["documents"]
@@ -761,9 +761,12 @@ def text_heaps_law(spark, sf_dir):
     joined = per_doc.join(new_per_doc, "doc_id", "left").fillna(
         0, subset=["new_words"]
     )
-    cum1 = ordered_prefix_sum(joined, ["doc_id"], "n_tokens", "cum_tokens")
-    cum2 = ordered_prefix_sum(cum1, ["doc_id"], "new_words", "cum_vocab")
-    return cum2.select("doc_id", "cum_tokens", "cum_vocab")
+    cum = ordered_prefix_sums(
+        joined,
+        ["doc_id"],
+        {"cum_tokens": "n_tokens", "cum_vocab": "new_words"},
+    )
+    return cum.select("doc_id", "cum_tokens", "cum_vocab")
 
 
 _WIN_K = 4  # tokens per k-gram
@@ -1585,12 +1588,18 @@ def text_textrank_keywords(spark, sf_dir):
         )
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql import Observation
+
     strength = edges.groupBy("src").agg(F.sum("w").alias("s"))
     est = edges.join(strength, "src").localCheckpoint(eager=True)
-    nodes = strength.select(F.col("src").alias("node")).localCheckpoint(
-        eager=True
+    obs_n = Observation()
+    nodes = (
+        strength.select(F.col("src").alias("node"))
+        .observe(obs_n, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
-    n = nodes.count()
+    # node count rides the checkpoint action as an observed metric
+    n = int(obs_n.get["n"])
     base = (15 * _TR_SCALE) // (100 * n)
     rank = nodes.withColumn("rank", F.lit(_TR_SCALE // n))
     for _ in range(_TR_ITERS):

@@ -103,15 +103,20 @@ def ml_naive_bayes_lang_confusion(spark, sf_dir):
     train = d.where(F.col("doc_id") % 2 == 0)
     test = d.where(F.col("doc_id") % 2 == 1)
 
-    ttok = train.select(
+    from pyspark.sql import Observation
+
+    # n_train (a model metadata scalar, same class as PageRank's node
+    # count) rides the clt checkpoint action as an observed metric on
+    # the train scan instead of a separate COUNT job
+    obs_t = Observation()
+    ttok = train.observe(obs_t, F.count(F.lit(1)).alias("nd")).select(
         "lang", F.explode(F.split("text", " ")).alias("tok")
     )
     clt = ttok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
     clt = clt.localCheckpoint(eager=True)  # feeds nl, vocab size, delta
     nl = clt.groupBy("lang").agg(F.sum("c").alias("n_l"))
-    # model metadata scalars (same class as PageRank's node count)
+    n_train = int(obs_t.get["nd"])
     v = clt.select("tok").distinct().count()
-    n_train = train.count()
 
     mb = lambda col: F.round(F.log2(col) * 1000000).cast("long")  # noqa: E731
     prior = (
