@@ -170,6 +170,9 @@ def sssp(
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
         )
+        from pyspark.sql import Observation
+
+        obs_i = Observation()
         improved = (
             cand.join(
                 dist.select("node", F.col("dist").alias("cur")),
@@ -178,9 +181,12 @@ def sssp(
             )
             .filter(F.col("cur").isNull() | (F.col("dist") < F.col("cur")))
             .select("node", "dist")
+            .observe(obs_i, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        if improved.isEmpty():
+        # the frontier-empty check rides the checkpoint action as an
+        # observed metric — one job per round instead of two
+        if int(obs_i.get["n"]) == 0:
             break
         dist = (
             dist.join(improved.select("node"), "node", "left_anti")

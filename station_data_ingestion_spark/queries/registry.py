@@ -123,6 +123,9 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+_SCHEMA_CACHE: dict = {}
+
+
 def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Load parquet tables as DataFrames (schemas pruned by Catalyst).
 
@@ -130,11 +133,26 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     encoding the corpus shipped (see :func:`normalize_event_ts`), so
     semantics match engines with native nanos support (DuckDB truncates
     the same way).
+
+    Schemas are memoized per (sf_dir, table) for the life of the
+    process — the metastore/catalog pattern: ``spark.read.parquet``
+    without an explicit schema runs ONE Spark job per call for footer
+    inference (~0.1s of pure per-job overhead), and a bench/driver run
+    issues hundreds of loads of the same immutable tables. The first
+    load of a table still infers from the real footer (nothing is
+    persisted across processes; only plan METADATA is cached, never
+    data or results — every query still scans parquet in full).
     """
     ensure_session_confs(spark)
     out = {}
     for n in names or TABLES:
-        df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        key = (sf_dir, n)
+        schema = _SCHEMA_CACHE.get(key)
+        if schema is None:
+            df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+            _SCHEMA_CACHE[key] = df.schema
+        else:
+            df = spark.read.schema(schema).parquet(f"{sf_dir}/{n}.parquet")
         if n == "events":
             df = normalize_event_ts(df)
         out[n] = df
