@@ -176,16 +176,18 @@ def _capped_candidates(exploded: DataFrame, max_doc_freq: int) -> DataFrame:
     pair ALL of whose shared shingles are boilerplate) is exactly the
     pair near-dup dedup should not merge anyway.
 
-    The df-filter's aggregation shuffles on `shingle`, the same key the
-    self-join shuffles on — map-side combined, so the cap costs one
-    cheap extra stage, not a new data movement.
+    The df filter is a window count over the `shingle` partition — the
+    same key the self-join shuffles on, so the cap rides the exchange
+    the join already pays instead of re-running the shingle stage for a
+    df-table join (r12, guide §2.4 — same restructure as
+    :func:`_prefix_candidates`).
     """
-    rare = exploded.join(
-        exploded.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("__df"))
+    rare = (
+        exploded.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
         .filter(F.col("__df") <= max_doc_freq)
-        .select("shingle"),
-        "shingle",
+        .drop("__df")
     )
     a, b = rare.alias("a"), rare.alias("b")
     return (
@@ -685,11 +687,18 @@ def _prefix_candidates(exploded: DataFrame, threshold: float) -> DataFrame:
     Scale: vs the plain explode-join (every shared shingle a candidate
     row), the join input shrinks to prefix tokens only — and because
     prefixes are the RAREST tokens, the per-shingle fan-out is smallest
-    exactly where the join would explode. The df table adds one extra
-    aggregation on the shingle key it already shuffles on.
+    exactly where the join would explode. df comes from a window count
+    over the shingle partition — one pass over the exploded rows.
     """
-    df_tbl = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    ranked = exploded.join(df_tbl, "shingle")
+    # df as a WINDOW count over the shingle partition: the old shape
+    # (groupBy df table + join back) re-ran the whole shingle Arrow
+    # stage for the aggregate's input — with the self-join below, FOUR
+    # explode passes per query. The window computes df on the same rows
+    # in one pass per side (r12, guide §2.4; measured 1.99 -> 1.60s /
+    # 7 -> 6 jobs at sf0.1, output identical).
+    ranked = exploded.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    )
     w = Window.partitionBy("doc_id").orderBy("df", "shingle")
     prefix = ranked.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk")
@@ -1250,11 +1259,21 @@ def text_dup_ngram_span_fraction(spark, sf_dir):
             " array_join(slice(w, i + 1, 8), ' ') AS gram)))"
         ).alias("g"),
     ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
-    dup = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c")).filter(
-        F.col("c") >= 2
-    )
-    iv = grams.join(dup.select("gram"), "gram", "left_semi").select(
-        "doc_id", F.col("pos").alias("s"), (F.col("pos") + 7).alias("e")
+    # occurrence count >= 2 as a WINDOW count over the gram partition:
+    # one shuffle of the gram rows replaces the old groupBy + semi-join
+    # shape, which paid a second full explode of the corpus (the join's
+    # probe side recomputed the Generate) plus a (gram, count) partial
+    # shuffle and a broadcast of the dup grams. Same rows survive —
+    # count-per-gram is identical either way (r12, guide §2.4; measured
+    # 1.59 -> 0.98s / 5 -> 4 jobs at sf0.1 with bit-equal output).
+    iv = (
+        grams.withColumn(
+            "c", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+        )
+        .filter(F.col("c") >= 2)
+        .select(
+            "doc_id", F.col("pos").alias("s"), (F.col("pos") + 7).alias("e")
+        )
     )
     w_prev = (
         Window.partitionBy("doc_id")
